@@ -1,0 +1,307 @@
+package graft
+
+/** The declared t2 operator contract (SURVEY.md §2 / Appendix A,
+  * machine-readable twin of `verification/t2_corpus.py`).
+  *
+  * Each entry carries the Spark-dialect SQL (the verified lowering every
+  * graft API path must reproduce) and the DuckDB-dialect oracle SQL the
+  * driver runs for the hash compare. 39 of 49 share one ANSI text; the rest
+  * split per SURVEY.md H8 (explode/unnest, get_json_object/json_extract,
+  * datediff argument order, percentile/quantile_cont, array functions).
+  *
+  * DataFrame-API implementations of these operators live in
+  * [[graft.Queries]]; this object is purely declarative so the contract has
+  * a single source of truth.
+  */
+final case class CorpusQuery(name: String, sparkSql: String, duckSql: String)
+
+object Corpus {
+
+  private def q(name: String, sql: String) = CorpusQuery(name, sql, sql)
+  private def q2(name: String, spark: String, duck: String) = CorpusQuery(name, spark, duck)
+
+  private val simSpark =
+    """round(aggregate(zip_with(p.embedding, g.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (a,x)->a+x)
+ / (sqrt(aggregate(transform(p.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(a,x)->a+x))
+  * sqrt(aggregate(transform(g.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(a,x)->a+x))),6)"""
+
+  private val simDuck = "round(list_cosine_similarity(p.embedding::DOUBLE[], g.embedding::DOUBLE[]),6)"
+
+  val all: Seq[CorpusQuery] = Seq(
+    q("q01_scan_filter_project",
+      """select l_orderkey, l_linenumber, round(l_extendedprice*(1-l_discount),2) net
+ from lineitem where l_quantity > 45 and l_shipdate >= timestamp '1997-01-01 00:00:00'
+ order by l_orderkey, l_linenumber limit 100"""),
+
+    q("q02_filter_in_like",
+      """select p_partkey, p_name, p_type from part
+ where p_type in ('PROMO','ECONOMY') and p_name like '%a%' order by p_partkey limit 100"""),
+
+    q("q03_agg_tpch1_decimal",
+      """select l_returnflag, l_linestatus,
+ sum(cast(l_quantity as decimal(18,4))) sq, sum(cast(l_extendedprice as decimal(18,4))) sp,
+ sum(cast(l_extendedprice as decimal(18,4))*cast(1-l_discount as decimal(18,4))) net, count(*) c
+ from lineitem where l_shipdate <= timestamp '1998-09-02 00:00:00'
+ group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus"""),
+
+    q("q04_having",
+      """select o_custkey, count(*) c, sum(cast(o_totalprice as decimal(18,4))) s
+ from orders group by o_custkey having count(*) >= 14 order by o_custkey"""),
+
+    q("q05_count_distinct",
+      """select count(distinct o_custkey) a, count(distinct o_orderpriority) b, count(distinct o_orderstatus) c from orders"""),
+
+    q("q06_distinct",
+      """select distinct l_returnflag, l_linestatus from lineitem order by 1,2"""),
+
+    q("q07_join_inner",
+      """select c.c_custkey, c.c_name, o.o_orderkey, o.o_orderstatus from customer c
+ join orders o on c.c_custkey=o.o_custkey where c.c_mktsegment='BUILDING' order by c.c_custkey, o.o_orderkey limit 100"""),
+
+    q("q08_join_left",
+      """select c.c_custkey, count(o.o_orderkey) n from customer c
+ left join orders o on c.c_custkey=o.o_custkey and o.o_totalprice > 400000
+ group by c.c_custkey order by c.c_custkey limit 100"""),
+
+    q("q09_join_full",
+      """select coalesce(a.k, b.k) k, a.ca, b.cb from
+ (select o_orderpriority k, count(*) ca from orders where o_orderstatus='F' group by o_orderpriority) a
+ full join (select event_type k, count(*) cb from events group by event_type) b on a.k=b.k
+ order by k"""),
+
+    q("q10_join_semi_exists",
+      """select p_partkey, p_name from part p
+ where exists (select 1 from lineitem l where l.l_partkey=p.p_partkey and l.l_quantity > 49)
+ order by p_partkey limit 100"""),
+
+    q("q11_join_anti",
+      """select c_custkey from customer c
+ where not exists (select 1 from orders o where o.o_custkey=c.c_custkey and o.o_orderpriority='1-URGENT')
+ order by c_custkey limit 100"""),
+
+    q("q12_join_cross",
+      """select r1.r_name a, r2.r_name b from region r1 cross join region r2 order by r1.r_name, r2.r_name"""),
+
+    q("q13_join_theta",
+      """select p1.p_brand, count(*) pairs from part p1
+ join part p2 on p1.p_brand=p2.p_brand and p1.p_size < p2.p_size group by p1.p_brand order by p1.p_brand"""),
+
+    q("q14_join_range_band",
+      """select e1.event_id a, e2.event_id b from events e1 join events e2
+ on e1.user_id=e2.user_id and e2.ts > e1.ts and e2.ts <= e1.ts + interval 5 minute
+ where e1.event_type='click' and e2.event_type='purchase' order by e1.event_id, e2.event_id limit 100"""),
+
+    q("q15_asof_correlated",
+      """select p.event_id, (select max(c.ts) from events c
+ where c.user_id=p.user_id and c.event_type='click' and c.ts <= p.ts) last_click
+ from events p where p.event_type='purchase' order by p.event_id limit 200"""),
+
+    q("q16_window_ranking",
+      """select o_orderkey, o_custkey,
+ row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) rn,
+ rank() over (partition by o_custkey order by o_totalprice desc, o_orderkey) rk,
+ dense_rank() over (partition by o_custkey order by o_totalprice desc, o_orderkey) dr,
+ ntile(4) over (partition by o_custkey order by o_orderkey) nt
+ from orders order by o_custkey, o_orderkey limit 200"""),
+
+    q("q17_window_analytic",
+      """select event_id, user_id,
+ lag(value,1) over (partition by user_id order by ts, event_id) pv,
+ lead(value,1) over (partition by user_id order by ts, event_id) nv,
+ first_value(value) over (partition by user_id order by ts, event_id) fv,
+ last_value(value) over (partition by user_id order by ts, event_id rows between unbounded preceding and unbounded following) lv
+ from events order by user_id, event_id limit 300"""),
+
+    q("q18_window_frames",
+      """select o_orderkey, o_custkey,
+ round(sum(o_totalprice) over (partition by o_custkey order by o_orderdate, o_orderkey rows between 3 preceding and current row),2) s3,
+ sum(cast(o_totalprice as decimal(18,4))) over (partition by o_custkey order by o_totalprice range between 50000 preceding and current row) rs,
+ count(*) over (partition by o_custkey order by o_totalprice range between 50000 preceding and current row) rc
+ from orders order by o_custkey, o_orderkey limit 200"""),
+
+    q("q19_topk_per_group",
+      """select o_custkey, o_orderkey, o_totalprice, rn from
+ (select o_custkey, o_orderkey, o_totalprice,
+  row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) rn from orders) t
+ where rn <= 3 order by o_custkey, rn limit 300"""),
+
+    q("q20_sort_offset",
+      """select l_orderkey, l_linenumber, l_extendedprice from lineitem
+ order by l_extendedprice desc, l_orderkey, l_linenumber limit 50 offset 100"""),
+
+    q("q21_union",
+      """select x from (select o_custkey x from orders where o_totalprice > 400000
+ union select c_custkey from customer where c_acctbal < 0) t order by x limit 100"""),
+
+    q("q22_intersect_except",
+      """select x, 'i' tag from (select o_custkey x from orders where o_orderstatus='P'
+ intersect select c_custkey from customer where c_acctbal > 0) t1
+ union all
+ select x, 'e' tag from (select c_custkey x from customer except select o_custkey from orders) t2
+ order by tag, x limit 200"""),
+
+    q2("q23_string_funcs",
+      """select p_partkey, upper(p_name) u, lower(p_brand) lo, substr(p_name,1,5) s, length(p_name) len,
+ replace(p_type,'A','@') rep, trim(concat(' ', p_name, ' ')) tr, lpad(cast(p_partkey as string), 8, '0') pad, reverse(p_brand) rev
+ from part order by p_partkey limit 100""",
+      """select p_partkey, upper(p_name) u, lower(p_brand) lo, substr(p_name,1,5) s, length(p_name) len,
+ replace(p_type,'A','@') rep, trim(concat(' ', p_name, ' ')) tr, lpad(cast(p_partkey as varchar), 8, '0') pad, reverse(p_brand) rev
+ from part order by p_partkey limit 100"""),
+
+    q("q24_regexp",
+      """select doc_id, regexp_extract(text, '([a-z]+)', 1) first_word from documents order by doc_id limit 100"""),
+
+    q2("q25_date_funcs",
+      """select o_orderkey, extract(year from o_orderdate) y, extract(month from o_orderdate) m,
+ extract(day from o_orderdate) d, date_trunc('month', o_orderdate) mo, o_orderdate + interval 30 day plus30,
+ datediff(cast(o_orderdate + interval 30 day as date), cast(o_orderdate as date)) dd
+ from orders order by o_orderkey limit 100""",
+      """select o_orderkey, extract(year from o_orderdate) y, extract(month from o_orderdate) m,
+ extract(day from o_orderdate) d, date_trunc('month', o_orderdate) mo, o_orderdate + interval 30 day plus30,
+ date_diff('day', o_orderdate, o_orderdate + interval 30 day) dd
+ from orders order by o_orderkey limit 100"""),
+
+    q("q26_math_funcs",
+      """select l_orderkey, l_linenumber, round(abs(l_discount - 0.05),4) ab,
+ cast(floor(l_quantity) as bigint) fl, cast(ceil(l_quantity) as bigint) ce,
+ round(sqrt(l_extendedprice),4) sq, round(power(l_discount + 1, 2),6) pw,
+ l_partkey % 7 md, cast(sign(l_discount - 0.05) as int) sg, round(ln(l_extendedprice),6) lg
+ from lineitem order by l_orderkey, l_linenumber limit 100"""),
+
+    q("q27_case_cast_coalesce",
+      """select o_orderkey,
+ case when o_totalprice > 300000 then 'big' when o_totalprice > 100000 then 'mid' else 'small' end bucket,
+ coalesce(nullif(o_orderstatus,'O'),'open') st, cast(floor(o_totalprice) as bigint) ti
+ from orders order by o_orderkey limit 200"""),
+
+    q2("q28_json",
+      """select event_id, cast(get_json_object(props,'$.k') as int) k from events order by event_id limit 200""",
+      """select event_id, cast(json_extract(props,'$.k') as integer) k from events order by event_id limit 200"""),
+
+    q2("q29_array_ops",
+      """select vec_id, size(embedding) n, element_at(embedding,1) e1,
+ round(aggregate(slice(embedding,1,8), cast(0.0 as double), (a,x)->a+cast(x as double)),4) s8,
+ array_contains(embedding, element_at(embedding,1)) has1
+ from embeddings order by vec_id limit 100""",
+      """select vec_id, len(embedding) n, embedding[1] e1,
+ round(list_sum(embedding[1:8]::DOUBLE[]),4) s8, list_contains(embedding, embedding[1]) has1
+ from embeddings order by vec_id limit 100"""),
+
+    q2("q30_collect_sorted",
+      """select l_orderkey, sort_array(collect_list(l_linenumber)) ls from lineitem group by l_orderkey order by l_orderkey limit 100""",
+      """select l_orderkey, list_sort(list(l_linenumber)) ls from lineitem group by l_orderkey order by l_orderkey limit 100"""),
+
+    q2("q31_wordcount",
+      """select w, count(*) c from (select explode(split(text,' ')) w from documents) t group by w order by c desc, w""",
+      """select w, count(*) c from (select unnest(string_split(text,' ')) w from documents) t group by w order by c desc, w"""),
+
+    q2("q32_bigrams",
+      """with tok as (select doc_id, pos, w from documents lateral view posexplode(split(text,' ')) t as pos, w)
+ select concat(t1.w, ' ', t2.w) bg, count(*) c from tok t1 join tok t2 on t1.doc_id=t2.doc_id and t2.pos=t1.pos+1
+ group by concat(t1.w, ' ', t2.w) order by c desc, bg limit 50""",
+      """with tok as (select doc_id, generate_subscripts(l,1)-1 pos, unnest(l) w from (select doc_id, string_split(text,' ') l from documents) s)
+ select concat(t1.w, ' ', t2.w) bg, count(*) c from tok t1 join tok t2 on t1.doc_id=t2.doc_id and t2.pos=t1.pos+1
+ group by concat(t1.w, ' ', t2.w) order by c desc, bg limit 50"""),
+
+    q("q33_dedup_exact",
+      """select h, count(*) c, min(doc_id) keep from
+ (select doc_id, md5(substr(text,1,16)) h from documents) t group by h having count(*) > 1 order by h limit 100"""),
+
+    q2("q34_jaccard_neardup",
+      """with t as (select distinct doc_id, w from (select doc_id, explode(split(text,' ')) w from documents where doc_id < 200) x),
+ sizes as (select doc_id, count(*) n from t group by doc_id),
+ inter as (select a.doc_id d1, b.doc_id d2, count(*) i from t a join t b on a.w=b.w and a.doc_id < b.doc_id group by a.doc_id, b.doc_id)
+ select d1, d2, round(cast(i as double)/(s1.n+s2.n-i),4) j from inter
+ join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+ where cast(i as double)/(s1.n+s2.n-i) >= 0.8 order by d1, d2 limit 200""",
+      """with t as (select distinct doc_id, w from (select doc_id, unnest(string_split(text,' ')) w from documents where doc_id < 200) x),
+ sizes as (select doc_id, count(*) n from t group by doc_id),
+ inter as (select a.doc_id d1, b.doc_id d2, count(*) i from t a join t b on a.w=b.w and a.doc_id < b.doc_id group by a.doc_id, b.doc_id)
+ select d1, d2, round(cast(i as double)/(s1.n+s2.n-i),4) j from inter
+ join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+ where cast(i as double)/(s1.n+s2.n-i) >= 0.8 order by d1, d2 limit 200"""),
+
+    q2("q35_cosine_topk",
+      s"""select g.vec_id, $simSpark sim from embeddings g join embeddings p on p.vec_id=0
+ order by sim desc, g.vec_id limit 20""",
+      s"""select g.vec_id, $simDuck sim from embeddings g join embeddings p on p.vec_id=0
+ order by sim desc, g.vec_id limit 20"""),
+
+    q2("q36_knn",
+      s"""select p_id, g_id, s from (select p.vec_id p_id, g.vec_id g_id, $simSpark s,
+ row_number() over (partition by p.vec_id order by $simSpark desc, g.vec_id) rn
+ from embeddings p join embeddings g on g.vec_id >= 20 where p.vec_id < 20) t where rn = 1 order by p_id""",
+      s"""select p_id, g_id, s from (select p.vec_id p_id, g.vec_id g_id, $simDuck s,
+ row_number() over (partition by p.vec_id order by $simDuck desc, g.vec_id) rn
+ from embeddings p join embeddings g on g.vec_id >= 20 where p.vec_id < 20) t where rn = 1 order by p_id"""),
+
+    q("q37_sessionize",
+      """with e as (select user_id, ts, event_id,
+ case when lag(ts) over (partition by user_id order by ts, event_id) is null
+      or ts - lag(ts) over (partition by user_id order by ts, event_id) > interval 30 minute then 1 else 0 end brk
+ from events)
+ select user_id, count(distinct sid) n_sessions from
+ (select user_id, sum(brk) over (partition by user_id order by ts, event_id rows between unbounded preceding and current row) sid from e) t
+ group by user_id order by user_id limit 200"""),
+
+    q("q38_tumbling_window",
+      """select date_trunc('hour', ts) w, event_type, count(*) c,
+ sum(cast(value as decimal(18,4))) v from events group by date_trunc('hour', ts), event_type
+ order by w, event_type limit 500"""),
+
+    q("q39_sliding_window",
+      """with e as (select case when extract(minute from ts) >= 30
+   then date_trunc('hour', ts) + interval 30 minute else date_trunc('hour', ts) end b, value from events)
+ select w, count(*) c, sum(cast(value as decimal(18,4))) v from
+ (select b w, value from e union all select b - interval 30 minute w, value from e) t
+ group by w order by w limit 500"""),
+
+    q("q40_pivot_manual",
+      """select user_id,
+ count(case when event_type='click' then 1 end) clicks,
+ count(case when event_type='view' then 1 end) n_views,
+ sum(case when event_type='purchase' then cast(value as decimal(18,4)) else cast(0 as decimal(18,4)) end) purchase_v
+ from events group by user_id order by user_id limit 200"""),
+
+    q("q41_scalar_subquery",
+      """select o_orderkey, o_totalprice from orders
+ where o_totalprice > (select max(o_totalprice) * 0.5 from orders) order by o_orderkey limit 200"""),
+
+    q("q42_in_subquery",
+      """select c_custkey from customer
+ where c_custkey in (select o_custkey from orders where o_orderpriority='1-URGENT') order by c_custkey limit 200"""),
+
+    q("q43_rollup",
+      """select l_returnflag f, l_linestatus s, count(*) c from lineitem
+ group by rollup(l_returnflag, l_linestatus) order by f nulls first, s nulls first"""),
+
+    q("q44_cube",
+      """select coalesce(l_returnflag,'ALL') f, coalesce(l_linestatus,'ALL') s, count(*) c
+ from lineitem group by cube(l_returnflag, l_linestatus) order by f, s"""),
+
+    q("q45_grouping_sets",
+      """select l_returnflag f, l_linestatus s, grouping(l_returnflag) gf, grouping(l_linestatus) gs, count(*) c
+ from lineitem group by grouping sets ((l_returnflag),(l_returnflag,l_linestatus),())
+ order by gf, gs, f nulls first, s nulls first"""),
+
+    q2("q46_percentile",
+      """select round(percentile(o_totalprice, 0.5),4) p50, round(percentile(o_totalprice, 0.9),4) p90 from orders""",
+      """select round(quantile_cont(o_totalprice, 0.5),4) p50, round(quantile_cont(o_totalprice, 0.9),4) p90 from orders"""),
+
+    q("q47_stats",
+      """select l_returnflag, round(stddev_samp(l_extendedprice),2) sd,
+ round(corr(l_extendedprice, l_quantity),6) co, round(covar_samp(l_extendedprice, l_quantity),2) cv
+ from lineitem group by l_returnflag order by l_returnflag"""),
+
+    q("q48_minmax_by",
+      """select o_custkey, max_by(o_orderstatus, o_orderkey) last_st, min_by(o_orderstatus, o_orderkey) first_st,
+ max(o_orderkey) mx from orders group by o_custkey order by o_custkey limit 200"""),
+
+    q("q49_filtered_agg",
+      """select l_returnflag, count(*) filter (where l_quantity > 25) hi, count(*) total,
+ bool_or(l_discount > 0.09) anyhi, bool_and(l_quantity > 0) allpos
+ from lineitem group by l_returnflag order by l_returnflag"""),
+  )
+
+  val byName: Map[String, CorpusQuery] = all.map(c => c.name -> c).toMap
+}

@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession lifecycle + engine configuration for graft.
+  *
+  * Session-level hazards (SURVEY.md §2.5) are centralized here so every
+  * entry point (SQL, DataFrame API, MR facade, streaming, verify, bench)
+  * sees the same semantics:
+  *
+  *  - H1: `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 refuses to read
+  *    it without `spark.sql.legacy.parquet.nanosAsLong=true` (the column
+  *    then surfaces as LongType and graft.sources.Catalog rewrites it).
+  *  - Timestamp literals must parse as TIMESTAMP_NTZ and the session zone
+  *    must be UTC for cross-engine (DuckDB-oracle) parity.
+  *  - AQE on: runtime partition coalescing + skew-join splitting is part of
+  *    the 100 TB posture (local bench barely exercises it, a cluster does).
+  */
+object Graft {
+
+  /** Runtime (session) confs — also safe to apply to an externally-created
+    * session via [[configure]]. */
+  val sessionConfs: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone"           -> "UTC",
+    "spark.sql.timestampType"              -> "TIMESTAMP_NTZ",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled"           -> "true",
+  )
+
+  /** Parallelism: the bench machine exposes 32 cores; shuffle partitions are
+    * sized to cores for local mode (never the 200 default). On a real
+    * cluster this is a deploy-time knob (or left to AQE coalescing). */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** Apply graft's runtime confs to an existing session (e.g. one handed to
+    * us by a driver harness). Idempotent. */
+  def configure(spark: SparkSession): SparkSession = {
+    sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+
+  /** Build a local session with graft defaults. */
+  def session(appName: String = "graft", master: String = s"local[$cpus]"): SparkSession = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark) // in case getOrCreate returned a pre-existing session
+  }
+}

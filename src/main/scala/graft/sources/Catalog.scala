@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+import graft.engine.Graft
+
+/** Table registration over a test-data directory (one parquet per table).
+  *
+  * The nanos-timestamp ingest rewrite (SURVEY.md H1) lives here so that no
+  * other code path ever sees a raw nanosecond LongType `ts`:
+  * `events.ts` TIMESTAMP(NANOS) → read as Long (legacy conf) → integer
+  * `div 1000` → `timestamp_micros` → TIMESTAMP_NTZ. Integer division is
+  * load-bearing: double division corrupts the microsecond digit above 2^53.
+  */
+object Catalog {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table from `dir`; `events` gets the H1 rewrite. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Graft.configure(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else df
+  }
+
+  private val registeredKey = "spark.graft.catalog.dir"
+
+  /** Register all tables of `dir` as temp views. Cheap (views are lazy) and
+    * idempotent per (session, dir). */
+  def register(spark: SparkSession, dir: String): SparkSession = {
+    Graft.configure(spark)
+    if (!spark.conf.getOption(registeredKey).contains(dir)) {
+      tableNames.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      spark.conf.set(registeredKey, dir)
+    }
+    spark
+  }
+}
