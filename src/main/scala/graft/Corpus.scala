@@ -37,15 +37,23 @@ object Corpus {
       """select p_partkey, p_name, p_type from part
  where p_type in ('PROMO','ECONOMY') and p_name like '%a%' order by p_partkey limit 100"""),
 
+    // Decimal aggregation is kept INTERNAL (exact, order-independent sums —
+    // SURVEY.md H2/H3) but the OUTPUT is cast to double on the value's exact
+    // grid: parquet DECIMAL surfaces as decimal.Decimal objects in the
+    // driver's pandas compare while the DuckDB oracle yields float64, which
+    // hash-mismatches even on equal values (observed round 1: q03/q04/q18/
+    // q38/q39/q40). The cast is deterministic (nearest double of an exact
+    // 2–4dp value) and round(,4) pins it to the grid on both engines.
     q("q03_agg_tpch1_decimal",
       """select l_returnflag, l_linestatus,
- sum(cast(l_quantity as decimal(18,4))) sq, sum(cast(l_extendedprice as decimal(18,4))) sp,
- sum(cast(l_extendedprice as decimal(18,4))*cast(1-l_discount as decimal(18,4))) net, count(*) c
+ round(cast(sum(cast(l_quantity as decimal(18,4))) as double),4) sq,
+ round(cast(sum(cast(l_extendedprice as decimal(18,4))) as double),4) sp,
+ round(cast(sum(cast(l_extendedprice as decimal(18,4))*cast(1-l_discount as decimal(18,4))) as double),4) net, count(*) c
  from lineitem where l_shipdate <= timestamp '1998-09-02 00:00:00'
  group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus"""),
 
     q("q04_having",
-      """select o_custkey, count(*) c, sum(cast(o_totalprice as decimal(18,4))) s
+      """select o_custkey, count(*) c, round(cast(sum(cast(o_totalprice as decimal(18,4))) as double),4) s
  from orders group by o_custkey having count(*) >= 14 order by o_custkey"""),
 
     q("q05_count_distinct",
@@ -115,7 +123,7 @@ object Corpus {
     q("q18_window_frames",
       """select o_orderkey, o_custkey,
  round(sum(o_totalprice) over (partition by o_custkey order by o_orderdate, o_orderkey rows between 3 preceding and current row),2) s3,
- sum(cast(o_totalprice as decimal(18,4))) over (partition by o_custkey order by o_totalprice range between 50000 preceding and current row) rs,
+ round(cast(sum(cast(o_totalprice as decimal(18,4))) over (partition by o_custkey order by o_totalprice range between 50000 preceding and current row) as double),4) rs,
  count(*) over (partition by o_custkey order by o_totalprice range between 50000 preceding and current row) rc
  from orders order by o_custkey, o_orderkey limit 200"""),
 
@@ -187,9 +195,12 @@ object Corpus {
  round(list_sum(embedding[1:8]::DOUBLE[]),4) s8, list_contains(embedding, embedding[1]) has1
  from embeddings order by vec_id limit 100"""),
 
+    // The list is emitted as a joined STRING, not an array column: the
+    // driver's pandas compare cannot sort/hash ndarray cells (observed err
+    // round 1). Same collect→sort semantics, canonical textual form.
     q2("q30_collect_sorted",
-      """select l_orderkey, sort_array(collect_list(l_linenumber)) ls from lineitem group by l_orderkey order by l_orderkey limit 100""",
-      """select l_orderkey, list_sort(list(l_linenumber)) ls from lineitem group by l_orderkey order by l_orderkey limit 100"""),
+      """select l_orderkey, array_join(transform(sort_array(collect_list(l_linenumber)), x -> cast(x as string)), ',') ls from lineitem group by l_orderkey order by l_orderkey limit 100""",
+      """select l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') ls from lineitem group by l_orderkey order by l_orderkey limit 100"""),
 
     q2("q31_wordcount",
       """select w, count(*) c from (select explode(split(text,' ')) w from documents) t group by w order by c desc, w""",
@@ -246,13 +257,13 @@ object Corpus {
 
     q("q38_tumbling_window",
       """select date_trunc('hour', ts) w, event_type, count(*) c,
- sum(cast(value as decimal(18,4))) v from events group by date_trunc('hour', ts), event_type
+ round(cast(sum(cast(value as decimal(18,4))) as double),4) v from events group by date_trunc('hour', ts), event_type
  order by w, event_type limit 500"""),
 
     q("q39_sliding_window",
       """with e as (select case when extract(minute from ts) >= 30
    then date_trunc('hour', ts) + interval 30 minute else date_trunc('hour', ts) end b, value from events)
- select w, count(*) c, sum(cast(value as decimal(18,4))) v from
+ select w, count(*) c, round(cast(sum(cast(value as decimal(18,4))) as double),4) v from
  (select b w, value from e union all select b - interval 30 minute w, value from e) t
  group by w order by w limit 500"""),
 
@@ -260,7 +271,7 @@ object Corpus {
       """select user_id,
  count(case when event_type='click' then 1 end) clicks,
  count(case when event_type='view' then 1 end) n_views,
- sum(case when event_type='purchase' then cast(value as decimal(18,4)) else cast(0 as decimal(18,4)) end) purchase_v
+ round(cast(sum(case when event_type='purchase' then cast(value as decimal(18,4)) else cast(0 as decimal(18,4)) end) as double),4) purchase_v
  from events group by user_id order by user_id limit 200"""),
 
     q("q41_scalar_subquery",

@@ -11,11 +11,12 @@ CORPUS = {
 "q02_filter_in_like": dict(sql="""select p_partkey, p_name, p_type from part
  where p_type in ('PROMO','ECONOMY') and p_name like '%a%' order by p_partkey limit 100"""),
 "q03_agg_tpch1_decimal": dict(sql="""select l_returnflag, l_linestatus,
- sum(cast(l_quantity as decimal(18,4))) sq, sum(cast(l_extendedprice as decimal(18,4))) sp,
- sum(cast(l_extendedprice as decimal(18,4))*cast(1-l_discount as decimal(18,4))) net, count(*) c
+ round(cast(sum(cast(l_quantity as decimal(18,4))) as double),4) sq,
+ round(cast(sum(cast(l_extendedprice as decimal(18,4))) as double),4) sp,
+ round(cast(sum(cast(l_extendedprice as decimal(18,4))*cast(1-l_discount as decimal(18,4))) as double),4) net, count(*) c
  from lineitem where l_shipdate <= timestamp '1998-09-02 00:00:00'
  group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus"""),
-"q04_having": dict(sql="""select o_custkey, count(*) c, sum(cast(o_totalprice as decimal(18,4))) s
+"q04_having": dict(sql="""select o_custkey, count(*) c, round(cast(sum(cast(o_totalprice as decimal(18,4))) as double),4) s
  from orders group by o_custkey having count(*) >= 14 order by o_custkey"""),
 "q05_count_distinct": dict(sql="""select count(distinct o_custkey) a, count(distinct o_orderpriority) b, count(distinct o_orderstatus) c from orders"""),
 "q06_distinct": dict(sql="""select distinct l_returnflag, l_linestatus from lineitem order by 1,2"""),
@@ -57,7 +58,7 @@ CORPUS = {
  from events order by user_id, event_id limit 300"""),
 "q18_window_frames": dict(sql="""select o_orderkey, o_custkey,
  round(sum(o_totalprice) over (partition by o_custkey order by o_orderdate, o_orderkey rows between 3 preceding and current row),2) s3,
- sum(cast(o_totalprice as decimal(18,4))) over (partition by o_custkey order by o_totalprice range between 50000 preceding and current row) rs,
+ round(cast(sum(cast(o_totalprice as decimal(18,4))) over (partition by o_custkey order by o_totalprice range between 50000 preceding and current row) as double),4) rs,
  count(*) over (partition by o_custkey order by o_totalprice range between 50000 preceding and current row) rc
  from orders order by o_custkey, o_orderkey limit 200"""),
 "q19_topk_per_group": dict(sql="""select o_custkey, o_orderkey, o_totalprice, rn from
@@ -111,8 +112,8 @@ CORPUS = {
  round(list_sum(embedding[1:8]::DOUBLE[]),4) s8, list_contains(embedding, embedding[1]) has1
  from embeddings order by vec_id limit 100"""),
 "q30_collect_sorted": dict(
- spark="""select l_orderkey, sort_array(collect_list(l_linenumber)) ls from lineitem group by l_orderkey order by l_orderkey limit 100""",
- duckdb="""select l_orderkey, list_sort(list(l_linenumber)) ls from lineitem group by l_orderkey order by l_orderkey limit 100"""),
+ spark="""select l_orderkey, array_join(transform(sort_array(collect_list(l_linenumber)), x -> cast(x as string)), ',') ls from lineitem group by l_orderkey order by l_orderkey limit 100""",
+ duckdb="""select l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') ls from lineitem group by l_orderkey order by l_orderkey limit 100"""),
 "q31_wordcount": dict(
  spark="""select w, count(*) c from (select explode(split(text,' ')) w from documents) t group by w order by c desc, w""",
  duckdb="""select w, count(*) c from (select unnest(string_split(text,' ')) w from documents) t group by w order by c desc, w"""),
@@ -158,17 +159,17 @@ CORPUS = {
  (select user_id, sum(brk) over (partition by user_id order by ts, event_id rows between unbounded preceding and current row) sid from e) t
  group by user_id order by user_id limit 200"""),
 "q38_tumbling_window": dict(sql="""select date_trunc('hour', ts) w, event_type, count(*) c,
- sum(cast(value as decimal(18,4))) v from events group by date_trunc('hour', ts), event_type
+ round(cast(sum(cast(value as decimal(18,4))) as double),4) v from events group by date_trunc('hour', ts), event_type
  order by w, event_type limit 500"""),
 "q39_sliding_window": dict(sql="""with e as (select case when extract(minute from ts) >= 30
    then date_trunc('hour', ts) + interval 30 minute else date_trunc('hour', ts) end b, value from events)
- select w, count(*) c, sum(cast(value as decimal(18,4))) v from
+ select w, count(*) c, round(cast(sum(cast(value as decimal(18,4))) as double),4) v from
  (select b w, value from e union all select b - interval 30 minute w, value from e) t
  group by w order by w limit 500"""),
 "q40_pivot_manual": dict(sql="""select user_id,
  count(case when event_type='click' then 1 end) clicks,
  count(case when event_type='view' then 1 end) n_views,
- sum(case when event_type='purchase' then cast(value as decimal(18,4)) else cast(0 as decimal(18,4)) end) purchase_v
+ round(cast(sum(case when event_type='purchase' then cast(value as decimal(18,4)) else cast(0 as decimal(18,4)) end) as double),4) purchase_v
  from events group by user_id order by user_id limit 200"""),
 "q41_scalar_subquery": dict(sql="""select o_orderkey, o_totalprice from orders
  where o_totalprice > (select max(o_totalprice) * 0.5 from orders) order by o_orderkey limit 200"""),
