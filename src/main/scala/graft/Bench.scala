@@ -1,23 +1,97 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.sources.Catalog
+
+/** BASELINE.md 12-query headline suite (same names, same workload shapes)
+  * with the same warm-run protocol the baseline numbers were measured
+  * under: one full warm pass per query, second run timed, `collect()` to
+  * the driver, all in one session. Prints ONE raw JSON line on stdout
+  * (build.sbt routes forked-run output through unprefixed).
+  */
 object Bench {
+
+  /** name -> Spark SQL, aligned 1:1 with the BASELINE.md table. */
+  val suite: Seq[(String, String)] = Seq(
+    "q_agg_tpch1" ->
+      """select l_returnflag, l_linestatus,
+         round(cast(sum(cast(l_quantity as decimal(18,4))) as double),4) sq,
+         round(cast(sum(cast(l_extendedprice as decimal(18,4))) as double),4) sp,
+         round(cast(sum(cast(l_extendedprice as decimal(18,4))*cast(1-l_discount as decimal(18,4))) as double),4) net,
+         count(*) c
+         from lineitem where l_shipdate <= timestamp '1998-09-02 00:00:00'
+         group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus""",
+    "q_join3_topk" ->
+      """select o.o_orderkey, round(cast(sum(cast(l.l_extendedprice as decimal(18,4))*cast(1-l.l_discount as decimal(18,4))) as double),4) rev
+         from customer c join orders o on c.c_custkey=o.o_custkey
+         join lineitem l on l.l_orderkey=o.o_orderkey
+         where c.c_mktsegment='BUILDING'
+         group by o.o_orderkey order by rev desc, o.o_orderkey limit 10""",
+    "q_join5" ->
+      """select n.n_name, round(cast(sum(cast(l.l_extendedprice as decimal(18,4))*cast(1-l.l_discount as decimal(18,4))) as double),4) rev
+         from region r join nation n on n.n_regionkey=r.r_regionkey
+         join customer c on c.c_nationkey=n.n_nationkey
+         join orders o on o.o_custkey=c.c_custkey
+         join lineitem l on l.l_orderkey=o.o_orderkey
+         where r.r_name='ASIA'
+         group by n.n_name order by rev desc, n.n_name""",
+    "q_wordcount" ->
+      """select w, count(*) c from (select explode(split(text,' ')) w from documents) t
+         group by w order by c desc, w limit 20""",
+    "q_cosine_topk" ->
+      """select g.vec_id, round(aggregate(zip_with(p.embedding, g.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (a,x)->a+x)
+         / (sqrt(aggregate(transform(p.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(a,x)->a+x))
+          * sqrt(aggregate(transform(g.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(a,x)->a+x))),6) sim
+         from embeddings g join embeddings p on p.vec_id=0
+         order by sim desc, g.vec_id limit 10""",
+    "q_window_run" ->
+      """select o_orderkey, o_custkey,
+         round(sum(o_totalprice) over (partition by o_custkey order by o_orderdate, o_orderkey rows between unbounded preceding and current row),2) run,
+         row_number() over (partition by o_custkey order by o_orderdate, o_orderkey) rn
+         from orders order by o_custkey, rn limit 100""",
+    "q_tumble" ->
+      """select date_trunc('hour', ts) w, event_type, count(*) c,
+         round(cast(sum(cast(value as decimal(18,4))) as double),4) v
+         from events group by date_trunc('hour', ts), event_type order by w, event_type""",
+    "q_distinct" ->
+      """select count(distinct o_custkey) a, count(distinct o_orderpriority) b, count(distinct o_orderstatus) c from orders""",
+    "q_rollup" ->
+      """select l_returnflag f, l_linestatus s, count(*) c from lineitem
+         group by rollup(l_returnflag, l_linestatus) order by f nulls first, s nulls first""",
+    "q_sort_limit" ->
+      """select l_orderkey, l_linenumber, l_extendedprice from lineitem
+         order by l_extendedprice desc, l_orderkey, l_linenumber limit 50""",
+    "q_json" ->
+      """select cast(get_json_object(props,'$.k') as int) k, count(*) c,
+         round(cast(sum(cast(value as decimal(18,4))) as double),4) v
+         from events group by cast(get_json_object(props,'$.k') as int) order by k limit 20""",
+    "q_dedup" ->
+      """select count(*) dup_groups from (
+         select md5(substr(text,1,16)) h from documents group by md5(substr(text,1,16)) having count(*) > 1) t""",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark: SparkSession = graft.engine.Graft.session("graft-bench")
+    Catalog.register(spark, sfDir)
+
+    def run(sql: String): Long = {
+      var n = 0L
+      val rows = spark.sql(sql).collect()
+      n += rows.length
+      n
+    }
+
+    val results = suite.map { case (name, sql) =>
+      run(sql) // warm: plan + shuffle + codegen paths hot
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run(sql)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
