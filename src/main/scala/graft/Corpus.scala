@@ -27,6 +27,118 @@ object Corpus {
 
   private val simDuck = "round(list_cosine_similarity(p.embedding::DOUBLE[], g.embedding::DOUBLE[]),6)"
 
+  // ---- generators shared by the q50+ extension queries (both dialects) ----
+
+  /** round(cosine(a.embedding, b.embedding), 6) — Spark HOF form (linear
+    * left-fold, same accumulation order as DuckDB's list kernels). */
+  private def simOf(a: String, b: String): String =
+    s"""round(aggregate(zip_with($a.embedding, $b.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,x)->acc+x)
+ / (sqrt(aggregate(transform($a.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))
+  * sqrt(aggregate(transform($b.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))),6)"""
+
+  private def simDuckOf(a: String, b: String): String =
+    s"round(list_cosine_similarity($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]),6)"
+
+  private val stopPred =
+    "w = 'the' or w = 'a' or w = 'of' or w = 'and' or w = 'to' or w = 'in' or w = 'is' or w = 'it'"
+
+  /** Distinct (doc_id, word) token relation; `flt` is an optional where. */
+  private def sparkTok(flt: String) =
+    s"select distinct doc_id, w from (select doc_id, explode(split(text,' ')) w from documents$flt) x"
+  private def duckTok(flt: String) =
+    s"select distinct doc_id, w from (select doc_id, unnest(string_split(text,' ')) w from documents$flt) x"
+
+  /** i-th minhash: md5 keyed by seed prefix, lexicographic min of hex =
+    * numeric min of the underlying 48-bit value. Engine-portable (md5 is the
+    * hash both dialects share). */
+  private def mh(i: Int) = s"min(substr(md5(concat('$i:',w)),1,12)) h$i"
+
+  /** MinHash+LSH near-dup: 8-hash signature, 4 bands x 2 rows, band-bucket
+    * self-join for candidates, exact-Jaccard verify at 0.8. The scale path
+    * for q34's quadratic inverted-index join: candidates are found in
+    * ~O(n) bucket groups instead of O(n^2) pair space. */
+  private def lshSql(wsrc: String): String =
+    s"""with w as ($wsrc),
+ sig as (select doc_id, ${(1 to 8).map(mh).mkString(",\n   ")} from w group by doc_id),
+ bands as (select doc_id, concat('b1:',h1,h2) bk from sig
+  union all select doc_id, concat('b2:',h3,h4) from sig
+  union all select doc_id, concat('b3:',h5,h6) from sig
+  union all select doc_id, concat('b4:',h7,h8) from sig),
+ cand as (select distinct a.doc_id d1, b.doc_id d2 from bands a join bands b on a.bk=b.bk and a.doc_id < b.doc_id),
+ sizes as (select doc_id, count(*) n from w group by doc_id),
+ inter as (select c.d1, c.d2, count(*) i from cand c
+   join w a on a.doc_id=c.d1 join w b on b.doc_id=c.d2 and b.w=a.w group by c.d1, c.d2)
+ select d1, d2, round(cast(i as double)/(s1.n+s2.n-i),4) j from inter
+ join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+ where cast(i as double)/(s1.n+s2.n-i) >= 0.8 order by d1, d2 limit 200"""
+
+  /** Bit j (0..15) of a word's 16-bit hash, taken from the first 4 hex
+    * digits of md5(w). Integer math via floor() so DuckDB's rounding CAST
+    * (H5) never engages. */
+  private val simhashBit =
+    "cast(floor((instr('0123456789abcdef', substr(md5(w), 1 + cast(floor(j/4) as int), 1)) - 1) / cast(power(2, j % 4) as int)) as int) % 2"
+
+  /** 16-bit SimHash per doc: +-1 vote per (distinct word, bit), bit set when
+    * the vote sum is positive. */
+  private def simhashSql(wsrc: String, seqExpr: String): String =
+    s"""with w as ($wsrc),
+ bits as (select doc_id, j, sum(case when $simhashBit = 1 then 1 else -1 end) s
+  from w cross join (select $seqExpr j) js group by doc_id, j)
+ select doc_id, sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end) simhash
+ from bits group by doc_id order by doc_id limit 300"""
+
+  /** Embedding near-dup: all pairs with cosine >= 0.44 (rounded to 6dp
+    * before thresholding so ulp noise cannot flip membership). */
+  private def neardupSql(sim: (String, String) => String): String =
+    s"""select a.vec_id d1, b.vec_id d2, ${sim("a", "b")} s
+ from embeddings a join embeddings b on a.vec_id < b.vec_id
+ where ${sim("a", "b")} >= 0.44 order by d1, d2 limit 200"""
+
+  /** IVF-style ANN: vec_id<8 are the coarse centroids; every vector is
+    * assigned to its nearest centroid (the "inverted list"); probes
+    * (vec_id>=490) search only their own list. The scale path for q35/q36's
+    * brute-force scan: cluster-local search touches ~1/K of the corpus. */
+  private def ivfSql(sim: (String, String) => String): String =
+    s"""with assign as (
+  select v.vec_id, c.vec_id cid,
+   row_number() over (partition by v.vec_id order by ${sim("v", "c")} desc, c.vec_id) rn
+  from embeddings v join embeddings c on c.vec_id < 8 where v.vec_id >= 8),
+ clu as (select vec_id, cid from assign where rn = 1),
+ scored as (
+  select p.vec_id probe, p.cid, g.vec_id cand, ${sim("pe", "ge")} s,
+   row_number() over (partition by p.vec_id order by ${sim("pe", "ge")} desc, g.vec_id) rn
+  from clu p join embeddings pe on pe.vec_id = p.vec_id
+  join clu g on g.cid = p.cid and g.vec_id < 490
+  join embeddings ge on ge.vec_id = g.vec_id
+  where p.vec_id >= 490)
+ select probe, cid, cand, s from scored where rn = 1 order by probe"""
+
+  /** Signed projection onto pseudo-random hyperplane j: weights are md5-keyed
+    * integers in [-7,8], so both engines compute identical products. */
+  private val hyperSpark: Int => String = j =>
+    s"""aggregate(sequence(1,64), cast(0.0 as double),
+ (acc,i) -> acc + cast(element_at(e.embedding, i) as double) * (instr('0123456789abcdef', substr(md5(concat(cast($j as string),':',cast(i as string))),1,1)) - 8))"""
+  private val hyperDuck: Int => String = j =>
+    s"""list_sum(list_transform(generate_series(1,64),
+ i -> e.embedding[i]::DOUBLE * (instr('0123456789abcdef', substr(md5(concat($j,':',i)),1,1)) - 8)))"""
+
+  /** Random-hyperplane LSH ANN: 4-bit sign bucket per vector, probes search
+    * only their bucket (~1/16 of the corpus at uniform spread). */
+  private def annLshSql(sim: (String, String) => String, hyper: Int => String): String = {
+    val bits = (1 to 4)
+      .map(j => s"case when round(${hyper(j)},6) >= 0 then '1' else '0' end")
+      .mkString(", ")
+    s"""with bk as (select e.vec_id, concat($bits) bucket from embeddings e),
+ scored as (
+  select p.vec_id probe, pb.bucket, g.vec_id cand, ${sim("p", "g")} s,
+   row_number() over (partition by p.vec_id order by ${sim("p", "g")} desc, g.vec_id) rn
+  from embeddings p join bk pb on pb.vec_id = p.vec_id
+  join bk gb on gb.bucket = pb.bucket and gb.vec_id >= 8 and gb.vec_id < 490
+  join embeddings g on g.vec_id = gb.vec_id
+  where p.vec_id >= 490)
+ select probe, bucket, cand, s from scored where rn = 1 order by probe"""
+  }
+
   val all: Seq[CorpusQuery] = Seq(
     q("q01_scan_filter_project",
       """select l_orderkey, l_linenumber, round(l_extendedprice*(1-l_discount),2) net
@@ -312,6 +424,100 @@ object Corpus {
       """select l_returnflag, count(*) filter (where l_quantity > 25) hi, count(*) total,
  bool_or(l_discount > 0.09) anyhi, bool_and(l_quantity > 0) allpos
  from lineitem group by l_returnflag order by l_returnflag"""),
+
+    // ---- q50+: LLM training-data pipeline extensions ----------------------
+    // All md5-keyed so both engines compute identical values (md5 hex is the
+    // one hash both dialects share); float accumulations either stay inside a
+    // linear HOF fold (identical order both engines) or round(,6) before any
+    // threshold/ranking so ulp noise cannot flip results (SURVEY.md H10).
+
+    q2("q50_langid",
+      s"""select doc_id, n_tok, round(hits / n_tok, 4) stop_ratio,
+ case when hits / n_tok >= 0.04 then 'en' else 'und' end lang_guess
+ from (select doc_id, cast(size(split(text,' ')) as double) n_tok,
+  cast(size(filter(split(text,' '), w -> $stopPred)) as double) hits
+ from documents) t order by doc_id limit 300""",
+      s"""select doc_id, n_tok, round(hits / n_tok, 4) stop_ratio,
+ case when hits / n_tok >= 0.04 then 'en' else 'und' end lang_guess
+ from (select doc_id, cast(len(string_split(text,' ')) as double) n_tok,
+  cast(len(list_filter(string_split(text,' '), w -> $stopPred)) as double) hits
+ from documents) t order by doc_id limit 300"""),
+
+    q2("q51_quality",
+      """select doc_id, length(text) n_chars, size(split(text,' ')) n_tok,
+ round(cast(size(array_distinct(split(text,' '))) as double) / size(split(text,' ')), 4) ttr,
+ round(cast(length(replace(text,' ','')) as double) / size(split(text,' ')), 4) avg_wlen,
+ case when size(split(text,' ')) >= 30 and size(array_distinct(split(text,' '))) >= 15 then 'keep' else 'drop' end verdict
+ from documents order by doc_id limit 300""",
+      """select doc_id, length(text) n_chars, len(string_split(text,' ')) n_tok,
+ round(cast(len(list_distinct(string_split(text,' '))) as double) / len(string_split(text,' ')), 4) ttr,
+ round(cast(length(replace(text,' ','')) as double) / len(string_split(text,' ')), 4) avg_wlen,
+ case when len(string_split(text,' ')) >= 30 and len(list_distinct(string_split(text,' '))) >= 15 then 'keep' else 'drop' end verdict
+ from documents order by doc_id limit 300"""),
+
+    q2("q52_token_count",
+      """select doc_id, size(split(text,' ')) ws_tokens,
+ regexp_count(text, '[a-z]+') alpha_tokens,
+ regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') bpe_ish,
+ length(text) n_chars from documents order by doc_id limit 300""",
+      """select doc_id, len(string_split(text,' ')) ws_tokens,
+ len(regexp_extract_all(text, '[a-z]+')) alpha_tokens,
+ len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) bpe_ish,
+ length(text) n_chars from documents order by doc_id limit 300"""),
+
+    q2("q53_fingerprint",
+      """with s as (select doc_id, explode(transform(sequence(1, greatest(size(split(text,' '))-2, 1)),
+   i -> concat_ws(' ', slice(split(text,' '), i, 3)))) sh from documents),
+ fp as (select doc_id, min(substr(md5(sh),1,16)) shingle_fp, count(distinct sh) n_shingles from s group by doc_id)
+ select d.doc_id, md5(d.text) doc_fp, f.shingle_fp, f.n_shingles
+ from documents d join fp f on d.doc_id=f.doc_id order by d.doc_id limit 300""",
+      """with s as (select doc_id, unnest(list_transform(generate_series(1, greatest(len(l)-2, 1)),
+   i -> array_to_string(l[i:i+2], ' '))) sh from (select doc_id, string_split(text,' ') l from documents) x),
+ fp as (select doc_id, min(substr(md5(sh),1,16)) shingle_fp, count(distinct sh) n_shingles from s group by doc_id)
+ select d.doc_id, md5(d.text) doc_fp, f.shingle_fp, f.n_shingles
+ from documents d join fp f on d.doc_id=f.doc_id order by d.doc_id limit 300"""),
+
+    q2("q54_minhash_sig",
+      s"""with w as (${sparkTok("")})
+ select doc_id, ${(1 to 4).map(mh).mkString(", ")}
+ from w group by doc_id order by doc_id limit 300""",
+      s"""with w as (${duckTok("")})
+ select doc_id, ${(1 to 4).map(mh).mkString(", ")}
+ from w group by doc_id order by doc_id limit 300"""),
+
+    q2("q55_minhash_lsh",
+      lshSql(sparkTok(" where doc_id < 200")),
+      lshSql(duckTok(" where doc_id < 200"))),
+
+    q2("q56_simhash",
+      simhashSql(sparkTok(""), "explode(sequence(0,15))"),
+      simhashSql(duckTok(""), "unnest(generate_series(0,15))")),
+
+    q2("q57_charngram_jaccard",
+      """with t as (select distinct doc_id, sh from (select doc_id,
+   explode(transform(sequence(1, greatest(length(text)-2,1)), i -> substr(text, i, 3))) sh
+   from documents where doc_id < 100) x),
+ sizes as (select doc_id, count(*) n from t group by doc_id),
+ inter as (select a.doc_id d1, b.doc_id d2, count(*) i from t a join t b on a.sh=b.sh and a.doc_id < b.doc_id group by a.doc_id, b.doc_id)
+ select d1, d2, round(cast(i as double)/(s1.n+s2.n-i),4) j from inter
+ join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+ where cast(i as double)/(s1.n+s2.n-i) >= 0.55 order by d1, d2 limit 200""",
+      """with t as (select distinct doc_id, sh from (select doc_id,
+   unnest(list_transform(generate_series(1, greatest(length(text)-2,1)), i -> text[i:i+2])) sh
+   from (select doc_id, text from documents where doc_id < 100) y) x),
+ sizes as (select doc_id, count(*) n from t group by doc_id),
+ inter as (select a.doc_id d1, b.doc_id d2, count(*) i from t a join t b on a.sh=b.sh and a.doc_id < b.doc_id group by a.doc_id, b.doc_id)
+ select d1, d2, round(cast(i as double)/(s1.n+s2.n-i),4) j from inter
+ join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+ where cast(i as double)/(s1.n+s2.n-i) >= 0.55 order by d1, d2 limit 200"""),
+
+    q2("q58_embedding_neardup", neardupSql(simOf), neardupSql(simDuckOf)),
+
+    q2("q59_ann_ivf", ivfSql(simOf), ivfSql(simDuckOf)),
+
+    q2("q60_ann_lsh",
+      annLshSql(simOf, hyperSpark),
+      annLshSql(simDuckOf, hyperDuck)),
   )
 
   val byName: Map[String, CorpusQuery] = all.map(c => c.name -> c).toMap

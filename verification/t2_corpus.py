@@ -193,4 +193,198 @@ CORPUS = {
 "q49_filtered_agg": dict(sql="""select l_returnflag, count(*) filter (where l_quantity > 25) hi, count(*) total,
  bool_or(l_discount > 0.09) anyhi, bool_and(l_quantity > 0) allpos
  from lineitem group by l_returnflag order by l_returnflag"""),
+# ---- q50+: LLM training-data pipeline extensions (md5-keyed; see Corpus.scala) ----
+"q50_langid": dict(
+ spark="""select doc_id, n_tok, round(hits / n_tok, 4) stop_ratio,
+ case when hits / n_tok >= 0.04 then 'en' else 'und' end lang_guess
+ from (select doc_id, cast(size(split(text,' ')) as double) n_tok,
+  cast(size(filter(split(text,' '), w -> w = 'the' or w = 'a' or w = 'of' or w = 'and' or w = 'to' or w = 'in' or w = 'is' or w = 'it')) as double) hits
+ from documents) t order by doc_id limit 300""",
+ duckdb="""select doc_id, n_tok, round(hits / n_tok, 4) stop_ratio,
+ case when hits / n_tok >= 0.04 then 'en' else 'und' end lang_guess
+ from (select doc_id, cast(len(string_split(text,' ')) as double) n_tok,
+  cast(len(list_filter(string_split(text,' '), w -> w = 'the' or w = 'a' or w = 'of' or w = 'and' or w = 'to' or w = 'in' or w = 'is' or w = 'it')) as double) hits
+ from documents) t order by doc_id limit 300"""),
+"q51_quality": dict(
+ spark="""select doc_id, length(text) n_chars, size(split(text,' ')) n_tok,
+ round(cast(size(array_distinct(split(text,' '))) as double) / size(split(text,' ')), 4) ttr,
+ round(cast(length(replace(text,' ','')) as double) / size(split(text,' ')), 4) avg_wlen,
+ case when size(split(text,' ')) >= 30 and size(array_distinct(split(text,' '))) >= 15 then 'keep' else 'drop' end verdict
+ from documents order by doc_id limit 300""",
+ duckdb="""select doc_id, length(text) n_chars, len(string_split(text,' ')) n_tok,
+ round(cast(len(list_distinct(string_split(text,' '))) as double) / len(string_split(text,' ')), 4) ttr,
+ round(cast(length(replace(text,' ','')) as double) / len(string_split(text,' ')), 4) avg_wlen,
+ case when len(string_split(text,' ')) >= 30 and len(list_distinct(string_split(text,' '))) >= 15 then 'keep' else 'drop' end verdict
+ from documents order by doc_id limit 300"""),
+"q52_token_count": dict(
+ spark="""select doc_id, size(split(text,' ')) ws_tokens,
+ regexp_count(text, '[a-z]+') alpha_tokens,
+ regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') bpe_ish,
+ length(text) n_chars from documents order by doc_id limit 300""",
+ duckdb="""select doc_id, len(string_split(text,' ')) ws_tokens,
+ len(regexp_extract_all(text, '[a-z]+')) alpha_tokens,
+ len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) bpe_ish,
+ length(text) n_chars from documents order by doc_id limit 300"""),
+"q53_fingerprint": dict(
+ spark="""with s as (select doc_id, explode(transform(sequence(1, greatest(size(split(text,' '))-2, 1)),
+   i -> concat_ws(' ', slice(split(text,' '), i, 3)))) sh from documents),
+ fp as (select doc_id, min(substr(md5(sh),1,16)) shingle_fp, count(distinct sh) n_shingles from s group by doc_id)
+ select d.doc_id, md5(d.text) doc_fp, f.shingle_fp, f.n_shingles
+ from documents d join fp f on d.doc_id=f.doc_id order by d.doc_id limit 300""",
+ duckdb="""with s as (select doc_id, unnest(list_transform(generate_series(1, greatest(len(l)-2, 1)),
+   i -> array_to_string(l[i:i+2], ' '))) sh from (select doc_id, string_split(text,' ') l from documents) x),
+ fp as (select doc_id, min(substr(md5(sh),1,16)) shingle_fp, count(distinct sh) n_shingles from s group by doc_id)
+ select d.doc_id, md5(d.text) doc_fp, f.shingle_fp, f.n_shingles
+ from documents d join fp f on d.doc_id=f.doc_id order by d.doc_id limit 300"""),
+"q54_minhash_sig": dict(
+ spark="""with w as (select distinct doc_id, w from (select doc_id, explode(split(text,' ')) w from documents) x)
+ select doc_id, min(substr(md5(concat('1:',w)),1,12)) h1, min(substr(md5(concat('2:',w)),1,12)) h2, min(substr(md5(concat('3:',w)),1,12)) h3, min(substr(md5(concat('4:',w)),1,12)) h4
+ from w group by doc_id order by doc_id limit 300""",
+ duckdb="""with w as (select distinct doc_id, w from (select doc_id, unnest(string_split(text,' ')) w from documents) x)
+ select doc_id, min(substr(md5(concat('1:',w)),1,12)) h1, min(substr(md5(concat('2:',w)),1,12)) h2, min(substr(md5(concat('3:',w)),1,12)) h3, min(substr(md5(concat('4:',w)),1,12)) h4
+ from w group by doc_id order by doc_id limit 300"""),
+"q55_minhash_lsh": dict(
+ spark="""with w as (select distinct doc_id, w from (select doc_id, explode(split(text,' ')) w from documents where doc_id < 200) x),
+ sig as (select doc_id, min(substr(md5(concat('1:',w)),1,12)) h1,
+   min(substr(md5(concat('2:',w)),1,12)) h2,
+   min(substr(md5(concat('3:',w)),1,12)) h3,
+   min(substr(md5(concat('4:',w)),1,12)) h4,
+   min(substr(md5(concat('5:',w)),1,12)) h5,
+   min(substr(md5(concat('6:',w)),1,12)) h6,
+   min(substr(md5(concat('7:',w)),1,12)) h7,
+   min(substr(md5(concat('8:',w)),1,12)) h8 from w group by doc_id),
+ bands as (select doc_id, concat('b1:',h1,h2) bk from sig
+  union all select doc_id, concat('b2:',h3,h4) from sig
+  union all select doc_id, concat('b3:',h5,h6) from sig
+  union all select doc_id, concat('b4:',h7,h8) from sig),
+ cand as (select distinct a.doc_id d1, b.doc_id d2 from bands a join bands b on a.bk=b.bk and a.doc_id < b.doc_id),
+ sizes as (select doc_id, count(*) n from w group by doc_id),
+ inter as (select c.d1, c.d2, count(*) i from cand c
+   join w a on a.doc_id=c.d1 join w b on b.doc_id=c.d2 and b.w=a.w group by c.d1, c.d2)
+ select d1, d2, round(cast(i as double)/(s1.n+s2.n-i),4) j from inter
+ join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+ where cast(i as double)/(s1.n+s2.n-i) >= 0.8 order by d1, d2 limit 200""",
+ duckdb="""with w as (select distinct doc_id, w from (select doc_id, unnest(string_split(text,' ')) w from documents where doc_id < 200) x),
+ sig as (select doc_id, min(substr(md5(concat('1:',w)),1,12)) h1,
+   min(substr(md5(concat('2:',w)),1,12)) h2,
+   min(substr(md5(concat('3:',w)),1,12)) h3,
+   min(substr(md5(concat('4:',w)),1,12)) h4,
+   min(substr(md5(concat('5:',w)),1,12)) h5,
+   min(substr(md5(concat('6:',w)),1,12)) h6,
+   min(substr(md5(concat('7:',w)),1,12)) h7,
+   min(substr(md5(concat('8:',w)),1,12)) h8 from w group by doc_id),
+ bands as (select doc_id, concat('b1:',h1,h2) bk from sig
+  union all select doc_id, concat('b2:',h3,h4) from sig
+  union all select doc_id, concat('b3:',h5,h6) from sig
+  union all select doc_id, concat('b4:',h7,h8) from sig),
+ cand as (select distinct a.doc_id d1, b.doc_id d2 from bands a join bands b on a.bk=b.bk and a.doc_id < b.doc_id),
+ sizes as (select doc_id, count(*) n from w group by doc_id),
+ inter as (select c.d1, c.d2, count(*) i from cand c
+   join w a on a.doc_id=c.d1 join w b on b.doc_id=c.d2 and b.w=a.w group by c.d1, c.d2)
+ select d1, d2, round(cast(i as double)/(s1.n+s2.n-i),4) j from inter
+ join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+ where cast(i as double)/(s1.n+s2.n-i) >= 0.8 order by d1, d2 limit 200"""),
+"q56_simhash": dict(
+ spark="""with w as (select distinct doc_id, w from (select doc_id, explode(split(text,' ')) w from documents) x),
+ bits as (select doc_id, j, sum(case when cast(floor((instr('0123456789abcdef', substr(md5(w), 1 + cast(floor(j/4) as int), 1)) - 1) / cast(power(2, j % 4) as int)) as int) % 2 = 1 then 1 else -1 end) s
+  from w cross join (select explode(sequence(0,15)) j) js group by doc_id, j)
+ select doc_id, sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end) simhash
+ from bits group by doc_id order by doc_id limit 300""",
+ duckdb="""with w as (select distinct doc_id, w from (select doc_id, unnest(string_split(text,' ')) w from documents) x),
+ bits as (select doc_id, j, sum(case when cast(floor((instr('0123456789abcdef', substr(md5(w), 1 + cast(floor(j/4) as int), 1)) - 1) / cast(power(2, j % 4) as int)) as int) % 2 = 1 then 1 else -1 end) s
+  from w cross join (select unnest(generate_series(0,15)) j) js group by doc_id, j)
+ select doc_id, sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end) simhash
+ from bits group by doc_id order by doc_id limit 300"""),
+"q57_charngram_jaccard": dict(
+ spark="""with t as (select distinct doc_id, sh from (select doc_id,
+   explode(transform(sequence(1, greatest(length(text)-2,1)), i -> substr(text, i, 3))) sh
+   from documents where doc_id < 100) x),
+ sizes as (select doc_id, count(*) n from t group by doc_id),
+ inter as (select a.doc_id d1, b.doc_id d2, count(*) i from t a join t b on a.sh=b.sh and a.doc_id < b.doc_id group by a.doc_id, b.doc_id)
+ select d1, d2, round(cast(i as double)/(s1.n+s2.n-i),4) j from inter
+ join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+ where cast(i as double)/(s1.n+s2.n-i) >= 0.55 order by d1, d2 limit 200""",
+ duckdb="""with t as (select distinct doc_id, sh from (select doc_id,
+   unnest(list_transform(generate_series(1, greatest(length(text)-2,1)), i -> text[i:i+2])) sh
+   from (select doc_id, text from documents where doc_id < 100) y) x),
+ sizes as (select doc_id, count(*) n from t group by doc_id),
+ inter as (select a.doc_id d1, b.doc_id d2, count(*) i from t a join t b on a.sh=b.sh and a.doc_id < b.doc_id group by a.doc_id, b.doc_id)
+ select d1, d2, round(cast(i as double)/(s1.n+s2.n-i),4) j from inter
+ join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+ where cast(i as double)/(s1.n+s2.n-i) >= 0.55 order by d1, d2 limit 200"""),
+"q58_embedding_neardup": dict(
+ spark="""select a.vec_id d1, b.vec_id d2, round(aggregate(zip_with(a.embedding, b.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,x)->acc+x)
+ / (sqrt(aggregate(transform(a.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))
+  * sqrt(aggregate(transform(b.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))),6) s
+ from embeddings a join embeddings b on a.vec_id < b.vec_id
+ where round(aggregate(zip_with(a.embedding, b.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,x)->acc+x)
+ / (sqrt(aggregate(transform(a.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))
+  * sqrt(aggregate(transform(b.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))),6) >= 0.44 order by d1, d2 limit 200""",
+ duckdb="""select a.vec_id d1, b.vec_id d2, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),6) s
+ from embeddings a join embeddings b on a.vec_id < b.vec_id
+ where round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),6) >= 0.44 order by d1, d2 limit 200"""),
+"q59_ann_ivf": dict(
+ spark="""with assign as (
+  select v.vec_id, c.vec_id cid,
+   row_number() over (partition by v.vec_id order by round(aggregate(zip_with(v.embedding, c.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,x)->acc+x)
+ / (sqrt(aggregate(transform(v.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))
+  * sqrt(aggregate(transform(c.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))),6) desc, c.vec_id) rn
+  from embeddings v join embeddings c on c.vec_id < 8 where v.vec_id >= 8),
+ clu as (select vec_id, cid from assign where rn = 1),
+ scored as (
+  select p.vec_id probe, p.cid, g.vec_id cand, round(aggregate(zip_with(pe.embedding, ge.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,x)->acc+x)
+ / (sqrt(aggregate(transform(pe.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))
+  * sqrt(aggregate(transform(ge.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))),6) s,
+   row_number() over (partition by p.vec_id order by round(aggregate(zip_with(pe.embedding, ge.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,x)->acc+x)
+ / (sqrt(aggregate(transform(pe.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))
+  * sqrt(aggregate(transform(ge.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))),6) desc, g.vec_id) rn
+  from clu p join embeddings pe on pe.vec_id = p.vec_id
+  join clu g on g.cid = p.cid and g.vec_id < 490
+  join embeddings ge on ge.vec_id = g.vec_id
+  where p.vec_id >= 490)
+ select probe, cid, cand, s from scored where rn = 1 order by probe""",
+ duckdb="""with assign as (
+  select v.vec_id, c.vec_id cid,
+   row_number() over (partition by v.vec_id order by round(list_cosine_similarity(v.embedding::DOUBLE[], c.embedding::DOUBLE[]),6) desc, c.vec_id) rn
+  from embeddings v join embeddings c on c.vec_id < 8 where v.vec_id >= 8),
+ clu as (select vec_id, cid from assign where rn = 1),
+ scored as (
+  select p.vec_id probe, p.cid, g.vec_id cand, round(list_cosine_similarity(pe.embedding::DOUBLE[], ge.embedding::DOUBLE[]),6) s,
+   row_number() over (partition by p.vec_id order by round(list_cosine_similarity(pe.embedding::DOUBLE[], ge.embedding::DOUBLE[]),6) desc, g.vec_id) rn
+  from clu p join embeddings pe on pe.vec_id = p.vec_id
+  join clu g on g.cid = p.cid and g.vec_id < 490
+  join embeddings ge on ge.vec_id = g.vec_id
+  where p.vec_id >= 490)
+ select probe, cid, cand, s from scored where rn = 1 order by probe"""),
+"q60_ann_lsh": dict(
+ spark="""with bk as (select e.vec_id, concat(case when round(aggregate(sequence(1,64), cast(0.0 as double),
+ (acc,i) -> acc + cast(element_at(e.embedding, i) as double) * (instr('0123456789abcdef', substr(md5(concat(cast(1 as string),':',cast(i as string))),1,1)) - 8)),6) >= 0 then '1' else '0' end, case when round(aggregate(sequence(1,64), cast(0.0 as double),
+ (acc,i) -> acc + cast(element_at(e.embedding, i) as double) * (instr('0123456789abcdef', substr(md5(concat(cast(2 as string),':',cast(i as string))),1,1)) - 8)),6) >= 0 then '1' else '0' end, case when round(aggregate(sequence(1,64), cast(0.0 as double),
+ (acc,i) -> acc + cast(element_at(e.embedding, i) as double) * (instr('0123456789abcdef', substr(md5(concat(cast(3 as string),':',cast(i as string))),1,1)) - 8)),6) >= 0 then '1' else '0' end, case when round(aggregate(sequence(1,64), cast(0.0 as double),
+ (acc,i) -> acc + cast(element_at(e.embedding, i) as double) * (instr('0123456789abcdef', substr(md5(concat(cast(4 as string),':',cast(i as string))),1,1)) - 8)),6) >= 0 then '1' else '0' end) bucket from embeddings e),
+ scored as (
+  select p.vec_id probe, pb.bucket, g.vec_id cand, round(aggregate(zip_with(p.embedding, g.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,x)->acc+x)
+ / (sqrt(aggregate(transform(p.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))
+  * sqrt(aggregate(transform(g.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))),6) s,
+   row_number() over (partition by p.vec_id order by round(aggregate(zip_with(p.embedding, g.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,x)->acc+x)
+ / (sqrt(aggregate(transform(p.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))
+  * sqrt(aggregate(transform(g.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))),6) desc, g.vec_id) rn
+  from embeddings p join bk pb on pb.vec_id = p.vec_id
+  join bk gb on gb.bucket = pb.bucket and gb.vec_id >= 8 and gb.vec_id < 490
+  join embeddings g on g.vec_id = gb.vec_id
+  where p.vec_id >= 490)
+ select probe, bucket, cand, s from scored where rn = 1 order by probe""",
+ duckdb="""with bk as (select e.vec_id, concat(case when round(list_sum(list_transform(generate_series(1,64),
+ i -> e.embedding[i]::DOUBLE * (instr('0123456789abcdef', substr(md5(concat(1,':',i)),1,1)) - 8))),6) >= 0 then '1' else '0' end, case when round(list_sum(list_transform(generate_series(1,64),
+ i -> e.embedding[i]::DOUBLE * (instr('0123456789abcdef', substr(md5(concat(2,':',i)),1,1)) - 8))),6) >= 0 then '1' else '0' end, case when round(list_sum(list_transform(generate_series(1,64),
+ i -> e.embedding[i]::DOUBLE * (instr('0123456789abcdef', substr(md5(concat(3,':',i)),1,1)) - 8))),6) >= 0 then '1' else '0' end, case when round(list_sum(list_transform(generate_series(1,64),
+ i -> e.embedding[i]::DOUBLE * (instr('0123456789abcdef', substr(md5(concat(4,':',i)),1,1)) - 8))),6) >= 0 then '1' else '0' end) bucket from embeddings e),
+ scored as (
+  select p.vec_id probe, pb.bucket, g.vec_id cand, round(list_cosine_similarity(p.embedding::DOUBLE[], g.embedding::DOUBLE[]),6) s,
+   row_number() over (partition by p.vec_id order by round(list_cosine_similarity(p.embedding::DOUBLE[], g.embedding::DOUBLE[]),6) desc, g.vec_id) rn
+  from embeddings p join bk pb on pb.vec_id = p.vec_id
+  join bk gb on gb.bucket = pb.bucket and gb.vec_id >= 8 and gb.vec_id < 490
+  join embeddings g on g.vec_id = gb.vec_id
+  where p.vec_id >= 490)
+ select probe, bucket, cand, s from scored where rn = 1 order by probe"""),
 }
