@@ -84,7 +84,7 @@ object Corpus {
     s"""with w as ($wsrc),
  bits as (select doc_id, j, sum(case when $simhashBit = 1 then 1 else -1 end) s
   from w cross join (select $seqExpr j) js group by doc_id, j)
- select doc_id, sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end) simhash
+ select doc_id, cast(sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end) as bigint) simhash
  from bits group by doc_id order by doc_id limit 300"""
 
   /** Embedding near-dup: all pairs with cosine >= 0.44 (rounded to 6dp

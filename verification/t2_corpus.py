@@ -288,12 +288,12 @@ CORPUS = {
  spark="""with w as (select distinct doc_id, w from (select doc_id, explode(split(text,' ')) w from documents) x),
  bits as (select doc_id, j, sum(case when cast(floor((instr('0123456789abcdef', substr(md5(w), 1 + cast(floor(j/4) as int), 1)) - 1) / cast(power(2, j % 4) as int)) as int) % 2 = 1 then 1 else -1 end) s
   from w cross join (select explode(sequence(0,15)) j) js group by doc_id, j)
- select doc_id, sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end) simhash
+ select doc_id, cast(sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end) as bigint) simhash
  from bits group by doc_id order by doc_id limit 300""",
  duckdb="""with w as (select distinct doc_id, w from (select doc_id, unnest(string_split(text,' ')) w from documents) x),
  bits as (select doc_id, j, sum(case when cast(floor((instr('0123456789abcdef', substr(md5(w), 1 + cast(floor(j/4) as int), 1)) - 1) / cast(power(2, j % 4) as int)) as int) % 2 = 1 then 1 else -1 end) s
   from w cross join (select unnest(generate_series(0,15)) j) js group by doc_id, j)
- select doc_id, sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end) simhash
+ select doc_id, cast(sum(case when s > 0 then cast(power(2, j) as bigint) else 0 end) as bigint) simhash
  from bits group by doc_id order by doc_id limit 300"""),
 "q57_charngram_jaccard": dict(
  spark="""with t as (select distinct doc_id, sh from (select doc_id,
