@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.2 q35/q36 and
+  * q58–q60): brute-force cosine top-k as the exact baseline, plus two scale
+  * paths — IVF-style coarse quantization and random-hyperplane LSH.
+  *
+  * Scale posture: brute force is O(probes × corpus) and exists as the
+  * correctness oracle; IVF touches ~1/K of the corpus per probe (K coarse
+  * cells), hyperplane LSH ~1/2^bits. Probe-side tables are broadcast; the
+  * corpus side never moves except the one hash-partitioned bucket join.
+  * Similarities are rounded to 6dp before every rank/threshold (SURVEY.md
+  * H10) so float noise cannot flip results.
+  */
+object Ann {
+
+  import VectorOps.cosine6
+
+  /** Top-k most-similar rows to one probe vector (q35 shape): the probe row
+    * is broadcast, the corpus is scanned once, `TakeOrderedAndProject` keeps
+    * k — no full sort. */
+  def cosineTopK(emb: DataFrame, probeId: Long, k: Int,
+                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val p = emb.where(col(id) === probeId).select(col(vec).as("p_emb"))
+    emb.crossJoin(broadcast(p))
+      .select(col(id), cosine6(col("p_emb"), col(vec)).as("sim"))
+      .orderBy(col("sim").desc, col(id))
+      .limit(k)
+  }
+
+  /** Exact 1-NN per probe (q36 shape): brute-force scores + arg-max via a
+    * ranking window partitioned by probe. */
+  def knn(probes: DataFrame, gallery: DataFrame,
+          id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
+    val g = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
+    val s = cosine6(col("p_emb"), col("g_emb"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("s").desc, col("g_id"))
+    p.crossJoin(g)
+      .withColumn("s", s)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("p_id", "g_id", "s")
+  }
+
+  /** Assign every vector to its nearest centroid (IVF coarse quantization).
+    * Centroids are broadcast; assignment is a per-row argmax window. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
+    val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cid"))
+    vectors.crossJoin(broadcast(c))
+      .withColumn("sim", cosine6(col(vec), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(id), col("cid"))
+  }
+
+  /** Signed projection of `vec` onto pseudo-random hyperplane `j`: per-dim
+    * weights are md5-keyed integers in [-7, 8] — deterministic, engine-
+    * portable, no RNG state to distribute. */
+  def hyperplaneProj(vec: Column, j: Int): Column =
+    aggregate(
+      sequence(lit(1), lit(64)),
+      lit(0.0),
+      (acc, i) => acc + element_at(vec, i).cast("double") *
+        (conv(substring(md5(concat(lit(s"$j:"), i.cast("string"))), 1, 1), 16, 10)
+          .cast("int") - 7))
+
+  /** `nBits`-bit sign bucket from hyperplane projections (random-hyperplane
+    * LSH): cosine-similar vectors land in the same bucket w.h.p. */
+  def hyperplaneBucket(vec: Column, nBits: Int = 4): Column =
+    concat((1 to nBits).map(j =>
+      when(round(hyperplaneProj(vec, j), 6) >= 0, "1").otherwise("0")): _*)
+}

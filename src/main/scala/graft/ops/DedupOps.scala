@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication pipelines for training data (SURVEY.md §2.2 q33/q34 and
+  * q54–q57): exact dup groups, pairwise Jaccard, MinHash signatures,
+  * MinHash+LSH banding, SimHash, char-n-gram Jaccard.
+  *
+  * Scale posture (the 100 TB story):
+  *  - Exact dedup is one hash-partitioned groupBy on a short digest — the
+  *    shuffle carries (digest, id), never the documents themselves.
+  *  - Pairwise Jaccard via an inverted-index self-join is O(pairs sharing a
+  *    token) — correct at bench scale, quadratic in the worst case. It is
+  *    the *verifier*, not the candidate generator, beyond small corpora.
+  *  - The scale path is [[minhashSignatures]] → [[lshCandidates]] →
+  *    [[jaccardVerify]]: signatures are mergeable per-doc aggregates
+  *    (map-side combined), banding turns the pair space into ~O(n) bucket
+  *    groups, and only bucket-cohabiting pairs are exact-verified.
+  *  - All hashes are md5-derived: deterministic, seedable by string prefix,
+  *    identical across engines (the cross-engine oracle relies on this).
+  */
+object DedupOps {
+
+  /** (id, token) relation, distinct — the shared front-end of every
+    * token-based dedup path (exact Jaccard and MinHash use the same one, so
+    * the two paths are comparable by construction). */
+  def tokenSet(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("w")).distinct()
+
+  /** Distinct (id, shingle) relation over character n-grams. */
+  def charShingleSet(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), explode(TextOps.charShingles(text, n)).as("sh"))
+      .distinct()
+
+  /** Exact-duplicate groups keyed by a prefix digest: groups with >1 member,
+    * keeping the smallest id as the canonical representative. */
+  def exactDupGroups(df: DataFrame, id: Column, text: Column, prefixLen: Int = 16): DataFrame =
+    df.select(id.as("doc_id"), md5(substring(text, 1, prefixLen)).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"), min("doc_id").as("keep"))
+      .where(col("c") > 1)
+
+  /** i-th MinHash: lexicographic min of a seeded md5 prefix — the hex min
+    * equals the numeric min of the underlying 48-bit value. */
+  private def minhashCol(i: Int): Column =
+    min(substring(md5(concat(lit(s"$i:"), col("w"))), 1, 12)).as(s"h$i")
+
+  /** k-hash MinHash signature per doc over a (doc_id, w) token relation.
+    * A single mergeable aggregation: partial min() per partition, one
+    * shuffle of (doc_id, k short strings). */
+  def minhashSignatures(tokens: DataFrame, k: Int): DataFrame =
+    tokens.groupBy("doc_id").agg(minhashCol(1), (2 to k).map(minhashCol): _*)
+
+  /** Band keys for LSH: `bands` bands of `rowsPerBand` signature rows each;
+    * docs sharing any full band land in the same bucket. */
+  def lshBandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    (0 until bands).map { b =>
+      val cols = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sig.select(col("doc_id"),
+        concat(lit(s"b${b + 1}:") +: cols: _*).as("bk"))
+    }.reduce(_ unionAll _)
+
+  /** Candidate pairs: docs co-habiting any band bucket (id1 < id2). The
+    * self-join is on the band key — an equi-join whose shuffle is sized by
+    * bucket population, not by the all-pairs space. */
+  def lshCandidates(bandKeys: DataFrame): DataFrame = {
+    val a = bandKeys.select(col("doc_id").as("d1"), col("bk"))
+    val b = bandKeys.select(col("doc_id").as("d2"), col("bk").as("bk2"))
+    a.join(b, col("bk") === col("bk2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact Jaccard over given candidate pairs, keeping pairs >= `threshold`.
+    * |A∩B| via a token equi-join restricted to the candidates; sizes joined
+    * back for |A∪B| = |A|+|B|−|A∩B|. */
+  def jaccardVerify(tokens: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ta = tokens.select(col("doc_id").as("d1"), col("w"))
+    val tb = tokens.select(col("doc_id").as("d2b"), col("w").as("wb"))
+    val inter = candidates
+      .join(ta, Seq("d1"))
+      .join(tb, col("d2") === col("d2b") && col("w") === col("wb"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("s1.n") + col("s2.n") - col("i"))
+    inter
+      .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
+      .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
+      .where(j >= threshold)
+      .select(col("d1"), col("d2"), round(j, 4).as("j"))
+  }
+
+  /** All-pairs exact Jaccard >= `threshold` over a (doc_id, token/shingle)
+    * relation via inverted-index self-join (the q34/q57 shape). `elem` names
+    * the token column ("w" or "sh"). */
+  def pairwiseJaccard(items: DataFrame, elem: String, threshold: Double): DataFrame = {
+    val sizes = items.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = items.select(col("doc_id").as("d1"), col(elem).as("e"))
+    val b = items.select(col("doc_id").as("d2"), col(elem).as("e2"))
+    val inter = a.join(b, col("e") === col("e2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") / (col("s1.n") + col("s2.n") - col("i"))
+    inter
+      .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
+      .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
+      .where(j >= threshold)
+      .select(col("d1"), col("d2"), round(j, 4).as("j"))
+  }
+
+  /** The full MinHash+LSH near-dup pipeline (q55): signature → bands →
+    * bucket-join candidates → exact-Jaccard verify. */
+  def minhashLsh(tokens: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sig = minhashSignatures(tokens, k)
+    val cand = lshCandidates(lshBandKeys(sig, bands, k / bands))
+    jaccardVerify(tokens, cand, threshold)
+  }
+
+  /** Bit `j` (0..15) of md5(w)'s first 16 bits, as 0/1 — integer math only
+    * (conv(hex,16,10) replaces charindex; floor-division extracts the bit). */
+  private def md5Bit(w: Column, j: Column): Column = {
+    val hexChar = md5(w).substr(lit(1) + floor(j / 4).cast("int"), lit(1))
+    val hexVal  = conv(hexChar, 16, 10).cast("int")
+    floor(hexVal / pow(lit(2), j % 4)).cast("int") % 2
+  }
+
+  /** `nBits`-bit SimHash per doc over a (doc_id, w) token relation: each
+    * (distinct token, bit) votes ±1; the bit is set when votes are positive.
+    * Two hash-partitioned aggregations, both map-side combined. */
+  def simhash(tokens: DataFrame, nBits: Int = 16): DataFrame = {
+    val js = tokens.sparkSession.range(0, nBits)
+      .select(col("id").cast("int").as("j"))
+    val votes = tokens.crossJoin(js)
+      .groupBy("doc_id", "j")
+      .agg(sum(when(md5Bit(col("w"), col("j")) === 1, 1).otherwise(-1)).as("s"))
+    votes.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, pow(lit(2), col("j")).cast("bigint"))
+        .otherwise(lit(0L))).cast("bigint").as("simhash"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for training-data pipelines: tokenization,
+  * shingling, language-ID heuristics, quality scoring, token counting and
+  * document fingerprinting (SURVEY.md §2.2 q50–q53).
+  *
+  * Everything here is a pure Column expression (Catalyst HOFs — no UDFs, no
+  * serialization wall), so these stay inside whole-stage codegen'd
+  * projections and scale per-row with zero shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: `n` consecutive tokens joined by a space, one per
+    * start position (at least one shingle even for short docs). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Character n-gram shingles, one per start position. */
+  def charShingles(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  /** Default English stopword list used by the language-ID heuristic. */
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Count of tokens that are stopwords (as double, for ratio math). */
+  def stopwordHits(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(tokens(text), w => stopwords.map(w === _).reduce(_ || _)))
+      .cast("double")
+
+  /** Token count as double. */
+  def tokenCountD(text: Column): Column = size(tokens(text)).cast("double")
+
+  /** Stopword ratio in [0,1] — the language-ID signal. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    stopwordHits(text, stopwords) / tokenCountD(text)
+
+  /** 'en' when the stopword ratio clears `threshold`, else 'und'. */
+  def langGuess(text: Column, threshold: Double = 0.04): Column =
+    when(stopwordRatio(text) >= threshold, "en").otherwise("und")
+
+  /** Type-token ratio (distinct tokens / tokens) — a lexical-diversity
+    * quality signal. */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Average word length (non-space chars / tokens). */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / size(tokens(text))
+
+  /** Keep/drop verdict from simple quality thresholds. */
+  def qualityVerdict(text: Column, minTokens: Int = 30, minDistinct: Int = 15): Column =
+    when(size(tokens(text)) >= minTokens &&
+         size(array_distinct(tokens(text))) >= minDistinct, "keep")
+      .otherwise("drop")
+
+  /** Regex token count: alphabetic runs. */
+  def alphaTokenCount(text: Column): Column = regexp_count(text, lit("[a-z]+"))
+
+  /** BPE-ish token count: alpha runs, digit runs, or single other chars. */
+  def bpeIshTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Whole-document fingerprint. */
+  def docFingerprint(text: Column): Column = md5(text)
+
+  /** Shingle-level fingerprint piece: md5 prefix of one shingle (aggregate
+    * with min() per doc to get a rolling-hash-style doc signature). */
+  def shingleHash(shingle: Column, bytes: Int = 16): Column =
+    substring(md5(shingle), 1, bytes)
+}
