@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time operators defined ONCE and valid in both execution modes: a
+  * batch DataFrame computes the final state directly, a streaming DataFrame
+  * (readStream/MemoryStream) computes the same state incrementally.
+  * Replay-equivalence (SURVEY.md §2.6) is the correctness contract: feeding
+  * a stream the batch rows in event-time order must converge to the batch
+  * result — StreamSpec asserts exactly that.
+  *
+  * Scale posture: all of these are keyed state over hash-partitioned
+  * groups; watermarks bound state size (without one, 100 TB of stream state
+  * never ages out). `withEventTime` is therefore the mandatory front door
+  * for unbounded sources.
+  */
+object StreamOps {
+
+  private val dec = DecimalType(18, 4)
+
+  /** Declare the event-time column + allowed lateness. On a stream this
+    * bounds state and defines the drop line for late rows; on batch it is
+    * the identity. Watermarks require TIMESTAMP (not NTZ); with the session
+    * zone pinned to UTC the cast is a pure reinterpretation, so window
+    * boundaries agree with the NTZ batch math. */
+  def withEventTime(df: DataFrame, delay: String, tsCol: String = "ts"): DataFrame =
+    if (df.isStreaming)
+      // Explicit TimestampType: with spark.sql.timestampType=TIMESTAMP_NTZ
+      // the "timestamp" type NAME resolves back to NTZ.
+      df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+        .withWatermark(tsCol, delay)
+    else df
+
+  /** Tumbling event-time window per event_type (the q38 workload as a
+    * window-struct aggregation). */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(dec)).as("v"))
+
+  /** Sliding event-time window (q39 workload): `width` window advancing by
+    * `slide`. */
+  def slidingAgg(events: DataFrame, width: String = "1 hour",
+                 slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(dec)).as("v"))
+
+  /** Session windows per user with an inactivity gap (q37 workload):
+    * merges events closer than `gap`, closes a session after silence. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Sessions-per-user rollup of [[sessionAgg]] — comparable to the
+    * declared q37 result. */
+  def sessionsPerUser(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessionAgg(events, gap)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+
+  /** Exactly-once-per-key view of an at-least-once stream: drop duplicate
+    * `keyCols` rows. With a watermark set, state for old keys ages out. */
+  def dedup(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.dropDuplicates(keyCols)
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+final case class Ev(event_id: Long, user_id: Long, event_type: String,
+                    value: Double, ts: LocalDateTime)
+
+/** Replay-equivalence: each StreamOps operator, fed the batch rows through
+  * a MemoryStream in event-time order, must converge to the operator's
+  * batch result; plus watermark late-data semantics on hand-built
+  * micro-batches (SURVEY.md §2.6). */
+class StreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def eventRows: Seq[Ev] =
+    TestSpark.table("events")
+      .selectExpr("event_id", "user_id", "event_type", "value", "ts")
+      .as[Ev].collect().toSeq.sortBy(_.ts.toString)
+
+  /** Run `op` over a memory stream fed `rows` in `chunks` batches
+    * (complete mode), return the final sink table rows. */
+  private def replay(rows: Seq[Ev], chunks: Int, name: String)
+                    (op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Seq[Row] = {
+    val mem = MemoryStream[Ev]
+    val q: StreamingQuery = op(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.size / chunks + 1)).foreach { batch =>
+        mem.addData(batch)
+        q.processAllAvailable()
+      }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  private def canon(rows: Seq[Row]): Seq[String] =
+    rows.map(r => graft.verify.Canon.canonRow(r)).sorted
+
+  test("tumbling window agg: stream replay equals batch") {
+    val batch = canon(StreamOps.tumblingAgg(TestSpark.table("events")).collect().toSeq)
+    val stream = canon(replay(eventRows, 3, "t_tumble")(StreamOps.tumblingAgg(_)))
+    assert(stream == batch)
+  }
+
+  test("sliding window agg: stream replay equals batch") {
+    val batch = canon(StreamOps.slidingAgg(TestSpark.table("events")).collect().toSeq)
+    val stream = canon(replay(eventRows, 3, "t_slide")(StreamOps.slidingAgg(_)))
+    assert(stream == batch)
+  }
+
+  test("session windows: stream replay equals batch") {
+    val batch = canon(StreamOps.sessionAgg(TestSpark.table("events")).collect().toSeq)
+    val stream = canon(replay(eventRows, 3, "t_sess")(StreamOps.sessionAgg(_)))
+    assert(stream == batch)
+  }
+
+  test("sessions-per-user rollup matches the declared q37 sessionization") {
+    val viaSessionWindow = StreamOps.sessionsPerUser(TestSpark.table("events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val q37 = TestSpark.corpus("q37_sessionize")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaSessionWindow == q37)
+  }
+
+  test("watermark drops data later than the allowed lateness (append mode)") {
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.tumblingAgg(
+        StreamOps.withEventTime(mem.toDF(), "10 minutes"))
+      .writeStream.format("memory").queryName("t_late").outputMode("append").start()
+    try {
+      // Batch 1: two events in hour 0, one in hour 2 — watermark advances
+      // to 02:00 - 10min, sealing hour 0 and emitting its window.
+      mem.addData(Seq(
+        Ev(1, 1, "click", 1.0, t0.plusMinutes(5)),
+        Ev(2, 1, "click", 1.0, t0.plusMinutes(20)),
+        Ev(3, 1, "click", 1.0, t0.plusHours(2))))
+      q.processAllAvailable()
+      // Batch 2: a straggler for hour 0, far behind the watermark → dropped.
+      mem.addData(Seq(Ev(4, 1, "click", 99.0, t0.plusMinutes(30))))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(5, 1, "click", 1.0, t0.plusHours(4))))
+      q.processAllAvailable()
+      val hour0 = spark.table("t_late").collect()
+        .filter(r => graft.verify.Canon.canonVal(r.getStruct(0).get(0))
+          .startsWith("2024-01-01 00:00:00"))
+      assert(hour0.length == 1)
+      assert(hour0.head.getLong(2) == 2, "late straggler was not dropped")
+    } finally q.stop()
+  }
+
+  test("stream dedup removes cross-batch duplicate keys") {
+    val rows = eventRows.take(50)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dedup(StreamOps.withEventTime(mem.toDF(), "1 day"), Seq("event_id"))
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      mem.addData(rows.take(10)) // replayed duplicates
+      q.processAllAvailable()
+      assert(spark.table("t_dedup").count() == rows.size)
+    } finally q.stop()
+  }
+}
