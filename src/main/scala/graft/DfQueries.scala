@@ -221,7 +221,7 @@ object DfQueries {
       val emb = t(s, "embeddings")
       val a = emb.select(col("vec_id").as("d1"), col("embedding").as("a_emb"))
       val b = emb.select(col("vec_id").as("d2"), col("embedding").as("b_emb"))
-      val sim = VectorOps.cosine6(col("a_emb"), col("b_emb"))
+      val sim = VectorOps.cosine6Native(col("a_emb"), col("b_emb"))
       a.join(b, col("d1") < col("d2"))
         .where(sim >= 0.44)
         .select(col("d1"), col("d2"), sim.as("s"))
@@ -239,7 +239,7 @@ object DfQueries {
         .select(col("vec_id").as("cand"), col("cid").as("gcid"))
         .join(emb.select(col("vec_id").as("cand"), col("embedding").as("g_emb")), Seq("cand"))
       probes.join(gal, col("cid") === col("gcid"))
-        .withColumn("s", VectorOps.cosine6(col("p_emb"), col("g_emb")))
+        .withColumn("s", VectorOps.cosine6Native(col("p_emb"), col("g_emb")))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("probe")).orderBy(col("s").desc, col("cand"))))
         .where(col("rn") === 1)
@@ -258,7 +258,7 @@ object DfQueries {
         .select(col("vec_id").as("cand"), col("bucket").as("gbucket"))
         .join(emb.select(col("vec_id").as("cand"), col("embedding").as("g_emb")), Seq("cand"))
       probes.join(gal, col("bucket") === col("gbucket"))
-        .withColumn("s", VectorOps.cosine6(col("p_emb"), col("g_emb")))
+        .withColumn("s", VectorOps.cosine6Native(col("p_emb"), col("g_emb")))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("probe")).orderBy(col("s").desc, col("cand"))))
         .where(col("rn") === 1)

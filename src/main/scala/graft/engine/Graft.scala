@@ -39,11 +39,13 @@ object Graft {
     spark
   }
 
-  /** Build a local session with graft defaults. */
+  /** Build a local session with graft defaults (incl. the native-function
+    * extension seam — cosine_sim/dot_f32 in the FunctionRegistry). */
   def session(appName: String = "graft", master: String = s"local[$cpus]"): SparkSession = {
     val b = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     sessionConfs.foreach { case (k, v) => b.config(k, v) }

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's Catalyst extension seam (SURVEY.md §4.3): native functions
+  * registered into the session's FunctionRegistry so they are callable from
+  * SQL (`cosine_sim(a, b)`) and the Column API
+  * (`call_function("cosine_sim", a, b)`).
+  *
+  * Wired by `graft.engine.Graft.session` via `builder.withExtensions`; an
+  * external session can opt in with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}
+
+object GraftFunctions {
+
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info(classOf[CosineSimilarity], "cosine_sim",
+        "cosine_sim(a, b) - single-pass cosine similarity of two float arrays in double precision"),
+      (e: Seq[Expression]) => CosineSimilarity(e.head, e(1))),
+    (FunctionIdentifier("dot_f32"),
+      info(classOf[DotProduct], "dot_f32",
+        "dot_f32(a, b) - dot product of two float arrays in double precision"),
+      (e: Seq[Expression]) => DotProduct(e.head, e(1))),
+  )
+
+  def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)
+}

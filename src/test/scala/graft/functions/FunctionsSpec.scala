@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.VectorOps
+
+/** The native expressions must be drop-in replacements for the verified HOF
+  * lowerings: bit-identical doubles, identical NULL semantics. */
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def pairs = {
+    val emb = TestSpark.table("embeddings")
+    emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+  }
+
+  test("cosine_sim is bit-identical to the HOF lowering on every pair") {
+    val df = pairs.select(
+      VectorOps.cosine(col("ea"), col("eb")).as("hof"),
+      VectorOps.cosineNative(col("ea"), col("eb")).as("nat"))
+    val diff = df.where("hof <> nat or (hof is null) <> (nat is null)").count()
+    assert(diff == 0, s"$diff pairs diverge from the HOF lowering")
+  }
+
+  test("dot_f32 is bit-identical to the HOF dot fold") {
+    val df = pairs.select(
+      VectorOps.dot(col("ea"), col("eb")).as("hof"),
+      call_function("dot_f32", col("ea"), col("eb")).as("nat"))
+    assert(df.where("hof <> nat or (hof is null) <> (nat is null)").count() == 0)
+  }
+
+  test("length mismatch and null elements yield NULL (HOF null-poisoning semantics)") {
+    val r = spark.sql(
+      """select
+         cosine_sim(array(cast(1 as float)), array(cast(1 as float), cast(2 as float))) n1,
+         dot_f32(array(cast(1 as float), cast(null as float)), array(cast(1 as float), cast(2 as float))) n2,
+         cosine_sim(array(cast(3 as float)), array(cast(4 as float))) ok""").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("functions are SQL-registered through the extension seam") {
+    val r = spark.sql(
+      "select min(cosine_sim(embedding, embedding)) s from embeddings").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-6)
+  }
+}
