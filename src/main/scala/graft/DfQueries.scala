@@ -32,7 +32,9 @@ object DfQueries {
 
   type Impl = (SparkSession, String) => DataFrame
 
-  def impls: Map[String, Impl] = Map(
+  def impls: Map[String, Impl] = relational ++ analytic ++ textAndVector
+
+  private def relational: Map[String, Impl] = Map(
     "q01_scan_filter_project" -> { (s, _) =>
       t(s, "lineitem")
         .where(col("l_quantity") > 45 &&
@@ -42,6 +44,215 @@ object DfQueries {
         .orderBy("l_orderkey", "l_linenumber").limit(100)
     },
 
+    "q02_filter_in_like" -> { (s, _) =>
+      t(s, "part")
+        .where(col("p_type").isin("PROMO", "ECONOMY") && col("p_name").like("%a%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey").limit(100)
+    },
+
+    "q04_having" -> { (s, _) =>
+      t(s, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("c"), moneySum(col("o_totalprice")).as("s"))
+        .where(col("c") >= 14)
+        .orderBy("o_custkey")
+    },
+
+    "q05_count_distinct" -> { (s, _) =>
+      t(s, "orders").agg(
+        countDistinct(col("o_custkey")).as("a"),
+        countDistinct(col("o_orderpriority")).as("b"),
+        countDistinct(col("o_orderstatus")).as("c"))
+    },
+
+    "q06_distinct" -> { (s, _) =>
+      t(s, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q09_join_full" -> { (s, _) =>
+      val a = t(s, "orders").where(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority").as("ka")).agg(count(lit(1)).as("ca"))
+      val b = t(s, "events")
+        .groupBy(col("event_type").as("kb")).agg(count(lit(1)).as("cb"))
+      a.join(b, col("ka") === col("kb"), "full")
+        .select(coalesce(col("ka"), col("kb")).as("k"), col("ca"), col("cb"))
+        .orderBy("k")
+    },
+
+    "q10_join_semi_exists" -> { (s, _) =>
+      t(s, "part")
+        .join(t(s, "lineitem").where(col("l_quantity") > 49),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey").limit(100)
+    },
+
+    "q11_join_anti" -> { (s, _) =>
+      t(s, "customer")
+        .join(t(s, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey").limit(100)
+    },
+
+    "q12_join_cross" -> { (s, _) =>
+      val r1 = t(s, "region").select(col("r_name").as("a"))
+      val r2 = t(s, "region").select(col("r_name").as("b"))
+      r1.crossJoin(r2).orderBy("a", "b")
+    },
+
+    "q13_join_theta" -> { (s, _) =>
+      val p1 = t(s, "part").select(col("p_brand"), col("p_size").as("size1"))
+      val p2 = t(s, "part").select(col("p_brand").as("brand2"), col("p_size").as("size2"))
+      p1.join(p2, col("p_brand") === col("brand2") && col("size1") < col("size2"))
+        .groupBy("p_brand").agg(count(lit(1)).as("pairs"))
+        .orderBy("p_brand")
+    },
+
+    "q14_join_range_band" -> { (s, _) =>
+      val e1 = t(s, "events").where(col("event_type") === "click")
+        .select(col("event_id").as("a"), col("user_id").as("u1"), col("ts").as("ts1"))
+      val e2 = t(s, "events").where(col("event_type") === "purchase")
+        .select(col("event_id").as("b"), col("user_id").as("u2"), col("ts").as("ts2"))
+      e1.join(e2, col("u1") === col("u2") && col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("interval 5 minute"))
+        .select("a", "b")
+        .orderBy("a", "b").limit(100)
+    },
+
+    "q15_asof_correlated" -> { (s, _) =>
+      // Correlated scalar max → decorrelated left join + per-purchase agg
+      // (exactly the plan Catalyst rewrites the subquery to).
+      val p = t(s, "events").where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+      val c = t(s, "events").where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      p.join(c, col("pu") === col("cu") && col("cts") <= col("pts"), "left")
+        .groupBy("event_id").agg(max(col("cts")).as("last_click"))
+        .orderBy("event_id").limit(200)
+    },
+
+    "q21_union" -> { (s, _) =>
+      t(s, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("x"))
+        .union(t(s, "customer").where(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("x")))
+        .distinct()
+        .orderBy("x").limit(100)
+    },
+
+    "q22_intersect_except" -> { (s, _) =>
+      val i = t(s, "orders").where(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("x"))
+        .intersect(t(s, "customer").where(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("x")))
+        .select(col("x"), lit("i").as("tag"))
+      val e = t(s, "customer").select(col("c_custkey").as("x"))
+        .except(t(s, "orders").select(col("o_custkey").as("x")))
+        .select(col("x"), lit("e").as("tag"))
+      i.unionAll(e).orderBy("tag", "x").limit(200)
+    },
+
+    "q23_string_funcs" -> { (s, _) =>
+      t(s, "part").select(col("p_partkey"),
+          upper(col("p_name")).as("u"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("s"),
+          length(col("p_name")).as("len"),
+          replace(col("p_type"), lit("A"), lit("@")).as("rep"),
+          trim(concat(lit(" "), col("p_name"), lit(" "))).as("tr"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("pad"),
+          reverse(col("p_brand")).as("rev"))
+        .orderBy("p_partkey").limit(100)
+    },
+
+    "q24_regexp" -> { (s, _) =>
+      t(s, "documents")
+        .select(col("doc_id"), regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    "q25_date_funcs" -> { (s, _) =>
+      val plus30 = col("o_orderdate") + expr("interval 30 day")
+      t(s, "orders").select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).as("mo"),
+          plus30.as("plus30"),
+          datediff(plus30.cast("date"), col("o_orderdate").cast("date")).as("dd"))
+        .orderBy("o_orderkey").limit(100)
+    },
+
+    "q26_math_funcs" -> { (s, _) =>
+      t(s, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_discount") - 0.05), 4).as("ab"),
+          floor(col("l_quantity")).cast("bigint").as("fl"),
+          ceil(col("l_quantity")).cast("bigint").as("ce"),
+          round(sqrt(col("l_extendedprice")), 4).as("sq"),
+          round(pow(col("l_discount") + 1, 2), 6).as("pw"),
+          (col("l_partkey") % 7).as("md"),
+          signum(col("l_discount") - 0.05).cast("int").as("sg"),
+          round(log(col("l_extendedprice")), 6).as("lg"))
+        .orderBy("l_orderkey", "l_linenumber").limit(100)
+    },
+
+    "q27_case_cast_coalesce" -> { (s, _) =>
+      t(s, "orders").select(col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"),
+          floor(col("o_totalprice")).cast("bigint").as("ti"))
+        .orderBy("o_orderkey").limit(200)
+    },
+
+    "q28_json" -> { (s, _) =>
+      t(s, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id").limit(200)
+    },
+
+    "q29_array_ops" -> { (s, _) =>
+      t(s, "embeddings").select(col("vec_id"),
+          size(col("embedding")).as("n"),
+          element_at(col("embedding"), 1).as("e1"),
+          round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (a, x) => a + x.cast("double")), 4).as("s8"),
+          array_contains(col("embedding"), element_at(col("embedding"), 1)).as("has1"))
+        .orderBy("vec_id").limit(100)
+    },
+
+    "q30_collect_sorted" -> { (s, _) =>
+      t(s, "lineitem").groupBy("l_orderkey")
+        .agg(array_join(
+          transform(sort_array(collect_list(col("l_linenumber"))), _.cast("string")),
+          ",").as("ls"))
+        .orderBy("l_orderkey").limit(100)
+    },
+
+    "q41_scalar_subquery" -> { (s, _) =>
+      val thr = t(s, "orders").agg((max(col("o_totalprice")) * 0.5).as("thr"))
+      t(s, "orders").crossJoin(broadcast(thr))
+        .where(col("o_totalprice") > col("thr"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").limit(200)
+    },
+
+    "q42_in_subquery" -> { (s, _) =>
+      t(s, "customer")
+        .join(t(s, "orders").where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey").limit(200)
+    },
+  )
+
+  /** Aggregations, windows, grouping extensions, event-time batch forms and
+    * the classic text workloads. */
+  private def analytic: Map[String, Impl] = Map(
     "q03_agg_tpch1_decimal" -> { (s, _) =>
       t(s, "lineitem")
         .where(col("l_shipdate") <= expr("timestamp '1998-09-02 00:00:00'"))
@@ -151,6 +362,121 @@ object DfQueries {
         .orderBy("o_custkey").limit(200)
     },
 
+    "q17_window_analytic" -> { (s, _) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, "events").select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("pv"),
+          lead(col("value"), 1).over(w).as("nv"),
+          first(col("value")).over(w).as("fv"),
+          last(col("value")).over(wAll).as("lv"))
+        .orderBy("user_id", "event_id").limit(300)
+    },
+
+    "q18_window_frames" -> { (s, _) =>
+      val wRows = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-3, 0)
+      val wRange = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice")).rangeBetween(-50000, 0)
+      t(s, "orders").select(col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice")).over(wRows), 2).as("s3"),
+          round(sum(col("o_totalprice").cast(dec)).over(wRange).cast("double"), 4).as("rs"),
+          count(lit(1)).over(wRange).as("rc"))
+        .orderBy("o_custkey", "o_orderkey").limit(200)
+    },
+
+    "q32_bigrams" -> { (s, _) =>
+      val tok = t(s, "documents").select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text")))).toDF("doc_id", "pos", "w")
+      val t2 = tok.select(col("doc_id").as("d2"), col("pos").as("p2"), col("w").as("w2"))
+      tok.join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+        .select(concat(col("w"), lit(" "), col("w2")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bg")).limit(50)
+    },
+
+    "q37_sessionize" -> { (s, _) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(w)
+      val brk = when(prev.isNull ||
+        col("ts") - prev > expr("interval 30 minute"), 1).otherwise(0)
+      t(s, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), brk.as("brk"))
+        .select(col("user_id"),
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("sid"))
+        .groupBy("user_id").agg(countDistinct(col("sid")).as("n_sessions"))
+        .orderBy("user_id").limit(200)
+    },
+
+    "q39_sliding_window" -> { (s, _) =>
+      val base = date_trunc("hour", col("ts"))
+      val b = when(minute(col("ts")) >= 30, base + expr("interval 30 minute"))
+        .otherwise(base)
+      val e = t(s, "events").select(b.as("b"), col("value"))
+      e.select(col("b").as("w"), col("value"))
+        .unionAll(e.select((col("b") - expr("interval 30 minute")).as("w"), col("value")))
+        .groupBy("w").agg(count(lit(1)).as("c"), moneySum(col("value")).as("v"))
+        .orderBy("w").limit(500)
+    },
+
+    "q43_rollup" -> { (s, _) =>
+      t(s, "lineitem")
+        .rollup(col("l_returnflag").as("f"), col("l_linestatus").as("s"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("f").asc_nulls_first, col("s").asc_nulls_first)
+    },
+
+    "q44_cube" -> { (s, _) =>
+      t(s, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("c"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("f"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("s"), col("c"))
+        .orderBy("f", "s")
+    },
+
+    "q45_grouping_sets" -> { (s, _) =>
+      t(s, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")),
+            Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("gf"),
+          grouping(col("l_linestatus")).as("gs"),
+          count(lit(1)).as("c"))
+        .select(col("l_returnflag").as("f"), col("l_linestatus").as("s"),
+          col("gf"), col("gs"), col("c"))
+        .orderBy(col("gf"), col("gs"),
+          col("f").asc_nulls_first, col("s").asc_nulls_first)
+    },
+
+    "q46_percentile" -> { (s, _) =>
+      t(s, "orders").agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"))
+    },
+
+    "q47_stats" -> { (s, _) =>
+      t(s, "lineitem").groupBy("l_returnflag").agg(
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("co"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cv"))
+        .orderBy("l_returnflag")
+    },
+
+    "q49_filtered_agg" -> { (s, _) =>
+      t(s, "lineitem").groupBy("l_returnflag").agg(
+          count(when(col("l_quantity") > 25, 1)).as("hi"),
+          count(lit(1)).as("total"),
+          bool_or(col("l_discount") > 0.09).as("anyhi"),
+          bool_and(col("l_quantity") > 0).as("allpos"))
+        .orderBy("l_returnflag")
+    },
+  )
+
+  /** Training-data pipeline extensions over the ops layer. */
+  private def textAndVector: Map[String, Impl] = Map(
     "q50_langid" -> { (s, _) =>
       t(s, "documents")
         .select(col("doc_id"),
