@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SkewOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("salted join is row-identical to the plain join") {
+    val orders = TestSpark.table("orders")
+    val customer = TestSpark.table("customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_acctbal"))
+
+    val plain = orders.join(customer, "o_custkey")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val salted = SkewOps.saltedJoin(orders, customer, "o_custkey", 8)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(salted == plain)
+  }
+
+  test("salt actually widens the shuffle key (hot keys spread n ways)") {
+    val orders = TestSpark.table("orders")
+    val customer = TestSpark.table("customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    // Disable auto-broadcast so the join shuffles and the salt matters.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SkewOps.saltedJoin(orders, customer, "o_custkey", 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_salt"), s"salt missing from plan:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
