@@ -116,6 +116,21 @@ object DedupOps {
     jaccardVerify(tokens, cand, threshold)
   }
 
+  /** Typed mergeable MinHash sketch (the `Aggregator` path of SURVEY.md
+    * §4.3): one pass, one buffer of k minima per doc, element-wise merged —
+    * partial aggregation happens map-side exactly like a sketch union.
+    * Numerically identical to [[minhashSignatures]]: the hex-string min of a
+    * fixed-width lowercase md5 prefix IS the numeric min of its 48-bit
+    * value ([[MinHashAgg.hash48]]). */
+  def minhashSignaturesTyped(tokens: DataFrame, k: Int): DataFrame = {
+    import tokens.sparkSession.implicits._
+    tokens.select(col("doc_id").cast("long"), col("w"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .agg(new MinHashAgg(k).toColumn.name("sig"))
+      .toDF("doc_id", "sig")
+  }
+
   /** Bit `j` (0..15) of md5(w)'s first 16 bits, as 0/1 — integer math only
     * (conv(hex,16,10) replaces charindex; floor-division extracts the bit). */
   private def md5Bit(w: Column, j: Column): Column = {
