@@ -53,13 +53,17 @@ object DedupOps {
     tokens.groupBy("doc_id").agg(minhashCol(1), (2 to k).map(minhashCol): _*)
 
   /** Band keys for LSH: `bands` bands of `rowsPerBand` signature rows each;
-    * docs sharing any full band land in the same bucket. */
-  def lshBandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
-    (0 until bands).map { b =>
+    * docs sharing any full band land in the same bucket. One explode pass —
+    * NOT a per-band unionAll, which would recompute the signature
+    * aggregation `bands` times (observed: 4x the scans/exchanges in the
+    * executed plan before this shape). */
+  def lshBandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
       val cols = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sig.select(col("doc_id"),
-        concat(lit(s"b${b + 1}:") +: cols: _*).as("bk"))
-    }.reduce(_ unionAll _)
+      concat(lit(s"b${b + 1}:") +: cols: _*)
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+  }
 
   /** Candidate pairs: docs co-habiting any band bucket (id1 < id2). The
     * self-join is on the band key — an equi-join whose shuffle is sized by
