@@ -518,6 +518,74 @@ object Corpus {
     q2("q60_ann_lsh",
       annLshSql(simOf, hyperSpark),
       annLshSql(simDuckOf, hyperDuck)),
+
+    // ---- q61+: second wave of pipeline operators (round 2) ---------------
+
+    q2("q61_tfidf",
+      """with tok as (select doc_id, explode(split(text,' ')) w from documents),
+ tf as (select doc_id, w, count(*) tf from tok group by doc_id, w),
+ df as (select w, count(distinct doc_id) df from tf group by w),
+ n as (select count(*) nd from documents)
+ select doc_id, w, round(tf * ln(cast(nd as double)/df), 6) tfidf
+ from tf join df using (w) cross join n
+ order by tfidf desc, doc_id, w limit 100""",
+      """with tok as (select doc_id, unnest(string_split(text,' ')) w from documents),
+ tf as (select doc_id, w, count(*) tf from tok group by doc_id, w),
+ df as (select w, count(distinct doc_id) df from tf group by w),
+ n as (select count(*) nd from documents)
+ select doc_id, w, round(tf * ln(cast(nd as double)/df), 6) tfidf
+ from tf join df using (w) cross join n
+ order by tfidf desc, doc_id, w limit 100"""),
+
+    q2("q62_stopword_removal",
+      s"""select doc_id, array_join(filter(split(text,' '), w -> not ($stopPred)), ' ') cleaned,
+ size(split(text,' ')) - size(filter(split(text,' '), w -> not ($stopPred))) removed
+ from documents order by doc_id limit 300""",
+      s"""select doc_id, array_to_string(list_filter(string_split(text,' '), w -> not ($stopPred)), ' ') cleaned,
+ len(string_split(text,' ')) - len(list_filter(string_split(text,' '), w -> not ($stopPred))) removed
+ from documents order by doc_id limit 300"""),
+
+    q2("q63_redaction",
+      """select doc_id, regexp_count(text, '[0-9]+') n_num,
+ regexp_replace(text, '[0-9]+', '<NUM>') redacted
+ from documents order by doc_id limit 200""",
+      """select doc_id, len(regexp_extract_all(text, '[0-9]+')) n_num,
+ regexp_replace(text, '[0-9]+', '<NUM>', 'g') redacted
+ from documents order by doc_id limit 200"""),
+
+    q("q64_length_histogram",
+      """select cast(floor(length(text)/100) as bigint) bucket, count(*) c,
+ min(length(text)) mn, max(length(text)) mx
+ from documents group by cast(floor(length(text)/100) as bigint) order by bucket"""),
+
+    q2("q65_inverted_index",
+      """with t as (select distinct doc_id, w from (select doc_id, explode(split(text,' ')) w from documents) x)
+ select w, count(*) df, array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x as string)), ',') docs
+ from t group by w having count(*) >= 20 order by w limit 200""",
+      """with t as (select distinct doc_id, w from (select doc_id, unnest(string_split(text,' ')) w from documents) x)
+ select w, count(*) df, array_to_string(list_sort(list(doc_id)), ',') docs
+ from t group by w having count(*) >= 20 order by w limit 200"""),
+
+    q2("q66_embedding_stats",
+      """select vec_id,
+ round(sqrt(aggregate(transform(embedding, x -> cast(x as double)*cast(x as double)), cast(0.0 as double), (a,x) -> a+x)), 6) l2,
+ round(aggregate(embedding, cast(0.0 as double), (a,x) -> a+cast(x as double)) / size(embedding), 6) mean,
+ round(cast(array_min(embedding) as double), 6) mn,
+ round(cast(array_max(embedding) as double), 6) mx
+ from embeddings order by vec_id limit 300""",
+      """select vec_id,
+ round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) l2,
+ round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) mean,
+ round(list_min(embedding)::DOUBLE, 6) mn,
+ round(list_max(embedding)::DOUBLE, 6) mx
+ from embeddings order by vec_id limit 300"""),
+
+    q("q67_event_funnel",
+      """select e1.user_id, count(distinct e2.event_id) conversions
+ from events e1 join events e2
+ on e1.user_id=e2.user_id and e2.ts > e1.ts and e2.ts <= e1.ts + interval 1 hour
+ where e1.event_type='click' and e2.event_type='purchase'
+ group by e1.user_id order by e1.user_id limit 200"""),
   )
 
   val byName: Map[String, CorpusQuery] = all.map(c => c.name -> c).toMap

@@ -477,6 +477,78 @@ object DfQueries {
 
   /** Training-data pipeline extensions over the ops layer. */
   private def textAndVector: Map[String, Impl] = Map(
+    "q61_tfidf" -> { (s, _) =>
+      val tok = t(s, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      val n = t(s, "documents").agg(count(lit(1)).as("nd"))
+      tf.join(dfreq, "w").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"),
+          round(col("tf") * log(col("nd").cast("double") / col("df")), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("w")).limit(100)
+    },
+
+    "q62_stopword_removal" -> { (s, _) =>
+      val isStop = (w: Column) => TextOps.defaultStopwords.map(w === _).reduce(_ || _)
+      val toks = TextOps.tokens(col("text"))
+      val kept = filter(toks, w => !isStop(w))
+      t(s, "documents")
+        .select(col("doc_id"),
+          array_join(kept, " ").as("cleaned"),
+          (size(toks) - size(kept)).as("removed"))
+        .orderBy("doc_id").limit(300)
+    },
+
+    "q63_redaction" -> { (s, _) =>
+      t(s, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[0-9]+")).as("n_num"),
+          regexp_replace(col("text"), "[0-9]+", "<NUM>").as("redacted"))
+        .orderBy("doc_id").limit(200)
+    },
+
+    "q64_length_histogram" -> { (s, _) =>
+      t(s, "documents")
+        .groupBy(floor(length(col("text")) / 100).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("c"),
+          min(length(col("text"))).as("mn"),
+          max(length(col("text"))).as("mx"))
+        .orderBy("bucket")
+    },
+
+    "q65_inverted_index" -> { (s, _) =>
+      DedupOps.tokenSet(t(s, "documents"), col("doc_id"), col("text"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("docs"))
+        .where(col("df") >= 20)
+        .orderBy("w").limit(200)
+    },
+
+    "q66_embedding_stats" -> { (s, _) =>
+      val e = col("embedding")
+      t(s, "embeddings").select(col("vec_id"),
+          round(VectorOps.norm2(e), 6).as("l2"),
+          round(aggregate(e, lit(0.0), (a, x) => a + x.cast("double")) / size(e), 6).as("mean"),
+          round(array_min(e).cast("double"), 6).as("mn"),
+          round(array_max(e).cast("double"), 6).as("mx"))
+        .orderBy("vec_id").limit(300)
+    },
+
+    "q67_event_funnel" -> { (s, _) =>
+      val e1 = t(s, "events").where(col("event_type") === "click")
+        .select(col("user_id").as("u1"), col("ts").as("ts1"))
+      val e2 = t(s, "events").where(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), col("ts").as("ts2"), col("event_id").as("pid"))
+      e1.join(e2, col("u1") === col("u2") && col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("interval 1 hour"))
+        .groupBy(col("u1").as("user_id"))
+        .agg(countDistinct(col("pid")).as("conversions"))
+        .orderBy("user_id").limit(200)
+    },
+
     "q50_langid" -> { (s, _) =>
       t(s, "documents")
         .select(col("doc_id"),

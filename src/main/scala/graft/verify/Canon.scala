@@ -18,6 +18,18 @@ object Canon {
 
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS", Locale.US)
 
+  /** Python's `'%.4f' % v` (C printf): round the EXACT binary expansion of
+    * the double, half-to-even, at 4 decimals. Java's `%.4f` instead rounds
+    * HALF_UP, which diverges on binary-exact half points (e.g. 0.15625 →
+    * Java "0.1563", C "0.1562") — observed on q66 and fixed here so the
+    * Scala gate is bit-compatible with the python oracle hashes. */
+  private def py4(d: Double): String =
+    if (d.isNaN) "nan"
+    else if (d.isInfinity) { if (d > 0) "inf" else "-inf" }
+    else if (d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L) "-0.0000"
+    else new java.math.BigDecimal(d)
+      .setScale(4, java.math.RoundingMode.HALF_EVEN).toPlainString
+
   def canonVal(v: Any): String = v match {
     case null                      => "NULL"
     case b: Boolean                => if (b) "true" else "false"
@@ -25,10 +37,10 @@ object Canon {
     case s: Short                  => s.toString
     case i: Int                    => i.toString
     case l: Long                   => l.toString
-    case f: Float                  => "%.4f".formatLocal(Locale.US, f.toDouble)
-    case d: Double                 => "%.4f".formatLocal(Locale.US, d)
-    case d: java.math.BigDecimal   => "%.4f".formatLocal(Locale.US, d.doubleValue)
-    case d: scala.math.BigDecimal  => "%.4f".formatLocal(Locale.US, d.doubleValue)
+    case f: Float                  => py4(f.toDouble)
+    case d: Double                 => py4(d)
+    case d: java.math.BigDecimal   => py4(d.doubleValue)
+    case d: scala.math.BigDecimal  => py4(d.doubleValue)
     case t: java.time.LocalDateTime => tsFmt.format(t)
     case t: java.sql.Timestamp     => tsFmt.format(t.toLocalDateTime)
     case t: java.time.Instant      => tsFmt.format(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
