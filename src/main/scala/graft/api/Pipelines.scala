@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, DedupOps, TextOps}
+
+/** Task-level entry points composing the ops layer — what a data-pipeline
+  * user calls without learning each operator's plumbing. All of these are
+  * lazy plan builders; nothing executes until an action.
+  */
+object Pipelines {
+
+  /** Near-duplicate pairs in a document table.
+    *
+    * @param method "exact" (prefix-digest groups), "jaccard" (all-pairs
+    *               inverted-index — the verifier, quadratic worst case) or
+    *               "minhash-lsh" (the scale path: banded candidates +
+    *               exact verify)
+    */
+  def nearDuplicates(docs: DataFrame, id: Column, text: Column,
+                     threshold: Double = 0.8,
+                     method: String = "minhash-lsh"): DataFrame = method match {
+    case "exact" =>
+      DedupOps.exactDupGroups(docs, id, text)
+    case "jaccard" =>
+      DedupOps.pairwiseJaccard(DedupOps.tokenSet(docs, id, text), "w", threshold)
+    case "minhash-lsh" =>
+      DedupOps.minhashLsh(DedupOps.tokenSet(docs, id, text),
+        k = 8, bands = 4, threshold = threshold)
+    case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
+  }
+
+  /** Top-k nearest rows to one stored vector. */
+  def similarTo(emb: DataFrame, probeId: Long, k: Int): DataFrame =
+    Ann.cosineTopK(emb, probeId, k)
+
+  /** Exact 1-NN for every probe row against a gallery. */
+  def nearestNeighbor(probes: DataFrame, gallery: DataFrame): DataFrame =
+    Ann.knn(probes, gallery)
+
+  /** Per-document text-quality report: token stats, lexical diversity,
+    * language guess and keep/drop verdict — the pre-training filter row. */
+  def qualityReport(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+      length(text).as("n_chars"),
+      size(TextOps.tokens(text)).as("n_tok"),
+      round(TextOps.typeTokenRatio(text), 4).as("ttr"),
+      round(TextOps.avgWordLen(text), 4).as("avg_wlen"),
+      round(TextOps.stopwordRatio(text), 4).as("stop_ratio"),
+      TextOps.langGuess(text).as("lang"),
+      TextOps.qualityVerdict(text).as("verdict"))
+
+  /** Keep-side of the quality filter: the rows a training pipeline retains. */
+  def qualityFilter(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.where(TextOps.qualityVerdict(text) === "keep" &&
+      TextOps.langGuess(text) === "en")
+
+  /** Doc fingerprints for incremental dedup across pipeline runs. */
+  def fingerprints(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val sh = docs.select(id.as("doc_id"),
+      explode(TextOps.wordShingles(text, 3)).as("sh"))
+    val fp = sh.groupBy("doc_id").agg(
+      min(TextOps.shingleHash(col("sh"))).as("shingle_fp"),
+      countDistinct(col("sh")).as("n_shingles"))
+    docs.select(id.as("doc_id"), TextOps.docFingerprint(text).as("doc_fp"))
+      .join(fp, "doc_id")
+  }
+}

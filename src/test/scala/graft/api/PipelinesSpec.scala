@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PipelinesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def docs = TestSpark.table("documents")
+
+  test("nearDuplicates methods agree: lsh results are exact-jaccard results") {
+    val exact = Pipelines.nearDuplicates(docs, col("doc_id"), col("text"), 0.8, "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Pipelines.nearDuplicates(docs, col("doc_id"), col("text"), 0.8, "minhash-lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    val dupGroups = Pipelines.nearDuplicates(docs, col("doc_id"), col("text"), 0.8, "exact")
+    assert(dupGroups.columns.toSeq == Seq("h", "c", "keep"))
+    intercept[IllegalArgumentException] {
+      Pipelines.nearDuplicates(docs, col("doc_id"), col("text"), 0.8, "bogus")
+    }
+  }
+
+  test("qualityReport + qualityFilter partition the corpus consistently") {
+    val report = Pipelines.qualityReport(docs, col("doc_id"), col("text"))
+    assert(report.columns.toSeq ==
+      Seq("doc_id", "n_chars", "n_tok", "ttr", "avg_wlen", "stop_ratio", "lang", "verdict"))
+    val keepIds = report.where(col("verdict") === "keep" && col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val filtered = Pipelines.qualityFilter(docs, col("doc_id"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(filtered == keepIds)
+  }
+
+  test("fingerprints: one row per doc, stable across runs") {
+    val fp1 = Pipelines.fingerprints(docs, col("doc_id"), col("text"))
+    assert(fp1.count() == docs.count())
+    val a = fp1.orderBy("doc_id").collect().map(_.toSeq)
+    val b = Pipelines.fingerprints(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("similarTo/nearestNeighbor surface the Ann results") {
+    val emb = TestSpark.table("embeddings")
+    val top = Pipelines.similarTo(emb, 0, 5).collect()
+    assert(top.length == 5 && top.head.getLong(0) == 0) // self is most similar
+    val nn = Pipelines.nearestNeighbor(
+      emb.where(col("vec_id") < 3), emb.where(col("vec_id") >= 3)).collect()
+    assert(nn.length == 3)
+  }
+
+  test("ops degrade gracefully on empty input") {
+    val empty = docs.where(lit(false))
+    assert(Pipelines.nearDuplicates(empty, col("doc_id"), col("text")).count() == 0)
+    assert(Pipelines.qualityReport(empty, col("doc_id"), col("text")).count() == 0)
+    assert(Pipelines.fingerprints(empty, col("doc_id"), col("text")).count() == 0)
+  }
+
+  test("AQE is live: runtime coalescing appears in a shuffled agg plan") {
+    val df = TestSpark.table("lineitem").groupBy("l_partkey").count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"),
+      s"AQE runtime re-plan not visible:\n$plan")
+  }
+}
