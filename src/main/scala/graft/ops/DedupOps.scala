@@ -120,6 +120,24 @@ object DedupOps {
     jaccardVerify(tokens, cand, threshold)
   }
 
+  /** LINEAR-output dedup decision (the true 100 TB shape): on near-dup-dense
+    * corpora the pair list is quadratic in cluster size (measured at sf0.1:
+    * 5k template-generated docs → 2.9M J≥0.8 pairs, so enumeration dominates
+    * any candidate pruning). A training pipeline doesn't need the pairs — it
+    * needs one keep/drop bit per document. Cluster key = the full MinHash
+    * signature (identical signature ⇔ near-identical token set w.h.p.);
+    * keeper = min doc_id per cluster. One aggregation + one window — output
+    * size O(docs), shuffle keyed on the signature. */
+  def minhashDedupKeep(tokens: DataFrame, k: Int): DataFrame = {
+    val sig = minhashSignatures(tokens, k)
+    val sigKey = concat_ws("|", (1 to k).map(i => col(s"h$i")): _*)
+    sig.select(col("doc_id"), sigKey.as("sig"))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .select("doc_id", "keep_id", "is_dup")
+  }
+
   /** Typed mergeable MinHash sketch (the `Aggregator` path of SURVEY.md
     * §4.3): one pass, one buffer of k minima per doc, element-wise merged —
     * partial aggregation happens map-side exactly like a sketch union.

@@ -40,6 +40,27 @@ class OpsSpec extends AnyFunSuite {
     assert(dups.forall(_.getLong(1) > 1))
   }
 
+  test("minhashDedupKeep: linear keep/drop decision is consistent") {
+    val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
+    val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
+    val docCount = toks.select("doc_id").distinct().count()
+    assert(decisions.length == docCount, "exactly one decision per doc")
+    val keepers = decisions.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    // Every dup points at a keeper, and keepers point at themselves.
+    assert(decisions.forall(r => keepers.contains(r.getLong(1))))
+    assert(decisions.filter(!_.getBoolean(2)).forall(r => r.getLong(0) == r.getLong(1)))
+    // Dups really are near-dups: each dup's exact Jaccard to its keeper >= 0.5.
+    val dupPairs = decisions.filter(_.getBoolean(2))
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    if (dupPairs.nonEmpty) {
+      val sims = DedupOps.pairwiseJaccard(toks, "w", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val covered = dupPairs.count(sims.contains)
+      assert(covered >= dupPairs.size * 0.9,
+        s"only $covered/${dupPairs.size} signature-dup pairs are real near-dups")
+    }
+  }
+
   test("cosine6 is symmetric and 1.0 on itself") {
     val a = embeddings.select(col("vec_id"), col("embedding"))
     val self = a.select(VectorOps.cosine6(col("embedding"), col("embedding")).as("s"))
