@@ -586,6 +586,28 @@ object Corpus {
  on e1.user_id=e2.user_id and e2.ts > e1.ts and e2.ts <= e1.ts + interval 1 hour
  where e1.event_type='click' and e2.event_type='purchase'
  group by e1.user_id order by e1.user_id limit 200"""),
+
+    q2("q68_pmi",
+      """with tok as (select doc_id, pos, w from documents lateral view posexplode(split(text,' ')) t as pos, w),
+ uni as (select w, count(*) c from tok group by w),
+ big as (select t1.w w1, t2.w w2, count(*) cb from tok t1 join tok t2 on t1.doc_id=t2.doc_id and t2.pos=t1.pos+1 group by t1.w, t2.w),
+ tot as (select count(*) n from tok),
+ totb as (select sum(cb) nb from big)
+ select concat(w1, ' ', w2) bg, cb,
+  round(ln((cast(cb as double)/cast(nb as double)) /
+   ((cast(u1.c as double)/cast(n as double)) * (cast(u2.c as double)/cast(n as double)))), 6) pmi
+ from big join uni u1 on u1.w=big.w1 join uni u2 on u2.w=big.w2 cross join tot cross join totb
+ where cb >= 5 order by pmi desc, bg limit 100""",
+      """with tok as (select doc_id, generate_subscripts(l,1)-1 pos, unnest(l) w from (select doc_id, string_split(text,' ') l from documents) s),
+ uni as (select w, count(*) c from tok group by w),
+ big as (select t1.w w1, t2.w w2, count(*) cb from tok t1 join tok t2 on t1.doc_id=t2.doc_id and t2.pos=t1.pos+1 group by t1.w, t2.w),
+ tot as (select count(*) n from tok),
+ totb as (select sum(cb) nb from big)
+ select concat(w1, ' ', w2) bg, cb,
+  round(ln((cast(cb as double)/cast(nb as double)) /
+   ((cast(u1.c as double)/cast(n as double)) * (cast(u2.c as double)/cast(n as double)))), 6) pmi
+ from big join uni u1 on u1.w=big.w1 join uni u2 on u2.w=big.w2 cross join tot cross join totb
+ where cb >= 5 order by pmi desc, bg limit 100"""),
   )
 
   val byName: Map[String, CorpusQuery] = all.map(c => c.name -> c).toMap

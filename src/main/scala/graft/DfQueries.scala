@@ -549,6 +549,28 @@ object DfQueries {
         .orderBy("user_id").limit(200)
     },
 
+    "q68_pmi" -> { (s, _) =>
+      val tok = t(s, "documents").select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text")))).toDF("doc_id", "pos", "w")
+      val t2 = tok.select(col("doc_id").as("d2"), col("pos").as("p2"), col("w").as("w2"))
+      val big = tok.join(t2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+        .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val u1 = uni.select(col("w").as("w1"), col("c").as("c1"))
+      val u2 = uni.select(col("w").as("w2"), col("c").as("c2"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      val totb = big.agg(sum(col("cb")).as("nb"))
+      val pmi = round(log(
+        (col("cb").cast("double") / col("nb").cast("double")) /
+          ((col("c1").cast("double") / col("n").cast("double")) *
+            (col("c2").cast("double") / col("n").cast("double")))), 6)
+      big.join(u1, "w1").join(u2, "w2")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(totb))
+        .where(col("cb") >= 5)
+        .select(concat(col("w1"), lit(" "), col("w2")).as("bg"), col("cb"), pmi.as("pmi"))
+        .orderBy(col("pmi").desc, col("bg")).limit(100)
+    },
+
     "q50_langid" -> { (s, _) =>
       t(s, "documents")
         .select(col("doc_id"),

@@ -43,6 +43,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("interpreted eval (nullSafeEval) matches codegen exactly") {
+    // Force the non-codegen path; it is separate code from doGenCode and
+    // must produce identical bits.
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val df = pairs.select(
+        VectorOps.cosine(col("ea"), col("eb")).as("hof"),
+        VectorOps.cosineNative(col("ea"), col("eb")).as("nat"))
+      assert(df.where("hof <> nat or (hof is null) <> (nat is null)").count() == 0)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("functions are SQL-registered through the extension seam") {
     val r = spark.sql(
       "select min(cosine_sim(embedding, embedding)) s from embeddings").head()
