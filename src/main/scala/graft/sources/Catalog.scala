@@ -28,6 +28,15 @@ object Catalog {
     else df
   }
 
+  /** Schema report: table → (column, type) list as the engine exposes it
+    * (post-ingest-rewrite — events.ts reports as timestamp_ntz, not the
+    * raw parquet nanos long). */
+  def describe(spark: SparkSession, dir: String): Map[String, Seq[(String, String)]] =
+    tableNames.map { n =>
+      n -> load(spark, dir, n).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString))
+    }.toMap
+
   private val registeredKey = "spark.graft.catalog.dir"
 
   /** Register all tables of `dir` as temp views. Cheap (views are lazy) and
