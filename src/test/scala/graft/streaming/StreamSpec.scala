@@ -99,6 +99,25 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches the stream with a broadcastable dim") {
+    val rows = eventRows.take(60)
+    val dim = TestSpark.table("customer")
+      .selectExpr("c_custkey as user_id", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().join(dim, Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("t_enrich").outputMode("append").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("t_enrich").count()
+      assert(streamed == rows.size, "left join must preserve stream cardinality")
+      val enriched = spark.table("t_enrich").where("c_mktsegment is not null").count()
+      val expected = spark.createDataset(rows).toDF().join(dim, Seq("user_id"))
+        .count()
+      assert(enriched == expected)
+    } finally q.stop()
+  }
+
   test("stream dedup removes cross-batch duplicate keys") {
     val rows = eventRows.take(50)
     val mem = MemoryStream[Ev]
