@@ -608,6 +608,19 @@ object Corpus {
    ((cast(u1.c as double)/cast(n as double)) * (cast(u2.c as double)/cast(n as double)))), 6) pmi
  from big join uni u1 on u1.w=big.w1 join uni u2 on u2.w=big.w2 cross join tot cross join totb
  where cb >= 5 order by pmi desc, bg limit 100"""),
+
+    // Deterministic hash split: the stable train/test assignment every
+    // training pipeline needs — md5-keyed so the same doc lands in the same
+    // split on any engine, any run, any shard layout.
+    q2("q69_stable_split",
+      """with s as (select doc_id,
+   case when substr(md5(concat('split:', cast(doc_id as string))), 1, 1) <= 'c' then 'train' else 'test' end split
+ from documents)
+ select split, count(*) c, min(doc_id) mn, max(doc_id) mx from s group by split order by split""",
+      """with s as (select doc_id,
+   case when substr(md5(concat('split:', cast(doc_id as varchar))), 1, 1) <= 'c' then 'train' else 'test' end split
+ from documents)
+ select split, count(*) c, min(doc_id) mn, max(doc_id) mx from s group by split order by split"""),
   )
 
   val byName: Map[String, CorpusQuery] = all.map(c => c.name -> c).toMap

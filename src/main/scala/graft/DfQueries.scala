@@ -571,6 +571,16 @@ object DfQueries {
         .orderBy(col("pmi").desc, col("bg")).limit(100)
     },
 
+    "q69_stable_split" -> { (s, _) =>
+      val split = when(
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1) <= "c",
+        "train").otherwise("test")
+      t(s, "documents").select(col("doc_id"), split.as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .orderBy("split")
+    },
+
     "q50_langid" -> { (s, _) =>
       t(s, "documents")
         .select(col("doc_id"),

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Boundary behavior of the text column builders on degenerate inputs
+  * (empty docs, single tokens, docs shorter than the shingle width). */
+class TextOpsEdgeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def df(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("tokens/shingles on degenerate inputs never error and stay non-empty") {
+    val d = df("", "one", "two words", "a b c d")
+    val r = d.select(
+      size(TextOps.tokens(col("text"))).as("nt"),
+      size(TextOps.wordShingles(col("text"), 3)).as("ws"),
+      size(TextOps.charShingles(col("text"), 3)).as("cs")).collect()
+    // split("") -> [""]; shingle builders clamp to >= 1 shingle.
+    assert(r.forall(_.getInt(0) >= 1))
+    assert(r.forall(_.getInt(1) >= 1))
+    assert(r.forall(_.getInt(2) >= 1))
+    // "a b c d" -> 2 word-3-shingles ("a b c", "b c d")
+    assert(r(3).getInt(1) == 2)
+  }
+
+  test("quality/langid math never divides to NaN/null on degenerate docs") {
+    val d = df("", "the", "zz")
+    val r = d.select(
+      TextOps.stopwordRatio(col("text")).as("sr"),
+      TextOps.typeTokenRatio(col("text")).as("ttr"),
+      TextOps.qualityVerdict(col("text")).as("v")).collect()
+    assert(r.forall(x => !x.isNullAt(0) && !x.getDouble(0).isNaN))
+    assert(r.forall(x => !x.isNullAt(1) && !x.getDouble(1).isNaN))
+    assert(r.forall(x => Seq("keep", "drop").contains(x.getString(2))))
+    assert(r(1).getDouble(0) == 1.0) // "the" is all stopwords
+  }
+
+  test("fingerprints differ across different docs, agree across identical text") {
+    val d = df("same text here", "same text here", "different entirely")
+    val fps = d.select(TextOps.docFingerprint(col("text")).as("fp")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
