@@ -621,6 +621,32 @@ object Corpus {
    case when substr(md5(concat('split:', cast(doc_id as varchar))), 1, 1) <= 'c' then 'train' else 'test' end split
  from documents)
  select split, count(*) c, min(doc_id) mn, max(doc_id) mx from s group by split order by split"""),
+
+    // Token-distribution entropy per doc — the information-density quality
+    // signal (template/spam docs score low). Shannon entropy in nats over
+    // the doc's token frequencies; exact integer counts, ln at the end.
+    q2("q70_token_entropy",
+      """with tok as (select doc_id, explode(split(text,' ')) w from documents),
+ cnt as (select doc_id, w, count(*) c from tok group by doc_id, w),
+ n as (select doc_id, count(*) n from tok group by doc_id)
+ select cnt.doc_id,
+  round(-sum((cast(c as double)/cast(n.n as double)) * ln(cast(c as double)/cast(n.n as double))), 6) entropy,
+  max(n.n) n_tok
+ from cnt join n on n.doc_id=cnt.doc_id group by cnt.doc_id order by cnt.doc_id limit 300""",
+      """with tok as (select doc_id, unnest(string_split(text,' ')) w from documents),
+ cnt as (select doc_id, w, count(*) c from tok group by doc_id, w),
+ n as (select doc_id, count(*) n from tok group by doc_id)
+ select cnt.doc_id,
+  round(-sum((cast(c as double)/cast(n.n as double)) * ln(cast(c as double)/cast(n.n as double))), 6) entropy,
+  max(n.n) n_tok
+ from cnt join n on n.doc_id=cnt.doc_id group by cnt.doc_id order by cnt.doc_id limit 300"""),
+
+    // Dup-cluster size histogram over the exact-dedup groups: how much of
+    // the corpus is template mass, at what multiplicity.
+    q("q71_dup_cluster_stats",
+      """with g as (select md5(substr(text,1,16)) h, count(*) c from documents group by md5(substr(text,1,16)))
+ select c cluster_size, count(*) n_clusters, cast(c as bigint) * count(*) docs_covered
+ from g group by c order by c"""),
   )
 
   val byName: Map[String, CorpusQuery] = all.map(c => c.name -> c).toMap

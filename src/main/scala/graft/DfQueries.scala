@@ -581,6 +581,28 @@ object DfQueries {
         .orderBy("split")
     },
 
+    "q70_token_entropy" -> { (s, _) =>
+      val tok = t(s, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      val cnt = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val n = tok.groupBy(col("doc_id").as("nd")).agg(count(lit(1)).as("n"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      cnt.join(n, col("doc_id") === col("nd"))
+        .groupBy("doc_id")
+        .agg(round(-sum(p * log(p)), 6).as("entropy"), max(col("n")).as("n_tok"))
+        .orderBy("doc_id").limit(300)
+    },
+
+    "q71_dup_cluster_stats" -> { (s, _) =>
+      val g = t(s, "documents")
+        .groupBy(md5(substring(col("text"), 1, 16)).as("h"))
+        .agg(count(lit(1)).as("c"))
+      g.groupBy(col("c").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size").cast("bigint") * count(lit(1))).as("docs_covered"))
+        .orderBy("cluster_size")
+    },
+
     "q50_langid" -> { (s, _) =>
       t(s, "documents")
         .select(col("doc_id"),
