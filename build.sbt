@@ -32,5 +32,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Managed-table warehouse (bucketed-join tests) outside the repo tree:
   "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   "-Dderby.system.home=/tmp/graft-derby",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = driver-only JVM; generous heap (machine has 128 GiB)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
