@@ -647,7 +647,28 @@ object Corpus {
       """with g as (select md5(substr(text,1,16)) h, count(*) c from documents group by md5(substr(text,1,16)))
  select c cluster_size, count(*) n_clusters, cast(c as bigint) * count(*) docs_covered
  from g group by c order by c"""),
+
+    // Transitive closure of the near-dup relation: pairwise J>=0.8 matches
+    // become dedup CLUSTERS. Declared as a RECURSIVE CTE on both engines
+    // (Spark 4 supports WITH RECURSIVE); the DataFrame impl runs the same
+    // semantics as distributed min-label propagation.
+    q2("q72_dup_components",
+      dupComponentsSql(sparkTok(" where doc_id < 200")),
+      dupComponentsSql(duckTok(" where doc_id < 200"))),
   )
+
+  /** Connected components of the J>=0.8 near-dup graph via recursive
+    * reachability; label = min reachable node (incl. self). */
+  private def dupComponentsSql(wsrc: String): String =
+    s"""with recursive t as ($wsrc),
+ sizes as (select doc_id, count(*) n from t group by doc_id),
+ inter as (select a.doc_id d1, b.doc_id d2, count(*) i from t a join t b on a.w=b.w and a.doc_id < b.doc_id group by a.doc_id, b.doc_id),
+ pairs as (select d1, d2 from inter
+   join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
+   where cast(i as double)/(s1.n+s2.n-i) >= 0.8),
+ e as (select d1 u, d2 v from pairs union select d2, d1 from pairs),
+ reach(u, v) as (select u, u from e union select r.u, e2.v from reach r join e e2 on r.v = e2.u)
+ select u doc, min(v) as label from reach group by u order by u"""
 
   val byName: Map[String, CorpusQuery] = all.map(c => c.name -> c).toMap
 }

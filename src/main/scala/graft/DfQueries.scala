@@ -603,6 +603,15 @@ object DfQueries {
         .orderBy("cluster_size")
     },
 
+    "q72_dup_components" -> { (s, _) =>
+      val toks = DedupOps.tokenSet(
+        t(s, "documents").where(col("doc_id") < 200), col("doc_id"), col("text"))
+      val pairs = DedupOps.pairwiseJaccard(toks, "w", 0.8)
+      DedupOps.connectedComponents(pairs)
+        .select(col("doc").as("doc"), col("label"))
+        .orderBy("doc")
+    },
+
     "q50_langid" -> { (s, _) =>
       t(s, "documents")
         .select(col("doc_id"),

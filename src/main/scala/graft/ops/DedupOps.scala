@@ -153,6 +153,40 @@ object DedupOps {
       .toDF("doc_id", "sig")
   }
 
+  /** Connected components over a near-dup pair list — the transitive
+    * closure that turns pairwise matches into dedup CLUSTERS (a~b, b~c ⇒
+    * {a,b,c} even when a,c were never compared). Distributed min-label
+    * propagation: every node starts as its own label; each round takes the
+    * min of its own and its neighbors' labels; converges in O(diameter)
+    * rounds. Each round is one join + one aggregation; lineage is cut per
+    * round with localCheckpoint so plans stay bounded.
+    *
+    * Input: pairs (d1, d2). Output: (doc, label) for every node with at
+    * least one edge, label = min node id of its component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val e = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .unionAll(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .distinct().localCheckpoint()
+    var labels = e.select(col("u")).distinct()
+      .withColumn("label", col("u")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = e.join(labels.select(col("u").as("v"), col("label")), "v")
+        .groupBy("u").agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.select(col("u"), col("label").as("nl"))
+        .join(labels, "u").where(col("nl") =!= col("label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("u").as("doc"), col("label"))
+  }
+
   /** Bit `j` (0..15) of md5(w)'s first 16 bits, as 0/1 — integer math only
     * (conv(hex,16,10) replaces charindex; floor-division extracts the bit). */
   private def md5Bit(w: Column, j: Column): Column = {

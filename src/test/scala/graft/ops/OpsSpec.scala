@@ -61,6 +61,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: labels are a fixpoint and equal component minima") {
+    val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
+    val pairs = DedupOps.pairwiseJaccard(toks, "w", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = DedupOps.connectedComponents(
+      DedupOps.pairwiseJaccard(toks, "w", 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every edge's endpoints carry the same label.
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
+    // Each label is the min doc of its component.
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
   test("cosine6 is symmetric and 1.0 on itself") {
     val a = embeddings.select(col("vec_id"), col("embedding"))
     val self = a.select(VectorOps.cosine6(col("embedding"), col("embedding")).as("s"))
