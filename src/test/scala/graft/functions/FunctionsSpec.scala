@@ -60,6 +60,13 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("type checking rejects non-float-array inputs with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("select cosine_sim(array(1.0, 2.0), array(1.0, 2.0))").collect()
+    }
+    assert(e.getMessage.contains("array<float>"), e.getMessage)
+  }
+
   test("functions are SQL-registered through the extension seam") {
     val r = spark.sql(
       "select min(cosine_sim(embedding, embedding)) s from embeddings").head()
