@@ -49,6 +49,21 @@ class SourcesSpec extends AnyFunSuite {
       src.agg(sum(length(col("text")))).head().getLong(0))
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    val dir = tmp("evolving")
+    TestSpark.table("orders").select("o_orderkey", "o_totalprice")
+      .write.parquet(s"$dir/gen=1")
+    TestSpark.table("orders").select("o_orderkey", "o_orderstatus")
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderstatus", "gen"))
+    assert(merged.count() == TestSpark.table("orders").count() * 2)
+    // Old-generation rows surface the new column as null, not an error.
+    assert(merged.where("gen = 1 and o_orderstatus is null").count() ==
+      TestSpark.table("orders").count())
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = tmp("orders_part")
     TestSpark.table("orders")
