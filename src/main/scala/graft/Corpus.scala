@@ -139,6 +139,30 @@ object Corpus {
  select probe, bucket, cand, s from scored where rn = 1 order by probe"""
   }
 
+  private val q73Spark =
+    """with d as (select user_id, cast(ts as date) day from events group by user_id, cast(ts as date)),
+ c as (select user_id, min(day) cohort from d group by user_id)
+ select cast(c.cohort as timestamp) cohort, datediff(d.day, c.cohort) offset_days, count(distinct d.user_id) active
+ from d join c on d.user_id=c.user_id
+ group by c.cohort, datediff(d.day, c.cohort) order by cohort, offset_days limit 300"""
+
+  private val q73Duck =
+    """with d as (select user_id, cast(ts as date) as day from events group by user_id, cast(ts as date)),
+ c as (select user_id, min(day) cohort from d group by user_id)
+ select cast(c.cohort as timestamp) cohort, date_diff('day', c.cohort, d.day) offset_days, count(distinct d.user_id) active
+ from d join c on d.user_id=c.user_id
+ group by c.cohort, date_diff('day', c.cohort, d.day) order by cohort, offset_days limit 300"""
+
+  private val q74 =
+    """with r as (select o_custkey, max(o_orderdate) last_o, count(*) f,
+   sum(cast(o_totalprice as decimal(18,4))) m from orders group by o_custkey)
+ select o_custkey, f, round(cast(m as double),4) mv,
+  ntile(4) over (order by last_o, o_custkey) r_bucket,
+  ntile(4) over (order by f, o_custkey) f_bucket,
+  ntile(4) over (order by m, o_custkey) m_bucket
+ from r order by o_custkey limit 300"""
+
+
   val all: Seq[CorpusQuery] = Seq(
     q("q01_scan_filter_project",
       """select l_orderkey, l_linenumber, round(l_extendedprice*(1-l_discount),2) net
@@ -655,6 +679,22 @@ object Corpus {
     q2("q72_dup_components",
       dupComponentsSql(sparkTok(" where doc_id < 200")),
       dupComponentsSql(duckTok(" where doc_id < 200"))),
+
+    // Retention cohorts: users bucketed by first-seen day, activity counted
+    // per day offset — the engagement matrix behind every usage dashboard.
+    q2("q73_retention_cohorts", q73Spark, q73Duck),
+
+    // RFM segmentation: recency/frequency/monetary quartiles per customer
+    // (ntile over totally-ordered keys — deterministic cross-engine).
+    q("q74_rfm_segments", q74),
+
+    q2("q75_group_percentile",
+      """select o_orderpriority, round(percentile(o_totalprice, 0.5),4) p50,
+ round(percentile(o_totalprice, 0.9),4) p90, count(*) c
+ from orders group by o_orderpriority order by o_orderpriority""",
+      """select o_orderpriority, round(quantile_cont(o_totalprice, 0.5),4) p50,
+ round(quantile_cont(o_totalprice, 0.9),4) p90, count(*) c
+ from orders group by o_orderpriority order by o_orderpriority"""),
   )
 
   /** Connected components of the J>=0.8 near-dup graph via recursive

@@ -612,6 +612,41 @@ object DfQueries {
         .orderBy("doc")
     },
 
+    "q73_retention_cohorts" -> { (s, _) =>
+      val d = t(s, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val c = d.groupBy(col("user_id").as("cu")).agg(min(col("day")).as("cohort"))
+      d.join(c, col("user_id") === col("cu"))
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("active"))
+        .select(col("cohort").cast("timestamp").as("cohort"),
+          col("offset_days"), col("active"))
+        .orderBy("cohort", "offset_days").limit(300)
+    },
+
+    "q74_rfm_segments" -> { (s, _) =>
+      val r = t(s, "orders").groupBy("o_custkey").agg(
+        max(col("o_orderdate")).as("last_o"),
+        count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast(dec)).as("m"))
+      def q4(c: Column) = ntile(4).over(
+        Window.orderBy(c, col("o_custkey")))
+      r.select(col("o_custkey"), col("f"),
+          round(col("m").cast("double"), 4).as("mv"),
+          q4(col("last_o")).as("r_bucket"),
+          q4(col("f")).as("f_bucket"),
+          q4(col("m")).as("m_bucket"))
+        .orderBy("o_custkey").limit(300)
+    },
+
+    "q75_group_percentile" -> { (s, _) =>
+      t(s, "orders").groupBy("o_orderpriority").agg(
+          round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+          count(lit(1)).as("c"))
+        .orderBy("o_orderpriority")
+    },
+
     "q50_langid" -> { (s, _) =>
       t(s, "documents")
         .select(col("doc_id"),
