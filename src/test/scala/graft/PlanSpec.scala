@@ -57,6 +57,12 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).length <= 2)
   }
 
+  test("q19: top-k-per-group pushes the rank limit below the window (WindowGroupLimit)") {
+    val p = planString(TestSpark.corpus("q19_topk_per_group"))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing — full ranks would materialize at scale:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // `*(n)` prefixes in the plan string are WholeStageCodegen stage markers.
     val p = planString(TestSpark.corpus("q01_scan_filter_project"))
