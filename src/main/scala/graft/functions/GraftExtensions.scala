@@ -32,6 +32,10 @@ object GraftFunctions {
       info(classOf[DotProduct], "dot_f32",
         "dot_f32(a, b) - dot product of two float arrays in double precision"),
       (e: Seq[Expression]) => DotProduct(e.head, e(1))),
+    (FunctionIdentifier("simhash16"),
+      info(classOf[SimHash16], "simhash16",
+        "simhash16(tokens) - 16-bit SimHash of a token array, one pass per row"),
+      (e: Seq[Expression]) => SimHash16(e.head)),
   )
 
   def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)

@@ -60,6 +60,25 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash16 expression equals the declared two-shuffle q56 lowering") {
+    import graft.ops.{DedupOps, TextOps}
+    val docs = TestSpark.table("documents")
+    val viaExpr = docs.select(col("doc_id"),
+        call_function("simhash16", TextOps.tokens(col("text"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = DedupOps.simhash(
+        DedupOps.tokenSet(docs, col("doc_id"), col("text")), 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+  }
+
+  test("simhash16 is a pure projection — no shuffle in the plan") {
+    import graft.ops.TextOps
+    val df = TestSpark.table("documents").select(
+      call_function("simhash16", TextOps.tokens(col("text"))).as("s"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("type checking rejects non-float-array inputs with a clear error") {
     val e = intercept[Exception] {
       spark.sql("select cosine_sim(array(1.0, 2.0), array(1.0, 2.0))").collect()
