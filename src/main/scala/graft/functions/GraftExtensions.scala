@@ -36,6 +36,10 @@ object GraftFunctions {
       info(classOf[SimHash16], "simhash16",
         "simhash16(tokens) - 16-bit SimHash of a token array, one pass per row"),
       (e: Seq[Expression]) => SimHash16(e.head)),
+    (FunctionIdentifier("minhash_sig"),
+      info(classOf[MinHashSig], "minhash_sig",
+        "minhash_sig(tokens, k) - k-permutation MinHash signature, one pass per row"),
+      (e: Seq[Expression]) => MinHashSig(e.head, e(1))),
   )
 
   def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)

@@ -138,6 +138,22 @@ object DedupOps {
       .select("doc_id", "keep_id", "is_dup")
   }
 
+  /** Expression-based linear dedup decision: like [[minhashDedupKeep]] but
+    * the signature comes from the single-pass `minhash_sig` expression —
+    * no token explode, no signature aggregation; the ONLY shuffle is the
+    * per-signature window. Requires a graft session (extension-registered
+    * function). */
+  def minhashDedupKeepFast(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val sig = docs.select(id.as("doc_id"),
+      call_function("minhash_sig", TextOps.tokens(text), lit(k)).as("sig"))
+    sig.select(col("doc_id"),
+        array_join(transform(col("sig"), _.cast("string")), "|").as("sigkey"))
+      .withColumn("keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sigkey"))))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .select("doc_id", "keep_id", "is_dup")
+  }
+
   /** Typed mergeable MinHash sketch (the `Aggregator` path of SURVEY.md
     * §4.3): one pass, one buffer of k minima per doc, element-wise merged —
     * partial aggregation happens map-side exactly like a sketch union.

@@ -79,6 +79,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("minhash_sig expression equals the aggregation-based signatures") {
+    import graft.ops.{DedupOps, TextOps}
+    val docs = TestSpark.table("documents")
+    val viaExpr = docs.select(col("doc_id"),
+        call_function("minhash_sig", TextOps.tokens(col("text")), lit(4)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaAgg = DedupOps.minhashSignatures(
+        DedupOps.tokenSet(docs, col("doc_id"), col("text")), 4)
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 4).map(i =>
+          java.lang.Long.parseLong(r.getString(i), 16)).toVector
+      }.toMap
+    assert(viaExpr == viaAgg)
+  }
+
+  test("expression-based dedup keep-bits equal the aggregation-based decision") {
+    import graft.ops.DedupOps
+    val docs = TestSpark.table("documents")
+    val slow = DedupOps.minhashDedupKeep(
+        DedupOps.tokenSet(docs, col("doc_id"), col("text")), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val fast = DedupOps.minhashDedupKeepFast(docs, col("doc_id"), col("text"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(fast == slow)
+  }
+
   test("type checking rejects non-float-array inputs with a clear error") {
     val e = intercept[Exception] {
       spark.sql("select cosine_sim(array(1.0, 2.0), array(1.0, 2.0))").collect()
