@@ -31,6 +31,12 @@ object Pipelines {
     case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
   }
 
+  /** Linear keep/drop dedup decision (one bit per doc, one shuffle) — the
+    * operator a pipeline actually applies at scale; see
+    * DedupOps.minhashDedupKeepFast. */
+  def dedupDecision(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame =
+    DedupOps.minhashDedupKeepFast(docs, id, text, k)
+
   /** Top-k nearest rows to one stored vector. */
   def similarTo(emb: DataFrame, probeId: Long, k: Int): DataFrame =
     Ann.cosineTopK(emb, probeId, k)

@@ -80,4 +80,13 @@ object TextOps {
     * with min() per doc to get a rolling-hash-style doc signature). */
   def shingleHash(shingle: Column, bytes: Int = 16): Column =
     substring(md5(shingle), 1, bytes)
+
+  /** Single-pass 16-bit SimHash of the text's tokens (native expression —
+    * requires a graft session; see graft.functions.SimHash16). */
+  def simhash16(text: Column): Column =
+    call_function("simhash16", tokens(text))
+
+  /** Single-pass k-permutation MinHash signature (native expression). */
+  def minhashSig(text: Column, k: Int): Column =
+    call_function("minhash_sig", tokens(text), lit(k))
 }

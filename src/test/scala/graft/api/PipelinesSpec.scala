@@ -43,6 +43,13 @@ class PipelinesSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("dedupDecision: one bit per doc, keepers self-referential") {
+    val d = Pipelines.dedupDecision(docs, col("doc_id"), col("text"))
+    assert(d.count() == docs.count())
+    val rows = d.collect()
+    assert(rows.filter(!_.getBoolean(2)).forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("similarTo/nearestNeighbor surface the Ann results") {
     val emb = TestSpark.table("embeddings")
     val top = Pipelines.similarTo(emb, 0, 5).collect()
