@@ -1,3 +1,9 @@
+# ROUND-1 SNAPSHOT (historical). The canonical corpus now lives in
+# src/main/scala/graft/Corpus.scala; regenerate expected hashes from the
+# engine's own declaration via:
+#   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+#   python3 run_oracle.py /root/testdata/sf0.01 /tmp/verify_out/oracle_sql.json
+# (a committed copy of the dump is kept at verification/oracle_sql.json).
 # Declared t2 oracle corpus. Each entry: shared 'sql' or per-engine {'spark':..., 'duckdb':...}
 SIM_SPARK = """round(aggregate(zip_with(p.embedding, g.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (a,x)->a+x)
  / (sqrt(aggregate(transform(p.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(a,x)->a+x))
