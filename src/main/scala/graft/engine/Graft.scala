@@ -33,9 +33,11 @@ object Graft {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   /** Apply graft's runtime confs to an existing session (e.g. one handed to
-    * us by a driver harness). Idempotent. */
+    * us by a driver harness). Idempotent. Also ensures the native functions
+    * exist even when the session was built without graft's extensions. */
   def configure(spark: SparkSession): SparkSession = {
     sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     spark
   }
 

@@ -43,4 +43,27 @@ object GraftFunctions {
   )
 
   def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)
+
+  /** Fallback for sessions NOT built through graft.engine.Graft (no
+    * extension hook ran): register the native functions directly into the
+    * session's FunctionRegistry. The registry is session-internal, so this
+    * goes through reflection; failures are swallowed — the session then
+    * simply lacks the native fast paths (declared-query impls that use
+    * them are only ever run through Graft-built sessions). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      if (!spark.catalog.functionExists("cosine_sim")) {
+        val ss = spark.getClass.getMethod("sessionState").invoke(spark)
+        val fr = ss.getClass.getMethod("functionRegistry").invoke(ss)
+        val m = fr.getClass.getMethods.find { mm =>
+          mm.getName == "registerFunction" && mm.getParameterCount == 3 &&
+            mm.getParameterTypes()(0) == classOf[FunctionIdentifier]
+        }
+        m.foreach { mm =>
+          all.foreach { case (id, inf, builder) =>
+            mm.invoke(fr, id, inf, builder)
+          }
+        }
+      }
+    } catch { case _: Throwable => () }
 }
