@@ -66,4 +66,19 @@ object StreamOps {
     * `keyCols` rows. With a watermark set, state for old keys ages out. */
   def dedup(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicates(keyCols)
+
+  /** Streaming NEAR-duplicate filter: keep the first document seen per
+    * MinHash signature. The signature is the single-pass `minhash_sig`
+    * expression (no shuffle to compute), so the only state is
+    * dropDuplicates' per-signature key — the streaming twin of the batch
+    * keep/drop decision (DedupOps.minhashDedupKeepFast). Works identically
+    * on batch frames. */
+  def nearDupFilter(docs: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    import graft.ops.TextOps
+    docs
+      .withColumn("__sigkey",
+        array_join(transform(TextOps.minhashSig(col(textCol), k), _.cast("string")), "|"))
+      .dropDuplicates("__sigkey")
+      .drop("__sigkey")
+  }
 }
