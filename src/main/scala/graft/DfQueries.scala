@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Ann, DedupOps, TextOps, VectorOps}
+import graft.ops.{Ann, DedupOps, TemporalOps, TextOps, VectorOps}
 
 /** DataFrame-API implementations of the contract (the E2 entry point of
   * SURVEY.md §3.2). Each impl shadows the declared SQL for the same query
@@ -111,25 +111,29 @@ object DfQueries {
     },
 
     "q14_join_range_band" -> { (s, _) =>
+      // Bucketed band join (ops/TemporalOps): both sides binned to the band
+      // width and joined on (user, bucket) — each row meets a ~2-bin
+      // neighborhood instead of every same-user row (per-user quadratic).
       val e1 = t(s, "events").where(col("event_type") === "click")
-        .select(col("event_id").as("a"), col("user_id").as("u1"), col("ts").as("ts1"))
+        .select(col("event_id").as("a"), col("user_id"), col("ts").as("ts1"))
       val e2 = t(s, "events").where(col("event_type") === "purchase")
-        .select(col("event_id").as("b"), col("user_id").as("u2"), col("ts").as("ts2"))
-      e1.join(e2, col("u1") === col("u2") && col("ts2") > col("ts1") &&
-          col("ts2") <= col("ts1") + expr("interval 5 minute"))
+        .select(col("event_id").as("b"), col("user_id"), col("ts").as("ts2"))
+      TemporalOps.timeBandJoin(e1, e2, "user_id", "ts1", "ts2", 300L)
         .select("a", "b")
         .orderBy("a", "b").limit(100)
     },
 
     "q15_asof_correlated" -> { (s, _) =>
-      // Correlated scalar max → decorrelated left join + per-purchase agg
-      // (exactly the plan Catalyst rewrites the subquery to).
+      // Correlated scalar max → union + last_value window (ops/TemporalOps):
+      // ONE shuffle on the user key and an in-partition sort — never the
+      // (purchase × earlier-click) pair explosion, which is quadratic in
+      // events-per-user exactly where skew lives.
       val p = t(s, "events").where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+        .select(col("event_id"), col("user_id"), col("ts"))
       val c = t(s, "events").where(col("event_type") === "click")
-        .select(col("user_id").as("cu"), col("ts").as("cts"))
-      p.join(c, col("pu") === col("cu") && col("cts") <= col("pts"), "left")
-        .groupBy("event_id").agg(max(col("cts")).as("last_click"))
+        .select(col("user_id"), col("ts").as("cts"))
+      TemporalOps.asofJoin(p, c, "user_id", "ts", "cts", Seq("cts"))
+        .select(col("event_id"), col("cts").as("last_click"))
         .orderBy("event_id").limit(200)
     },
 
@@ -538,13 +542,14 @@ object DfQueries {
     },
 
     "q67_event_funnel" -> { (s, _) =>
+      // Same bucketed band-join shape as q14 (ops/TemporalOps.timeBandJoin):
+      // the funnel's 1-hour attribution window becomes the bin width.
       val e1 = t(s, "events").where(col("event_type") === "click")
-        .select(col("user_id").as("u1"), col("ts").as("ts1"))
+        .select(col("user_id"), col("ts").as("ts1"))
       val e2 = t(s, "events").where(col("event_type") === "purchase")
-        .select(col("user_id").as("u2"), col("ts").as("ts2"), col("event_id").as("pid"))
-      e1.join(e2, col("u1") === col("u2") && col("ts2") > col("ts1") &&
-          col("ts2") <= col("ts1") + expr("interval 1 hour"))
-        .groupBy(col("u1").as("user_id"))
+        .select(col("user_id"), col("ts").as("ts2"), col("event_id").as("pid"))
+      TemporalOps.timeBandJoin(e1, e2, "user_id", "ts1", "ts2", 3600L)
+        .groupBy("user_id")
         .agg(countDistinct(col("pid")).as("conversions"))
         .orderBy("user_id").limit(200)
     },

@@ -63,6 +63,24 @@ class PlanSpec extends AnyFunSuite {
       s"rank-limit pushdown missing — full ranks would materialize at scale:\n$p")
   }
 
+  test("q14/q67: band join's equi side includes the time bucket, not the key alone") {
+    // The shuffle must be keyed on (user, band-bucket): joining on the key
+    // alone with the band as a residual is per-user quadratic at scale.
+    for (name <- Seq("q14_join_range_band", "q67_event_funnel")) {
+      val p = planString(TestSpark.corpus(name))
+      assert(p.contains("__bk"),
+        s"$name: time bucket missing from the join keys — band is a residual:\n$p")
+    }
+  }
+
+  test("q15: as-of join is a union+window, not a purchase×click pair join") {
+    val p = planString(TestSpark.corpus("q15_asof_correlated"))
+    assert(p.contains("Window"), s"expected window-based as-of:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"as-of must not materialize (purchase, earlier-click) pairs:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // `*(n)` prefixes in the plan string are WholeStageCodegen stage markers.
     val p = planString(TestSpark.corpus("q01_scan_filter_project"))
