@@ -153,14 +153,31 @@ object Corpus {
  from d join c on d.user_id=c.user_id
  group by c.cohort, date_diff('day', c.cohort, d.day) order by cohort, offset_days limit 300"""
 
-  private val q74 =
-    """with r as (select o_custkey, max(o_orderdate) last_o, count(*) f,
-   sum(cast(o_totalprice as decimal(18,4))) m from orders group by o_custkey)
- select o_custkey, f, round(cast(m as double),4) mv,
-  ntile(4) over (order by last_o, o_custkey) r_bucket,
-  ntile(4) over (order by f, o_custkey) f_bucket,
-  ntile(4) over (order by m, o_custkey) m_bucket
- from r order by o_custkey limit 300"""
+  /** RFM quartiles by VALUE breakpoints (quantile of the metric, rounded to
+    * the 4dp grid), not row-ordinal ntile: a global un-partitioned ntile
+    * window funnels every customer through one task — the breakpoint form is
+    * one tiny agg (broadcast) + a per-row comparison, no global sort.
+    * Bucket = 1 + #breakpoints strictly below the value; ties go low. */
+  private def q74Sql(pct: (String, String) => String, days: String): String = {
+    def b(x: String, q: String): String =
+      s"1 + (case when $x > ${q}1 then 1 else 0 end) + (case when $x > ${q}2 then 1 else 0 end) + (case when $x > ${q}3 then 1 else 0 end)"
+    s"""with r as (select o_custkey, max(o_orderdate) last_o, count(*) f,
+   sum(cast(o_totalprice as decimal(18,4))) m from orders group by o_custkey),
+ v as (select o_custkey, f, cast($days as double) rk,
+   cast(f as double) fv, round(cast(m as double),4) mv from r),
+ b as (select
+   round(${pct("rk", "0.25")},4) r1, round(${pct("rk", "0.5")},4) r2, round(${pct("rk", "0.75")},4) r3,
+   round(${pct("fv", "0.25")},4) f1, round(${pct("fv", "0.5")},4) f2, round(${pct("fv", "0.75")},4) f3,
+   round(${pct("mv", "0.25")},4) m1, round(${pct("mv", "0.5")},4) m2, round(${pct("mv", "0.75")},4) m3
+  from v)
+ select o_custkey, f, mv, ${b("rk", "r")} r_bucket, ${b("fv", "f")} f_bucket, ${b("mv", "m")} m_bucket
+ from v cross join b order by o_custkey limit 300"""
+  }
+
+  private val q74Spark = q74Sql((c, p) => s"percentile($c, $p)",
+    "datediff(cast(last_o as date), date '1970-01-01')")
+  private val q74Duck = q74Sql((c, p) => s"quantile_cont($c, $p)",
+    "date_diff('day', date '1970-01-01', cast(last_o as date))")
 
 
   val all: Seq[CorpusQuery] = Seq(
@@ -685,8 +702,9 @@ object Corpus {
     q2("q73_retention_cohorts", q73Spark, q73Duck),
 
     // RFM segmentation: recency/frequency/monetary quartiles per customer
-    // (ntile over totally-ordered keys — deterministic cross-engine).
-    q("q74_rfm_segments", q74),
+    // via percentile breakpoints (deterministic cross-engine: breakpoints
+    // round to the 4dp grid before every comparison).
+    q2("q74_rfm_segments", q74Spark, q74Duck),
 
     q2("q75_group_percentile",
       """select o_orderpriority, round(percentile(o_totalprice, 0.5),4) p50,

@@ -630,17 +630,35 @@ object DfQueries {
     },
 
     "q74_rfm_segments" -> { (s, _) =>
+      // Value-quartile buckets from percentile breakpoints: one tiny agg
+      // broadcast to a per-row comparison — never a global un-partitioned
+      // ntile window (single-task sort of every customer, three times).
       val r = t(s, "orders").groupBy("o_custkey").agg(
         max(col("o_orderdate")).as("last_o"),
         count(lit(1)).as("f"),
         sum(col("o_totalprice").cast(dec)).as("m"))
-      def q4(c: Column) = ntile(4).over(
-        Window.orderBy(c, col("o_custkey")))
-      r.select(col("o_custkey"), col("f"),
-          round(col("m").cast("double"), 4).as("mv"),
-          q4(col("last_o")).as("r_bucket"),
-          q4(col("f")).as("f_bucket"),
-          q4(col("m")).as("m_bucket"))
+      val v = r.select(col("o_custkey"), col("f"),
+        datediff(col("last_o").cast("date"), to_date(lit("1970-01-01")))
+          .cast("double").as("rk"),
+        col("f").cast("double").as("fv"),
+        round(col("m").cast("double"), 4).as("mv"))
+      val bp = v.agg(
+        round(percentile(col("rk"), lit(0.25)), 4).as("r1"),
+        round(percentile(col("rk"), lit(0.5)), 4).as("r2"),
+        round(percentile(col("rk"), lit(0.75)), 4).as("r3"),
+        round(percentile(col("fv"), lit(0.25)), 4).as("f1"),
+        round(percentile(col("fv"), lit(0.5)), 4).as("f2"),
+        round(percentile(col("fv"), lit(0.75)), 4).as("f3"),
+        round(percentile(col("mv"), lit(0.25)), 4).as("m1"),
+        round(percentile(col("mv"), lit(0.5)), 4).as("m2"),
+        round(percentile(col("mv"), lit(0.75)), 4).as("m3"))
+      def bucket(x: Column, q1: Column, q2: Column, q3: Column): Column =
+        lit(1) + (x > q1).cast("int") + (x > q2).cast("int") + (x > q3).cast("int")
+      v.crossJoin(broadcast(bp))
+        .select(col("o_custkey"), col("f"), col("mv"),
+          bucket(col("rk"), col("r1"), col("r2"), col("r3")).as("r_bucket"),
+          bucket(col("fv"), col("f1"), col("f2"), col("f3")).as("f_bucket"),
+          bucket(col("mv"), col("m1"), col("m2"), col("m3")).as("m_bucket"))
         .orderBy("o_custkey").limit(300)
     },
 

@@ -81,6 +81,19 @@ class PlanSpec extends AnyFunSuite {
       s"as-of must not materialize (purchase, earlier-click) pairs:\n$p")
   }
 
+  test("corpus sweep: no declared impl plans a globally-ordered (un-partitioned) window") {
+    // An empty partitionSpec funnels every row through ONE task — the
+    // classic scale killer (Spark itself logs a warning). Sweep the whole
+    // declared corpus so a regression anywhere fails here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = Corpus.all.map(_.name).flatMap { name =>
+      TestSpark.corpus(name).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => name
+      }
+    }.distinct
+    assert(offenders.isEmpty, s"global windows in: ${offenders.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // `*(n)` prefixes in the plan string are WholeStageCodegen stage markers.
     val p = planString(TestSpark.corpus("q01_scan_filter_project"))
