@@ -175,31 +175,51 @@ object DedupOps {
     * propagation: every node starts as its own label; each round takes the
     * min of its own and its neighbors' labels; converges in O(diameter)
     * rounds. Each round is one join + one aggregation; lineage is cut per
-    * round with localCheckpoint so plans stay bounded.
+    * round so plans stay bounded.
+    *
+    * If the labels have not provably converged within `maxIter` rounds this
+    * THROWS — a silent exit would return split labels for any component
+    * with diameter > maxIter, which is indistinguishable from a correct
+    * answer downstream. Size maxIter to the worst component diameter you
+    * accept (near-dup clusters are shallow; chains are the pathological
+    * case).
+    *
+    * `checkpointDir`: by default rounds are cut with localCheckpoint
+    * (executor-local blocks — fast, but on a real cluster an executor loss
+    * kills the job mid-iteration). Pass a reliable directory (HDFS/S3) to
+    * cut with fault-tolerant checkpoint() instead — the 100 TB posture.
     *
     * Input: pairs (d1, d2). Output: (doc, label) for every node with at
     * least one edge, label = min node id of its component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val e = pairs.select(col("d1").as("u"), col("d2").as("v"))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = cut(pairs.select(col("d1").as("u"), col("d2").as("v"))
       .unionAll(pairs.select(col("d2").as("u"), col("d1").as("v")))
-      .distinct().localCheckpoint()
-    var labels = e.select(col("u")).distinct()
-      .withColumn("label", col("u")).localCheckpoint()
+      .distinct())
+    var labels = cut(e.select(col("u")).distinct()
+      .withColumn("label", col("u")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = e.join(labels.select(col("u").as("v"), col("label")), "v")
         .groupBy("u").agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, Seq("u"), "left")
+      val next = cut(labels.join(prop, Seq("u"), "left")
         .select(col("u"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       val changed = next.select(col("u"), col("label").as("nl"))
         .join(labels, "u").where(col("nl") =!= col("label")).limit(1).count()
       labels = next
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: labels still changing after $maxIter rounds — " +
+          "a component with diameter > maxIter would get silently split " +
+          "labels; raise maxIter (rounds needed ~ worst component diameter)")
     labels.select(col("u").as("doc"), col("label"))
   }
 

@@ -76,6 +76,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: throws on non-convergence instead of returning split labels") {
+    import spark.implicits._
+    // Path graph 0-1-2-...-11: min-label propagation moves label 0 one hop
+    // per round, so diameter 11 needs ~11 rounds; maxIter=3 must THROW (a
+    // silent exit would return labels that look valid but split the chain).
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // With enough rounds the same chain converges to a single component.
+    val labels = DedupOps.connectedComponents(chain, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 12 && labels.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: reliable checkpoint directory variant produces the same labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccp").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val labels = DedupOps.connectedComponents(pairs, maxIter = 10,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("cosine6 is symmetric and 1.0 on itself") {
     val a = embeddings.select(col("vec_id"), col("embedding"))
     val self = a.select(VectorOps.cosine6(col("embedding"), col("embedding")).as("s"))
