@@ -759,10 +759,11 @@ object DfQueries {
         .join(emb.select(col("vec_id").as("cand"), col("embedding").as("g_emb")), Seq("cand"))
       probes.join(gal, col("cid") === col("gcid"))
         .withColumn("s", VectorOps.cosine6Native(col("p_emb"), col("g_emb")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("probe")).orderBy(col("s").desc, col("cand"))))
-        .where(col("rn") === 1)
-        .select("probe", "cid", "cand", "s")
+        .groupBy("probe")
+        .agg(max_by(struct(col("cid"), col("cand"), col("s")),
+          struct(col("s"), -col("cand"))).as("m"))
+        .select(col("probe"), col("m.cid").as("cid"),
+          col("m.cand").as("cand"), col("m.s").as("s"))
         .orderBy("probe")
     },
 
@@ -778,10 +779,11 @@ object DfQueries {
         .join(emb.select(col("vec_id").as("cand"), col("embedding").as("g_emb")), Seq("cand"))
       probes.join(gal, col("bucket") === col("gbucket"))
         .withColumn("s", VectorOps.cosine6Native(col("p_emb"), col("g_emb")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("probe")).orderBy(col("s").desc, col("cand"))))
-        .where(col("rn") === 1)
-        .select("probe", "bucket", "cand", "s")
+        .groupBy("probe")
+        .agg(max_by(struct(col("bucket"), col("cand"), col("s")),
+          struct(col("s"), -col("cand"))).as("m"))
+        .select(col("probe"), col("m.bucket").as("bucket"),
+          col("m.cand").as("cand"), col("m.s").as("s"))
         .orderBy("probe")
     },
   )

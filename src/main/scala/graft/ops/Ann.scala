@@ -35,32 +35,35 @@ object Ann {
       .limit(k)
   }
 
+  /** Arg-max ordering key: maximize `s`, break ties on the SMALLEST id —
+    * (s, -id) under max_by is exactly `order by s desc, id` row_number()=1,
+    * but as a hash aggregation: map-side partial arg-max per partition, one
+    * shuffled row per group, no sort. */
+  private def argmaxKey(s: Column, id: Column): Column = struct(s, -id)
+
   /** Exact 1-NN per probe (q36 shape): brute-force scores + arg-max via a
-    * ranking window partitioned by probe. */
+    * max_by aggregation (partial agg map-side; never a per-probe sort). */
   def knn(probes: DataFrame, gallery: DataFrame,
           id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
     val g = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
-    val s = cosine6(col("p_emb"), col("g_emb"))
-    val w = Window.partitionBy(col("p_id")).orderBy(col("s").desc, col("g_id"))
     p.crossJoin(g)
-      .withColumn("s", s)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("p_id", "g_id", "s")
+      .withColumn("s", cosine6(col("p_emb"), col("g_emb")))
+      .groupBy("p_id")
+      .agg(max_by(struct(col("g_id"), col("s")),
+        argmaxKey(col("s"), col("g_id"))).as("m"))
+      .select(col("p_id"), col("m.g_id").as("g_id"), col("m.s").as("s"))
   }
 
   /** Assign every vector to its nearest centroid (IVF coarse quantization).
-    * Centroids are broadcast; assignment is a per-row argmax window. */
+    * Centroids are broadcast; assignment is a per-row max_by arg-max. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
-    val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cid"))
     vectors.crossJoin(broadcast(c))
       .withColumn("sim", cosine6(col(vec), col("c_emb")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(id), col("cid"))
+      .groupBy(col(id))
+      .agg(max_by(col("cid"), argmaxKey(col("sim"), col("cid"))).as("cid"))
   }
 
   /** Signed projection of `vec` onto pseudo-random hyperplane `j`: per-dim

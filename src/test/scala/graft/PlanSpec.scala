@@ -81,6 +81,16 @@ class PlanSpec extends AnyFunSuite {
       s"as-of must not materialize (purchase, earlier-click) pairs:\n$p")
   }
 
+  test("q36/q59/q60: nearest-neighbor arg-max is an aggregation, not a ranking window") {
+    // max_by gets a map-side partial arg-max; a row_number window would
+    // shuffle every scored candidate and sort each probe's partition.
+    for (name <- Seq("q36_knn", "q59_ann_ivf", "q60_ann_lsh")) {
+      val p = planString(TestSpark.corpus(name))
+      assert(!p.contains("Window"), s"$name still uses a window arg-max:\n$p")
+      assert(p.contains("Aggregate"), s"$name: expected aggregate arg-max:\n$p")
+    }
+  }
+
   test("corpus sweep: no declared impl plans a globally-ordered (un-partitioned) window") {
     // An empty partitionSpec funnels every row through ONE task — the
     // classic scale killer (Spark itself logs a warning). Sweep the whole
