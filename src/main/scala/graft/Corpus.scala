@@ -139,6 +139,25 @@ object Corpus {
  select probe, bucket, cand, s from scored where rn = 1 order by probe"""
   }
 
+  /** Bucketed embedding near-dup (q76): 4 hash tables x 2 sign bits from
+    * disjoint md5-keyed hyperplanes; candidates co-habit any table's bucket
+    * (equi join on the bucket key — never the all-pairs space), then exact
+    * cosine verify at the q58 threshold. Same operator q58 declares, scale
+    * path instead of audit path. */
+  private def neardupLshSql(sim: (String, String) => String, hyper: Int => String): String = {
+    def bucket(tbl: Int): String = {
+      val bits = ((tbl - 1) * 2 + 1 to (tbl - 1) * 2 + 2)
+        .map(j => s"case when round(${hyper(j)},6) >= 0 then '1' else '0' end")
+        .mkString(", ")
+      s"select e.vec_id, concat('t$tbl:', $bits) bk from embeddings e"
+    }
+    s"""with bk as (${(1 to 4).map(bucket).mkString("\n union all ")}),
+ cand as (select distinct a.vec_id d1, b.vec_id d2 from bk a join bk b on a.bk=b.bk and a.vec_id < b.vec_id)
+ select c.d1, c.d2, ${sim("a", "b")} s
+ from cand c join embeddings a on a.vec_id=c.d1 join embeddings b on b.vec_id=c.d2
+ where ${sim("a", "b")} >= 0.44 order by d1, d2 limit 200"""
+  }
+
   private val q73Spark =
     """with d as (select user_id, cast(ts as date) day from events group by user_id, cast(ts as date)),
  c as (select user_id, min(day) cohort from d group by user_id)
@@ -713,6 +732,20 @@ object Corpus {
       """select o_orderpriority, round(quantile_cont(o_totalprice, 0.5),4) p50,
  round(quantile_cont(o_totalprice, 0.9),4) p90, count(*) c
  from orders group by o_orderpriority order by o_orderpriority"""),
+
+    // Scale path for q58: LSH-bucketed candidate generation + exact verify
+    // (the q55-analogue for vectors). Approximation is BY DECLARATION — the
+    // oracle computes the identical candidate set, so the hash gate is exact.
+    q2("q76_embedding_neardup_lsh",
+      neardupLshSql(simOf, hyperSpark),
+      neardupLshSql(simDuckOf, hyperDuck)),
+
+    // Right outer join as a first-class declared query (q08 exercises left;
+    // the preserved side here is the RIGHT input of the join).
+    q("q77_join_right",
+      """select c.c_custkey, count(o.o_orderkey) n from orders o
+ right join customer c on o.o_custkey=c.c_custkey and o.o_totalprice > 400000
+ group by c.c_custkey order by c.c_custkey limit 100"""),
   )
 
   /** Connected components of the J>=0.8 near-dup graph via recursive

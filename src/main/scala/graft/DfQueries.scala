@@ -286,6 +286,15 @@ object DfQueries {
         .orderBy("c_custkey").limit(100)
     },
 
+    "q77_join_right" -> { (s, _) =>
+      t(s, "orders")
+        .join(t(s, "customer"),
+          col("o_custkey") === col("c_custkey") && col("o_totalprice") > 400000,
+          "right")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n"))
+        .orderBy("c_custkey").limit(100)
+    },
+
     "q16_window_ranking" -> { (s, _) =>
       val byPrice = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -744,6 +753,11 @@ object DfQueries {
       a.join(b, col("d1") < col("d2"))
         .where(sim >= 0.44)
         .select(col("d1"), col("d2"), sim.as("s"))
+        .orderBy("d1", "d2").limit(200)
+    },
+
+    "q76_embedding_neardup_lsh" -> { (s, _) =>
+      Ann.neardupLsh(t(s, "embeddings"), threshold = 0.44)
         .orderBy("d1", "d2").limit(200)
     },
 

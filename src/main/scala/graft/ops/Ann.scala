@@ -68,18 +68,50 @@ object Ann {
 
   /** Signed projection of `vec` onto pseudo-random hyperplane `j`: per-dim
     * weights are md5-keyed integers in [-7, 8] — deterministic, engine-
-    * portable, no RNG state to distribute. */
-  def hyperplaneProj(vec: Column, j: Int): Column =
+    * portable, no RNG state to distribute. The walk is bounded by the
+    * vector's own length (up to `dims`), so short vectors never index past
+    * the end (ANSI error / silent-null corruption off the fixture schema). */
+  def hyperplaneProj(vec: Column, j: Int, dims: Int = 64): Column =
     aggregate(
-      sequence(lit(1), lit(64)),
+      sequence(lit(1), least(lit(dims), size(vec))),
       lit(0.0),
       (acc, i) => acc + element_at(vec, i).cast("double") *
         (conv(substring(md5(concat(lit(s"$j:"), i.cast("string"))), 1, 1), 16, 10)
           .cast("int") - 7))
 
   /** `nBits`-bit sign bucket from hyperplane projections (random-hyperplane
-    * LSH): cosine-similar vectors land in the same bucket w.h.p. */
-  def hyperplaneBucket(vec: Column, nBits: Int = 4): Column =
-    concat((1 to nBits).map(j =>
+    * LSH): cosine-similar vectors land in the same bucket w.h.p.
+    * `firstPlane` selects which hyperplanes supply the bits (tables of a
+    * multi-probe scheme use disjoint plane ranges). */
+  def hyperplaneBucket(vec: Column, nBits: Int = 4, firstPlane: Int = 1): Column =
+    concat((firstPlane until firstPlane + nBits).map(j =>
       when(round(hyperplaneProj(vec, j), 6) >= 0, "1").otherwise("0")): _*)
+
+  /** Bucketed embedding NEAR-DUP: hyperplane-LSH candidate generation →
+    * exact cosine verify — the vector analogue of the MinHash+LSH text path
+    * (q55), with the all-pairs non-equi join (q58) relegated to audit-time
+    * verification. `tables` hash tables of `bitsPerTable` sign bits each
+    * (disjoint hyperplanes); a pair is a candidate when it co-habits ANY
+    * table's bucket, so recall at threshold t is 1-(1-p^b)^L for
+    * p = 1-θ(t)/π. The candidate join is equi on the bucket key — shuffle
+    * sized by bucket population, never the all-pairs space. */
+  def neardupLsh(emb: DataFrame, threshold: Double, tables: Int = 4,
+                 bitsPerTable: Int = 2,
+                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val bkCols = (1 to tables).map { tbl =>
+      concat(lit(s"t$tbl:"),
+        hyperplaneBucket(col(vec), bitsPerTable, (tbl - 1) * bitsPerTable + 1))
+    }
+    val bk = emb.select(col(id), explode(array(bkCols: _*)).as("bk"))
+    val cand = bk.select(col(id).as("d1"), col("bk"))
+      .join(bk.select(col(id).as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    cand
+      .join(emb.select(col(id).as("d1"), col(vec).as("a_emb")), "d1")
+      .join(emb.select(col(id).as("d2"), col(vec).as("b_emb")), "d2")
+      .withColumn("s", cosine6(col("a_emb"), col("b_emb")))
+      .where(col("s") >= threshold)
+      .select("d1", "d2", "s")
+  }
 }

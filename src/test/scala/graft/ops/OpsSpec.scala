@@ -124,6 +124,22 @@ class OpsSpec extends AnyFunSuite {
       again.map(r => (r.getString(0), r.getLong(1))).toMap)
   }
 
+  test("neardupLsh: bucketed pairs are a subset of exact all-pairs near-dups, with usable recall") {
+    val emb = embeddings
+    val exact = emb.select(col("vec_id").as("d1"), col("embedding").as("a"))
+      .join(emb.select(col("vec_id").as("d2"), col("embedding").as("b")),
+        col("d1") < col("d2"))
+      .where(VectorOps.cosine6Native(col("a"), col("b")) >= 0.44)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.neardupLsh(emb, 0.44)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-near-dup pairs: ${lsh -- exact}")
+    if (exact.nonEmpty)
+      assert(lsh.size >= exact.size * 0.5,
+        s"LSH recall too low at threshold 0.44: ${lsh.size}/${exact.size}")
+  }
+
   test("IVF search agrees with brute-force kNN when the nearest neighbor shares the probe's cell") {
     val emb = embeddings
     val clu = Ann.ivfAssign(emb.where(col("vec_id") >= 8), emb.where(col("vec_id") < 8))
