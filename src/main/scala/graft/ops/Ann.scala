@@ -66,18 +66,34 @@ object Ann {
       .agg(max_by(col("cid"), argmaxKey(col("sim"), col("cid"))).as("cid"))
   }
 
-  /** Signed projection of `vec` onto pseudo-random hyperplane `j`: per-dim
-    * weights are md5-keyed integers in [-7, 8] — deterministic, engine-
-    * portable, no RNG state to distribute. The walk is bounded by the
-    * vector's own length (up to `dims`), so short vectors never index past
-    * the end (ANSI error / silent-null corruption off the fixture schema). */
-  def hyperplaneProj(vec: Column, j: Int, dims: Int = 64): Column =
+  /** Hyperplane `j`'s per-dim weights: integer in [-7, 8] from the first
+    * hex digit of md5("j:i") — deterministic, engine-portable, no RNG state
+    * to distribute. The weights depend only on (plane, dim), so they are
+    * computed ONCE here and shipped as an array literal: the declared SQL
+    * form evaluates the same md5 per row per dim (64 hashes per plane per
+    * row), which at 8 planes is ~512 row-side hashes doing constant work. */
+  private def planeWeights(j: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to dims).map { i =>
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      (Integer.parseInt(hex.substring(0, 1), 16) - 7).toDouble
+    }.toArray
+  }
+
+  /** Signed projection of `vec` onto pseudo-random hyperplane `j` (weights
+    * per [[planeWeights]]; same left-to-right accumulation order as the
+    * declared SQL lowering, so the 6dp-rounded sign is bit-identical). The
+    * walk is bounded by the vector's own length (up to `dims`), so short
+    * vectors never index past the end (ANSI error / silent-null corruption
+    * off the fixture schema). */
+  def hyperplaneProj(vec: Column, j: Int, dims: Int = 64): Column = {
+    val w = lit(planeWeights(j, dims))
     aggregate(
       sequence(lit(1), least(lit(dims), size(vec))),
       lit(0.0),
-      (acc, i) => acc + element_at(vec, i).cast("double") *
-        (conv(substring(md5(concat(lit(s"$j:"), i.cast("string"))), 1, 1), 16, 10)
-          .cast("int") - 7))
+      (acc, i) => acc + element_at(vec, i).cast("double") * element_at(w, i))
+  }
 
   /** `nBits`-bit sign bucket from hyperplane projections (random-hyperplane
     * LSH): cosine-similar vectors land in the same bucket w.h.p.
