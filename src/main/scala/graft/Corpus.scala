@@ -709,9 +709,15 @@ object Corpus {
  from g group by c order by c"""),
 
     // Transitive closure of the near-dup relation: pairwise J>=0.8 matches
-    // become dedup CLUSTERS. Declared as a RECURSIVE CTE on both engines
-    // (Spark 4 supports WITH RECURSIVE); the DataFrame impl runs the same
-    // semantics as distributed min-label propagation.
+    // become dedup CLUSTERS. DIALECT SPLIT (H8): DuckDB runs the RECURSIVE
+    // CTE below; Spark 4.1 rejects UNION (distinct) inside recursive CTEs
+    // ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]) and UNION ALL cannot
+    // terminate on a symmetric edge set, so on Spark this operator is the
+    // iterative min-label propagation in DedupOps.connectedComponents (the
+    // DF impl below) — the one declared query whose Spark-side lowering is
+    // an iterative kernel rather than one SQL text. CorpusSqlSpec pins this:
+    // it asserts the error class still fires, so a future Spark that lifts
+    // the restriction flags the string for re-enabling.
     q2("q72_dup_components",
       dupComponentsSql(sparkTok(" where doc_id < 200")),
       dupComponentsSql(duckTok(" where doc_id < 200"))),
