@@ -47,9 +47,10 @@ object GraftFunctions {
   /** Fallback for sessions NOT built through graft.engine.Graft (no
     * extension hook ran): register the native functions directly into the
     * session's FunctionRegistry. The registry is session-internal, so this
-    * goes through reflection; failures are swallowed — the session then
-    * simply lacks the native fast paths (declared-query impls that use
-    * them are only ever run through Graft-built sessions). */
+    * goes through reflection; a non-fatal failure downgrades the session to
+    * the HOF lowerings with a WARNING naming the missing functions (so a
+    * later 'undefined function cosine_sim' has a visible cause), and fatal
+    * VM errors propagate. */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
     try {
       if (!spark.catalog.functionExists("cosine_sim")) {
@@ -65,5 +66,11 @@ object GraftFunctions {
           }
         }
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"WARN graft: native function registration failed (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}) — ${all.map(_._1.funcName).mkString(", ")} " +
+            "are unavailable on this session; queries using them will fail to resolve")
+    }
 }

@@ -63,16 +63,31 @@ object StreamOps {
       .agg(count(lit(1)).as("n_sessions"))
 
   /** Exactly-once-per-key view of an at-least-once stream: drop duplicate
-    * `keyCols` rows. With a watermark set, state for old keys ages out. */
+    * `keyCols` rows. NOTE: streaming dropDuplicates only evicts state when
+    * the event-time column is among the dedup keys — with keys like
+    * (event_id), state grows with distinct keys FOREVER, watermark or not.
+    * That is the intended semantics here (a key is a duplicate whenever it
+    * reappears); for bounded state use [[dedupWithinWatermark]]. */
   def dedup(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicates(keyCols)
+
+  /** Bounded-state dedup: duplicates are only recognized within the
+    * watermark delay, and per-key state is dropped once the watermark
+    * passes it — the 100 TB stream posture (call [[withEventTime]] first).
+    * On batch frames it degrades to plain dropDuplicates (batch has no
+    * state to bound). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    if (events.isStreaming) events.dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
 
   /** Streaming NEAR-duplicate filter: keep the first document seen per
     * MinHash signature. The signature is the single-pass `minhash_sig`
     * expression (no shuffle to compute), so the only state is
-    * dropDuplicates' per-signature key — the streaming twin of the batch
-    * keep/drop decision (DedupOps.minhashDedupKeepFast). Works identically
-    * on batch frames. */
+    * dropDuplicates' per-signature key. Keep-first-FOREVER semantics means
+    * that state is deliberately unbounded (one entry per distinct signature
+    * ever seen) — a lifetime dedup needs lifetime memory; bound it by
+    * keying the upstream with a time bucket if per-epoch dedup is enough.
+    * Works identically on batch frames. */
   def nearDupFilter(docs: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     import graft.ops.TextOps
     docs

@@ -27,8 +27,13 @@ object Canon {
     if (d.isNaN) "nan"
     else if (d.isInfinity) { if (d > 0) "inf" else "-inf" }
     else if (d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L) "-0.0000"
-    else new java.math.BigDecimal(d)
-      .setScale(4, java.math.RoundingMode.HALF_EVEN).toPlainString
+    else {
+      val s = new java.math.BigDecimal(d)
+        .setScale(4, java.math.RoundingMode.HALF_EVEN)
+      // C/printf keeps the sign when a negative value rounds to zero
+      // ("-0.0000"); BigDecimal normalizes it away.
+      if (d < 0.0 && s.signum == 0) "-0.0000" else s.toPlainString
+    }
 
   def canonVal(v: Any): String = v match {
     case null                      => "NULL"

@@ -131,4 +131,29 @@ class StreamSpec extends AnyFunSuite {
       assert(spark.table("t_dedup").count() == rows.size)
     } finally q.stop()
   }
+
+  test("dedupWithinWatermark bounds state: duplicates drop inside the delay, keys age out past it") {
+    val t0 = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+    def ev(id: Long, ts: LocalDateTime) = Ev(id, 1L, "click", 1.0, ts)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dedupWithinWatermark(
+        StreamOps.withEventTime(mem.toDF(), "10 minutes"), Seq("event_id"))
+      .writeStream.format("memory").queryName("t_dedup_wm").outputMode("append").start()
+    try {
+      mem.addData(Seq(ev(1, t0)))
+      q.processAllAvailable()
+      // Replay within the delay: dropped as a duplicate.
+      mem.addData(Seq(ev(1, t0.plusMinutes(1))))
+      q.processAllAvailable()
+      assert(spark.table("t_dedup_wm").count() == 1)
+      // Advance the watermark far past key 1's state, then replay it:
+      // the key's state has aged out, so it is emitted again.
+      mem.addData(Seq(ev(2, t0.plusHours(2))))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(1, t0.plusHours(3))))
+      q.processAllAvailable()
+      assert(spark.table("t_dedup_wm").count() == 3,
+        "aged-out key must re-emit — state was not bounded")
+    } finally q.stop()
+  }
 }

@@ -17,6 +17,14 @@ class CanonSpec extends AnyFunSuite {
     assert(Canon.canonVal(new java.math.BigDecimal("3.14")) == "3.1400")
   }
 
+  test("negative values rounding to zero keep the sign, like C printf") {
+    assert(Canon.canonVal(-0.0) == "-0.0000")
+    assert(Canon.canonVal(-0.00001) == "-0.0000")  // python: '%.4f' % -1e-5
+    assert(Canon.canonVal(-1e-12) == "-0.0000")
+    assert(Canon.canonVal(0.00001) == "0.0000")
+    assert(Canon.canonVal(-0.00006) == "-0.0001")  // rounds away from zero
+  }
+
   test("temporal rendering: 6-digit micros, dates as midnight") {
     val t = java.time.LocalDateTime.of(1997, 1, 2, 3, 4, 5, 123456000)
     assert(Canon.canonVal(t) == "1997-01-02 03:04:05.123456")
