@@ -58,28 +58,49 @@ object MultiModal {
         (length(col("text")) % 480).cast("int").as("height"),
         (length(col("text")) * 10L).as("duration_ms")).as("meta"))
 
-  /** Deterministic fake "decode": dims pseudo-features from md5(payload, i),
-    * each in [0, 1). STUB — replace the body with a real codec call; the
-    * signature, batching and partitioning are the production shape. */
-  private def fakeFeatures(payload: Array[Byte], dims: Int): Array[Float] = {
-    val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(dims) { i =>
-      md.reset()
-      md.update(payload)
-      md.update(i.toByte)
-      val h = md.digest()
-      // first 3 bytes as a 24-bit unsigned int, scaled to [0,1)
-      val v = ((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)
-      v.toFloat / (1 << 24)
+  /** THE CODEC SEAM: decode is the one step this environment cannot supply
+    * (no image/audio libraries), so it is isolated behind this trait —
+    * swapping in a real decoder is configuration, not surgery, and changes
+    * no plan. Implementations must be Serializable (instances ship to
+    * executors) and should be deterministic per payload when results feed
+    * an oracle. `decodeBatch` receives one bounded batch of
+    * (asset_id, payload) pairs at a time — the Arrow record-batch execution
+    * shape — so a vectorizing decoder amortizes per-call setup across the
+    * batch and peak memory stays bounded regardless of partition size. */
+  trait AssetCodec extends Serializable {
+    /** Feature dimensionality of [[decodeBatch]]'s output vectors. */
+    def dims: Int
+    /** Decode one bounded batch; one (asset_id, features) row per asset. */
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Iterator[(Long, Array[Float])]
+  }
+
+  /** STUB codec: deterministic fake features from md5(payload, i), each in
+    * [0, 1). The seam around it is real and load-bearing; only this class
+    * body awaits a real image/audio library. */
+  final class StubCodec(val dims: Int = 64) extends AssetCodec {
+    override def decodeBatch(batch: Seq[(Long, Array[Byte])]): Iterator[(Long, Array[Float])] = {
+      val md = MessageDigest.getInstance("MD5")
+      batch.iterator.map { case (id, payload) =>
+        id -> Array.tabulate(dims) { i =>
+          md.reset()
+          md.update(payload)
+          md.update(i.toByte)
+          val h = md.digest()
+          // first 3 bytes as a 24-bit unsigned int, scaled to [0,1)
+          val v = ((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)
+          v.toFloat / (1 << 24)
+        }
+      }
     }
   }
 
-  /** Decode + feature-extract: (asset_id, features array<float>). Executes
-    * partition-wise in batches of `batchSize` rows — the iterator-of-batches
-    * execution shape of an Arrow-based pipeline, bounding per-task memory
-    * regardless of partition size. */
-  def stubDecodeFeatures(assets: DataFrame, dims: Int = 64,
-                         batchSize: Int = 64): DataFrame = {
+  /** Decode + feature-extract through a pluggable [[AssetCodec]]:
+    * (asset_id, features array<float>). Executes partition-wise in batches
+    * of `batchSize` rows — the iterator-of-batches execution shape of an
+    * Arrow-based pipeline, bounding per-task memory regardless of
+    * partition size. Narrow (no exchange): payloads never shuffle. */
+  def decodeFeatures(assets: DataFrame, codec: AssetCodec,
+                     batchSize: Int = 64): DataFrame = {
     val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -88,14 +109,19 @@ object MultiModal {
     val in: Dataset[Row] = assets.select("asset_id", "payload")
     val out = in.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // One "record batch" at a time: a real decoder would vectorize here.
-        batch.iterator.map { r =>
-          Row(r.getLong(0), fakeFeatures(r.getAs[Array[Byte]](1), dims))
-        }
+        // One "record batch" at a time: a vectorizing decoder sees the
+        // whole batch in a single call.
+        codec.decodeBatch(batch.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
+          .map { case (id, fs) => Row(id, fs) }
       }
     }(enc)
     spark.createDataFrame(out.rdd, outSchema)
   }
+
+  /** [[decodeFeatures]] with the deterministic [[StubCodec]]. */
+  def stubDecodeFeatures(assets: DataFrame, dims: Int = 64,
+                         batchSize: Int = 64): DataFrame =
+    decodeFeatures(assets, new StubCodec(dims), batchSize)
 
   /** Resize stub: clamp/update metadata and truncate the payload to the
     * "resized" byte budget — metadata math is real, the byte transform is

@@ -35,6 +35,25 @@ class MultiModalSpec extends AnyFunSuite {
     assert(rows.map(_.getSeq[Float](1)).toSeq == again.map(_.getSeq[Float](1)).toSeq)
   }
 
+  test("codec seam: a custom AssetCodec plugs in with no plan change") {
+    // A trivial real-ish codec: features from payload length + position.
+    class LenCodec(val dims: Int) extends MultiModal.AssetCodec {
+      override def decodeBatch(batch: Seq[(Long, Array[Byte])]): Iterator[(Long, Array[Float])] =
+        batch.iterator.map { case (id, p) =>
+          id -> Array.tabulate(dims)(i => (p.length % (i + 2)).toFloat)
+        }
+    }
+    val out = MultiModal.decodeFeatures(assets, new LenCodec(4), batchSize = 16)
+    assert(MultiModal.shape(out.schema) ==
+      Seq("asset_id" -> "bigint", "features" -> "array<float>"))
+    val rows = out.orderBy("asset_id").collect()
+    assert(rows.length == assets.count())
+    assert(rows.forall(_.getSeq[Float](1).length == 4))
+    // Same narrow no-shuffle plan as the stub codec: the seam is config.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"codec swap changed the plan:\n$plan")
+  }
+
   test("decode is a narrow map — no shuffle added over the scan") {
     val plan = MultiModal.stubDecodeFeatures(assets).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in decode plan:\n$plan")
