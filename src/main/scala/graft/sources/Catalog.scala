@@ -19,11 +19,16 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table from `dir`; `events` gets the H1 rewrite. */
+  /** Load one table from `dir`; `events` gets the H1 rewrite — but only
+    * when the file actually carries nanos (surfacing as LongType under the
+    * legacy conf). Parquet written with plain micros/millis timestamps
+    * (any non-driver source) reads as a timestamp type and passes through. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     Graft.configure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" &&
+        df.schema.find(_.name == "ts").exists(
+          _.dataType == org.apache.spark.sql.types.LongType))
       df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
     else df
   }

@@ -140,6 +140,23 @@ class OpsSpec extends AnyFunSuite {
         s"LSH recall too low at threshold 0.44: ${lsh.size}/${exact.size}")
   }
 
+  test("lshBitsFor keeps bucket population ~constant as the corpus grows") {
+    assert(Ann.lshBitsFor(100) == 2)     // floor
+    assert(Ann.lshBitsFor(2000) == 4)    // 2000/128 -> 16 buckets
+    assert(Ann.lshBitsFor(20000) == 8)   // 10x data -> +~3 bits
+    assert(Ann.lshBitsFor(20000000) == 18)
+    // Auto variant still returns a subset of exact near-dups.
+    val auto = Ann.neardupLshAuto(embeddings, 0.44)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = embeddings.select(col("vec_id").as("d1"), col("embedding").as("a"))
+      .join(embeddings.select(col("vec_id").as("d2"), col("embedding").as("b")),
+        col("d1") < col("d2"))
+      .where(VectorOps.cosine6Native(col("a"), col("b")) >= 0.44)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact))
+  }
+
   test("IVF search agrees with brute-force kNN when the nearest neighbor shares the probe's cell") {
     val emb = embeddings
     val clu = Ann.ivfAssign(emb.where(col("vec_id") >= 8), emb.where(col("vec_id") < 8))
