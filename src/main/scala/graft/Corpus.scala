@@ -742,6 +742,10 @@ object Corpus {
     // Scale path for q58: LSH-bucketed candidate generation + exact verify
     // (the q55-analogue for vectors). Approximation is BY DECLARATION — the
     // oracle computes the identical candidate set, so the hash gate is exact.
+    // The 4×2-bit instance here is exactly what Ann.lshBitsFor picks at the
+    // oracle scale (lshBitsFor(500) = 2); production corpora go through
+    // Ann.neardupLshAuto, which adds bits with log2(n) so bucket population
+    // (and thus candidate volume per row) stays constant.
     q2("q76_embedding_neardup_lsh",
       neardupLshSql(simOf, hyperSpark),
       neardupLshSql(simDuckOf, hyperDuck)),
@@ -752,6 +756,55 @@ object Corpus {
       """select c.c_custkey, count(o.o_orderkey) n from orders o
  right join customer c on o.o_custkey=c.c_custkey and o.o_totalprice > 400000
  group by c.c_custkey order by c.c_custkey limit 100"""),
+
+    // Within-document repetition ratio: fraction of duplicate word 3-grams
+    // (C4/Gopher-style boilerplate signal). Per-row HOFs, no shuffle.
+    q2("q78_repetition_ratio",
+      """select doc_id, cast(size(s) as bigint) n_ngrams,
+ round(1.0 - cast(size(array_distinct(s)) as double) / size(s), 4) rep_ratio
+ from (select doc_id, transform(sequence(1, greatest(size(split(text,' '))-2, 1)),
+   i -> concat_ws(' ', slice(split(text,' '), i, 3))) s from documents) t
+ order by doc_id limit 300""",
+      """select doc_id, cast(len(s) as bigint) n_ngrams,
+ round(1.0 - cast(len(list_distinct(s)) as double) / len(s), 4) rep_ratio
+ from (select doc_id, list_transform(generate_series(1, greatest(len(l)-2, 1)),
+   i -> array_to_string(l[i:i+2], ' ')) s
+  from (select doc_id, string_split(text,' ') l from documents) x) t
+ order by doc_id limit 300"""),
+
+    // Eval-set contamination: distinct 3-grams of the held-out docs
+    // (doc_id < 10) matched against every corpus doc — the train/eval
+    // overlap check every training pipeline runs. The probe side is tiny by
+    // construction (broadcast in the DF impl); the corpus side joins on the
+    // shingle without ever shuffling payloads.
+    q2("q79_contamination",
+      """with probe as (select distinct sh from (select explode(transform(sequence(1, greatest(size(split(text,' '))-2, 1)),
+   i -> concat_ws(' ', slice(split(text,' '), i, 3)))) sh from documents where doc_id < 10) p),
+ corp as (select distinct doc_id, sh from (select doc_id, explode(transform(sequence(1, greatest(size(split(text,' '))-2, 1)),
+   i -> concat_ws(' ', slice(split(text,' '), i, 3)))) sh from documents where doc_id >= 10) c)
+ select corp.doc_id, count(*) hits from corp join probe on corp.sh = probe.sh
+ group by corp.doc_id order by hits desc, doc_id limit 200""",
+      """with probe as (select distinct sh from (select unnest(list_transform(generate_series(1, greatest(len(l)-2, 1)),
+   i -> array_to_string(l[i:i+2], ' '))) sh from (select string_split(text,' ') l from documents where doc_id < 10) y) p),
+ corp as (select distinct doc_id, sh from (select doc_id, unnest(list_transform(generate_series(1, greatest(len(l)-2, 1)),
+   i -> array_to_string(l[i:i+2], ' '))) sh from (select doc_id, string_split(text,' ') l from documents where doc_id >= 10) z) c)
+ select corp.doc_id, count(*) hits from corp join probe on corp.sh = probe.sh
+ group by corp.doc_id order by hits desc, doc_id limit 200"""),
+
+    // Cross-modal curation join: quality-filtered documents joined to their
+    // embedding rows (text table × vector table on id) — the shape every
+    // "filter then embed" pipeline stage has.
+    q2("q80_quality_embedding_join",
+      """select d.doc_id,
+ round(sqrt(aggregate(transform(e.embedding, x -> cast(x as double)*cast(x as double)), cast(0.0 as double), (a,x) -> a+x)), 6) l2
+ from documents d join embeddings e on e.vec_id = d.doc_id
+ where size(split(d.text,' ')) >= 30 and size(array_distinct(split(d.text,' '))) >= 15
+ order by d.doc_id limit 200""",
+      """select d.doc_id,
+ round(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x))), 6) l2
+ from documents d join embeddings e on e.vec_id = d.doc_id
+ where len(string_split(d.text,' ')) >= 30 and len(list_distinct(string_split(d.text,' '))) >= 15
+ order by d.doc_id limit 200"""),
   )
 
   /** Connected components of the J>=0.8 near-dup graph via recursive

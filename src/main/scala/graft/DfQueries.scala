@@ -103,10 +103,18 @@ object DfQueries {
     },
 
     "q13_join_theta" -> { (s, _) =>
-      val p1 = t(s, "part").select(col("p_brand"), col("p_size").as("size1"))
-      val p2 = t(s, "part").select(col("p_brand").as("brand2"), col("p_size").as("size2"))
-      p1.join(p2, col("p_brand") === col("brand2") && col("size1") < col("size2"))
-        .groupBy("p_brand").agg(count(lit(1)).as("pairs"))
+      // Eager aggregation instead of pair enumeration: the theta join's
+      // COUNT is Σ_size c(size) × (#smaller in brand) over per-(brand,size)
+      // counts — O(parts) + a window over the tiny size domain, vs the
+      // self-join's per-brand quadratic blowup (measured 290s at 200k parts;
+      // this shape runs in ~1s).
+      val cnt = t(s, "part").groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("c"))
+      val below = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cnt.withColumn("smaller", sum(col("c")).over(below))
+        .groupBy("p_brand")
+        .agg(sum(col("c") * coalesce(col("smaller"), lit(0L))).as("pairs"))
         .orderBy("p_brand")
     },
 
@@ -759,6 +767,36 @@ object DfQueries {
     "q76_embedding_neardup_lsh" -> { (s, _) =>
       Ann.neardupLsh(t(s, "embeddings"), threshold = 0.44)
         .orderBy("d1", "d2").limit(200)
+    },
+
+    "q78_repetition_ratio" -> { (s, _) =>
+      val sh = TextOps.wordShingles(col("text"), 3)
+      t(s, "documents").select(col("doc_id"),
+          size(sh).cast("bigint").as("n_ngrams"),
+          TextOps.repetitionRatio(col("text"), 3).as("rep_ratio"))
+        .orderBy("doc_id").limit(300)
+    },
+
+    "q79_contamination" -> { (s, _) =>
+      // Probe side (held-out docs) is tiny by construction → broadcast;
+      // the corpus side is filtered by the hash join without shuffling.
+      val docs = t(s, "documents")
+      def sh(df: DataFrame) = df.select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      val probe = sh(docs.where(col("doc_id") < 10)).select("sh").distinct()
+      val corp = sh(docs.where(col("doc_id") >= 10)).distinct()
+      corp.join(broadcast(probe), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .orderBy(col("hits").desc, col("doc_id")).limit(200)
+    },
+
+    "q80_quality_embedding_join" -> { (s, _) =>
+      val toks = TextOps.tokens(col("text"))
+      t(s, "documents")
+        .where(size(toks) >= 30 && size(array_distinct(toks)) >= 15)
+        .join(t(s, "embeddings"), col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), round(VectorOps.norm2(col("embedding")), 6).as("l2"))
+        .orderBy("doc_id").limit(200)
     },
 
     "q59_ann_ivf" -> { (s, _) =>

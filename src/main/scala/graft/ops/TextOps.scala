@@ -66,6 +66,15 @@ object TextOps {
          size(array_distinct(tokens(text))) >= minDistinct, "keep")
       .otherwise("drop")
 
+  /** Within-document repetition: fraction of duplicate word n-grams
+    * (1 − distinct/total) — the boilerplate/template quality signal
+    * (repeated spans score high; used by C4/Gopher-style cleaning).
+    * Pure per-row HOFs, no shuffle. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = wordShingles(text, n)
+    round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
+  }
+
   /** Regex token count: alphabetic runs. */
   def alphaTokenCount(text: Column): Column = regexp_count(text, lit("[a-z]+"))
 

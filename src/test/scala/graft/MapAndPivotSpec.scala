@@ -29,6 +29,18 @@ class MapAndPivotSpec extends AnyFunSuite {
     assert(counts.values.sum == TestSpark.table("orders").count())
   }
 
+  test("SQL PIVOT syntax equals the declared manual-pivot q40 counts") {
+    val piv = spark.sql(
+      """select * from (select user_id, event_type from events)
+         pivot (count(*) for event_type in ('click', 'view', 'purchase'))
+         order by user_id""")
+      .na.fill(0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val manual = TestSpark.corpus("q40_pivot_manual")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(piv == manual)
+  }
+
   test(".pivot() equals the declared manual-pivot q40") {
     val piv = TestSpark.table("events")
       .groupBy("user_id")

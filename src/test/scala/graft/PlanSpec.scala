@@ -91,6 +91,11 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q79: contamination probe side broadcasts — corpus shingles never shuffle for the join") {
+    val p = planString(TestSpark.corpus("q79_contamination"))
+    assert(p.contains("BroadcastHashJoin"), s"probe not broadcast:\n$p")
+  }
+
   test("corpus sweep: no declared impl plans a globally-ordered (un-partitioned) window") {
     // An empty partitionSpec funnels every row through ONE task — the
     // classic scale killer (Spark itself logs a warning). Sweep the whole
