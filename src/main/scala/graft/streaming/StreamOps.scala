@@ -62,6 +62,25 @@ object StreamOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"))
 
+  /** Stream-stream band join — the streaming twin of the declared q14/q67
+    * batch band joins: left events joined to right events with the same key
+    * and `rightTs ∈ (leftTs, leftTs + band]`. Call [[withEventTime]] on BOTH
+    * inputs first: the watermarks plus this explicit time-range condition
+    * are what let Spark BOUND each side's join state (a keyless or
+    * range-free stream-stream join would buffer forever — the 100 TB
+    * posture is state ≈ band + lateness, not the stream). Works identically
+    * on batch frames (plain join, no state). Output: left columns prefixed
+    * `l_`, right prefixed `r_`. */
+  def bandJoin(left: DataFrame, right: DataFrame, key: String,
+               bandSeconds: Long, tsCol: String = "ts"): DataFrame = {
+    val l = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$tsCol") > col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"interval $bandSeconds second"))
+  }
+
   /** Exactly-once-per-key view of an at-least-once stream: drop duplicate
     * `keyCols` rows. NOTE: streaming dropDuplicates only evicts state when
     * the event-time column is among the dedup keys — with keys like
