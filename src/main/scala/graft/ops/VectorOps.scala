@@ -31,8 +31,19 @@ object VectorOps {
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast(D) * x.cast(D)), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity (unrounded — for internal math). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine similarity (unrounded — for internal math).
+    *
+    * Zero-norm (or empty) vectors yield NaN, matching the native
+    * single-pass expression's 0/0 arithmetic. The branch matters under
+    * Spark 4's default ANSI mode, where a bare `/` THROWS Divide-by-zero —
+    * one degenerate embedding must not kill a 100 TB job; NaN simply fails
+    * every `sim >= t` threshold downstream. CaseWhen evaluates the divide
+    * only when the denominator is nonzero, so no error can fire.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm2(a) * norm2(b)
+    when(den === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / den)
+  }
 
   /** Cosine similarity rounded to 6dp — the rank/threshold-safe form. */
   def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)

@@ -105,6 +105,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fast == slow)
   }
 
+  test("zero-norm and empty vectors: native matches the HOF arithmetic (NaN, not error)") {
+    // 0/0 must surface as NaN in BOTH paths — a pipeline thresholding on
+    // `sim >= t` then drops such rows, which is the intended semantics for
+    // degenerate embeddings. (Spark SQL treats NaN = NaN as true, so the
+    // equality predicate is meaningful here.)
+    val df = spark.sql(
+      """select * from values
+           (array(cast(0 as float), cast(0 as float)), array(cast(1 as float), cast(2 as float))),
+           (cast(array() as array<float>), cast(array() as array<float>)),
+           (array(cast(3 as float)), array(cast(0 as float)))
+         as t(a, b)""")
+    val r = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("hof"),
+      VectorOps.cosineNative(col("a"), col("b")).as("nat"),
+      VectorOps.dot(col("a"), col("b")).as("dhof"),
+      call_function("dot_f32", col("a"), col("b")).as("dnat"))
+    assert(r.where("hof <> nat or (hof is null) <> (nat is null)").count() == 0)
+    assert(r.where("dhof <> dnat").count() == 0)
+    val rows = r.collect()
+    assert(rows.forall(x => x.getDouble(0).isNaN == x.getDouble(1).isNaN))
+    assert(rows.count(_.getDouble(1).isNaN) == 3) // zero norm on one side each
+    assert(rows.forall(_.getDouble(3) == 0.0))    // dot of/with zero mass
+  }
+
+  test("simhash16/minhash_sig on empty or all-null token arrays are defined") {
+    // An empty doc fingerprints to 0 / all-MaxValue sentinels rather than
+    // erroring; a NULL array propagates NULL. (The agg lowerings simply drop
+    // such docs at the explode, so the projection form must pin its own
+    // semantics.)
+    val r = spark.sql(
+      """select
+           simhash16(cast(array() as array<string>)) s_empty,
+           simhash16(array(cast(null as string))) s_nulltok,
+           simhash16(cast(null as array<string>)) s_null,
+           minhash_sig(cast(array() as array<string>), 3) m_empty,
+           minhash_sig(cast(null as array<string>), 3) m_null""").head()
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 0L)
+    assert(r.isNullAt(2))
+    assert(r.getSeq[Long](3) == Seq.fill(3)(Long.MaxValue))
+    assert(r.isNullAt(4))
+  }
+
   test("type checking rejects non-float-array inputs with a clear error") {
     val e = intercept[Exception] {
       spark.sql("select cosine_sim(array(1.0, 2.0), array(1.0, 2.0))").collect()
