@@ -805,6 +805,37 @@ object Corpus {
  from documents d join embeddings e on e.vec_id = d.doc_id
  where len(string_split(d.text,' ')) >= 30 and len(list_distinct(string_split(d.text,' '))) >= 15
  order by d.doc_id limit 200"""),
+
+    // Heavy hitters with EXACT counts: the vocabulary/boilerplate census
+    // every corpus pipeline runs. The DF impl goes through a count-min
+    // sketch prefilter (SketchOps.heavyHitters: one sketch pass, then the
+    // shuffle carries only candidate rows) — exact by the sketch's
+    // no-undercount property + exact recount, so this plain GROUP
+    // BY/HAVING text is a true oracle for it.
+    q2("q81_heavy_hitters",
+      """select sh, count(*) c from (select explode(transform(sequence(1, greatest(size(split(text,' '))-2, 1)),
+   i -> concat_ws(' ', slice(split(text,' '), i, 3)))) sh from documents) g
+ group by sh having count(*) >= 5 order by c desc, sh limit 200""",
+      """select sh, count(*) c from (select unnest(list_transform(generate_series(1, greatest(len(l)-2, 1)),
+   i -> array_to_string(l[i:i+2], ' '))) sh from (select string_split(text,' ') l from documents) x) g
+ group by sh having count(*) >= 5 order by c desc, sh limit 200"""),
+
+    // Contaminated-doc ID set (the semi-join form of q79): which corpus
+    // docs share ANY 3-gram with the held-out set. The DF impl is
+    // SketchOps.bloomSemiJoin — Bloom prefilter cuts the corpus side
+    // before the exchange, exact semi join on survivors kills the false
+    // positives, so the result equals this sketch-free SQL exactly.
+    q2("q82_bloom_contamination",
+      """with probe as (select distinct sh from (select explode(transform(sequence(1, greatest(size(split(text,' '))-2, 1)),
+   i -> concat_ws(' ', slice(split(text,' '), i, 3)))) sh from documents where doc_id < 10) p),
+ corp as (select distinct doc_id, sh from (select doc_id, explode(transform(sequence(1, greatest(size(split(text,' '))-2, 1)),
+   i -> concat_ws(' ', slice(split(text,' '), i, 3)))) sh from documents where doc_id >= 10) c)
+ select distinct doc_id from corp where sh in (select sh from probe) order by doc_id limit 200""",
+      """with probe as (select distinct sh from (select unnest(list_transform(generate_series(1, greatest(len(l)-2, 1)),
+   i -> array_to_string(l[i:i+2], ' '))) sh from (select string_split(text,' ') l from documents where doc_id < 10) y) p),
+ corp as (select distinct doc_id, sh from (select doc_id, unnest(list_transform(generate_series(1, greatest(len(l)-2, 1)),
+   i -> array_to_string(l[i:i+2], ' '))) sh from (select doc_id, string_split(text,' ') l from documents where doc_id >= 10) z) c)
+ select distinct doc_id from corp where sh in (select sh from probe) order by doc_id limit 200"""),
   )
 
   /** Connected components of the J>=0.8 near-dup graph via recursive

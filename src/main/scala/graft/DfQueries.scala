@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Ann, DedupOps, TemporalOps, TextOps, VectorOps}
+import graft.ops.{Ann, DedupOps, SketchOps, TemporalOps, TextOps, VectorOps}
 
 /** DataFrame-API implementations of the contract (the E2 entry point of
   * SURVEY.md §3.2). Each impl shadows the declared SQL for the same query
@@ -788,6 +788,32 @@ object DfQueries {
       corp.join(broadcast(probe), "sh")
         .groupBy("doc_id").agg(count(lit(1)).as("hits"))
         .orderBy(col("hits").desc, col("doc_id")).limit(200)
+    },
+
+    "q81_heavy_hitters" -> { (s, _) =>
+      // Count-min prefilter: the exchange carries candidate 3-grams only
+      // (superset of the true heavy hitters — count-min never undercounts);
+      // the exact recount + re-threshold makes the result identical to the
+      // sketch-free GROUP BY/HAVING oracle.
+      val grams = t(s, "documents").select(
+        explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      SketchOps.heavyHitters(grams, "sh", minCount = 5)
+        .orderBy(col("c").desc, col("sh")).limit(200)
+    },
+
+    "q82_bloom_contamination" -> { (s, _) =>
+      // Bloom prefilter on the corpus side (built from the tiny held-out
+      // shingle set), exact semi join on the survivors — same result as the
+      // IN-subquery oracle, but at scale the corpus rows that cannot match
+      // die before any exchange.
+      val docs = t(s, "documents")
+      def sh(df: DataFrame) = df.select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      val probe = sh(docs.where(col("doc_id") < 10)).select("sh").distinct()
+      val corp = sh(docs.where(col("doc_id") >= 10)).distinct()
+      SketchOps.bloomSemiJoin(corp, "sh", probe, "sh")
+        .select("doc_id").distinct()
+        .orderBy("doc_id").limit(200)
     },
 
     "q80_quality_embedding_join" -> { (s, _) =>

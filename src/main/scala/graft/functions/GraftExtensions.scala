@@ -40,6 +40,14 @@ object GraftFunctions {
       info(classOf[MinHashSig], "minhash_sig",
         "minhash_sig(tokens, k) - k-permutation MinHash signature, one pass per row"),
       (e: Seq[Expression]) => MinHashSig(e.head, e(1))),
+    (FunctionIdentifier("bloom_might_contain"),
+      info(classOf[BloomMightContain], "bloom_might_contain",
+        "bloom_might_contain(sketch, key) - membership probe against a serialized Bloom filter (no false negatives)"),
+      (e: Seq[Expression]) => BloomMightContain(e.head, e(1))),
+    (FunctionIdentifier("cms_estimate"),
+      info(classOf[CmsEstimateCount], "cms_estimate",
+        "cms_estimate(sketch, key) - count-min frequency upper bound for a key"),
+      (e: Seq[Expression]) => CmsEstimateCount(e.head, e(1))),
   )
 
   def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)

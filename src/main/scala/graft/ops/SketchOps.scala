@@ -1,0 +1,112 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-accelerated EXACT operators for 100 TB pipelines, built on
+  * Spark's mergeable sketches (`org.apache.spark.util.sketch`, built in one
+  * distributed pass via `df.stat`) probed row-side by graft's native
+  * expressions (`bloom_might_contain` / `cms_estimate`).
+  *
+  * The design rule: the sketch only PRUNES, it never decides. Both sketches
+  * are one-sided (a Bloom filter has no false negatives; count-min never
+  * undercounts), so filtering the big side by a sketch probe keeps a
+  * superset of the true answer, and an exact verify on the survivors
+  * restores exactness. What the sketch buys is where the work dies at
+  * scale: rows are dropped BEFORE the shuffle, so the exchange carries
+  * survivors instead of the full input.
+  */
+object SketchOps {
+
+  /** Serialized Bloom filter over a column, built in one distributed pass
+    * (treeAggregate under `df.stat.bloomFilter` — only the sketch reaches
+    * the driver). `expectedItems <= 0` means "count the rows first"
+    * (fine for a side that is small relative to the big side; pass an
+    * estimate to skip that job at scale). */
+  def bloomBytes(df: DataFrame, colName: String, fpp: Double = 0.01,
+                 expectedItems: Long = -1L): Array[Byte] = {
+    // stat.bloomFilter NPEs on an empty frame (null aggregation buffer);
+    // an empty input legitimately means "nothing can match".
+    val bf =
+      if (df.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else {
+        val n = if (expectedItems > 0) expectedItems else math.max(1L, df.count())
+        df.stat.bloomFilter(colName, n, fpp)
+      }
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Serialized count-min sketch over a column (one distributed pass;
+    * eps·N additive overcount bound with `confidence`, never undercounts). */
+  def cmsBytes(df: DataFrame, colName: String, eps: Double = 1e-3,
+               confidence: Double = 0.99, seed: Int = 42): Array[Byte] = {
+    val cms =
+      if (df.isEmpty)
+        org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed)
+      else df.stat.countMinSketch(colName, eps, confidence, seed)
+    val out = new ByteArrayOutputStream()
+    cms.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Membership probe column against a serialized Bloom filter. */
+  def bloomProbe(sketch: Array[Byte], key: Column): Column =
+    call_function("bloom_might_contain", lit(sketch), key)
+
+  /** Frequency-upper-bound probe column against a serialized count-min
+    * sketch. */
+  def cmsProbe(sketch: Array[Byte], key: Column): Column =
+    call_function("cms_estimate", lit(sketch), key)
+
+  /** EXACT left-semi join with a Bloom prefilter on the big side.
+    *
+    * Identical result to `big SEMI JOIN small ON big[bigKey] = small[smallKey]`
+    * (the exact join on the survivors kills the filter's false positives),
+    * but the big side is cut to ~hit-rate + fpp BEFORE any exchange. When
+    * `small` fits a broadcast hash join the filter just saves hash probes;
+    * the 100 TB case is the one where `small` is 10–100M keys — too big to
+    * broadcast as a hash relation, so the join sort-merges, and the Bloom
+    * probe (~1.2 MB per 1M keys at 1% fpp) prunes the big side's shuffle
+    * to survivors only.
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: String,
+                    small: DataFrame, smallKey: String,
+                    fpp: Double = 0.01): DataFrame = {
+    val sketch = bloomBytes(small, smallKey, fpp)
+    // Alias the verify side's key so equal names on both inputs stay
+    // unambiguous in the join condition.
+    val verifyKey = "__graft_bloom_verify_key"
+    val verify = small.select(col(smallKey).as(verifyKey)).distinct()
+    big.where(bloomProbe(sketch, col(bigKey)))
+      .join(verify, col(bigKey) === verify(verifyKey), "left_semi")
+  }
+
+  /** EXACT heavy hitters: items occurring at least `minCount` times, with
+    * their exact counts.
+    *
+    * Two passes, no full-width shuffle: pass 1 folds every row into a
+    * count-min sketch (map-side merged; only the sketch moves); pass 2
+    * keeps rows whose sketch estimate clears `minCount` — a superset of
+    * the true heavy hitters, since count-min never undercounts — then
+    * exact-counts ONLY the surviving candidates and re-applies the
+    * threshold. The shuffle carries candidate rows instead of the whole
+    * multiset; for vocabulary-shaped data (few heavy keys, a long unique
+    * tail) that is the difference between shuffling everything and
+    * shuffling almost nothing. Null items are ignored, as in
+    * `GROUP BY`-with-`HAVING` semantics they'd form their own group —
+    * callers wanting nulls counted should coalesce first.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, minCount: Long,
+                   eps: Double = 1e-3, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    val sketch = cmsBytes(items, itemCol, eps, confidence, seed)
+    items.where(cmsProbe(sketch, col(itemCol)) >= minCount)
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+  }
+}

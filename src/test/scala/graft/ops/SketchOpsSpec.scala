@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The sketch-accelerated operators must be EXACT (the sketch only prunes
+  * candidate rows; one-sidedness + exact verify restores the true answer)
+  * and must prune before the shuffle. */
+class SketchOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def shingles(flt: String) = {
+    val d = TestSpark.table("documents").where(flt)
+    d.select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      .distinct()
+  }
+
+  test("bloomSemiJoin equals the plain semi join (string keys)") {
+    val probe = shingles("doc_id < 10").select("sh").distinct()
+    val corp = shingles("doc_id >= 10")
+    val exact = corp.join(probe, Seq("sh"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val viaBloom = SketchOps.bloomSemiJoin(corp, "sh", probe, "sh")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact)
+    assert(exact.nonEmpty) // the check is vacuous on an empty overlap
+  }
+
+  test("bloomSemiJoin equals the plain semi join (long keys)") {
+    val orders = TestSpark.table("orders")
+    val custs = TestSpark.table("customer")
+      .where(col("c_custkey") % 7 === 0).select(col("c_custkey"))
+    val exact = orders.join(custs, col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+    val viaBloom = SketchOps.bloomSemiJoin(orders, "o_custkey", custs, "c_custkey")
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+    assert(viaBloom == exact)
+    assert(exact.getLong(0) > 0)
+  }
+
+  test("bloom prefilter sits under the join: survivors-only reach the exchange") {
+    val probe = shingles("doc_id < 10").select("sh").distinct()
+    val corp = shingles("doc_id >= 10")
+    val plan = SketchOps.bloomSemiJoin(corp, "sh", probe, "sh")
+      .queryExecution.executedPlan.toString
+    // The probe must appear in a Filter node (pushed to the scan side),
+    // not be evaluated post-join.
+    val filterIdx = plan.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain"))
+    val joinIdx = plan.linesIterator.indexWhere(_.contains("LeftSemi"))
+    assert(filterIdx >= 0, s"no bloom filter node in:\n$plan")
+    assert(joinIdx >= 0 && filterIdx > joinIdx, // deeper in the tree = later line
+      s"bloom filter not below the semi join in:\n$plan")
+  }
+
+  test("heavyHitters equals exact GROUP BY + HAVING, counts included") {
+    val toks = TestSpark.table("documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+    val exact = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaCms = SketchOps.heavyHitters(toks, "w", minCount = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaCms == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("cms_estimate never undercounts (the property exactness rests on)") {
+    val toks = TestSpark.table("documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+    val sketch = SketchOps.cmsBytes(toks, "w")
+    val viol = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .where(SketchOps.cmsProbe(sketch, col("w")) < col("c"))
+      .count()
+    assert(viol == 0)
+  }
+
+  test("empty small side yields an empty semi join, not an error") {
+    val corp = shingles("doc_id >= 10")
+    val empty = shingles("doc_id < 0").select("sh").distinct()
+    assert(SketchOps.bloomSemiJoin(corp, "sh", empty, "sh").count() == 0)
+  }
+
+  test("null keys never match and never error") {
+    import spark.implicits._
+    val big = Seq(Some("a"), None, Some("b"), Some("zz")).toDF("k")
+    val small = Seq("a", "b").toDF("j")
+    val r = SketchOps.bloomSemiJoin(big, "k", small, "j")
+      .collect().map(_.getString(0)).toSet
+    assert(r == Set("a", "b"))
+  }
+}
