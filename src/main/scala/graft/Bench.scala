@@ -103,6 +103,17 @@ object Bench {
       "x_embed_neardup_lsh" -> (() =>
         graft.ops.Ann.neardupLshAuto(spark.table("embeddings"), threshold = 0.44)
           .agg(count(lit(1)).as("pairs"))),
+      // Bloom prefilter + exact semi join (q82 shape): guards the native
+      // bloom_might_contain probe's scan-side cost.
+      "x_bloom_semijoin" -> (() => {
+        def sh(flt: org.apache.spark.sql.Column) = docs.where(flt)
+          .select(col("doc_id"),
+            explode(graft.ops.TextOps.wordShingles(col("text"), 3)).as("sh"))
+          .distinct()
+        val probe = sh(col("doc_id") < 10).select("sh").distinct()
+        graft.ops.SketchOps.bloomSemiJoin(sh(col("doc_id") >= 10), "sh", probe, "sh")
+          .agg(countDistinct(col("doc_id")).as("n"))
+      }),
     )
   }
 
