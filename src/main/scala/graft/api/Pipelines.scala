@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, DedupOps, TextOps}
+import graft.ops.{Ann, DedupOps, SketchOps, TextOps}
 
 /** Task-level entry points composing the ops layer — what a data-pipeline
   * user calls without learning each operator's plumbing. All of these are
@@ -61,6 +61,32 @@ object Pipelines {
   def qualityFilter(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.where(TextOps.qualityVerdict(text) === "keep" &&
       TextOps.langGuess(text) === "en")
+
+  /** Corpus docs sharing any word 3-gram with a held-out eval set — EXACT
+    * (Bloom prefilter + exact semi join; see SketchOps.bloomSemiJoin). The
+    * streaming/approximate twin is
+    * `graft.streaming.StreamOps.contaminationFilter`. */
+  def contaminatedDocs(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                       heldOut: DataFrame, heldOutText: Column,
+                       n: Int = 3): DataFrame = {
+    val probe = heldOut
+      .select(explode(TextOps.wordShingles(heldOutText, n)).as("sh")).distinct()
+    val corp = corpus.select(corpusId.as("doc_id"),
+      explode(TextOps.wordShingles(corpusText, n)).as("sh")).distinct()
+    SketchOps.bloomSemiJoin(corp, "sh", probe, "sh")
+      .select("doc_id").distinct()
+  }
+
+  /** Vocabulary census: n-grams occurring at least `minCount` times, with
+    * EXACT counts (count-min prefilter — the shuffle carries candidates
+    * only; see SketchOps.heavyHitters). */
+  def vocabulary(docs: DataFrame, text: Column, n: Int = 1,
+                 minCount: Long = 2): DataFrame = {
+    val grams =
+      if (n == 1) docs.select(explode(TextOps.tokens(text)).as("sh"))
+      else docs.select(explode(TextOps.wordShingles(text, n)).as("sh"))
+    SketchOps.heavyHitters(grams, "sh", minCount)
+  }
 
   /** Doc fingerprints for incremental dedup across pipeline runs. */
   def fingerprints(docs: DataFrame, id: Column, text: Column): DataFrame = {

@@ -115,4 +115,25 @@ object StreamOps {
       .dropDuplicates("__sigkey")
       .drop("__sigkey")
   }
+
+  /** Streaming eval-set contamination filter: drop documents sharing ANY
+    * word `n`-gram with a STATIC held-out set (`probeShingles`). The probe
+    * set folds into a Bloom filter at plan time (one batch pass); each
+    * streamed document is then a pure projection — shingle + probe inside
+    * an `exists` HOF — with NO join and NO state, so it runs at scan speed
+    * on an unbounded stream. The Bloom direction is the one a training
+    * pipeline needs: contaminated docs are NEVER missed (no false
+    * negatives); at most `fpp` of clean docs are dropped spuriously. For
+    * the exact decision run the batch q82 semi-join form. Works identically
+    * on batch frames (StreamSketchSpec asserts replay equivalence). */
+  def contaminationFilter(docs: DataFrame, textCol: String,
+                          probeShingles: DataFrame, shingleCol: String,
+                          n: Int = 3, fpp: Double = 0.01,
+                          keepContaminated: Boolean = false): DataFrame = {
+    import graft.ops.{SketchOps, TextOps}
+    val sketch = SketchOps.bloomBytes(probeShingles, shingleCol, fpp)
+    val hit = exists(TextOps.wordShingles(col(textCol), n),
+      sh => SketchOps.bloomProbe(sketch, sh))
+    docs.where(if (keepContaminated) hit else !hit)
+  }
 }

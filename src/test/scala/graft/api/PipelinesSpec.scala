@@ -66,6 +66,28 @@ class PipelinesSpec extends AnyFunSuite {
     assert(Pipelines.fingerprints(empty, col("doc_id"), col("text")).count() == 0)
   }
 
+  test("contaminatedDocs equals the sketch-free semi join; vocabulary equals GROUP BY/HAVING") {
+    import graft.ops.TextOps
+    val heldOut = docs.where(col("doc_id") < 10)
+    val corpus = docs.where(col("doc_id") >= 10)
+    val exactContam = corpus
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      .join(heldOut.select(explode(TextOps.wordShingles(col("text"), 3)).as("sh")).distinct(),
+        Seq("sh"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val viaPipeline = Pipelines.contaminatedDocs(
+        corpus, col("doc_id"), col("text"), heldOut, col("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaPipeline == exactContam && exactContam.nonEmpty)
+
+    val exactVocab = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").count().where(col("count") >= 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaVocab = Pipelines.vocabulary(docs, col("text"), n = 1, minCount = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaVocab == exactVocab && exactVocab.nonEmpty)
+  }
+
   test("AQE is live: runtime coalescing appears in a shuffled agg plan") {
     val df = TestSpark.table("lineitem").groupBy("l_partkey").count()
     df.collect()
