@@ -836,6 +836,48 @@ object Corpus {
  corp as (select distinct doc_id, sh from (select doc_id, unnest(list_transform(generate_series(1, greatest(len(l)-2, 1)),
    i -> array_to_string(l[i:i+2], ' '))) sh from (select doc_id, string_split(text,' ') l from documents where doc_id >= 10) z) c)
  select distinct doc_id from corp where sh in (select sh from probe) order by doc_id limit 200"""),
+
+    // Distribution window functions (percent_rank / cume_dist / nth_value)
+    // — the ranking family q16 doesn't cover. Exact rationals in double,
+    // identical on both engines; round(,6) before the hash per H10.
+    q("q83_window_distribution",
+      """select o_custkey, o_orderkey,
+ round(percent_rank() over w, 6) pr, round(cume_dist() over w, 6) cd,
+ nth_value(o_orderkey, 2) over (partition by o_custkey order by o_totalprice desc, o_orderkey
+   rows between unbounded preceding and unbounded following) second_key
+ from orders window w as (partition by o_custkey order by o_totalprice desc, o_orderkey)
+ order by o_custkey, o_orderkey limit 300"""),
+
+    // Edit-distance (typo) near-dup with prefix blocking: levenshtein only
+    // within equal-4-char-prefix blocks, so the metric join is an equi join
+    // on the block key — pair work bounded by block size, not corpus size.
+    q("q84_editdistance_blocked",
+      """select p1.p_partkey a, p2.p_partkey b, cast(levenshtein(p1.p_name, p2.p_name) as bigint) d
+ from part p1 join part p2
+ on substr(p1.p_name,1,4)=substr(p2.p_name,1,4) and p1.p_partkey < p2.p_partkey
+ where levenshtein(p1.p_name, p2.p_name) <= 4
+ order by a, b limit 200"""),
+
+    // Per-source curation census: corpus composition by (source, lang) with
+    // exact token/char totals — what a pipeline reports per ingest batch.
+    // DuckDB sums of BIGINT go HUGEINT → cast back (driver-compare hazard).
+    q2("q85_source_report",
+      """select source, lang, count(*) n_docs,
+ sum(cast(size(split(text,' ')) as bigint)) total_tokens, sum(n_chars) total_chars
+ from documents group by source, lang order by source, lang""",
+      """select source, lang, count(*) n_docs,
+ cast(sum(cast(len(string_split(text,' ')) as bigint)) as bigint) total_tokens,
+ cast(sum(n_chars) as bigint) total_chars
+ from documents group by source, lang order by source, lang"""),
+
+    // Lateral (correlated table subquery) top-1-per-key join; the DF impl
+    // lowers it to a ranking window + join (WindowGroupLimit pushdown)
+    // rather than a per-outer-row subquery.
+    q("q86_lateral_top1",
+      """select c.c_custkey, t.o_orderkey, t.o_totalprice from customer c
+ join lateral (select o_orderkey, o_totalprice from orders o
+   where o.o_custkey = c.c_custkey order by o_totalprice desc, o_orderkey limit 1) t on true
+ order by c.c_custkey limit 200"""),
   )
 
   /** Connected components of the J>=0.8 near-dup graph via recursive

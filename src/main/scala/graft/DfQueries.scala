@@ -494,6 +494,33 @@ object DfQueries {
           bool_and(col("l_quantity") > 0).as("allpos"))
         .orderBy("l_returnflag")
     },
+
+    "q83_window_distribution" -> { (s, _) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("second_key"))
+        .orderBy("o_custkey", "o_orderkey").limit(300)
+    },
+
+    "q86_lateral_top1" -> { (s, _) =>
+      // Lateral top-1-per-key lowered to its scale-safe shape: a
+      // per-customer ranking window (rank limit pushes to WindowGroupLimit)
+      // instead of a correlated subquery per outer row.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val top1 = t(s, "orders")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      t(s, "customer").join(top1, col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey").limit(200)
+    },
   )
 
   /** Training-data pipeline extensions over the ops layer. */
@@ -863,6 +890,29 @@ object DfQueries {
         .select(col("probe"), col("m.bucket").as("bucket"),
           col("m.cand").as("cand"), col("m.s").as("s"))
         .orderBy("probe")
+    },
+
+    "q84_editdistance_blocked" -> { (s, _) =>
+      // Fuzzy-match (typo) dedup: levenshtein within equal-prefix blocks.
+      // The block key turns the all-pairs metric join into an equi join;
+      // pair work is bounded by block size, never corpus size.
+      val p1 = t(s, "part").select(col("p_partkey").as("a"),
+        col("p_name").as("n1"), substring(col("p_name"), 1, 4).as("blk"))
+      val p2 = t(s, "part").select(col("p_partkey").as("b"),
+        col("p_name").as("n2"), substring(col("p_name"), 1, 4).as("blk"))
+      p1.join(p2, Seq("blk")).where(col("a") < col("b"))
+        .where(levenshtein(col("n1"), col("n2")) <= 4)
+        .select(col("a"), col("b"),
+          levenshtein(col("n1"), col("n2")).cast("bigint").as("d"))
+        .orderBy("a", "b").limit(200)
+    },
+
+    "q85_source_report" -> { (s, _) =>
+      t(s, "documents").groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("bigint")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("source", "lang")
     },
   )
 
