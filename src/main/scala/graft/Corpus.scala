@@ -883,6 +883,21 @@ object Corpus {
  join lateral (select o_orderkey, o_totalprice from orders o
    where o.o_custkey = c.c_custkey order by o_totalprice desc, o_orderkey limit 1) t on true
  order by c.c_custkey limit 200"""),
+
+    // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — q22 covers
+    // only the distinct forms. Multiplicities summarized per group so the
+    // output is deterministic without ordering individual duplicate rows.
+    q("q87_set_ops_all",
+      """select 'ia' op, v, count(*) c from (
+ select o_orderpriority v from orders where o_orderstatus='F'
+ intersect all
+ select o_orderpriority v from orders where o_totalprice > 450000) t group by v
+union all
+select 'ea' op, v, count(*) c from (
+ select o_orderpriority v from orders where o_orderstatus='F'
+ except all
+ select o_orderpriority v from orders where o_totalprice > 450000) t group by v
+order by op, v"""),
   )
 
   /** Connected components of the J>=0.8 near-dup graph via recursive

@@ -495,6 +495,17 @@ object DfQueries {
         .orderBy("l_returnflag")
     },
 
+    "q87_set_ops_all" -> { (s, _) =>
+      val a = t(s, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("v"))
+      val b = t(s, "orders").where(col("o_totalprice") > 450000)
+        .select(col("o_orderpriority").as("v"))
+      def counted(df: DataFrame, tag: String) =
+        df.groupBy("v").agg(count(lit(1)).as("c")).select(lit(tag).as("op"), col("v"), col("c"))
+      counted(a.intersectAll(b), "ia").unionAll(counted(a.exceptAll(b), "ea"))
+        .orderBy("op", "v")
+    },
+
     "q83_window_distribution" -> { (s, _) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
