@@ -96,6 +96,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"probe not broadcast:\n$p")
   }
 
+  test("q86: lateral top-1 lowers to a rank-limited window, not a per-row subquery") {
+    val p = planString(TestSpark.corpus("q86_lateral_top1"))
+    assert(p.contains("WindowGroupLimit"),
+      s"top-1-per-key should push the rank limit below the window:\n$p")
+  }
+
+  test("q84: blocked edit-distance joins on the block key — no nested-loop pair join") {
+    val p = planString(TestSpark.corpus("q84_editdistance_blocked"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"metric join must be an equi join on the prefix block:\n$p")
+  }
+
   test("corpus sweep: no declared impl plans a globally-ordered (un-partitioned) window") {
     // An empty partitionSpec funnels every row through ONE task — the
     // classic scale killer (Spark itself logs a warning). Sweep the whole
