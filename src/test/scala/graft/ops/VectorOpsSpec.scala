@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, ByteType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Int8 quantization: 4× smaller vectors must stay rank-faithful. The
+  * quantized cosine is a coarse-ranking tool — the contract is a bounded
+  * absolute error and high top-k recall vs the exact float path, plus
+  * ANSI-safe behavior on degenerate (all-zero) vectors. */
+class VectorOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def emb = TestSpark.table("embeddings")
+
+  test("codes are array<tinyint> — 4x fewer bytes than float32") {
+    val q = emb.select(VectorOps.quantizeInt8(col("embedding")).as("q"))
+    assert(q.schema("q").dataType == ArrayType(ByteType, containsNull = false) ||
+      q.schema("q").dataType.asInstanceOf[ArrayType].elementType == ByteType)
+  }
+
+  test("quantized cosine is within 0.02 of the float cosine on all sample pairs") {
+    val a = emb.where(col("vec_id") < 30)
+      .select(col("vec_id").as("ida"), col("embedding").as("va"),
+        VectorOps.quantizeInt8(col("embedding")).as("qa"))
+    val b = emb.where(col("vec_id") >= 30 && col("vec_id") < 60)
+      .select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        VectorOps.quantizeInt8(col("embedding")).as("qb"))
+    val err = a.crossJoin(b)
+      .select(abs(VectorOps.cosineInt8(col("qa"), col("qb")) -
+        VectorOps.cosine(col("va"), col("vb"))).as("e"))
+      .agg(max("e")).head().getDouble(0)
+    assert(err < 0.02, s"max |quantized - exact| = $err")
+  }
+
+  test("top-10 recall of the quantized ranking vs exact is >= 0.9") {
+    val probes = emb.where(col("vec_id") >= 490)
+      .select(col("vec_id").as("probe"), col("embedding").as("p"),
+        VectorOps.quantizeInt8(col("embedding")).as("qp"))
+    val gallery = emb.where(col("vec_id") < 490)
+      .select(col("vec_id").as("cand"), col("embedding").as("g"),
+        VectorOps.quantizeInt8(col("embedding")).as("qg"))
+    val joined = probes.crossJoin(gallery)
+    def top10(scoreCol: org.apache.spark.sql.Column) = joined
+      .select(col("probe"), col("cand"), scoreCol.as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe")
+          .orderBy(col("s").desc, col("cand"))))
+      .where(col("rn") <= 10).select("probe", "cand")
+    val exact = top10(VectorOps.cosine(col("p"), col("g")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = top10(VectorOps.cosineInt8(col("qp"), col("qg")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("all-zero vectors quantize to zero codes and NaN cosine — no ANSI divide error") {
+    import spark.implicits._
+    val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, 3f)))
+      .toDF("id", "embedding")
+    val rows = z.select(col("id"),
+        VectorOps.quantizeInt8(col("embedding")).as("q"))
+      .withColumn("sim", VectorOps.cosineInt8(col("q"), col("q")))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Byte](1).forall(_ == 0))
+    assert(rows(0).getDouble(2).isNaN)
+    assert(math.abs(rows(1).getDouble(2) - 1.0) < 1e-9)
+  }
+}
