@@ -915,10 +915,13 @@ object DfQueries {
         substring(col("p_name"), 1, 4).as("blk"))
       val n2 = names.select(col("p_name").as("b"), col("c").as("c2"),
         substring(col("p_name"), 1, 4).as("blk"))
+      // Threshold form early-exits the DP at distance > 4 (returns -1):
+      // O(threshold·len) per pair instead of O(len²), same distances for
+      // every kept pair.
+      val d = levenshtein(col("a"), col("b"), 4)
       n1.join(n2, Seq("blk")).where(col("a") < col("b"))
-        .where(levenshtein(col("a"), col("b")) <= 4)
-        .select(col("a"), col("b"),
-          levenshtein(col("a"), col("b")).cast("bigint").as("d"),
+        .where(d >= 0)
+        .select(col("a"), col("b"), d.cast("bigint").as("d"),
           col("c1"), col("c2"))
         .orderBy("a", "b").limit(200)
     },

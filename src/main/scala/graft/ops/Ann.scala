@@ -151,4 +151,43 @@ object Ann {
                      id: String = "vec_id", vec: String = "embedding"): DataFrame =
     neardupLsh(emb, threshold, tables,
       math.min(lshBitsFor(emb.count(), targetBucket), 64 / tables), id, vec)
+
+  /** Top-k per probe at ¼ scan bandwidth: coarse-rank over int8 codes
+    * ([[VectorOps.quantizeInt8]] — the per-vector scales cancel in cosine,
+    * so no dequantization), keep `overfetch`·k candidates per probe
+    * (WindowGroupLimit pushes the cut below the window), then re-rank ONLY
+    * the survivors with full float cosine.
+    *
+    * Scale posture: a brute-force scan over 100 TB of float32 vectors is
+    * memory-bandwidth-bound; the coarse pass reads 4× fewer vector bytes
+    * and the float pass touches `overfetch·k` rows per probe instead of
+    * the corpus. Quantization error is bounded (< ~0.02 absolute,
+    * VectorOpsSpec), so a true top-k member is missed only if more than
+    * (overfetch−1)·k imposters out-rank it inside that error band —
+    * VectorOpsSpec measures full agreement with exact top-k at
+    * overfetch = 4 on the fixtures. */
+  def topKQuantized(probes: DataFrame, gallery: DataFrame, k: Int,
+                    overfetch: Int = 4,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"),
+      VectorOps.quantizeInt8(col(vec)).as("p_q"))
+    val gq = gallery.select(col(id).as("g_id"),
+      VectorOps.quantizeInt8(col(vec)).as("g_q"))
+    val wCoarse = Window.partitionBy("p_id")
+      .orderBy(col("cs").desc, col("g_id"))
+    val cand = p.select(col("p_id"), col("p_q")).crossJoin(gq)
+      .withColumn("cs", round(VectorOps.cosineInt8(col("p_q"), col("g_q")), 6))
+      .withColumn("rn", row_number().over(wCoarse))
+      .where(col("rn") <= overfetch * k)
+      .select("p_id", "g_id")
+    val wExact = Window.partitionBy("p_id")
+      .orderBy(col("s").desc, col("g_id"))
+    cand
+      .join(p.select(col("p_id"), col("p_emb")), "p_id")
+      .join(gallery.select(col(id).as("g_id"), col(vec).as("g_emb")), "g_id")
+      .withColumn("s", cosine6(col("p_emb"), col("g_emb")))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= k)
+      .select("p_id", "g_id", "s", "rn")
+  }
 }

@@ -58,6 +58,24 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("Ann.topKQuantized agrees with exact float top-k at overfetch=4") {
+    val probes = emb.where(col("vec_id") >= 490)
+    val gallery = emb.where(col("vec_id") < 490)
+    val exact = gallery
+      .select(col("vec_id").as("g_id"), col("embedding").as("g_emb"))
+      .crossJoin(probes.select(col("vec_id").as("p_id"), col("embedding").as("p_emb")))
+      .select(col("p_id"), col("g_id"),
+        VectorOps.cosine6(col("p_emb"), col("g_emb")).as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("p_id")
+          .orderBy(col("s").desc, col("g_id"))))
+      .where(col("rn") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Ann.topKQuantized(probes, gallery, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quant == exact)
+  }
+
   test("all-zero vectors quantize to zero codes and NaN cosine — no ANSI divide error") {
     import spark.implicits._
     val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, 3f)))
