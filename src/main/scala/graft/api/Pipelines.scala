@@ -45,6 +45,12 @@ object Pipelines {
   def nearestNeighbor(probes: DataFrame, gallery: DataFrame): DataFrame =
     Ann.knn(probes, gallery)
 
+  /** Top-k per probe at ¼ scan bandwidth: int8 coarse ranking + float
+    * re-rank on the survivors (Ann.topKQuantized — agrees with exact
+    * top-k at the default overfetch on the fixtures). */
+  def similaritySearch(probes: DataFrame, gallery: DataFrame, k: Int): DataFrame =
+    Ann.topKQuantized(probes, gallery, k)
+
   /** Per-document text-quality report: token stats, lexical diversity,
     * language guess and keep/drop verdict — the pre-training filter row. */
   def qualityReport(docs: DataFrame, id: Column, text: Column): DataFrame =

@@ -88,6 +88,22 @@ class PipelinesSpec extends AnyFunSuite {
     assert(viaVocab == exactVocab && exactVocab.nonEmpty)
   }
 
+  test("similaritySearch returns k ordered neighbors per probe") {
+    val emb = TestSpark.table("embeddings")
+    val out = Pipelines.similaritySearch(
+      emb.where(col("vec_id") >= 495), emb.where(col("vec_id") < 495), k = 5)
+    val rows = out.collect()
+    assert(rows.length == 5 * emb.where(col("vec_id") >= 495).count())
+    // rn is 1..k per probe and scores are non-increasing within a probe
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
   test("AQE is live: runtime coalescing appears in a shuffled agg plan") {
     val df = TestSpark.table("lineitem").groupBy("l_partkey").count()
     df.collect()
