@@ -28,6 +28,17 @@ class OpsSpec extends AnyFunSuite {
         s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("compact (array) Jaccard verify equals the token-level join form") {
+    val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
+    val sig = DedupOps.minhashSignatures(toks, 8)
+    val cand = DedupOps.lshCandidates(DedupOps.lshBandKeys(sig, 4, 2))
+    val a = DedupOps.jaccardVerify(toks, cand, 0.8)
+      .collect().map(_.toSeq).toSet
+    val b = DedupOps.jaccardVerifyCompact(toks, cand, 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("SimHash: near-identical docs have small Hamming distance on exact dup pairs") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val sim = DedupOps.simhash(toks, 16).collect()
