@@ -102,7 +102,11 @@ object DedupOps {
     * and no candidate×token intermediate (the token-level form explodes
     * each pair into |A| rows before the second join). Same result rows
     * (identical math and rounding); the doc token set must fit in executor
-    * memory, which holds for documents by construction. */
+    * memory, which holds for documents by construction.
+    *
+    * Use this over a MATERIALIZED candidate set (4.2× faster there —
+    * 24.8 s → 5.9 s at 9.3M sf0.1 candidates); inside one fused lazy plan
+    * the token-level form wins on exchange reuse (see [[minhashLsh]]). */
   def jaccardVerifyCompact(tokens: DataFrame, candidates: DataFrame,
                            threshold: Double): DataFrame = {
     val arr = tokens.groupBy("doc_id")
@@ -134,14 +138,22 @@ object DedupOps {
   }
 
   /** The full MinHash+LSH near-dup pipeline (q55): signature → bands →
-    * bucket-join candidates → exact-Jaccard verify. The verify rides the
-    * compact array form — 4.2× faster than the token-level join on the
-    * sf0.1 dense corpus (9.3M candidates: 24.8 s → 5.9 s), identical
-    * output (OpsSpec pins equality). */
+    * bucket-join candidates → exact-Jaccard verify.
+    *
+    * The verify stays TOKEN-LEVEL here deliberately. Measured on the sf0.1
+    * dense corpus (2.9M true pairs): over a MATERIALIZED candidate set the
+    * compact array verify is 4.2× faster (24.8 s → 5.9 s at 9.3M
+    * candidates) — but inside this single lazy plan the token relation
+    * feeds signature, candidate and verify subplans, and Spark's exchange
+    * reuse across those references outweighs the verify-stage win
+    * (end-to-end uncached: 94 s token-level vs 100+ s compact; same at the
+    * 1k-doc regime). Pipelines that persist candidates between stages —
+    * the normal shape at 100 TB, where candidates are written out and
+    * audited separately — should verify with [[jaccardVerifyCompact]]. */
   def minhashLsh(tokens: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     val sig = minhashSignatures(tokens, k)
     val cand = lshCandidates(lshBandKeys(sig, bands, k / bands))
-    jaccardVerifyCompact(tokens, cand, threshold)
+    jaccardVerify(tokens, cand, threshold)
   }
 
   /** LINEAR-output dedup decision (the true 100 TB shape): on near-dup-dense
