@@ -78,6 +78,43 @@ final class KeyedJob[K, V] private[mr] (val ds: Dataset[(K, V)]) {
   def groupReduce[U: Encoder](f: (K, Iterator[V]) => IterableOnce[U])(implicit k: Encoder[K]): Job[U] =
     new Job(ds.groupByKey(_._1).flatMapGroups((key, it) => f(key, it.map(_._2)).iterator))
 
+  /** Secondary sort (the MR composite-key + grouping-comparator idiom,
+    * MR-paper §4.2): the reducer's value iterator arrives ordered by
+    * `sortKey` WITHOUT the reducer — or this facade — ever sorting a group
+    * in memory. Physical shape: repartition on the key, sort WITHIN
+    * partitions on (key, sortKey) (Spark's spillable external sort — the
+    * framework's disk-backed sort, exactly as in MR), then one sequential
+    * pass walks the key runs and streams each run's values to `f`.
+    * Memory per task is O(1) in group size, vs [[groupReduce]]'s
+    * per-group iterator which Spark may buffer. */
+  def groupReduceSorted[S, U: Encoder](sortKey: V => S)(
+      f: (K, Iterator[V]) => IterableOnce[U])(
+      implicit ksv: Encoder[(K, S, V)]): Job[U] = {
+    val sorted = ds.map { case (key, v) => (key, sortKey(v), v) }
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+    new Job(sorted.mapPartitions { rows =>
+      val buf = rows.buffered
+      new Iterator[U] {
+        private var cur: Iterator[U] = Iterator.empty
+        private var drainRun: () => Unit = () => ()
+        def hasNext: Boolean = {
+          while (!cur.hasNext && { drainRun(); buf.hasNext }) {
+            val key = buf.head._1
+            val run: Iterator[V] = new Iterator[V] {
+              def hasNext: Boolean = buf.hasNext && buf.head._1 == key
+              def next(): V = buf.next()._3
+            }
+            drainRun = () => while (run.hasNext) run.next()
+            cur = f(key, run).iterator
+          }
+          cur.hasNext
+        }
+        def next(): U = { if (!hasNext) throw new NoSuchElementException; cur.next() }
+      }
+    })
+  }
+
   /** Total order by key across partitions (R6) — range partition + sort,
     * the distributed-sort guarantee of MR's ordered reduce output. */
   def sortByKey(ascending: Boolean = true): Job[(K, V)] =

@@ -62,6 +62,50 @@ class MrJobSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("secondary sort: reducer sees values ordered by the sort key, result matches a window plan") {
+    import org.apache.spark.sql.functions._
+    // Per-user event-type sequence in time order — the canonical
+    // secondary-sort workload (sessionization input shape).
+    val events = TestSpark.table("events")
+      .select(col("user_id"), unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)).as("t"), col("event_type"))
+      .as[(Long, Long, String)]
+    val mr = Job.of(events)
+      .keyBy(_._1)
+      .groupReduceSorted(v => (v._2, v._3)) { (user, vs) =>
+        var last = Option.empty[(Long, String)]
+        val sb = new StringBuilder
+        vs.foreach { case (_, t, et) =>
+          assert(last.forall(l => Ordering[(Long, String)].lteq(l, (t, et))),
+            "values not sorted")
+          last = Some((t, et)); if (sb.nonEmpty) sb += ','; sb ++= et
+        }
+        Iterator((user, sb.result()))
+      }
+      .collect().toMap
+    val expected = TestSpark.table("events")
+      .select(col("user_id"), unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)).as("t"), col("event_type"))
+      .withColumn("seq", collect_list(col("event_type")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("t", "event_type")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .groupBy("user_id").agg(first("seq").as("seq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString(",")).toMap
+    assert(mr == expected && mr.nonEmpty)
+  }
+
+  test("secondary sort: early-exit reducers do not corrupt the next key's run") {
+    val data = Seq((1L, 30L, "c"), (1L, 10L, "a"), (1L, 20L, "b"),
+                   (2L, 2L, "y"), (2L, 1L, "x")).toDF("k", "t", "v")
+      .as[(Long, Long, String)]
+    // f consumes only the FIRST value per key (min by sort key) — the
+    // facade must drain the rest of the run before starting the next key.
+    val firsts = Job.of(data).keyBy(_._1)
+      .groupReduceSorted(v => v._2) { (k, vs) => Iterator((k, vs.next()._3)) }
+      .collect().toMap
+    assert(firsts == Map(1L -> "a", 2L -> "x"))
+  }
+
   test("save/read round-trip (R7 sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mr").toString + "/wc"
     texts.flatMap(_.split(" ").toSeq).map(w => (w, 1L)).pairs[String, Long]
