@@ -756,21 +756,33 @@ object DfQueries {
     },
 
     "q53_fingerprint" -> { (s, _) =>
-      val docs = t(s, "documents")
-      val sh = docs.select(col("doc_id"),
-        explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
-      val fp = sh.groupBy("doc_id").agg(
-        min(TextOps.shingleHash(col("sh"))).as("shingle_fp"),
-        countDistinct(col("sh")).as("n_shingles"))
-      docs.join(fp, "doc_id")
-        .select(col("doc_id"), TextOps.docFingerprint(col("text")).as("doc_fp"),
-          col("shingle_fp"), col("n_shingles"))
+      // Pure projection: the per-doc min/distinct fold over shingles runs
+      // inside the row (HOFs) — no explode, no aggregation shuffle, no
+      // join-back. Hash-identical to the relational lowering (min and
+      // distinct-count over the same shingle multiset). The projection
+      // sits AFTER the order+limit: the query's output depends only on
+      // the 300 smallest doc_ids, so the per-row fingerprint math runs on
+      // 300 rows, not the corpus — the plan a cluster should run. (The
+      // unlimited pipeline form is Pipelines.fingerprints.)
+      val shArr = TextOps.wordShingles(col("text"), 3)
+      t(s, "documents")
         .orderBy("doc_id").limit(300)
+        .select(col("doc_id"), TextOps.docFingerprint(col("text")).as("doc_fp"),
+          array_min(transform(shArr, sh => TextOps.shingleHash(sh))).as("shingle_fp"),
+          size(array_distinct(shArr)).cast("bigint").as("n_shingles"))
     },
 
     "q54_minhash_sig" -> { (s, _) =>
-      val toks = DedupOps.tokenSet(t(s, "documents"), col("doc_id"), col("text"))
-      DedupOps.minhashSignatures(toks, 4).orderBy("doc_id").limit(300)
+      // The native single-pass minhash_sig expression, oracle-gated: its
+      // Array[Long] minima formatted as 12-hex equal the declared
+      // substr(md5,1,12) strings exactly (lexicographic min of fixed-width
+      // lowercase hex ≡ numeric min of the 48-bit value). One projection —
+      // no token explode, no signature aggregation.
+      val sig = call_function("minhash_sig", TextOps.tokens(col("text")), lit(4))
+      t(s, "documents").select(col("doc_id"), sig.as("sig"))
+        .select(col("doc_id") +:
+          (1 to 4).map(i => format_string("%012x", element_at(col("sig"), i)).as(s"h$i")): _*)
+        .orderBy("doc_id").limit(300)
     },
 
     "q55_minhash_lsh" -> { (s, _) =>
