@@ -820,11 +820,14 @@ object DfQueries {
     },
 
     "q78_repetition_ratio" -> { (s, _) =>
+      // Output depends only on the 300 smallest doc_ids → limit first,
+      // then the per-row n-gram HOFs touch 300 rows, not the corpus (the
+      // unlimited per-row form is what a pipeline filter applies).
       val sh = TextOps.wordShingles(col("text"), 3)
-      t(s, "documents").select(col("doc_id"),
+      t(s, "documents").orderBy("doc_id").limit(300)
+        .select(col("doc_id"),
           size(sh).cast("bigint").as("n_ngrams"),
           TextOps.repetitionRatio(col("text"), 3).as("rep_ratio"))
-        .orderBy("doc_id").limit(300)
     },
 
     "q79_contamination" -> { (s, _) =>
