@@ -898,6 +898,40 @@ select 'ea' op, v, count(*) c from (
  except all
  select o_orderpriority v from orders where o_totalprice > 450000) t group by v
 order by op, v"""),
+
+    // Ordered string aggregation (listagg / string_agg) — deterministic via
+    // the unique o_orderkey ordering inside the group.
+    q2("q88_listagg",
+      """select o_orderpriority, listagg(o_orderstatus, ',') within group (order by o_orderkey) s
+ from orders where o_orderkey < 60 group by o_orderpriority order by o_orderpriority""",
+      """select o_orderpriority, string_agg(o_orderstatus, ',' order by o_orderkey) s
+ from orders where o_orderkey < 60 group by o_orderpriority order by o_orderpriority"""),
+
+    // regexp_extract_all: every numeric run in the JSON props string,
+    // joined (driver-compare array hazard — emit a string, not a list).
+    q2("q89_regexp_extract_all",
+      """select event_id, array_join(regexp_extract_all(props, '[0-9]+', 0), '|') nums
+ from events order by event_id limit 100""",
+      """select event_id, array_to_string(regexp_extract_all(props, '[0-9]+'), '|') nums
+ from events order by event_id limit 100"""),
+
+    // Time-series gap fill: per-user date spine × activity left join, zero
+    // for silent days — the downsample/densify op every activity feed
+    // needs. Spine days cast to timestamp (raw DATE renders differently
+    // across engines); bare `d`/`day` aliases need AS in DuckDB (H8).
+    q2("q90_gap_fill",
+      """with spine as (select user_id, explode(sequence(date '2024-01-01', date '2024-01-14', interval 1 day)) as d
+  from (select distinct user_id from events where user_id < 5) u),
+ act as (select user_id, cast(date_trunc('day', ts) as date) as d, count(*) c from events group by 1,2)
+select s.user_id, cast(s.d as timestamp) as dday, coalesce(a.c, 0) c
+ from spine s left join act a on a.user_id = s.user_id and cast(a.d as timestamp) = cast(s.d as timestamp)
+ order by s.user_id, dday""",
+      """with spine as (select user_id, unnest(generate_series(date '2024-01-01', date '2024-01-14', interval 1 day)) AS d
+  from (select distinct user_id from events where user_id < 5) u),
+ act as (select user_id, cast(date_trunc('day', ts) as date) AS d, count(*) c from events group by 1,2)
+select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
+ from spine s left join act a on a.user_id = s.user_id and cast(a.d as timestamp) = cast(s.d as timestamp)
+ order by s.user_id, dday"""),
   )
 
   /** Connected components of the J>=0.8 near-dup graph via recursive

@@ -506,6 +506,45 @@ object DfQueries {
         .orderBy("op", "v")
     },
 
+    "q88_listagg" -> { (s, _) =>
+      // Portable ordered-string-agg lowering: collect (sortkey, value)
+      // structs, array_sort (struct order = field order, o_orderkey is
+      // unique), project the value, join. Equivalent to SQL
+      // listagg(...) WITHIN GROUP and deterministic by the unique key.
+      t(s, "orders").where(col("o_orderkey") < 60)
+        .groupBy("o_orderpriority")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("o_orderkey"), col("o_orderstatus")))),
+            x => x("o_orderstatus")),
+          ",").as("s"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q89_regexp_extract_all" -> { (s, _) =>
+      t(s, "events")
+        .select(col("event_id"),
+          array_join(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)), "|").as("nums"))
+        .orderBy("event_id").limit(100)
+    },
+
+    "q90_gap_fill" -> { (s, _) =>
+      // Date spine × activity: the distinct-user spine is tiny; the
+      // activity agg is one hash agg over events; the left join fills
+      // silent days with zero.
+      val spine = t(s, "events").where(col("user_id") < 5)
+        .select(col("user_id")).distinct()
+        .select(col("user_id"),
+          explode(expr("sequence(date '2024-01-01', date '2024-01-14', interval 1 day)")).as("d"))
+      val act = t(s, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+      spine.join(act, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d").cast("timestamp").as("dday"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .orderBy("user_id", "dday")
+    },
+
     "q83_window_distribution" -> { (s, _) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
