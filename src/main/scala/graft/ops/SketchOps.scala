@@ -109,4 +109,24 @@ object SketchOps {
       .agg(count(lit(1)).as("c"))
       .where(col("c") >= minCount)
   }
+
+  /** Reaggregatable distinct-count sketch table — the 100 TB rollup
+    * pattern. One HLL sketch per fine-grained group (e.g. day × type);
+    * any coarser rollup later MERGES sketches instead of re-reading raw
+    * data, because HLL union is lossless over sketches: a year of daily
+    * per-dimension sketches answers "distinct users last quarter, by
+    * type" from kilobytes. Plain `count(distinct)` cannot do this —
+    * distinct counts are not additive across groups. */
+  def hllSketchTable(df: DataFrame, itemCol: String,
+                     groupCols: String*): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(itemCol)).as("hll"))
+
+  /** Roll a sketch table up to `keepCols` (empty = global): sketches merge
+    * via `hll_union_agg`, then one estimate per surviving group. */
+  def hllRollup(sketchTable: DataFrame, keepCols: String*): DataFrame = {
+    val est = hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx_distinct")
+    if (keepCols.isEmpty) sketchTable.agg(est)
+    else sketchTable.groupBy(keepCols.map(col): _*).agg(est)
+  }
 }

@@ -79,6 +79,29 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(viol == 0)
   }
 
+  test("HLL sketch table rolls up to any coarser grouping within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = TestSpark.table("events")
+      .withColumn("d", date_trunc("day", col("ts")))
+    // Fine-grained sketches: day × event_type.
+    val table = SketchOps.hllSketchTable(ev, "user_id", "d", "event_type")
+    // Rollup 1: per event_type (merging across days).
+    val byType = SketchOps.hllRollup(table, "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactByType = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.keySet == exactByType.keySet)
+    byType.foreach { case (k, est) =>
+      assert(math.abs(est - exactByType(k)) <= math.max(1L, (exactByType(k) * 0.05).toLong),
+        s"$k: est=$est exact=${exactByType(k)}")
+    }
+    // Rollup 2: global, from the same sketch table.
+    val global = SketchOps.hllRollup(table).head().getLong(0)
+    val exactGlobal = ev.agg(countDistinct("user_id")).head().getLong(0)
+    assert(math.abs(global - exactGlobal) <= math.max(1L, (exactGlobal * 0.05).toLong))
+  }
+
   test("empty small side yields an empty semi join, not an error") {
     val corp = shingles("doc_id >= 10")
     val empty = shingles("doc_id < 0").select("sh").distinct()
