@@ -115,6 +115,10 @@ object DfQueries {
       cnt.withColumn("smaller", sum(col("c")).over(below))
         .groupBy("p_brand")
         .agg(sum(col("c") * coalesce(col("smaller"), lit(0L))).as("pairs"))
+        // The inner theta join emits NO row for a brand with zero
+        // qualifying pairs (all parts one size); the eager aggregate must
+        // drop those brands too or the lowerings diverge.
+        .where(col("pairs") > 0)
         .orderBy("p_brand")
     },
 
@@ -803,8 +807,11 @@ object DfQueries {
       // the 300 smallest doc_ids, so the per-row fingerprint math runs on
       // 300 rows, not the corpus — the plan a cluster should run. (The
       // unlimited pipeline form is Pipelines.fingerprints.)
+      // The declared SQL inner-joins docs to the shingle aggregate, so a
+      // null-text doc (no exploded rows) is ABSENT from its output — the
+      // filter keeps the lowerings identical on degenerate corpora.
       val shArr = TextOps.wordShingles(col("text"), 3)
-      t(s, "documents")
+      t(s, "documents").where(col("text").isNotNull)
         .orderBy("doc_id").limit(300)
         .select(col("doc_id"), TextOps.docFingerprint(col("text")).as("doc_fp"),
           array_min(transform(shArr, sh => TextOps.shingleHash(sh))).as("shingle_fp"),
@@ -817,8 +824,11 @@ object DfQueries {
       // substr(md5,1,12) strings exactly (lexicographic min of fixed-width
       // lowercase hex ≡ numeric min of the 48-bit value). One projection —
       // no token explode, no signature aggregation.
+      // The declared SQL's explode drops null-text docs entirely; filter
+      // so the native-expression lowering does too.
       val sig = call_function("minhash_sig", TextOps.tokens(col("text")), lit(4))
-      t(s, "documents").select(col("doc_id"), sig.as("sig"))
+      t(s, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), sig.as("sig"))
         .select(col("doc_id") +:
           (1 to 4).map(i => format_string("%012x", element_at(col("sig"), i)).as(s"h$i")): _*)
         .orderBy("doc_id").limit(300)
@@ -931,7 +941,7 @@ object DfQueries {
         .withColumn("s", VectorOps.cosine6Native(col("p_emb"), col("g_emb")))
         .groupBy("probe")
         .agg(max_by(struct(col("cid"), col("cand"), col("s")),
-          struct(col("s"), -col("cand"))).as("m"))
+          struct(nanvl(col("s"), lit(-2.0)), -col("cand"))).as("m"))
         .select(col("probe"), col("m.cid").as("cid"),
           col("m.cand").as("cand"), col("m.s").as("s"))
         .orderBy("probe")
@@ -951,7 +961,7 @@ object DfQueries {
         .withColumn("s", VectorOps.cosine6Native(col("p_emb"), col("g_emb")))
         .groupBy("probe")
         .agg(max_by(struct(col("bucket"), col("cand"), col("s")),
-          struct(col("s"), -col("cand"))).as("m"))
+          struct(nanvl(col("s"), lit(-2.0)), -col("cand"))).as("m"))
         .select(col("probe"), col("m.bucket").as("bucket"),
           col("m.cand").as("cand"), col("m.s").as("s"))
         .orderBy("probe")

@@ -59,26 +59,38 @@ object GraftFunctions {
     * the HOF lowerings with a WARNING naming the missing functions (so a
     * later 'undefined function cosine_sim' has a visible cause), and fatal
     * VM errors propagate. */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
-    try {
-      if (!spark.catalog.functionExists("cosine_sim")) {
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // Existence is checked PER FUNCTION and failures are per-function too:
+    // gating everything on one sentinel would make a partial failure
+    // permanent (sentinel registered → later calls skip → the functions
+    // that failed stay unregistered forever), and a single warning would
+    // misname the working ones.
+    val missing = all.filterNot { case (id, _, _) =>
+      spark.catalog.functionExists(id.funcName)
+    }
+    if (missing.nonEmpty) {
+      val failed = scala.collection.mutable.ListBuffer.empty[String]
+      try {
         val ss = spark.getClass.getMethod("sessionState").invoke(spark)
         val fr = ss.getClass.getMethod("functionRegistry").invoke(ss)
         val m = fr.getClass.getMethods.find { mm =>
           mm.getName == "registerFunction" && mm.getParameterCount == 3 &&
             mm.getParameterTypes()(0) == classOf[FunctionIdentifier]
+        }.getOrElse(throw new NoSuchMethodException("FunctionRegistry.registerFunction/3"))
+        missing.foreach { case (id, inf, builder) =>
+          try m.invoke(fr, id, inf, builder)
+          catch { case scala.util.control.NonFatal(_) => failed += id.funcName }
         }
-        m.foreach { mm =>
-          all.foreach { case (id, inf, builder) =>
-            mm.invoke(fr, id, inf, builder)
-          }
-        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          failed ++= missing.map(_._1.funcName).filterNot(failed.contains)
+          System.err.println(
+            s"WARN graft: native function registration failed (${e.getClass.getSimpleName}: ${e.getMessage})")
       }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
+      if (failed.nonEmpty)
         System.err.println(
-          s"WARN graft: native function registration failed (${e.getClass.getSimpleName}: " +
-            s"${e.getMessage}) — ${all.map(_._1.funcName).mkString(", ")} " +
-            "are unavailable on this session; queries using them will fail to resolve")
+          s"WARN graft: ${failed.mkString(", ")} could not be registered on this " +
+            "session; queries using them will fail to resolve (HOF lowerings still work)")
     }
+  }
 }

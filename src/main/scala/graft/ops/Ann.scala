@@ -31,15 +31,24 @@ object Ann {
     val p = emb.where(col(id) === probeId).select(col(vec).as("p_emb"))
     emb.crossJoin(broadcast(p))
       .select(col(id), cosine6(col("p_emb"), col(vec)).as("sim"))
-      .orderBy(col("sim").desc, col(id))
+      .orderBy(rankSafe(col("sim")).desc, col(id))
       .limit(k)
   }
+
+  /** NaN-safe ranking score: zero-norm vectors cosine to NaN (the H13
+    * guard), and NaN sorts ABOVE every double in Spark's ordering — left
+    * bare, one degenerate gallery row becomes every probe's nearest
+    * neighbor. Map NaN below the cosine range so degenerate vectors rank
+    * LAST in every ranking/arg-max path (threshold paths need nothing:
+    * NaN already fails `>= t`). */
+  private def rankSafe(s: Column): Column = nanvl(s, lit(-2.0))
 
   /** Arg-max ordering key: maximize `s`, break ties on the SMALLEST id —
     * (s, -id) under max_by is exactly `order by s desc, id` row_number()=1,
     * but as a hash aggregation: map-side partial arg-max per partition, one
     * shuffled row per group, no sort. */
-  private def argmaxKey(s: Column, id: Column): Column = struct(s, -id)
+  private def argmaxKey(s: Column, id: Column): Column =
+    struct(rankSafe(s), -id)
 
   /** Exact 1-NN per probe (q36 shape): brute-force scores + arg-max via a
     * max_by aggregation (partial agg map-side; never a per-probe sort). */
@@ -89,10 +98,15 @@ object Ann {
     * off the fixture schema). */
   def hyperplaneProj(vec: Column, j: Int, dims: Int = 64): Column = {
     val w = lit(planeWeights(j, dims))
-    aggregate(
-      sequence(lit(1), least(lit(dims), size(vec))),
-      lit(0.0),
-      (acc, i) => acc + element_at(vec, i).cast("double") * element_at(w, i))
+    val bound = least(lit(dims), size(vec))
+    // sequence(1, 0) is DESCENDING [1, 0] — an empty vector must
+    // short-circuit to projection 0.0, not walk out of bounds (ANSI
+    // element_at error: one degenerate row kills the job, H13).
+    when(bound < 1, lit(0.0)).otherwise(
+      aggregate(
+        sequence(lit(1), bound),
+        lit(0.0),
+        (acc, i) => acc + element_at(vec, i).cast("double") * element_at(w, i)))
   }
 
   /** `nBits`-bit sign bucket from hyperplane projections (random-hyperplane
@@ -174,14 +188,14 @@ object Ann {
     val gq = gallery.select(col(id).as("g_id"),
       VectorOps.quantizeInt8(col(vec)).as("g_q"))
     val wCoarse = Window.partitionBy("p_id")
-      .orderBy(col("cs").desc, col("g_id"))
+      .orderBy(rankSafe(col("cs")).desc, col("g_id"))
     val cand = p.select(col("p_id"), col("p_q")).crossJoin(gq)
       .withColumn("cs", round(VectorOps.cosineInt8(col("p_q"), col("g_q")), 6))
       .withColumn("rn", row_number().over(wCoarse))
       .where(col("rn") <= overfetch * k)
       .select("p_id", "g_id")
     val wExact = Window.partitionBy("p_id")
-      .orderBy(col("s").desc, col("g_id"))
+      .orderBy(rankSafe(col("s")).desc, col("g_id"))
     cand
       .join(p.select(col("p_id"), col("p_emb")), "p_id")
       .join(gallery.select(col(id).as("g_id"), col(vec).as("g_emb")), "g_id")

@@ -109,8 +109,12 @@ object DedupOps {
     * the token-level form wins on exchange reuse (see [[minhashLsh]]). */
   def jaccardVerifyCompact(tokens: DataFrame, candidates: DataFrame,
                            threshold: Double): DataFrame = {
+    // Set sizes come from the collected SET, not a row count — on a
+    // non-distinct token relation a row count would inflate the union
+    // term while the array_intersect stays set-based.
     val arr = tokens.groupBy("doc_id")
-      .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n"))
+      .agg(collect_set(col("w")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
     val i = size(array_intersect(col("t1"), col("t2"))).cast("double")
     val j = i / (col("n1") + col("n2") - i)
     candidates
@@ -229,34 +233,44 @@ object DedupOps {
     * least one edge, label = min node id of its component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val e = cut(pairs.select(col("d1").as("u"), col("d2").as("v"))
-      .unionAll(pairs.select(col("d2").as("u"), col("d1").as("v")))
-      .distinct())
-    var labels = cut(e.select(col("u")).distinct()
-      .withColumn("label", col("u")))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val prop = e.join(labels.select(col("u").as("v"), col("label")), "v")
-        .groupBy("u").agg(min(col("label")).as("nlabel"))
-      val next = cut(labels.join(prop, Seq("u"), "left")
-        .select(col("u"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
-      val changed = next.select(col("u"), col("label").as("nl"))
-        .join(labels, "u").where(col("nl") =!= col("label")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      i += 1
+    val sc = pairs.sparkSession.sparkContext
+    // setCheckpointDir is GLOBAL to the SparkContext — save and restore so
+    // this call cannot silently repoint checkpoints for unrelated jobs
+    // (every checkpoint() below is eager, so nothing dangles afterwards).
+    val previousDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try {
+      def cut(df: DataFrame): DataFrame =
+        if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      val e = cut(pairs.select(col("d1").as("u"), col("d2").as("v"))
+        .unionAll(pairs.select(col("d2").as("u"), col("d1").as("v")))
+        .distinct())
+      var labels = cut(e.select(col("u")).distinct()
+        .withColumn("label", col("u")))
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val prop = e.join(labels.select(col("u").as("v"), col("label")), "v")
+          .groupBy("u").agg(min(col("label")).as("nlabel"))
+        val next = cut(labels.join(prop, Seq("u"), "left")
+          .select(col("u"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+        val changed = next.select(col("u"), col("label").as("nl"))
+          .join(labels, "u").where(col("nl") =!= col("label")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents: labels still changing after $maxIter rounds — " +
+            "a component with diameter > maxIter would get silently split " +
+            "labels; raise maxIter (rounds needed ~ worst component diameter)")
+      labels.select(col("u").as("doc"), col("label"))
+    } finally {
+      if (checkpointDir.isDefined && checkpointDir != previousDir)
+        sc.setCheckpointDir(previousDir.orNull)
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: labels still changing after $maxIter rounds — " +
-          "a component with diameter > maxIter would get silently split " +
-          "labels; raise maxIter (rounds needed ~ worst component diameter)")
-    labels.select(col("u").as("doc"), col("label"))
   }
 
   /** Bit `j` (0..15) of md5(w)'s first 16 bits, as 0/1 — integer math only

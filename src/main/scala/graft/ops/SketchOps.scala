@@ -28,13 +28,15 @@ object SketchOps {
   def bloomBytes(df: DataFrame, colName: String, fpp: Double = 0.01,
                  expectedItems: Long = -1L): Array[Byte] = {
     // stat.bloomFilter NPEs on an empty frame (null aggregation buffer);
-    // an empty input legitimately means "nothing can match".
+    // an empty input legitimately means "nothing can match". The sizing
+    // count doubles as the emptiness check so the default path scans the
+    // probe side once before the sketch pass, not twice (isEmpty is kept
+    // only where no count runs — when the caller supplied the size).
+    val n = if (expectedItems > 0) expectedItems else df.count()
+    val empty = if (expectedItems > 0) df.isEmpty else n == 0
     val bf =
-      if (df.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-      else {
-        val n = if (expectedItems > 0) expectedItems else math.max(1L, df.count())
-        df.stat.bloomFilter(colName, n, fpp)
-      }
+      if (empty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else df.stat.bloomFilter(colName, n, fpp)
     val out = new ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray

@@ -76,6 +76,35 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(quant == exact)
   }
 
+  test("empty vectors survive the LSH bucket path — no ANSI index error") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1f, 2f, 3f)), (2L, Array.empty[Float]),
+        (3L, Array(1f, 2f, 3.1f)))
+      .toDF("vec_id", "embedding")
+    // sequence(1, 0) is descending [1, 0]: before the guard one empty
+    // vector killed the whole near-dup job with INVALID_ARRAY_INDEX.
+    val buckets = emb.select(Ann.hyperplaneBucket(col("embedding"), 4)).collect()
+    assert(buckets.length == 3)
+    val pairs = Ann.neardupLshAuto(emb, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 3L)))
+  }
+
+  test("zero-norm vectors rank LAST, never as nearest neighbors") {
+    import spark.implicits._
+    val gallery = Seq((1L, Array(1f, 0.1f)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((10L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    // NaN sorts above every double in Spark: unguarded, the zero-norm row
+    // wins every ranking. knn must return the genuinely similar vector.
+    val nn = Ann.knn(probes, gallery).head()
+    assert(nn.getLong(1) == 1L, s"zero-norm vector won the ranking: $nn")
+    val topq = Ann.topKQuantized(probes, gallery, k = 1).head()
+    assert(topq.getLong(1) == 1L, s"zero-norm vector won quantized ranking: $topq")
+    val ivf = Ann.ivfAssign(probes, gallery).head()
+    assert(ivf.getLong(1) == 1L, s"zero-norm centroid won assignment: $ivf")
+  }
+
   test("all-zero vectors quantize to zero codes and NaN cosine — no ANSI divide error") {
     import spark.implicits._
     val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, 3f)))
