@@ -517,12 +517,12 @@ object Corpus {
 
     q2("q52_token_count",
       """select doc_id, size(split(text,' ')) ws_tokens,
- regexp_count(text, '[a-z]+') alpha_tokens,
- regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') bpe_ish,
+ regexp_count(text, '[a-zA-Z]+') alpha_tokens,
+ regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') bpe_ish,
  length(text) n_chars from documents order by doc_id limit 300""",
       """select doc_id, len(string_split(text,' ')) ws_tokens,
- len(regexp_extract_all(text, '[a-z]+')) alpha_tokens,
- len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) bpe_ish,
+ len(regexp_extract_all(text, '[a-zA-Z]+')) alpha_tokens,
+ len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) bpe_ish,
  length(text) n_chars from documents order by doc_id limit 300"""),
 
     q2("q53_fingerprint",

@@ -28,8 +28,12 @@ object SkewOps {
     * row-identical to the plain inner join. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val factCols: Seq[Column] = fact.columns.toSeq.map(col)
-    val salted = fact.withColumn(saltCol, pmod(hash(factCols: _*), lit(salts)))
+    // Salt from seeded rand, NOT from hashing the row: hash() throws on
+    // MapType columns, and byte-identical duplicate rows (common in raw
+    // logs) would all land in ONE salt bucket — leaving the hot partition
+    // hot. Any salt value joins correctly (the dim side is replicated to
+    // every salt), so per-row uniformity is all that matters.
+    val salted = fact.withColumn(saltCol, floor(rand(42) * salts).cast("int"))
     val exploded = dim
       .withColumn(saltCol, explode(sequence(lit(0), lit(salts - 1))))
       .withColumnRenamed(key, s"${key}__dim")

@@ -17,32 +17,40 @@ object TemporalOps {
     * in-partition sort — no per-row correlated subquery, no row explosion;
     * the shape that survives a 100 TB left side.
     *
-    * `valueCols` are the right-side columns to carry; right rows sort
-    * before left rows at equal timestamps (inclusive as-of).
+    * `valueCols` are the right-side columns to carry, attached ATOMICALLY
+    * (one struct per right row): per-column fills would stitch together a
+    * right row that never existed whenever value columns contain nulls.
+    * Right rows sort before left rows at equal timestamps (inclusive
+    * as-of). Right rows with a null timestamp or null key are excluded up
+    * front — equi/correlated semantics never match them, but the window
+    * partition otherwise would (nulls group together and sort first).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val vStruct = struct(valueCols.map(col): _*)
+    val vType = right.select(vStruct).schema.head.dataType
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select(Seq(col(key).as("__key"), col("__ts"), col("__side")) ++
-        leftCols.map(col) ++ valueCols.map(c => lit(null).as(s"__v_$c")): _*)
+        leftCols.map(col) :+ lit(null).cast(vType).as("__vrow"): _*)
     val rTagged = right
+      .where(col(rightTs).isNotNull && col(key).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col(key).as("__key"), col("__ts"), col("__side")) ++
-        leftCols.map(c => lit(null).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        leftCols.map(c => lit(null).as(c)) :+ vStruct.as("__vrow"): _*)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = lTagged.unionAll(rTagged)
-      .select(Seq(col("__side")) ++ leftCols.map(col) ++
-        valueCols.map(c =>
-          last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c)): _*)
-    filled.where(col("__side") === 1).drop("__side")
+      .select(Seq(col("__side")) ++ leftCols.map(col) :+
+        last(col("__vrow"), ignoreNulls = true).over(w).as("__fill"): _*)
+    filled.where(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__fill.$c").as(c)): _*)
   }
 
   /** Epoch seconds of an NTZ timestamp under the UTC session zone. */
@@ -55,20 +63,29 @@ object TemporalOps {
     * bucketed to `band`-wide time bins and joined on (key, bucket) — the
     * left side probes its own bin and the next one, so each row meets only
     * a ~2-bin neighborhood. The residual range predicate stays exact.
+    *
+    * Right-side columns whose names collide with a left column come out
+    * prefixed `__r_` (the right key, a pure duplicate of the left's, is
+    * dropped) — so `leftTs == rightTs == "ts"` works instead of failing
+    * analysis with AMBIGUOUS_REFERENCE.
     */
   def timeBandJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    bandSeconds: Long): DataFrame = {
+    require(bandSeconds > 0,
+      s"bandSeconds must be positive, got $bandSeconds (zero divides by " +
+        "zero under ANSI; negative silently matches nothing)")
+    val collide = right.columns.toSet.intersect(left.columns.toSet)
+    def rName(c: String): String = if (collide(c)) s"__r_$c" else c
+    val rb = collide.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"__r_$c"))
+      .withColumn("__bk2", floor(epochSec(col(rName(rightTs))) / bandSeconds))
     val lb = left.withColumn("__bk",
       explode(array(floor(epochSec(col(leftTs)) / bandSeconds),
         floor(epochSec(col(leftTs)) / bandSeconds) + 1)))
-    val rb = right
-      .withColumnRenamed(key, s"__r_$key")
-      .withColumn("__bk2", floor(epochSec(col(rightTs)) / bandSeconds))
     lb.join(rb,
-        col(key) === col(s"__r_$key") && col("__bk") === col("__bk2") &&
-          col(rightTs) > col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"interval $bandSeconds second"))
-      .drop("__bk", "__bk2", s"__r_$key")
+        col(key) === col(rName(key)) && col("__bk") === col("__bk2") &&
+          col(rName(rightTs)) > col(leftTs) &&
+          col(rName(rightTs)) <= col(leftTs) + expr(s"interval $bandSeconds second"))
+      .drop("__bk", "__bk2", rName(key))
   }
 }

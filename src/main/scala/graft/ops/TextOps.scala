@@ -25,11 +25,15 @@ object TextOps {
       i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
-  /** Character n-gram shingles, one per start position. */
+  /** Character n-gram shingles, one per start position. Null text yields
+    * [''] like [[wordShingles]] (substr of null is null per element —
+    * uncoalesced, a filter built over these shingles would evaluate to
+    * null and silently drop null documents, against the pinned posture
+    * that degenerate docs flow through, never vanish). */
   def charShingles(text: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
-      i => text.substr(i, lit(n)))
+      i => coalesce(text.substr(i, lit(n)), lit("")))
 
   /** Default English stopword list used by the language-ID heuristic. */
   val defaultStopwords: Seq[String] =
@@ -75,12 +79,13 @@ object TextOps {
     round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
   }
 
-  /** Regex token count: alphabetic runs. */
-  def alphaTokenCount(text: Column): Column = regexp_count(text, lit("[a-z]+"))
+  /** Regex token count: alphabetic runs (both cases — a lowercase-only
+    * class would split 'The' into 'he' and undercount mixed-case text). */
+  def alphaTokenCount(text: Column): Column = regexp_count(text, lit("[a-zA-Z]+"))
 
   /** BPE-ish token count: alpha runs, digit runs, or single other chars. */
   def bpeIshTokenCount(text: Column): Column =
-    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
 
   /** Whole-document fingerprint. */
   def docFingerprint(text: Column): Column = md5(text)

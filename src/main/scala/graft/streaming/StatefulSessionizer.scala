@@ -47,22 +47,35 @@ object StatefulSessionizer {
             state.getOption.foreach(s => out += close(uid, s))
             state.remove()
           } else {
-            var st = state.getOption
-            // Micro-batch iterators are unordered; event-time order within
-            // the batch is restored here (cross-batch order is the
-            // watermark's job).
+            // Micro-batch iterators are unordered AND may be late relative
+            // to the open session (any event inside the watermark). Build
+            // the batch's own sessions first, then interval-merge them with
+            // the open state session sorted by START — a naive
+            // `t - last <= gap` against the open session would swallow a
+            // much-earlier late event (negative delta always passes) and
+            // never extend the session start backwards. Everything but the
+            // latest merged session is closed and emitted; a late session
+            // that is disjoint from the open one is emitted immediately
+            // (it cannot merge with anything later).
+            val locals = scala.collection.mutable.ArrayBuffer.empty[SessState]
             it.map(_.ts.getTime).toArray.sorted.foreach { t =>
-              st match {
+              locals.lastOption match {
                 case Some(s) if t - s.last <= gapMs =>
-                  st = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-                case Some(s) =>
-                  out += close(uid, s)
-                  st = Some(SessState(t, t, 1))
-                case None =>
-                  st = Some(SessState(t, t, 1))
+                  locals(locals.size - 1) = s.copy(last = t, n = s.n + 1)
+                case _ => locals += SessState(t, t, 1)
               }
             }
-            st.foreach { s =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessState]
+            (state.getOption.toSeq ++ locals).sortBy(_.start).foreach { s =>
+              merged.lastOption match {
+                case Some(m) if s.start - m.last <= gapMs =>
+                  merged(merged.size - 1) =
+                    SessState(m.start, math.max(m.last, s.last), m.n + s.n)
+                case _ => merged += s
+              }
+            }
+            merged.dropRight(1).foreach(s => out += close(uid, s))
+            merged.lastOption.foreach { s =>
               state.update(s)
               // Deadline must stay ahead of the current watermark, or Spark
               // rejects it; a later flush never changes session bounds.

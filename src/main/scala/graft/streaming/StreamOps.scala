@@ -18,7 +18,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StreamOps {
 
-  private val dec = DecimalType(18, 4)
+  // Max decimal width, not the batch oracle's (18,4): under ANSI a value
+  // past the narrow type's range would CAST_OVERFLOW and kill the
+  // streaming query permanently (restarts replay the same poison row).
+  // Numeric results are identical where both fit, so replay-equivalence
+  // with the batch forms is unaffected.
+  private val dec = DecimalType(38, 4)
 
   /** Declare the event-time column + allowed lateness. On a stream this
     * bounds state and defines the drop line for late rows; on batch it is

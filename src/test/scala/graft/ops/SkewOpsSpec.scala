@@ -25,6 +25,18 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("map-typed fact columns and duplicate rows don't break or defeat the salt") {
+    import spark.implicits._
+    // A map column would crash a hash(all-columns) salt at analysis, and
+    // 100 byte-identical hot-key rows would all land in one salt bucket.
+    val fact = spark.range(100)
+      .select(lit(1L).as("k"), lit("same").as("v"),
+        map(lit("a"), lit(1)).as("m"))
+    val dim = Seq((1L, "dim")).toDF("k", "d")
+    val joined = SkewOps.saltedJoin(fact, dim, "k", 8)
+    assert(joined.count() == 100)
+  }
+
   test("salt actually widens the shuffle key (hot keys spread n ways)") {
     val orders = TestSpark.table("orders")
     val customer = TestSpark.table("customer")

@@ -43,6 +43,49 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(plan.contains("Window"), "expected window-based fill")
   }
 
+  test("asofJoin attaches the latest right row ATOMICALLY and ignores null-ts/null-key right rows") {
+    import spark.implicits._
+    val left = Seq((1L, Option(10L), 100L), (2L, Option.empty[Long], 100L))
+      .toDF("id", "k", "lts")
+    val right = Seq(
+      (Option(10L), Option(1L), Option(5L), Option.empty[Long]), // (price=5, qty=null)
+      (Option(10L), Option(2L), Option.empty[Long], Option(7L)), // latest: (null, 7)
+      (Option(10L), Option.empty[Long], Option(99L), Option(99L)), // null ts: never matches
+      (Option.empty[Long], Option(1L), Option(88L), Option(88L))   // null key: never matches
+    ).toDF("k", "rts", "price", "qty")
+    val got = TemporalOps.asofJoin(left, right, "k", "lts", "rts", Seq("price", "qty"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+    // Row 1 gets the LATEST right row's values as-is — not a column-wise
+    // stitch (price=5 from an older row) and not the null-ts row's 99s.
+    assert(got(0) == (1L, None, Some(7L)), s"got ${got(0)}")
+    // Null-key left rows match nothing (equi semantics), not the null-key
+    // right row.
+    assert(got(1) == (2L, None, None), s"got ${got(1)}")
+  }
+
+  test("timeBandJoin accepts identical column names on both sides") {
+    val events = TestSpark.table("events")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("a"), col("user_id"), col("ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("b"), col("user_id"), col("ts"))
+    // Same "ts" name on both sides used to fail analysis with
+    // AMBIGUOUS_REFERENCE; the right's collided columns come out __r_-prefixed.
+    val got = TemporalOps.timeBandJoin(clicks, purchases, "user_id", "ts", "ts", 300L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TestSpark.corpus("q14_join_range_band")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.subsetOf(got) && got.nonEmpty)
+  }
+
+  test("timeBandJoin rejects a non-positive band at call time") {
+    val e = TestSpark.table("events").select(col("event_id").as("a"), col("user_id"), col("ts"))
+    intercept[IllegalArgumentException] {
+      TemporalOps.timeBandJoin(e, e, "user_id", "ts", "ts", 0L)
+    }
+  }
+
   test("timeBandJoin reproduces the declared range-band join (q14)") {
     val events = TestSpark.table("events")
     val clicks = events.where(col("event_type") === "click")

@@ -56,6 +56,35 @@ class StatefulSessionizerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late in-watermark events replay like batch: merge backwards or form their own session") {
+    // Batch 1 opens a session at 12:00; batch 2 delivers a LATE 09:00 event
+    // (well inside the watermark) plus 12:05. A naive `t - last <= gap`
+    // check would swallow 09:00 into the 12:00 session (negative delta);
+    // the correct replay forms a disjoint 09:00 singleton and merges 12:05.
+    def t(h: Int, m: Int) = new Timestamp(
+      java.time.LocalDateTime.of(2024, 6, 1, h, m).toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    val all = Seq(SessionEvent(7L, t(12, 0)), SessionEvent(7L, t(9, 0)), SessionEvent(7L, t(12, 5)))
+    val mem = MemoryStream[SessionEvent]
+    val q = StatefulSessionizer.sessions(
+        StreamOps.withEventTime(mem.toDF(), "2 days").as[SessionEvent], gapMs)
+      .writeStream.format("memory").queryName("t_latesess").outputMode("append").start()
+    try {
+      mem.addData(Seq(all.head)); q.processAllAvailable()
+      mem.addData(all.tail); q.processAllAvailable()
+      mem.addData(Seq(SessionEvent(-1L, new Timestamp(t(12, 5).getTime + 30L * 24 * 3600 * 1000))))
+      q.processAllAvailable()
+      val streamed = spark.table("t_latesess").as[Session].collect()
+        .filter(_.user_id >= 0)
+      val batch = StatefulSessionizer.batchSessions(
+        spark.createDataset(all), gapMs).collect()
+      def key(s: Session) = (s.user_id, s.start.getTime, s.end.getTime, s.n_events)
+      assert(streamed.map(key).toSet == batch.map(key).toSet)
+      assert(batch.map(key).toSet == Set(
+        (7L, t(9, 0).getTime, t(9, 0).getTime, 1L),
+        (7L, t(12, 0).getTime, t(12, 5).getTime, 2L)))
+    } finally q.stop()
+  }
+
   test("batch twin conserves events and respects the gap invariant") {
     val rows = eventRows
     val sessions = StatefulSessionizer.batchSessions(spark.createDataset(rows), gapMs).collect()
