@@ -77,8 +77,12 @@ object Pipelines {
                        n: Int = 3): DataFrame = {
     val probe = heldOut
       .select(explode(TextOps.wordShingles(heldOutText, n)).as("sh")).distinct()
+    // NO distinct on the corpus side: that would full-width shuffle the
+    // largest relation in the query BEFORE the Bloom probe gets to drop
+    // non-matching rows. The final distinct on doc_id is cheap and makes
+    // the duplicate shingle rows harmless.
     val corp = corpus.select(corpusId.as("doc_id"),
-      explode(TextOps.wordShingles(corpusText, n)).as("sh")).distinct()
+      explode(TextOps.wordShingles(corpusText, n)).as("sh"))
     SketchOps.bloomSemiJoin(corp, "sh", probe, "sh")
       .select("doc_id").distinct()
   }
@@ -94,14 +98,16 @@ object Pipelines {
     SketchOps.heavyHitters(grams, "sh", minCount)
   }
 
-  /** Doc fingerprints for incremental dedup across pipeline runs. */
+  /** Doc fingerprints for incremental dedup across pipeline runs. Pure
+    * per-row HOFs — ZERO exchanges, vs the explode+groupBy+join form's two
+    * full shuffles of the (doc_id, shingle) relation. CollapseProject
+    * duplicates the shingle array across its two uses (~2x row CPU), which
+    * is the right trade at cluster scale where the exchange, not the scan,
+    * is the bottleneck. */
   def fingerprints(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val sh = docs.select(id.as("doc_id"),
-      explode(TextOps.wordShingles(text, 3)).as("sh"))
-    val fp = sh.groupBy("doc_id").agg(
-      min(TextOps.shingleHash(col("sh"))).as("shingle_fp"),
-      countDistinct(col("sh")).as("n_shingles"))
-    docs.select(id.as("doc_id"), TextOps.docFingerprint(text).as("doc_fp"))
-      .join(fp, "doc_id")
+    val sh = TextOps.wordShingles(text, 3)
+    docs.select(id.as("doc_id"), TextOps.docFingerprint(text).as("doc_fp"),
+      array_min(transform(sh, s => TextOps.shingleHash(s))).as("shingle_fp"),
+      size(array_distinct(sh)).cast("bigint").as("n_shingles"))
   }
 }

@@ -23,31 +23,38 @@ object GraftFunctions {
   private def info(clazz: Class[_], name: String, usage: String) =
     new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** Clean wrong-number-of-arguments failure instead of an
+    * IndexOutOfBoundsException surfacing as an internal error. */
+  private def checkArity(name: String, n: Int, e: Seq[Expression]): Unit =
+    if (e.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${e.length}")
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       info(classOf[CosineSimilarity], "cosine_sim",
         "cosine_sim(a, b) - single-pass cosine similarity of two float arrays in double precision"),
-      (e: Seq[Expression]) => CosineSimilarity(e.head, e(1))),
+      (e: Seq[Expression]) => { checkArity("cosine_sim", 2, e); CosineSimilarity(e.head, e(1)) }),
     (FunctionIdentifier("dot_f32"),
       info(classOf[DotProduct], "dot_f32",
         "dot_f32(a, b) - dot product of two float arrays in double precision"),
-      (e: Seq[Expression]) => DotProduct(e.head, e(1))),
+      (e: Seq[Expression]) => { checkArity("dot_f32", 2, e); DotProduct(e.head, e(1)) }),
     (FunctionIdentifier("simhash16"),
       info(classOf[SimHash16], "simhash16",
         "simhash16(tokens) - 16-bit SimHash of a token array, one pass per row"),
-      (e: Seq[Expression]) => SimHash16(e.head)),
+      (e: Seq[Expression]) => { checkArity("simhash16", 1, e); SimHash16(e.head) }),
     (FunctionIdentifier("minhash_sig"),
       info(classOf[MinHashSig], "minhash_sig",
         "minhash_sig(tokens, k) - k-permutation MinHash signature, one pass per row"),
-      (e: Seq[Expression]) => MinHashSig(e.head, e(1))),
+      (e: Seq[Expression]) => { checkArity("minhash_sig", 2, e); MinHashSig(e.head, e(1)) }),
     (FunctionIdentifier("bloom_might_contain"),
       info(classOf[BloomMightContain], "bloom_might_contain",
         "bloom_might_contain(sketch, key) - membership probe against a serialized Bloom filter (no false negatives)"),
-      (e: Seq[Expression]) => BloomMightContain(e.head, e(1))),
+      (e: Seq[Expression]) => { checkArity("bloom_might_contain", 2, e); BloomMightContain(e.head, e(1)) }),
     (FunctionIdentifier("cms_estimate"),
       info(classOf[CmsEstimateCount], "cms_estimate",
         "cms_estimate(sketch, key) - count-min frequency upper bound for a key"),
-      (e: Seq[Expression]) => CmsEstimateCount(e.head, e(1))),
+      (e: Seq[Expression]) => { checkArity("cms_estimate", 2, e); CmsEstimateCount(e.head, e(1)) }),
   )
 
   def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)
@@ -73,9 +80,14 @@ object GraftFunctions {
       try {
         val ss = spark.getClass.getMethod("sessionState").invoke(spark)
         val fr = ss.getClass.getMethod("functionRegistry").invoke(ss)
+        // Two 3-arg registerFunction overloads exist (…, ExpressionInfo,
+        // builder) and (…, builder, String source); getMethods() order is
+        // unspecified, so pin the second parameter type or a JVM could
+        // hand back the wrong one and fail every registration.
         val m = fr.getClass.getMethods.find { mm =>
           mm.getName == "registerFunction" && mm.getParameterCount == 3 &&
-            mm.getParameterTypes()(0) == classOf[FunctionIdentifier]
+            mm.getParameterTypes()(0) == classOf[FunctionIdentifier] &&
+            mm.getParameterTypes()(1) == classOf[ExpressionInfo]
         }.getOrElse(throw new NoSuchMethodException("FunctionRegistry.registerFunction/3"))
         missing.foreach { case (id, inf, builder) =>
           try m.invoke(fr, id, inf, builder)

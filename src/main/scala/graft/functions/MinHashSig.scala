@@ -44,19 +44,25 @@ case class MinHashSig(left: Expression, right: Expression)
 }
 
 object MinHashSigUtil {
-  /** k seeded minima over the DISTINCT tokens of the array. */
+  /** k seeded minima over the DISTINCT tokens of the array. One digest
+    * instance and pre-encoded seed prefixes per call — not per (seed,
+    * token) pair, which costs a provider lookup + allocations for
+    * constant work on the hot path. */
   def sig(tokens: ArrayData, k: Int): Array[Long] = {
     val out = Array.fill(k)(Long.MaxValue)
     val seen = new java.util.HashSet[String]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(k)(j => s"${j + 1}:".getBytes("UTF-8"))
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         val w = tokens.getUTF8String(i).toString
         if (seen.add(w)) {
+          val wb = w.getBytes("UTF-8")
           var j = 0
           while (j < k) {
-            val h = MinHashAgg.hash48(j + 1, w)
+            val h = MinHashAgg.hash48(md, prefixes(j), wb)
             if (h < out(j)) out(j) = h
             j += 1
           }

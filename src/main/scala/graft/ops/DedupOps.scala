@@ -155,6 +155,11 @@ object DedupOps {
     * the normal shape at 100 TB, where candidates are written out and
     * audited separately — should verify with [[jaccardVerifyCompact]]. */
   def minhashLsh(tokens: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
+    // bands > k would give 0 rows per band — every doc in ONE bucket, the
+    // all-pairs quadratic blowup this operator exists to avoid; a k not
+    // divisible by bands would silently drop trailing signature rows.
+    require(bands >= 1 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands)")
     val sig = minhashSignatures(tokens, k)
     val cand = lshCandidates(lshBandKeys(sig, bands, k / bands))
     jaccardVerify(tokens, cand, threshold)

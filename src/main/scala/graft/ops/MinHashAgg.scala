@@ -48,9 +48,21 @@ final class MinHashAgg(k: Int) extends Aggregator[(Long, String), Array[Long], A
 object MinHashAgg {
   /** First 48 bits of md5("seed:token") — identical to the SQL lowering's
     * `substr(md5(concat(seed, ':', w)), 1, 12)` read as hex. */
-  def hash48(seed: Int, w: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(s"$seed:$w".getBytes("UTF-8"))
+  def hash48(seed: Int, w: String): Long =
+    hash48(MessageDigest.getInstance("MD5"),
+      s"$seed:".getBytes("UTF-8"), w.getBytes("UTF-8"))
+
+  /** Hot-path form: the caller supplies a reusable digest and
+    * pre-encoded byte chunks — `MessageDigest.getInstance` is a provider
+    * lookup + allocation per call, and the single-pass `minhash_sig`
+    * expression evaluates this k times per distinct token per row. The
+    * digest over (prefix ++ token) bytes is byte-identical to md5 of the
+    * concatenated string. */
+  def hash48(md: MessageDigest, seedPrefix: Array[Byte], w: Array[Byte]): Long = {
+    md.reset()
+    md.update(seedPrefix)
+    md.update(w)
+    val d = md.digest()
     ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }

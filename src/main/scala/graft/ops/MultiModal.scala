@@ -101,13 +101,19 @@ object MultiModal {
     * partition size. Narrow (no exchange): payloads never shuffle. */
   def decodeFeatures(assets: DataFrame, codec: AssetCodec,
                      batchSize: Int = 64): DataFrame = {
-    val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val in: Dataset[Row] = assets.select("asset_id", "payload")
-    val out = in.mapPartitions { rows =>
+    // Null asset_id/payload rows are excluded up front: the schema allows
+    // them (source-dependent), and one such row would otherwise NPE inside
+    // the codec and kill the whole decode job (the H13-class posture:
+    // degenerate rows must never be job-fatal). Undecodable rows are simply
+    // absent from the features output — join back by id to find them.
+    val in: Dataset[Row] = assets
+      .where(col("asset_id").isNotNull && col("payload").isNotNull)
+      .select("asset_id", "payload")
+    in.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // One "record batch" at a time: a vectorizing decoder sees the
         // whole batch in a single call.
@@ -115,7 +121,9 @@ object MultiModal {
           .map { case (id, fs) => Row(id, fs) }
       }
     }(enc)
-    spark.createDataFrame(out.rdd, outSchema)
+    // NOT spark.createDataFrame(out.rdd, schema): that deserializes every
+    // row and severs the plan into an RDD scan (no codegen fusion, no AQE
+    // stats downstream); the mapPartitions Dataset already has outSchema.
   }
 
   /** [[decodeFeatures]] with the deterministic [[StubCodec]]. */

@@ -47,7 +47,10 @@ object Canon {
     case d: java.math.BigDecimal   => py4(d.doubleValue)
     case d: scala.math.BigDecimal  => py4(d.doubleValue)
     case t: java.time.LocalDateTime => tsFmt.format(t)
-    case t: java.sql.Timestamp     => tsFmt.format(t.toLocalDateTime)
+    // Via the instant + explicit UTC, NOT toLocalDateTime: that uses the
+    // JVM default zone, which spark.sql.session.timeZone does not set — on
+    // a non-UTC machine LTZ results would hash differently from the oracle.
+    case t: java.sql.Timestamp     => tsFmt.format(java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC))
     case t: java.time.Instant      => tsFmt.format(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
     case d: java.time.LocalDate    => d.toString + " 00:00:00.000000"
     case d: java.sql.Date          => d.toLocalDate.toString + " 00:00:00.000000"
