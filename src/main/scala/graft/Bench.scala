@@ -106,10 +106,8 @@ object Bench {
       // Bloom prefilter + exact semi join (q82 shape): guards the native
       // bloom_might_contain probe's scan-side cost.
       "x_bloom_semijoin" -> (() => {
-        def sh(flt: org.apache.spark.sql.Column) = docs.where(flt)
-          .select(col("doc_id"),
-            explode(graft.ops.TextOps.wordShingles(col("text"), 3)).as("sh"))
-          .distinct()
+        def sh(flt: org.apache.spark.sql.Column) =
+          graft.ops.DedupOps.wordShingleSet(docs.where(flt), col("doc_id"), col("text"))
         val probe = sh(col("doc_id") < 10).select("sh").distinct()
         graft.ops.SketchOps.bloomSemiJoin(sh(col("doc_id") >= 10), "sh", probe, "sh")
           .agg(countDistinct(col("doc_id")).as("n"))
@@ -137,8 +135,16 @@ object Bench {
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // sfDir comes from the environment — escape it or a quote/backslash in
+    // the path breaks the one-line JSON contract the harness parses.
+    val sfJson = sfDir.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"sf":"$sfJson"}""")
     spark.stop()
   }
 }

@@ -20,12 +20,15 @@ object Corpus {
   private def q(name: String, sql: String) = CorpusQuery(name, sql, sql)
   private def q2(name: String, spark: String, duck: String) = CorpusQuery(name, spark, duck)
 
-  private val simSpark =
-    """round(aggregate(zip_with(p.embedding, g.embedding, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (a,x)->a+x)
- / (sqrt(aggregate(transform(p.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(a,x)->a+x))
-  * sqrt(aggregate(transform(g.embedding, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(a,x)->a+x))),6)"""
+  // DEGENERATE-INPUT SCOPE: these declared similarity texts use a bare
+  // divide — on a zero-norm embedding Spark 4 (ANSI) throws rather than
+  // returning NaN. The contract is defined on the driver fixtures, which
+  // contain no zero-norm vectors (invariant); the LIBRARY surface pins the
+  // wider semantics instead (VectorOps.cosine → NaN, Ann ranks NaN last —
+  // SURVEY H13/H14, VectorOpsSpec).
+  private def simSpark = simOf("p", "g")
 
-  private val simDuck = "round(list_cosine_similarity(p.embedding::DOUBLE[], g.embedding::DOUBLE[]),6)"
+  private def simDuck = simDuckOf("p", "g")
 
   // ---- generators shared by the q50+ extension queries (both dialects) ----
 

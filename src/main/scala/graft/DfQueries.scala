@@ -807,11 +807,13 @@ object DfQueries {
       // the 300 smallest doc_ids, so the per-row fingerprint math runs on
       // 300 rows, not the corpus — the plan a cluster should run. (The
       // unlimited pipeline form is Pipelines.fingerprints.)
-      // The declared SQL inner-joins docs to the shingle aggregate, so a
-      // null-text doc (no exploded rows) is ABSENT from its output — the
-      // filter keeps the lowerings identical on degenerate corpora.
+      // NO null-text filter: the declared SQL's shingle source yields one
+      // '' shingle for null text (greatest(NULL,1)=1; concat_ws of nulls
+      // is ''), so such docs DO survive its inner join — with doc_fp NULL,
+      // shingle_fp md5('')-prefix, n_shingles 1. This projection computes
+      // exactly that.
       val shArr = TextOps.wordShingles(col("text"), 3)
-      t(s, "documents").where(col("text").isNotNull)
+      t(s, "documents")
         .orderBy("doc_id").limit(300)
         .select(col("doc_id"), TextOps.docFingerprint(col("text")).as("doc_fp"),
           array_min(transform(shArr, sh => TextOps.shingleHash(sh))).as("shingle_fp"),
@@ -883,10 +885,9 @@ object DfQueries {
       // Probe side (held-out docs) is tiny by construction → broadcast;
       // the corpus side is filtered by the hash join without shuffling.
       val docs = t(s, "documents")
-      def sh(df: DataFrame) = df.select(col("doc_id"),
-        explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      def sh(df: DataFrame) = DedupOps.wordShingleSet(df, col("doc_id"), col("text"))
       val probe = sh(docs.where(col("doc_id") < 10)).select("sh").distinct()
-      val corp = sh(docs.where(col("doc_id") >= 10)).distinct()
+      val corp = sh(docs.where(col("doc_id") >= 10))
       corp.join(broadcast(probe), "sh")
         .groupBy("doc_id").agg(count(lit(1)).as("hits"))
         .orderBy(col("hits").desc, col("doc_id")).limit(200)
@@ -909,10 +910,9 @@ object DfQueries {
       // IN-subquery oracle, but at scale the corpus rows that cannot match
       // die before any exchange.
       val docs = t(s, "documents")
-      def sh(df: DataFrame) = df.select(col("doc_id"),
-        explode(TextOps.wordShingles(col("text"), 3)).as("sh"))
+      def sh(df: DataFrame) = DedupOps.wordShingleSet(df, col("doc_id"), col("text"))
       val probe = sh(docs.where(col("doc_id") < 10)).select("sh").distinct()
-      val corp = sh(docs.where(col("doc_id") >= 10)).distinct()
+      val corp = sh(docs.where(col("doc_id") >= 10))
       SketchOps.bloomSemiJoin(corp, "sh", probe, "sh")
         .select("doc_id").distinct()
         .orderBy("doc_id").limit(200)

@@ -47,6 +47,16 @@ object LocalVerify {
           println(s"ERROR $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.toSeq.headOption.getOrElse("")}")
       }
     }
+    // A stored hash with no executed query means the contract SHRANK
+    // (entry deleted or renamed without regenerating the hash file) — that
+    // must fail the gate, not silently pass with fewer queries.
+    if (only.isEmpty) {
+      val orphaned = expected.keySet -- names.toSet
+      orphaned.toSeq.sorted.foreach { n =>
+        fail += 1
+        println(s"FAIL  $n: stored expected hash but no declared query (contract shrank?)")
+      }
+    }
     println(s"== $pass pass, $fail fail, $skip unchecked ==")
     spark.stop()
     if (fail > 0) sys.exit(1)

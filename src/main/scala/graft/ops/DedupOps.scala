@@ -33,6 +33,13 @@ object DedupOps {
     df.select(id.as("doc_id"), explode(TextOps.charShingles(text, n)).as("sh"))
       .distinct()
 
+  /** Distinct (id, shingle) relation over word n-grams — the shared shape
+    * of the contamination queries (q79/q82) and their bench twin; one
+    * definition so shingle semantics cannot drift between them. */
+  def wordShingleSet(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    df.select(id.as("doc_id"), explode(TextOps.wordShingles(text, n)).as("sh"))
+      .distinct()
+
   /** Exact-duplicate groups keyed by a prefix digest: groups with >1 member,
     * keeping the smallest id as the canonical representative. */
   def exactDupGroups(df: DataFrame, id: Column, text: Column, prefixLen: Int = 16): DataFrame =

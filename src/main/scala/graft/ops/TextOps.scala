@@ -26,14 +26,16 @@ object TextOps {
   }
 
   /** Character n-gram shingles, one per start position. Null text yields
-    * [''] like [[wordShingles]] (substr of null is null per element —
-    * uncoalesced, a filter built over these shingles would evaluate to
-    * null and silently drop null documents, against the pinned posture
-    * that degenerate docs flow through, never vanish). */
+    * [NULL] — deliberately NOT coalesced to '': the declared q57 SQL uses
+    * bare substr, whose NULL shingles never equi-join, so null-text docs
+    * form no near-dup pairs; coalescing here would pair every null/empty
+    * doc with Jaccard 1.0 and diverge from the contract (TextOpsEdgeSpec
+    * pins the no-pairs behavior). Filters built over char shingles must
+    * treat a null hit as no-match. */
   def charShingles(text: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
-      i => coalesce(text.substr(i, lit(n)), lit("")))
+      i => text.substr(i, lit(n)))
 
   /** Default English stopword list used by the language-ID heuristic. */
   val defaultStopwords: Seq[String] =

@@ -42,6 +42,21 @@ class TextOpsEdgeSpec extends AnyFunSuite {
     assert(r(1).getDouble(0) == 1.0) // "the" is all stopwords
   }
 
+  test("char-shingle near-dup never pairs null-text docs (NULL shingles don't equi-join)") {
+    import spark.implicits._
+    // The declared q57 SQL produces NULL shingles for null text (bare
+    // substr), and NULL never matches in the inverted-index join — so two
+    // null docs, or a null and an empty doc, must NOT come out as a
+    // Jaccard-1.0 pair. Coalescing char shingles to '' would pair them.
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, ""),
+      (4L, "abcabc"), (5L, "abcabc"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.pairwiseJaccard(
+        DedupOps.charShingleSet(docs, col("doc_id"), col("text"), 3), "sh", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((4L, 5L)), s"unexpected pairs: $pairs")
+  }
+
   test("fingerprints differ across different docs, agree across identical text") {
     val d = df("same text here", "same text here", "different entirely")
     val fps = d.select(TextOps.docFingerprint(col("text")).as("fp")).collect().map(_.getString(0))
