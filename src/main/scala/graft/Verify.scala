@@ -21,8 +21,9 @@ object Verify {
         val dir = Paths.get(s"$outDir/$name")
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
+          val walk = Files.walk(dir)
+          val paths = try walk.iterator().asScala.toSeq finally walk.close()
+          paths.reverse.foreach(p => Files.deleteIfExists(p))
         }
       }
     }

@@ -93,6 +93,18 @@ final class KeyedJob[K, V] private[mr] (val ds: Dataset[(K, V)]) {
     val sorted = ds.map { case (key, v) => (key, sortKey(v), v) }
       .repartition(col("_1"))
       .sortWithinPartitions(col("_1"), col("_2"))
+    // Key-run boundary equality: VALUE equality, including (nested) array
+    // keys — `Array[Byte]` digests are natural MR keys but `==` on JVM
+    // arrays is referential, which would make every row its own run and
+    // silently invoke the reducer many times per key. (A local def, not a
+    // class member: the task closure must not capture `this`.) Keys whose
+    // type hides arrays where `Objects.deepEquals` cannot see them (an
+    // Array FIELD inside a case-class key) still need value-equality
+    // semantics of their own. (A lambda VAL, not a def: a nested def lifts
+    // to an instance method and drags `this` into the task closure.)
+    val keyEq: (Any, Any) => Boolean =
+      (a, b) => java.util.Objects.deepEquals(
+        a.asInstanceOf[AnyRef], b.asInstanceOf[AnyRef])
     new Job(sorted.mapPartitions { rows =>
       val buf = rows.buffered
       new Iterator[U] {
@@ -102,7 +114,7 @@ final class KeyedJob[K, V] private[mr] (val ds: Dataset[(K, V)]) {
           while (!cur.hasNext && { drainRun(); buf.hasNext }) {
             val key = buf.head._1
             val run: Iterator[V] = new Iterator[V] {
-              def hasNext: Boolean = buf.hasNext && buf.head._1 == key
+              def hasNext: Boolean = buf.hasNext && keyEq(buf.head._1, key)
               def next(): V = buf.next()._3
             }
             drainRun = () => while (run.hasNext) run.next()

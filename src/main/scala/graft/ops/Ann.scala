@@ -43,15 +43,18 @@ object Ann {
     * NaN already fails `>= t`). */
   private def rankSafe(s: Column): Column = nanvl(s, lit(-2.0))
 
-  /** Arg-max ordering key: maximize `s`, break ties on the SMALLEST id —
-    * (s, -id) under max_by is exactly `order by s desc, id` row_number()=1,
-    * but as a hash aggregation: map-side partial arg-max per partition, one
-    * shuffled row per group, no sort. */
-  private def argmaxKey(s: Column, id: Column): Column =
-    struct(rankSafe(s), -id)
+  /** Arg-max via a MIN ordering key: minimizing (-s, id) is exactly
+    * `order by s desc, id` row_number()=1, but as a hash aggregation —
+    * map-side partial arg-min per partition, one shuffled row per group,
+    * no sort. The NEGATION sits on the score (a double — always safely
+    * negatable, including the NaN→-2.0 rankSafe floor), never on the id:
+    * negating ids would restrict callers to signed-numeric id columns and
+    * `-Long.MinValue` errors under ANSI. Ids only need to be orderable. */
+  private def argminKey(s: Column, id: Column): Column =
+    struct(-rankSafe(s), id)
 
   /** Exact 1-NN per probe (q36 shape): brute-force scores + arg-max via a
-    * max_by aggregation (partial agg map-side; never a per-probe sort). */
+    * min_by aggregation (partial agg map-side; never a per-probe sort). */
   def knn(probes: DataFrame, gallery: DataFrame,
           id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
@@ -59,20 +62,20 @@ object Ann {
     p.crossJoin(g)
       .withColumn("s", cosine6(col("p_emb"), col("g_emb")))
       .groupBy("p_id")
-      .agg(max_by(struct(col("g_id"), col("s")),
-        argmaxKey(col("s"), col("g_id"))).as("m"))
+      .agg(min_by(struct(col("g_id"), col("s")),
+        argminKey(col("s"), col("g_id"))).as("m"))
       .select(col("p_id"), col("m.g_id").as("g_id"), col("m.s").as("s"))
   }
 
   /** Assign every vector to its nearest centroid (IVF coarse quantization).
-    * Centroids are broadcast; assignment is a per-row max_by arg-max. */
+    * Centroids are broadcast; assignment is a per-row min_by arg-max. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
     vectors.crossJoin(broadcast(c))
       .withColumn("sim", cosine6(col(vec), col("c_emb")))
       .groupBy(col(id))
-      .agg(max_by(col("cid"), argmaxKey(col("sim"), col("cid"))).as("cid"))
+      .agg(min_by(col("cid"), argminKey(col("sim"), col("cid"))).as("cid"))
   }
 
   /** Hyperplane `j`'s per-dim weights: integer in [-7, 8] from the first

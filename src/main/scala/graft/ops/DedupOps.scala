@@ -239,50 +239,63 @@ object DedupOps {
     * `checkpointDir`: by default rounds are cut with localCheckpoint
     * (executor-local blocks — fast, but on a real cluster an executor loss
     * kills the job mid-iteration). Pass a reliable directory (HDFS/S3) to
-    * cut with fault-tolerant checkpoint() instead — the 100 TB posture.
+    * cut each round via an explicit parquet round-trip instead — the
+    * 100 TB posture. (Deliberately NOT `df.checkpoint()`: that requires
+    * mutating the SparkContext-GLOBAL checkpoint dir, and the pre-mutation
+    * value is unrecoverable — `getCheckpointDir` returns a UUID-suffixed
+    * subdirectory, so a save/restore silently repoints unrelated jobs'
+    * checkpoints at a nested child.) Superseded intermediate cuts are
+    * deleted as the iteration advances; the final cut stays on disk
+    * backing the returned DataFrame, like a checkpoint would.
     *
     * Input: pairs (d1, d2). Output: (doc, label) for every node with at
     * least one edge, label = min node id of its component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
                           checkpointDir: Option[String] = None): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    // setCheckpointDir is GLOBAL to the SparkContext — save and restore so
-    // this call cannot silently repoint checkpoints for unrelated jobs
-    // (every checkpoint() below is eager, so nothing dangles afterwards).
-    val previousDir = sc.getCheckpointDir
-    checkpointDir.foreach(sc.setCheckpointDir)
+    val spark = pairs.sparkSession
+    val runDir = checkpointDir.map(d =>
+      s"$d/graft-cc-${java.util.UUID.randomUUID()}")
+    var step = 0
+    def cut(df: DataFrame): (DataFrame, Option[String]) = runDir match {
+      case Some(base) =>
+        val path = s"$base/step-$step"; step += 1
+        df.write.mode("overwrite").parquet(path)
+        (spark.read.parquet(path), Some(path))
+      case None => (df.localCheckpoint(), None)
+    }
+    def drop(path: Option[String]): Unit = path.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val (e, ePath) = cut(pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .unionAll(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .distinct())
+    var (labels, labelsPath) = cut(e.select(col("u")).distinct()
+      .withColumn("label", col("u")))
+    var converged = false
+    var i = 0
     try {
-      def cut(df: DataFrame): DataFrame =
-        if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-      val e = cut(pairs.select(col("d1").as("u"), col("d2").as("v"))
-        .unionAll(pairs.select(col("d2").as("u"), col("d1").as("v")))
-        .distinct())
-      var labels = cut(e.select(col("u")).distinct()
-        .withColumn("label", col("u")))
-      var converged = false
-      var i = 0
       while (!converged && i < maxIter) {
         val prop = e.join(labels.select(col("u").as("v"), col("label")), "v")
           .groupBy("u").agg(min(col("label")).as("nlabel"))
-        val next = cut(labels.join(prop, Seq("u"), "left")
+        val (next, nextPath) = cut(labels.join(prop, Seq("u"), "left")
           .select(col("u"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
         val changed = next.select(col("u"), col("label").as("nl"))
           .join(labels, "u").where(col("nl") =!= col("label")).limit(1).count()
+        drop(labelsPath)
         labels = next
+        labelsPath = nextPath
         converged = changed == 0
         i += 1
       }
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents: labels still changing after $maxIter rounds — " +
-            "a component with diameter > maxIter would get silently split " +
-            "labels; raise maxIter (rounds needed ~ worst component diameter)")
-      labels.select(col("u").as("doc"), col("label"))
-    } finally {
-      if (checkpointDir.isDefined && checkpointDir != previousDir)
-        sc.setCheckpointDir(previousDir.orNull)
-    }
+    } finally drop(ePath)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: labels still changing after $maxIter rounds — " +
+          "a component with diameter > maxIter would get silently split " +
+          "labels; raise maxIter (rounds needed ~ worst component diameter)")
+    labels.select(col("u").as("doc"), col("label"))
   }
 
   /** Bit `j` (0..15) of md5(w)'s first 16 bits, as 0/1 — integer math only

@@ -106,6 +106,21 @@ class MrJobSpec extends AnyFunSuite {
     assert(firsts == Map(1L -> "a", 2L -> "x"))
   }
 
+  test("secondary sort: Array[Byte] keys form ONE run per key (value equality, not reference)") {
+    // Binary digests are natural MR keys; `==` on JVM arrays is
+    // referential, which would split every key into per-row runs and
+    // invoke the reducer once per ROW instead of once per key.
+    val data = Seq((Array[Byte](1, 2), 20L, "b"), (Array[Byte](1, 2), 10L, "a"),
+                   (Array[Byte](3), 1L, "x"), (Array[Byte](3), 2L, "y"))
+      .toDF("k", "t", "v").as[(Array[Byte], Long, String)]
+    val runs = Job.of(data).keyBy(_._1)
+      .groupReduceSorted(v => v._2) { (k, vs) =>
+        Iterator((k.toSeq.mkString(":"), vs.map(_._3).mkString(",")))
+      }
+      .collect().toSeq.sortBy(_._1)
+    assert(runs == Seq("1:2" -> "a,b", "3" -> "x,y"))
+  }
+
   test("save/read round-trip (R7 sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mr").toString + "/wc"
     texts.flatMap(_.split(" ").toSeq).map(w => (w, 1L)).pairs[String, Long]

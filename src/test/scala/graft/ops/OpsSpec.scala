@@ -111,6 +111,14 @@ class OpsSpec extends AnyFunSuite {
         checkpointDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // No global SparkContext state was touched...
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    // ...and superseded cuts were dropped: only the final labels cut (the
+    // files backing the returned DataFrame) survives in the run directory.
+    val runDir = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(runDir.length == 1, s"expected one run dir, got ${runDir.toSeq}")
+    assert(runDir.head.listFiles().count(_.isDirectory) == 1,
+      s"expected only the final cut to remain: ${runDir.head.listFiles().toSeq}")
   }
 
   test("cosine6 is symmetric and 1.0 on itself") {

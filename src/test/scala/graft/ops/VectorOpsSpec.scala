@@ -105,6 +105,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivf.getLong(1) == 1L, s"zero-norm centroid won assignment: $ivf")
   }
 
+  test("knn/ivfAssign work with NON-numeric ids (tie-break never negates the id)") {
+    import spark.implicits._
+    // Two gallery rows with IDENTICAL vectors force a score tie: the
+    // arg-min key must break it to the lexicographically smallest id
+    // without negating (string ids cannot be negated; Long.MinValue
+    // errors under ANSI).
+    val gallery = Seq(("doc-b", Array(1f, 0f)), ("doc-a", Array(1f, 0f)),
+        ("doc-c", Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq(("p1", Array(1f, 0.01f))).toDF("vec_id", "embedding")
+    val nn = Ann.knn(probes, gallery).head()
+    assert(nn.getString(1) == "doc-a", s"tie not broken to smallest id: $nn")
+    val asg = Ann.ivfAssign(probes, gallery).head()
+    assert(asg.getString(1) == "doc-a", s"assignment tie not smallest id: $asg")
+  }
+
   test("all-zero vectors quantize to zero codes and NaN cosine — no ANSI divide error") {
     import spark.implicits._
     val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, 3f)))

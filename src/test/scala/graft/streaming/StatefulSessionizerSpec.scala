@@ -85,6 +85,37 @@ class StatefulSessionizerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late event within gap of an earlier-batch session merges, not splits") {
+    // Batch 1 = {10:00, 12:00}: the 10:00 session sorts before the open
+    // 12:00 one, but its end is still inside the watermark — it must be
+    // HELD, not emitted. Batch 2 delivers a late 10:03 (within gap of
+    // 10:00): batch replay merges them into [10:00..10:03]×2. The round-3
+    // early-emit would have already emitted [10:00]×1 and turned 10:03
+    // into a spurious singleton.
+    def t(h: Int, m: Int) = new Timestamp(
+      java.time.LocalDateTime.of(2024, 6, 1, h, m).toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    val all = Seq(SessionEvent(9L, t(10, 0)), SessionEvent(9L, t(12, 0)), SessionEvent(9L, t(10, 3)))
+    val mem = MemoryStream[SessionEvent]
+    val q = StatefulSessionizer.sessions(
+        StreamOps.withEventTime(mem.toDF(), "2 days").as[SessionEvent], gapMs)
+      .writeStream.format("memory").queryName("t_heldsess").outputMode("append").start()
+    try {
+      mem.addData(all.take(2)); q.processAllAvailable()
+      mem.addData(Seq(all(2))); q.processAllAvailable()
+      mem.addData(Seq(SessionEvent(-1L, new Timestamp(t(12, 0).getTime + 30L * 24 * 3600 * 1000))))
+      q.processAllAvailable()
+      val streamed = spark.table("t_heldsess").as[Session].collect()
+        .filter(_.user_id >= 0)
+      val batch = StatefulSessionizer.batchSessions(
+        spark.createDataset(all), gapMs).collect()
+      def key(s: Session) = (s.user_id, s.start.getTime, s.end.getTime, s.n_events)
+      assert(streamed.map(key).toSet == batch.map(key).toSet)
+      assert(batch.map(key).toSet == Set(
+        (9L, t(10, 0).getTime, t(10, 3).getTime, 2L),
+        (9L, t(12, 0).getTime, t(12, 0).getTime, 1L)))
+    } finally q.stop()
+  }
+
   test("batch twin conserves events and respects the gap invariant") {
     val rows = eventRows
     val sessions = StatefulSessionizer.batchSessions(spark.createDataset(rows), gapMs).collect()
