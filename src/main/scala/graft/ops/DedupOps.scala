@@ -224,17 +224,21 @@ object DedupOps {
   /** Connected components over a near-dup pair list — the transitive
     * closure that turns pairwise matches into dedup CLUSTERS (a~b, b~c ⇒
     * {a,b,c} even when a,c were never compared). Distributed min-label
-    * propagation: every node starts as its own label; each round takes the
-    * min of its own and its neighbors' labels; converges in O(diameter)
-    * rounds. Each round is one join + one aggregation; lineage is cut per
-    * round so plans stay bounded.
+    * propagation WITH POINTER JUMPING: every node starts as its own label;
+    * each round takes the min of its own and its neighbors' labels, then
+    * jumps `label(u) ← label(label(u))` (label values are always node ids,
+    * so the jump is a self-join of the label table). The jump doubles how
+    * far the component minimum has travelled each round, so convergence is
+    * O(log diameter) rounds, not O(diameter) — a 1000-link chain closes in
+    * ~10 rounds instead of 1000 (plain propagation THREW at the default
+    * maxIter on exactly that shape). Each round is two joins + one
+    * aggregation; lineage is cut per round so plans stay bounded.
     *
     * If the labels have not provably converged within `maxIter` rounds this
     * THROWS — a silent exit would return split labels for any component
-    * with diameter > maxIter, which is indistinguishable from a correct
-    * answer downstream. Size maxIter to the worst component diameter you
-    * accept (near-dup clusters are shallow; chains are the pathological
-    * case).
+    * with 2^maxIter ≪ diameter, which is indistinguishable from a correct
+    * answer downstream. The default 30 covers any graph whose diameter fits
+    * in a billion hops, i.e. anything real.
     *
     * `checkpointDir`: by default rounds are cut with localCheckpoint
     * (executor-local blocks — fast, but on a real cluster an executor loss
@@ -278,9 +282,18 @@ object DedupOps {
       while (!converged && i < maxIter) {
         val prop = e.join(labels.select(col("u").as("v"), col("label")), "v")
           .groupBy("u").agg(min(col("label")).as("nlabel"))
-        val (next, nextPath) = cut(labels.join(prop, Seq("u"), "left")
+        val stepped = labels.join(prop, Seq("u"), "left")
           .select(col("u"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        // Pointer jump: label(u) ← label(label(u)). Every label value is a
+        // node id of the same component (values only ever copy existing
+        // labels, which start as node ids), so the lookup is a self-join;
+        // labels only decrease, so the grand-label can only improve.
+        val (next, nextPath) = cut(stepped
+          .join(stepped.select(col("u").as("gu"), col("label").as("gl")),
+            col("label") === col("gu"), "left")
+          .select(col("u"),
+            least(col("label"), coalesce(col("gl"), col("label"))).as("label")))
         val changed = next.select(col("u"), col("label").as("nl"))
           .join(labels, "u").where(col("nl") =!= col("label")).limit(1).count()
         drop(labelsPath)

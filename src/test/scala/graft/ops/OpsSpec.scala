@@ -89,18 +89,26 @@ class OpsSpec extends AnyFunSuite {
 
   test("connectedComponents: throws on non-convergence instead of returning split labels") {
     import spark.implicits._
-    // Path graph 0-1-2-...-11: min-label propagation moves label 0 one hop
-    // per round, so diameter 11 needs ~11 rounds; maxIter=3 must THROW (a
-    // silent exit would return labels that look valid but split the chain).
-    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("d1", "d2")
+    // Path graph 0-1-...-64: pointer jumping reaches distance ~2^t after t
+    // rounds, so maxIter=3 covers only ~7 hops and must THROW (a silent
+    // exit would return labels that look valid but split the chain).
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("d1", "d2")
     val e = intercept[IllegalStateException] {
       DedupOps.connectedComponents(chain, maxIter = 3).collect()
     }
     assert(e.getMessage.contains("maxIter"))
-    // With enough rounds the same chain converges to a single component.
-    val labels = DedupOps.connectedComponents(chain, maxIter = 15)
+  }
+
+  test("connectedComponents: a 1000-link chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // Plain min-label propagation needs O(diameter) = 1000 rounds here and
+    // threw at maxIter=30; pointer jumping doubles the propagated distance
+    // per round, so ~10 rounds suffice (+1 to observe the fixpoint).
+    // maxIter=14 leaves margin while still proving the log-time claim.
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = DedupOps.connectedComponents(chain, maxIter = 14)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 12 && labels.values.forall(_ == 0L))
+    assert(labels.size == 1001 && labels.values.forall(_ == 0L))
   }
 
   test("connectedComponents: reliable checkpoint directory variant produces the same labels") {
