@@ -855,13 +855,9 @@ object DfQueries {
     },
 
     "q58_embedding_neardup" -> { (s, _) =>
-      val emb = t(s, "embeddings")
-      val a = emb.select(col("vec_id").as("d1"), col("embedding").as("a_emb"))
-      val b = emb.select(col("vec_id").as("d2"), col("embedding").as("b_emb"))
-      val sim = VectorOps.cosine6Native(col("a_emb"), col("b_emb"))
-      a.join(b, col("d1") < col("d2"))
-        .where(sim >= 0.44)
-        .select(col("d1"), col("d2"), sim.as("s"))
+      // The guarded audit form: Ann.allPairsCosine throws past its size
+      // bound instead of silently going quadratic; q76 is the LSH twin.
+      Ann.allPairsCosine(t(s, "embeddings"), threshold = 0.44)
         .orderBy("d1", "d2").limit(200)
     },
 

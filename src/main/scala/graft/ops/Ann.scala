@@ -54,9 +54,23 @@ object Ann {
     struct(-rankSafe(s), id)
 
   /** Exact 1-NN per probe (q36 shape): brute-force scores + arg-max via a
-    * min_by aggregation (partial agg map-side; never a per-probe sort). */
+    * min_by aggregation (partial agg map-side; never a per-probe sort).
+    *
+    * AUDIT FORM — O(probes × gallery), guarded: throws when the pair space
+    * exceeds `maxPairs` (two count jobs, cheap next to the scan they gate)
+    * instead of silently launching a job that scales as the product. The
+    * scale twins are the IVF (q59) / hyperplane-LSH (q60) bucketed
+    * searches and the fused quantized top-k; raise `maxPairs` explicitly
+    * only for a deliberately-sized exact audit. */
   def knn(probes: DataFrame, gallery: DataFrame,
-          id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+          id: String = "vec_id", vec: String = "embedding",
+          maxPairs: Long = 250000000L): DataFrame = {
+    val nPairs = probes.count() * gallery.count()
+    require(nPairs <= maxPairs,
+      s"knn is the exact brute-force audit form: $nPairs probe×gallery " +
+        s"pairs > maxPairs=$maxPairs. Use the IVF (q59) / hyperplane-LSH " +
+        "(q60) bucketed search or topKQuantizedIvf at scale, or raise " +
+        "maxPairs explicitly for a deliberately-sized audit.")
     val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
     val g = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
     p.crossJoin(g)
@@ -147,6 +161,30 @@ object Ann {
       .withColumn("s", cosine6(col("a_emb"), col("b_emb")))
       .where(col("s") >= threshold)
       .select("d1", "d2", "s")
+  }
+
+  /** All-pairs cosine near-dup ≥ `threshold` (the q58 audit shape): a
+    * cartesian self-join with only the `d1 < d2` residual — quadratic BY
+    * CONSTRUCTION, guarded: throws when the corpus exceeds `maxVectors`
+    * (one count job) instead of silently launching an n² scan (measured
+    * 333 s at a 50k-vector probe vs ~14 s for the LSH twin). The scale
+    * twin is [[neardupLshAuto]]; raise `maxVectors` explicitly only for a
+    * deliberately-sized exact audit. */
+  def allPairsCosine(emb: DataFrame, threshold: Double,
+                     id: String = "vec_id", vec: String = "embedding",
+                     maxVectors: Long = 100000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxVectors,
+      s"allPairsCosine is the quadratic all-pairs audit form: $n vectors > " +
+        s"maxVectors=$maxVectors. Use neardupLshAuto (bucketed candidates + " +
+        "exact verify) at scale, or raise maxVectors explicitly for a " +
+        "deliberately-sized audit.")
+    val a = emb.select(col(id).as("d1"), col(vec).as("a_emb"))
+    val b = emb.select(col(id).as("d2"), col(vec).as("b_emb"))
+    val sim = cosine6(col("a_emb"), col("b_emb"))
+    a.join(b, col("d1") < col("d2"))
+      .where(sim >= threshold)
+      .select(col("d1"), col("d2"), sim.as("s"))
   }
 
   /** Bits needed so expected bucket population stays ~`targetBucket` at

@@ -133,8 +133,23 @@ object DedupOps {
 
   /** All-pairs exact Jaccard >= `threshold` over a (doc_id, token/shingle)
     * relation via inverted-index self-join (the q34/q57 shape). `elem` names
-    * the token column ("w" or "sh"). */
-  def pairwiseJaccard(items: DataFrame, elem: String, threshold: Double): DataFrame = {
+    * the token column ("w" or "sh").
+    *
+    * AUDIT FORM — quadratic in pairs sharing a token, guarded: this throws
+    * when the relation spans more than `maxDocs` documents (one counting
+    * pass, cheap next to the join it gates) instead of silently launching
+    * an all-pairs job that scales as n². The scale twins are
+    * [[minhashLsh]] (banded candidates + exact verify, pair output) and
+    * [[minhashDedupKeep]] (linear keep/drop decision); raise `maxDocs`
+    * explicitly only for corpora you have deliberately sized. */
+  def pairwiseJaccard(items: DataFrame, elem: String, threshold: Double,
+                      maxDocs: Long = 25000): DataFrame = {
+    val nDocs = items.select(col("doc_id")).distinct().count()
+    require(nDocs <= maxDocs,
+      s"pairwiseJaccard is the quadratic all-pairs audit form: $nDocs docs > " +
+        s"maxDocs=$maxDocs. Use minhashLsh (banded candidates) or " +
+        "minhashDedupKeep (linear keep/drop) at scale, or raise maxDocs " +
+        "explicitly for a deliberately-sized audit.")
     val sizes = items.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = items.select(col("doc_id").as("d1"), col(elem).as("e"))
     val b = items.select(col("doc_id").as("d2"), col(elem).as("e2"))

@@ -72,6 +72,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pairwiseJaccard guard fires above the doc bound and names the scale twins") {
+    import spark.implicits._
+    val toks = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"))
+      .toDF("doc_id", "w")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.pairwiseJaccard(toks, "w", 0.5, maxDocs = 3)
+    }
+    assert(e.getMessage.contains("minhashLsh"))
+    // Under the bound (or with an explicit override) the audit form runs.
+    assert(DedupOps.pairwiseJaccard(toks, "w", 0.5, maxDocs = 4).count() == 6)
+  }
+
   test("connectedComponents: labels are a fixpoint and equal component minima") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val pairs = DedupOps.pairwiseJaccard(toks, "w", 0.8)

@@ -105,6 +105,24 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivf.getLong(1) == 1L, s"zero-norm centroid won assignment: $ivf")
   }
 
+  test("brute-force audit guards fire above their size bounds") {
+    import spark.implicits._
+    val vecs = (1L to 6L).map(i => (i, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val eKnn = intercept[IllegalArgumentException] {
+      Ann.knn(vecs, vecs, maxPairs = 35)
+    }
+    assert(eKnn.getMessage.contains("topKQuantizedIvf") ||
+      eKnn.getMessage.contains("IVF"))
+    val eAll = intercept[IllegalArgumentException] {
+      Ann.allPairsCosine(vecs, 0.9, maxVectors = 5)
+    }
+    assert(eAll.getMessage.contains("neardupLshAuto"))
+    // At or under the bound both audit forms execute.
+    assert(Ann.knn(vecs, vecs, maxPairs = 36).count() == 6)
+    assert(Ann.allPairsCosine(vecs, -1.0, maxVectors = 6).count() == 15)
+  }
+
   test("knn/ivfAssign work with NON-numeric ids (tie-break never negates the id)") {
     import spark.implicits._
     // Two gallery rows with IDENTICAL vectors force a score tie: the
