@@ -26,8 +26,9 @@ object Pipelines {
     case "jaccard" =>
       DedupOps.pairwiseJaccard(DedupOps.tokenSet(docs, id, text), "w", threshold)
     case "minhash-lsh" =>
-      DedupOps.minhashLsh(DedupOps.tokenSet(docs, id, text),
-        k = 8, bands = 4, threshold = threshold)
+      // Banding sized from the threshold with a 0.9 recall floor — never
+      // fixture-pinned constants (DedupOps.minhashParamsFor).
+      DedupOps.minhashLshAuto(DedupOps.tokenSet(docs, id, text), threshold)
     case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
   }
 

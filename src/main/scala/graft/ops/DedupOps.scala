@@ -187,6 +187,45 @@ object DedupOps {
     jaccardVerify(tokens, cand, threshold)
   }
 
+  /** Banding choice for [[minhashLshAuto]]: the LARGEST rows-per-band `r`
+    * whose band count `b = ceil(ln(1−targetRecall) / ln(1−threshold^r))`
+    * still fits `k = r·b <= maxK` hashes. P(pair at Jaccard j becomes a
+    * candidate) = 1−(1−j^r)^b — an S-curve whose knee sits near
+    * (1/b)^(1/r); maximizing r pushes the knee toward `threshold`, so
+    * low-similarity pairs stop flooding buckets (candidate volume is what
+    * kills fixed banding as the corpus grows — the q76 lesson, where fixed
+    * bucket bits measured 129× slower at 10× data) while pairs at/above
+    * threshold keep >= targetRecall. Returns (k, bands). */
+  def minhashParamsFor(threshold: Double, targetRecall: Double = 0.9,
+                       maxK: Int = 32): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(targetRecall > 0 && targetRecall < 1, s"recall in (0,1): $targetRecall")
+    val fits = (1 to maxK).flatMap { r =>
+      val pBand = math.pow(threshold, r)
+      // Band count stays a Double until the fit check: at large r it blows
+      // past Int range and a premature toInt would wrap the k = r·b bound.
+      val b = math.max(1.0,
+        math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)))
+      if (r * b <= maxK) Some((r, b.toInt)) else None
+    }
+    require(fits.nonEmpty,
+      s"no banding with k <= $maxK reaches recall $targetRecall at threshold " +
+        s"$threshold — raise maxK or lower targetRecall")
+    val (r, b) = fits.last
+    (r * b, b)
+  }
+
+  /** [[minhashLsh]] with banding sized from the threshold and a recall
+    * floor instead of fixture-pinned constants — the corpus-aware twin of
+    * [[Ann.lshBitsFor]] for the text path. The declared q55 keeps its
+    * pinned (k=8, bands=4) for oracle stability; pipelines should use
+    * this. */
+  def minhashLshAuto(tokens: DataFrame, threshold: Double,
+                     targetRecall: Double = 0.9, maxK: Int = 32): DataFrame = {
+    val (k, bands) = minhashParamsFor(threshold, targetRecall, maxK)
+    minhashLsh(tokens, k, bands, threshold)
+  }
+
   /** LINEAR-output dedup decision (the true 100 TB shape): on near-dup-dense
     * corpora the pair list is quadratic in cluster size (measured at sf0.1:
     * 5k template-generated docs → 2.9M J≥0.8 pairs, so enumeration dominates

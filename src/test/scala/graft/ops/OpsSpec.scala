@@ -28,6 +28,33 @@ class OpsSpec extends AnyFunSuite {
         s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("minhashParamsFor: banding meets the recall floor and maximizes precision") {
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9); recall <- Seq(0.8, 0.9)) {
+      val (k, bands) = DedupOps.minhashParamsFor(t, recall)
+      val r = k / bands
+      assert(k % bands == 0 && k <= 32, s"t=$t recall=$recall -> ($k, $bands)")
+      // The S-curve guarantee the choice is built on.
+      val p = 1.0 - math.pow(1.0 - math.pow(t, r), bands)
+      assert(p >= recall, s"t=$t: P(candidate at threshold)=$p < $recall")
+      // Maximal precision: one more row per band could not still fit maxK.
+      val bNext = math.max(1, math.ceil(
+        math.log1p(-recall) / math.log1p(-math.pow(t, r + 1))).toInt)
+      assert((r + 1) * bNext > 32, s"t=$t: r=$r not maximal")
+    }
+  }
+
+  test("minhashLshAuto: auto-sized banding keeps recall >= 0.8 vs exact Jaccard") {
+    val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
+    val exact = DedupOps.pairwiseJaccard(toks, "w", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = DedupOps.minhashLshAuto(toks, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact), s"false positives: ${auto -- exact}")
+    if (exact.nonEmpty)
+      assert(auto.size >= exact.size * 0.8,
+        s"auto-banding recall too low: ${auto.size}/${exact.size}")
+  }
+
   test("compact (array) Jaccard verify equals the token-level join form") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val sig = DedupOps.minhashSignatures(toks, 8)
