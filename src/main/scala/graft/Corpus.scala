@@ -935,7 +935,30 @@ select s.user_id, cast(s.d as timestamp) as dday, coalesce(a.c, 0) c
 select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
  from spine s left join act a on a.user_id = s.user_id and cast(a.d as timestamp) = cast(s.d as timestamp)
  order by s.user_id, dday"""),
+
+    // Cross-run incremental dedup: docs with doc_id < 150 are the PRIOR
+    // corpus (persisted as a (sigkey, keep_id) fingerprint table between
+    // runs); the rest are the new batch. The declared semantics is the
+    // from-scratch union dedup restricted to the batch — which the engine's
+    // incremental operator (DedupOps.incrementalDedup) reproduces from the
+    // fingerprint table alone, never re-reading the prior corpus.
+    q2("q91_incremental_dedup",
+      incrementalDedupSql(sparkTok(""), "concat_ws('|', h1,h2,h3,h4,h5,h6,h7,h8)"),
+      incrementalDedupSql(duckTok(""), "concat_ws('|', h1,h2,h3,h4,h5,h6,h7,h8)")),
   )
+
+  /** Keep/drop for docs with id >= 150 under minhash-signature dedup over
+    * the WHOLE corpus: keeper = min doc_id per 8-hash signature. The prior/
+    * batch split is semantic only — the SQL computes the union result the
+    * incremental operator must match. */
+  private def incrementalDedupSql(wsrc: String, sigkey: String): String =
+    s"""with w as ($wsrc),
+ sig as (select doc_id, ${(1 to 8).map(mh).mkString(",\n   ")} from w group by doc_id),
+ keyed as (select doc_id, $sigkey sigkey from sig),
+ keeper as (select sigkey, min(doc_id) keep_id from keyed group by sigkey)
+ select k.doc_id, kp.keep_id, k.doc_id <> kp.keep_id is_dup
+ from keyed k join keeper kp on k.sigkey = kp.sigkey
+ where k.doc_id >= 150 order by k.doc_id limit 300"""
 
   /** Connected components of the J>=0.8 near-dup graph via recursive
     * reachability; label = min reachable node (incl. self). */

@@ -549,6 +549,21 @@ object DfQueries {
         .orderBy("user_id", "dday")
     },
 
+    "q91_incremental_dedup" -> { (s, _) =>
+      // Cross-run incremental dedup: the batch (doc_id >= 150) dedups
+      // against ONLY the persisted fingerprint state of the prior corpus —
+      // the oracle computes the from-scratch UNION dedup restricted to the
+      // batch, so this hash gate proves the incremental join's union-min
+      // semantics. Native minhash_sig signatures group identically to the
+      // oracle's md5-hex minima (same 48-bit values — the q54 gate).
+      val docs = t(s, "documents")
+      val prior = DedupOps.fingerprintTable(
+        docs.where(col("doc_id") < 150), col("doc_id"), col("text"))
+      DedupOps.incrementalDedup(
+          docs.where(col("doc_id") >= 150), col("doc_id"), col("text"), prior)
+        .orderBy("doc_id").limit(300)
+    },
+
     "q83_window_distribution" -> { (s, _) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))

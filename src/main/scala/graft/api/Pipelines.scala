@@ -38,6 +38,20 @@ object Pipelines {
   def dedupDecision(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame =
     DedupOps.minhashDedupKeepFast(docs, id, text, k)
 
+  /** Dedup state to persist between pipeline runs: (sigkey, keep_id), one
+    * row per distinct minhash signature. */
+  def dedupState(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame =
+    DedupOps.fingerprintTable(docs, id, text, k)
+
+  /** Keep/drop for a NEW batch against a persisted prior run's
+    * [[dedupState]] — identical decisions to re-running [[dedupDecision]]
+    * over (old corpus ∪ batch) restricted to the batch, WITHOUT re-reading
+    * the old corpus. Persist `DedupOps.updatedFingerprints` afterwards to
+    * absorb the batch into the state. */
+  def dedupAgainst(newDocs: DataFrame, id: Column, text: Column,
+                   priorState: DataFrame, k: Int = 8): DataFrame =
+    DedupOps.incrementalDedup(newDocs, id, text, priorState, k)
+
   /** Top-k nearest rows to one stored vector. */
   def similarTo(emb: DataFrame, probeId: Long, k: Int): DataFrame =
     Ann.cosineTopK(emb, probeId, k)

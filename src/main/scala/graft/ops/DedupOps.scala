@@ -244,21 +244,75 @@ object DedupOps {
       .select("doc_id", "keep_id", "is_dup")
   }
 
-  /** Expression-based linear dedup decision: like [[minhashDedupKeep]] but
-    * the signature comes from the single-pass `minhash_sig` expression —
-    * no token explode, no signature aggregation; the ONLY shuffle is the
-    * per-signature window. Requires a graft session (extension-registered
+  /** (doc_id, sigkey) via the single-pass native `minhash_sig` expression
+    * — the shared front end of the linear dedup decision and the cross-run
+    * incremental path: a pure projection, no token explode, no signature
+    * aggregation. Requires a graft session (extension-registered
     * function). */
-  def minhashDedupKeepFast(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
-    val sig = docs.select(id.as("doc_id"),
-      call_function("minhash_sig", TextOps.tokens(text), lit(k)).as("sig"))
-    sig.select(col("doc_id"),
-        array_join(transform(col("sig"), _.cast("string")), "|").as("sigkey"))
+  def sigKeysFast(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame =
+    docs.select(id.as("doc_id"),
+      array_join(transform(
+        call_function("minhash_sig", TextOps.tokens(text), lit(k)),
+        _.cast("string")), "|").as("sigkey"))
+
+  /** Expression-based linear dedup decision: like [[minhashDedupKeep]] but
+    * the signature comes from [[sigKeysFast]]; the ONLY shuffle is the
+    * per-signature window. */
+  def minhashDedupKeepFast(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame =
+    sigKeysFast(docs, id, text, k)
       .withColumn("keep_id", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sigkey"))))
       .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
       .select("doc_id", "keep_id", "is_dup")
+
+  /** Per-run dedup STATE for cross-run incremental dedup: one row per
+    * distinct minhash signature with its cluster keeper (min doc id so
+    * far). Kilobytes-to-megabytes per run — persist it between pipeline
+    * runs and the next batch dedups against it WITHOUT re-reading this
+    * corpus ([[incrementalDedup]]); fold the batch back in with
+    * [[updatedFingerprints]]. */
+  def fingerprintTable(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame =
+    sigKeysFast(docs, id, text, k)
+      .groupBy("sigkey").agg(min(col("doc_id")).as("keep_id"))
+
+  /** Keep/drop for a NEW batch against a persisted prior-run fingerprint
+    * table, sig-agnostic core: `newKeys` = (doc_id, sigkey) of the batch,
+    * `prior` = (sigkey, keep_id) from previous runs. Union-min semantics:
+    * keeper(sig) = min(prior keeper, batch min), so the decisions equal
+    * running the from-scratch dedup over (prior corpus ∪ batch) restricted
+    * to the batch — without touching the old corpus. Shuffles only the
+    * batch's signatures plus a join against the (far smaller) fingerprint
+    * table. Only batch rows are emitted: when a batch id undercuts a prior
+    * keeper the batch doc keeps itself and the prior docs' historical
+    * decisions are NOT rewritten (append-only pipelines with monotone ids
+    * never hit this); [[updatedFingerprints]] still converges the state to
+    * the true min for all later runs. */
+  def incrementalDedupKeys(newKeys: DataFrame, prior: DataFrame): DataFrame = {
+    val newMin = newKeys.groupBy("sigkey").agg(min(col("doc_id")).as("new_min"))
+    val keeper = newMin
+      .join(prior.select(col("sigkey").as("psig"), col("keep_id").as("prior_keep")),
+        col("sigkey") === col("psig"), "left")
+      .select(col("sigkey"),
+        least(col("new_min"), coalesce(col("prior_keep"), col("new_min"))).as("keep_id"))
+    newKeys.join(keeper, "sigkey")
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).as("is_dup"))
   }
+
+  /** [[incrementalDedupKeys]] over the native single-pass signatures. */
+  def incrementalDedup(newDocs: DataFrame, id: Column, text: Column,
+                       prior: DataFrame, k: Int = 8): DataFrame =
+    incrementalDedupKeys(sigKeysFast(newDocs, id, text, k), prior)
+
+  /** Fingerprint state after absorbing a new batch: union-min of the prior
+    * table and the batch's own table — the persistence step of the
+    * incremental loop. Idempotent (re-absorbing the same batch changes
+    * nothing). */
+  def updatedFingerprints(prior: DataFrame, newDocs: DataFrame,
+                          id: Column, text: Column, k: Int = 8): DataFrame =
+    prior.select(col("sigkey"), col("keep_id"))
+      .unionByName(fingerprintTable(newDocs, id, text, k))
+      .groupBy("sigkey").agg(min(col("keep_id")).as("keep_id"))
 
   /** Typed mergeable MinHash sketch (the `Aggregator` path of SURVEY.md
     * §4.3): one pass, one buffer of k minima per doc, element-wise merged —

@@ -45,4 +45,36 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     assert(back.count() == uniqueN)
     assert(back.schema.fieldNames.toSeq == Seq("asset_id", "features"))
   }
+
+  test("cross-run incremental dedup equals the from-scratch union dedup") {
+    val docs = TestSpark.table("documents")
+    val run1 = docs.where(col("doc_id") % 2 === 0)
+    val run2 = docs.where(col("doc_id") % 2 === 1)
+
+    // Run 1 persists its dedup state (the only artifact run 2 may read).
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-incdedup")
+      .toString + "/state"
+    Pipelines.dedupState(run1, col("doc_id"), col("text")).write.parquet(stateDir)
+
+    // Run 2 dedups its batch against the persisted state alone.
+    val prior = spark.read.parquet(stateDir)
+    val inc = Pipelines.dedupAgainst(run2, col("doc_id"), col("text"), prior)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+    // Ground truth: from-scratch dedup over run1 ∪ run2, restricted to run2.
+    val run2Ids = run2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val scratch = Pipelines.dedupDecision(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .filter(kv => run2Ids.contains(kv._1)).toMap
+    assert(inc == scratch && inc.nonEmpty)
+
+    // Absorbing the batch converges the state to the from-scratch table,
+    // and re-absorbing the same batch is idempotent.
+    val updated = DedupOps.updatedFingerprints(prior, run2, col("doc_id"), col("text"))
+    val full = DedupOps.fingerprintTable(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(updated.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == full)
+    val again = DedupOps.updatedFingerprints(updated, run2, col("doc_id"), col("text"))
+    assert(again.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == full)
+  }
 }
