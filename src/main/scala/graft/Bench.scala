@@ -103,6 +103,19 @@ object Bench {
       "x_embed_neardup_lsh" -> (() =>
         graft.ops.Ann.neardupLshAuto(spark.table("embeddings"), threshold = 0.44)
           .agg(count(lit(1)).as("pairs"))),
+      // Fused IVF + int8 ANN (the 100 TB search operator): candidates from
+      // an equi join on the cluster id, coarse int8 rank in-cluster, float
+      // re-rank on overfetch*k survivors. Probes = last 100 vectors,
+      // centroids = first 8 (the q59 fixture convention).
+      "x_ann_ivf_int8" -> (() => {
+        val e = spark.table("embeddings")
+        val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+        graft.ops.Ann.topKQuantizedIvf(
+            e.where(col("vec_id") > maxId - 100),
+            e.where(col("vec_id") >= 8 && col("vec_id") <= maxId - 100),
+            e.where(col("vec_id") < 8), k = 10)
+          .agg(count(lit(1)).as("n"))
+      }),
       // Bloom prefilter + exact semi join (q82 shape): guards the native
       // bloom_might_contain probe's scan-side cost.
       "x_bloom_semijoin" -> (() => {

@@ -62,9 +62,19 @@ object Pipelines {
 
   /** Top-k per probe at ¼ scan bandwidth: int8 coarse ranking + float
     * re-rank on the survivors (Ann.topKQuantized — agrees with exact
-    * top-k at the default overfetch on the fixtures). */
+    * top-k at the default overfetch on the fixtures). Still scans the
+    * whole gallery per probe batch; with centroids available use
+    * [[similaritySearchIvf]]. */
   def similaritySearch(probes: DataFrame, gallery: DataFrame, k: Int): DataFrame =
     Ann.topKQuantized(probes, gallery, k)
+
+  /** The full-scale ANN: IVF candidate generation fused with the int8
+    * coarse pass — a probe batch touches ~nprobe/K of the gallery instead
+    * of all of it (Ann.topKQuantizedIvf; persist Ann.ivfIndex to amortize
+    * the index build across batches). */
+  def similaritySearchIvf(probes: DataFrame, gallery: DataFrame,
+                          centroids: DataFrame, k: Int): DataFrame =
+    Ann.topKQuantizedIvf(probes, gallery, centroids, k)
 
   /** Per-document text-quality report: token stats, lexical diversity,
     * language guess and keep/drop verdict — the pre-training filter row. */

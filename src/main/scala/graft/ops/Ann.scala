@@ -245,4 +245,87 @@ object Ann {
       .where(col("rn") <= k)
       .select("p_id", "g_id", "s", "rn")
   }
+
+  /** Top-k per probe with IVF candidate generation FUSED into the int8
+    * coarse pass — the full 100 TB search operator. [[topKQuantized]] reads
+    * ¼ the bytes but still scans the whole corpus per probe; here a probe
+    * touches only its `nprobe` nearest clusters (~nprobe/K of the corpus):
+    *
+    *  1. inverted lists: every gallery vector is assigned to its nearest
+    *     centroid (broadcast centroids, per-row arg-max) and int8-coded;
+    *  2. probes pick their `nprobe` closest centroids (multi-probe recovers
+    *     neighbors that fall just across a cell boundary);
+    *  3. candidates come from an EQUI JOIN on the cluster id — the shuffle
+    *     is sized by cluster population, never probes × corpus (no
+    *     cross-product anywhere between probe and gallery);
+    *  4. int8 coarse rank inside the cluster keeps `overfetch`·k per probe
+    *     (WindowGroupLimit pushes the cut below the window);
+    *  5. float cosine re-ranks ONLY the survivors.
+    *
+    * Exactness: approximate by construction (a true neighbor outside the
+    * probed cells is unreachable) — VectorOpsSpec pins recall ≥ 0.9 vs the
+    * exact scan on the fixtures at the defaults. Centroids are a caller
+    * artifact (k-means or a fixture convention like q59's vec_id < 8): IVF
+    * quality follows centroid quality. */
+  def topKQuantizedIvf(probes: DataFrame, gallery: DataFrame,
+                       centroids: DataFrame, k: Int,
+                       nprobe: Int = 2, overfetch: Int = 4,
+                       id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    topKQuantizedIvfWithIndex(probes, ivfIndex(gallery, centroids, id, vec),
+      gallery, centroids, k, nprobe, overfetch, id, vec)
+
+  /** The inverted-list index behind [[topKQuantizedIvf]]: (g_id, cid, g_q
+    * int8 codes). Building it scans the gallery once (assignment +
+    * quantization — the unavoidable index-build cost); PERSIST it and
+    * amortize across probe batches, paying only cluster-local work per
+    * batch ([[topKQuantizedIvfWithIndex]]). */
+  def ivfIndex(gallery: DataFrame, centroids: DataFrame,
+               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
+    val gal = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
+    val gAssigned = gal.crossJoin(broadcast(c))
+      .withColumn("sim", cosine6(col("g_emb"), col("c_emb")))
+      .groupBy("g_id")
+      .agg(min_by(col("cid"), argminKey(col("sim"), col("cid"))).as("cid"))
+    gal.join(gAssigned, "g_id")
+      .select(col("g_id"), col("cid"), VectorOps.quantizeInt8(col("g_emb")).as("g_q"))
+  }
+
+  /** [[topKQuantizedIvf]] over a prebuilt (possibly persisted) [[ivfIndex]]
+    * — the steady-state shape: the index is read, never recomputed;
+    * `gallery` supplies only the float vectors for the final re-rank
+    * (joined by id on the overfetch·k survivors). */
+  def topKQuantizedIvfWithIndex(probes: DataFrame, index: DataFrame,
+                                gallery: DataFrame, centroids: DataFrame, k: Int,
+                                nprobe: Int = 2, overfetch: Int = 4,
+                                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
+    val gal = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
+    val gq = index.select(col("g_id"), col("cid"), col("g_q"))
+    val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
+    val wc = Window.partitionBy("p_id")
+      .orderBy(rankSafe(col("csim")).desc, col("cid"))
+    val pAssigned = p.crossJoin(broadcast(c))
+      .withColumn("csim", cosine6(col("p_emb"), col("c_emb")))
+      .withColumn("crn", row_number().over(wc))
+      .where(col("crn") <= nprobe)
+      .select(col("p_id"), VectorOps.quantizeInt8(col("p_emb")).as("p_q"), col("cid"))
+    // Each gallery vector lives in exactly one list, so a probe never sees
+    // a candidate twice across its nprobe cells — no distinct needed.
+    val wCoarse = Window.partitionBy("p_id")
+      .orderBy(rankSafe(col("cs")).desc, col("g_id"))
+    val cand = pAssigned.join(gq, "cid")
+      .withColumn("cs", round(VectorOps.cosineInt8(col("p_q"), col("g_q")), 6))
+      .withColumn("rn", row_number().over(wCoarse))
+      .where(col("rn") <= overfetch * k)
+      .select("p_id", "g_id")
+    val wExact = Window.partitionBy("p_id")
+      .orderBy(rankSafe(col("s")).desc, col("g_id"))
+    cand.join(p, "p_id")
+      .join(gal, "g_id")
+      .withColumn("s", cosine6(col("p_emb"), col("g_emb")))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= k)
+      .select("p_id", "g_id", "s", "rn")
+  }
 }

@@ -102,6 +102,29 @@ class PlanSpec extends AnyFunSuite {
       s"top-1-per-key should push the rank limit below the window:\n$p")
   }
 
+  test("topKQuantizedIvf: probe↔gallery candidates come from an equi join on the cluster id") {
+    import org.apache.spark.sql.functions.col
+    val emb = TestSpark.table("embeddings")
+    val df = graft.ops.Ann.topKQuantizedIvf(
+      emb.where(col("vec_id") >= 490), emb.where(col("vec_id") >= 8 && col("vec_id") < 490),
+      emb.where(col("vec_id") < 8), k = 10)
+    val p = planString(df)
+    // Never a probe×gallery cross product: the only nested-loop joins are
+    // the two centroid assignments, each against the broadcast (tiny)
+    // centroid side.
+    assert(!p.contains("CartesianProduct"), s"cross product in fused ANN:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"more nested-loop joins than the two centroid assignments:\n$p")
+    // The candidate join itself is hash-based on cid.
+    val hashJoins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\\n]*".r
+      .findAllIn(p).toSeq
+    assert(hashJoins.exists(_.contains("cid")),
+      s"candidate join not keyed on the cluster id:\n$p")
+    // The coarse cut is pushed below the ranking window.
+    assert(p.contains("WindowGroupLimit"),
+      s"overfetch cut should push below the window:\n$p")
+  }
+
   test("q84: blocked edit-distance joins on the block key — no nested-loop pair join") {
     val p = planString(TestSpark.corpus("q84_editdistance_blocked"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

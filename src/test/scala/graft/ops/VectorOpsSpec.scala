@@ -105,6 +105,88 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivf.getLong(1) == 1L, s"zero-norm centroid won assignment: $ivf")
   }
 
+  test("topKQuantizedIvf: recall >= 0.9 on a clustered corpus (IVF's contract)") {
+    import spark.implicits._
+    // IVF's recall story assumes clustered data (real embedding corpora);
+    // the fixture vectors are near-random, where ANY cell-restricted
+    // search scatters — the fixture-side guarantee is the cell-restricted
+    // exactness test below. Build 16 deterministic clusters; neighbors of
+    // a probe live in its own cluster, so nprobe=2 must find them.
+    val rnd = new scala.util.Random(7)
+    val protos = Array.fill(16)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    def member(c: Int, noise: Double) =
+      protos(c).map(x => (x + noise * rnd.nextGaussian()).toFloat)
+    val gallery = (0 until 960).map(i => ((i + 100).toLong, member(i % 16, 0.08)))
+      .toDF("vec_id", "embedding")
+    val centroids = protos.zipWithIndex.toSeq.map { case (p, i) => (i.toLong, p) }
+      .toDF("vec_id", "embedding")
+    val probes = (0 until 24).map(i => ((i + 5000).toLong, member(i % 16, 0.08)))
+      .toDF("vec_id", "embedding")
+    val exact = gallery
+      .select(col("vec_id").as("g_id"), col("embedding").as("g_emb"))
+      .crossJoin(probes.select(col("vec_id").as("p_id"), col("embedding").as("p_emb")))
+      .select(col("p_id"), col("g_id"),
+        VectorOps.cosine6(col("p_emb"), col("g_emb")).as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("p_id")
+          .orderBy(col("s").desc, col("g_id"))))
+      .where(col("rn") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = Ann.topKQuantizedIvf(probes, gallery, centroids, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(fused).size.toDouble / exact.size
+    assert(recall >= 0.9, s"fused IVF+int8 recall@10 = $recall")
+    // Every probe gets exactly k results.
+    assert(fused.groupBy(_._1).forall(_._2.size == 10))
+  }
+
+  test("topKQuantizedIvf: exact within the probed cells on the fixture corpus") {
+    // Unconditional guarantee on ANY corpus: the fused operator returns
+    // EXACTLY the float top-k restricted to its probed cells — i.e. the
+    // int8 coarse pass + re-rank loses nothing candidate generation kept
+    // (the fixture twin of the clustered-recall test above).
+    val probes = emb.where(col("vec_id") >= 490)
+    val gallery = emb.where(col("vec_id") >= 8 && col("vec_id") < 490)
+    val centroids = emb.where(col("vec_id") < 8)
+    val cells = Ann.ivfAssign(gallery, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeCells = probes
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+      .crossJoin(centroids.select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+      .select(col("p_id"), col("cid"),
+        VectorOps.cosine6(col("p_emb"), col("c_emb")).as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("p_id")
+          .orderBy(col("s").desc, col("cid"))))
+      .where(col("rn") <= 2) // the operator's default nprobe
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exactInCells = gallery
+      .select(col("vec_id").as("g_id"), col("embedding").as("g_emb"))
+      .crossJoin(probes.select(col("vec_id").as("p_id"), col("embedding").as("p_emb")))
+      .select(col("p_id"), col("g_id"),
+        VectorOps.cosine6(col("p_emb"), col("g_emb")).as("s"))
+      .collect()
+      .filter(r => probeCells(r.getLong(0)).contains(cells(r.getLong(1))))
+      .groupBy(_.getLong(0)).toSeq
+      .flatMap { case (pid, rows) =>
+        rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(10)
+          .map(r => (pid, r.getLong(1))).toSeq
+      }.toSet
+    val fused = Ann.topKQuantizedIvf(probes, gallery, centroids, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused == exactInCells,
+      s"fused != cell-restricted exact: extra=${fused -- exactInCells}, missing=${exactInCells -- fused}")
+
+    // Steady state: a PERSISTED index (parquet round-trip) answers probe
+    // batches identically — the build cost is paid once, not per batch.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Ann.ivfIndex(gallery, centroids).write.parquet(dir)
+    val fromDisk = Ann.topKQuantizedIvfWithIndex(
+        probes, spark.read.parquet(dir), gallery, centroids, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == fused)
+  }
+
   test("brute-force audit guards fire above their size bounds") {
     import spark.implicits._
     val vecs = (1L to 6L).map(i => (i, Array(i.toFloat, 1f)))
