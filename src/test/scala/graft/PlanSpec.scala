@@ -131,6 +131,38 @@ class PlanSpec extends AnyFunSuite {
       s"metric join must be an equi join on the prefix block:\n$p")
   }
 
+  test("bloomSemiJoin in the NON-broadcast regime: sort-merge verify, Bloom probe below the exchange") {
+    // The 100 TB story: a 10-100M-key small side is too big for a
+    // broadcast hash relation, so the exact verify join SORT-MERGES — and
+    // the Bloom probe must prune the big side BEFORE its shuffle, or the
+    // exchange carries the full corpus. Force the regime by disabling
+    // broadcast (and AQE, so the static plan shape is inspectable).
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions.col
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      spark.conf.set("spark.sql.adaptive.enabled", false)
+      val docs = TestSpark.table("documents")
+      def sh(flt: org.apache.spark.sql.Column) =
+        graft.ops.DedupOps.wordShingleSet(docs.where(flt), col("doc_id"), col("text"))
+      val df = graft.ops.SketchOps.bloomSemiJoin(
+        sh(col("doc_id") >= 10), "sh", sh(col("doc_id") < 10).select("sh"), "sh")
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val smj = plan.collect {
+        case j: SortMergeJoinExec if j.joinType == LeftSemi => j }
+      assert(smj.nonEmpty, s"verify join did not sort-merge:\n$plan")
+      val bigShuffle = smj.head.left.collect { case e: ShuffleExchangeExec => e }
+      assert(bigShuffle.nonEmpty, "no exchange on the big side")
+      assert(bigShuffle.head.child.toString.contains("bloom_might_contain"),
+        s"Bloom probe is not below the big side's exchange:\n$plan")
+    } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("corpus sweep: no declared impl plans a globally-ordered (un-partitioned) window") {
     // An empty partitionSpec funnels every row through ONE task — the
     // classic scale killer (Spark itself logs a warning). Sweep the whole

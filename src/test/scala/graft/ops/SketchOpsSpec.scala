@@ -57,6 +57,30 @@ class SketchOpsSpec extends AnyFunSuite {
       s"bloom filter not below the semi join in:\n$plan")
   }
 
+  test("binary-key probes equal the String API on df.stat-built sketches") {
+    // The native probes hash a string key as its raw UTF-8 bytes (no
+    // per-row String allocation); Spark's sketches define putString as
+    // putBinary(utf8), so the two APIs must agree key for key — including
+    // non-ASCII code points.
+    import spark.implicits._
+    val keys = Seq("alpha", "Ωmega", "naïve", "数据", "", "k1")
+    val df = (keys ++ keys.take(2)).toDF("k")
+    val bloomBytes = SketchOps.bloomBytes(df, "k")
+    val cmsBytes = SketchOps.cmsBytes(df, "k")
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+    val cm = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(cmsBytes))
+    val probed = (keys :+ "absent-key").toDF("k")
+      .select(col("k"), SketchOps.bloomProbe(bloomBytes, col("k")).as("b"),
+        SketchOps.cmsProbe(cmsBytes, col("k")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    for (k <- keys :+ "absent-key") {
+      assert(probed(k)._1 == bf.mightContainString(k), s"bloom differs on '$k'")
+      assert(probed(k)._2 == cm.estimateCount(k), s"cms differs on '$k'")
+    }
+  }
+
   test("heavyHitters equals exact GROUP BY + HAVING, counts included") {
     val toks = TestSpark.table("documents")
       .select(explode(TextOps.tokens(col("text"))).as("w"))
