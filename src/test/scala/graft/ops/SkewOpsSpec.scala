@@ -37,6 +37,32 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(joined.count() == 100)
   }
 
+  test("dedup keep decisions are skew-invariant: mega-cluster window equals two-phase agg+join") {
+    // One signature holding half the corpus is the worst case for the
+    // per-signature window (the whole cluster lands in one partition).
+    // Measured at 4M docs (SURVEY §6): the window still beats every
+    // two-phase variant 2-3x because it computes signatures once and
+    // shuffles once — this test pins that both forms DECIDE identically,
+    // so the implementation choice stays a pure performance call.
+    val docs = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, lit("the mega cluster shared text body"))
+          .otherwise(concat(lit("unique text number "), col("id"))).as("text"))
+    val viaWindow = DedupOps.minhashDedupKeepFast(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val sk = DedupOps.sigKeysFast(docs, col("doc_id"), col("text"))
+    val keep = sk.groupBy("sigkey").agg(min(col("doc_id")).as("keep_id"))
+    val viaTwoPhase = sk.join(keep, "sigkey")
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).as("is_dup"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(viaWindow == viaTwoPhase && viaWindow.size == 2000)
+    // Mega cluster: every even doc but 0 is a dup of doc 0 (tiny 4-token
+    // "unique" docs may add extra signature collisions on top).
+    assert((0L until 2000L by 2).forall(d => viaWindow(d) == (0L, d != 0L)))
+    assert(viaWindow.count(_._2._2) >= 999)
+  }
+
   test("salt actually widens the shuffle key (hot keys spread n ways)") {
     val orders = TestSpark.table("orders")
     val customer = TestSpark.table("customer")
