@@ -195,17 +195,24 @@ object Ann {
     math.max(2, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
       math.log(2.0)).toInt)
 
-  /** [[neardupLsh]] with bucket bits sized to the corpus (one count() job
-    * up front): bucket population stays ~`targetBucket` regardless of n, so
-    * candidate volume grows ~linearly. Note the recall trade-off: more bits
-    * lowers recall for LOW-similarity pairs (p^bits per table) — near-dup
-    * thresholds in practice are high (0.85+), where per-bit survival is
-    * ~0.85+ and a few tables recover recall. */
+  /** [[neardupLsh]] with bucket bits sized to the corpus: bucket population
+    * stays ~`targetBucket` regardless of n, so candidate volume grows
+    * ~linearly. Note the recall trade-off: more bits lowers recall for
+    * LOW-similarity pairs (p^bits per table) — near-dup thresholds in
+    * practice are high (0.85+), where per-bit survival is ~0.85+ and a few
+    * tables recover recall.
+    *
+    * `knownCount`: pass the corpus size when you already have it (catalog
+    * stats, a prior stage's count) to skip the sizing count() job this
+    * otherwise runs at plan-build time; the bit choice only needs the
+    * ORDER of magnitude, so a stale-ish estimate is fine. */
   def neardupLshAuto(emb: DataFrame, threshold: Double, tables: Int = 4,
                      targetBucket: Int = 128,
-                     id: String = "vec_id", vec: String = "embedding"): DataFrame =
+                     id: String = "vec_id", vec: String = "embedding",
+                     knownCount: Long = -1L): DataFrame =
     neardupLsh(emb, threshold, tables,
-      math.min(lshBitsFor(emb.count(), targetBucket), 64 / tables), id, vec)
+      math.min(lshBitsFor(if (knownCount > 0) knownCount else emb.count(),
+        targetBucket), 64 / tables), id, vec)
 
   /** Top-k per probe at ¼ scan bandwidth: coarse-rank over int8 codes
     * ([[VectorOps.quantizeInt8]] — the per-vector scales cancel in cosine,
