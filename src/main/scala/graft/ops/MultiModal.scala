@@ -10,13 +10,17 @@ import org.apache.spark.sql.types._
   * assets as opaque `binary` payloads plus a typed metadata struct, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The DECODE STEP IS A STUB: real codecs (image/audio libraries) are not
-  * available in this environment, so [[stubDecodeFeatures]] derives a
-  * deterministic fake feature vector from the payload bytes (md5-keyed).
-  * Everything AROUND the stub is real and load-bearing at scale: the
-  * schema contract, the partition-wise batched execution shape (the same
-  * iterator-of-batches shape an Arrow-based UDF sees), and the
-  * partitioning. Swapping the stub body for a real codec changes no plan.
+  * REAL DECODERS EXIST for every format the JDK ships a codec for:
+  * [[MediaCodecs.ImageCodec]] (PNG/JPEG/GIF/BMP via javax.imageio),
+  * [[MediaCodecs.WavCodec]] (WAV/AU/AIFF via javax.sound), real resize and
+  * real multi-frame sampling ([[MediaCodecs.resizeImages]] /
+  * [[MediaCodecs.sampleImageFrames]]). [[StubCodec]] remains only for
+  * formats with no JDK codec (video containers, MP3/FLAC, WebP) — it
+  * derives a deterministic fake feature vector from the payload bytes
+  * (md5-keyed). Either way the execution machinery is identical and
+  * load-bearing at scale: the schema contract, the partition-wise batched
+  * execution shape (the same iterator-of-batches shape an Arrow-based UDF
+  * sees), and the partitioning. Swapping codecs changes no plan.
   *
   * Scale posture: payloads never shuffle through an aggregation — feature
   * extraction is mapPartitions (narrow, no exchange); only the small
