@@ -945,6 +945,68 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
     q2("q91_incremental_dedup",
       incrementalDedupSql(sparkTok(""), "concat_ws('|', h1,h2,h3,h4,h5,h6,h7,h8)"),
       incrementalDedupSql(duckTok(""), "concat_ws('|', h1,h2,h3,h4,h5,h6,h7,h8)")),
+
+    // C4-style span-level exact dedup: cut every document into fixed-width
+    // 20-word spans and keep only the lexicographically-first occurrence of
+    // each distinct span text across the corpus (keeper key = doc_id·1000 +
+    // span_no; span counts stay < 1000 for any document under 20k words).
+    // Finer-grained than q33's whole-document dedup: shared boilerplate
+    // inside otherwise-distinct documents is caught at the span level.
+    q2("q92_span_dedup",
+      """with x as (select doc_id, split(text,' ') l from documents),
+ sp as (select doc_id, l, explode(sequence(0, cast(floor((size(l)-1)/20.0) as int))) i from x),
+ spans as (select doc_id, cast(i as bigint) span_no, concat_ws(' ', slice(l, i*20+1, 20)) span from sp),
+ keeper as (select span, min(doc_id*1000+span_no) kk from spans group by span)
+ select s.doc_id, s.span_no, cast(floor(kk/1000.0) as bigint) keep_doc, cast(kk % 1000 as bigint) keep_span,
+  (s.doc_id*1000+s.span_no) <> kk is_dup
+ from spans s join keeper k on s.span = k.span
+ order by s.doc_id, s.span_no limit 500""",
+      """with x as (select doc_id, string_split(text,' ') l from documents),
+ sp as (select doc_id, l, unnest(generate_series(0, cast(floor((len(l)-1)/20.0) as int))) i from x),
+ spans as (select doc_id, cast(i as bigint) span_no, array_to_string(l[i*20+1:i*20+20], ' ') span from sp),
+ keeper as (select span, min(doc_id*1000+span_no) kk from spans group by span)
+ select s.doc_id, s.span_no, cast(floor(kk/1000.0) as bigint) keep_doc, cast(kk % 1000 as bigint) keep_span,
+  (s.doc_id*1000+s.span_no) <> kk is_dup
+ from spans s join keeper k on s.span = k.span
+ order by s.doc_id, s.span_no limit 500"""),
+
+    // Linear-regression aggregate family (regr_slope/intercept/r2/count):
+    // one-pass moment aggregates, map-side combined like any hash agg.
+    // Ratios of large co-moments are rounded at 4 (absolute scale ~1e4) and
+    // r2 at 6 (scale [0,1]) so double accumulation-order differences across
+    // engines never reach the hash (H10 posture, same as q47's corr).
+    q("q93_regr_stats",
+      """select l_returnflag,
+ round(regr_slope(cast(l_extendedprice as double), cast(l_quantity as double)),4) slope,
+ round(regr_intercept(cast(l_extendedprice as double), cast(l_quantity as double)),4) icept,
+ round(regr_r2(cast(l_extendedprice as double), cast(l_quantity as double)),6) r2,
+ regr_count(cast(l_extendedprice as double), cast(l_quantity as double)) n
+ from lineitem group by l_returnflag order by l_returnflag"""),
+
+    // Gopher-style repetition/quality composite: top-word fraction (the
+    // "fraction of the most common word" repetition rule — q78 is n-gram
+    // repetition, this is the unigram form), word-count bounds, and mean
+    // word length bounds folded into one keep/drop verdict. One explode +
+    // two hash aggs; the per-doc scalars ride a broadcast-sized join back.
+    q2("q94_gopher_filter",
+      """with tok as (select doc_id, explode(split(text,' ')) w from documents),
+ c as (select doc_id, w, count(*) c from tok group by doc_id, w),
+ top as (select doc_id, max(c) top_c, sum(c) n_tok from c group by doc_id),
+ m as (select doc_id, round(cast(length(replace(text,' ','')) as double)/size(split(text,' ')),4) awl from documents)
+ select m.doc_id, cast(t.n_tok as bigint) n_tok, round(cast(t.top_c as double)/t.n_tok, 4) top_frac, m.awl,
+ case when t.n_tok between 50 and 100000 and m.awl between 3 and 10
+      and cast(t.top_c as double)/t.n_tok <= 0.2 then 'keep' else 'drop' end verdict
+ from m join top t on m.doc_id = t.doc_id
+ order by m.doc_id limit 300""",
+      """with tok as (select doc_id, unnest(string_split(text,' ')) w from documents),
+ c as (select doc_id, w, count(*) c from tok group by doc_id, w),
+ top as (select doc_id, max(c) top_c, sum(c) n_tok from c group by doc_id),
+ m as (select doc_id, round(cast(length(replace(text,' ','')) as double)/len(string_split(text,' ')),4) awl from documents)
+ select m.doc_id, cast(t.n_tok as bigint) n_tok, round(cast(t.top_c as double)/t.n_tok, 4) top_frac, m.awl,
+ case when t.n_tok between 50 and 100000 and m.awl between 3 and 10
+      and cast(t.top_c as double)/t.n_tok <= 0.2 then 'keep' else 'drop' end verdict
+ from m join top t on m.doc_id = t.doc_id
+ order by m.doc_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -549,6 +549,49 @@ object DfQueries {
         .orderBy("user_id", "dday")
     },
 
+    "q92_span_dedup" -> { (s, _) =>
+      // C4-style span-level exact dedup: the operator's agg/join shape is
+      // DedupOps.spanDedup; the declared keeper encoding (doc_id·1000 +
+      // span_no) is the contract's first-occurrence order.
+      DedupOps.spanDedup(t(s, "documents"), col("doc_id"), col("text"), 20)
+        .orderBy("doc_id", "span_no").limit(500)
+    },
+
+    "q93_regr_stats" -> { (s, _) =>
+      // Regression moments are one-pass mergeable aggregates (map-side
+      // combined); ratios rounded before the hash per H10.
+      val y = col("l_extendedprice").cast("double")
+      val x = col("l_quantity").cast("double")
+      t(s, "lineitem").groupBy("l_returnflag")
+        .agg(round(regr_slope(y, x), 4).as("slope"),
+          round(regr_intercept(y, x), 4).as("icept"),
+          round(regr_r2(y, x), 6).as("r2"),
+          regr_count(y, x).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "q94_gopher_filter" -> { (s, _) =>
+      // Gopher repetition/quality composite: top-word fraction via two hash
+      // aggs over one explode; per-doc scalars (mean word length) computed
+      // in the projection and joined back on doc_id.
+      val docs = t(s, "documents")
+      val counts = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val top = counts.groupBy("doc_id")
+        .agg(max("c").as("top_c"), sum("c").as("n_tok"))
+      val m = docs.select(col("doc_id"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(split(col("text"), " ")), 4).as("awl"))
+      val topFrac = col("top_c").cast("double") / col("n_tok")
+      m.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          round(topFrac, 4).as("top_frac"), col("awl"),
+          when(col("n_tok").between(50, 100000) && col("awl").between(3, 10)
+              && topFrac <= 0.2, "keep").otherwise("drop").as("verdict"))
+        .orderBy("doc_id").limit(300)
+    },
+
     "q91_incremental_dedup" -> { (s, _) =>
       // Cross-run incremental dedup: the batch (doc_id >= 150) dedups
       // against ONLY the persisted fingerprint state of the prior corpus —

@@ -48,6 +48,42 @@ object DedupOps {
       .agg(count(lit(1)).as("c"), min("doc_id").as("keep"))
       .where(col("c") > 1)
 
+  /** C4-style SPAN-level exact dedup (q92): cut each document into
+    * fixed-width `spanWords`-word spans and keep only the first occurrence
+    * of each distinct span text corpus-wide — boilerplate shared INSIDE
+    * otherwise-distinct documents is caught where whole-document dedup
+    * ([[exactDupGroups]]) cannot see it. Keeper = lexicographically-first
+    * (doc, span) occurrence, encoded as doc_id·1000 + span_no — valid while
+    * every document stays under spanWords·1000 words (20k at the default),
+    * the declared q92 contract; pre-split longer documents first.
+    *
+    * Scale shape: one explode (narrow), one hash agg on the span text
+    * (partial min per partition — a boilerplate span repeated across the
+    * whole corpus combines map-side, so the hot key ships one row per
+    * partition, not one per occurrence), one equi-join back. The join IS
+    * keyed by span text, so a mega-hot span skews the probe side — AQE
+    * skew-join splits it; decisions are order-independent (min is
+    * associative) exactly like minhashDedupKeep's skew pin. */
+  def spanDedup(docs: DataFrame, id: Column, text: Column,
+                spanWords: Int = 20): DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    val l = split(text, " ")
+    val spans = docs.select(
+        id.as("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(l) - 1) / lit(spanWords.toDouble)).cast("int")),
+          i => concat_ws(" ", slice(l, i * spanWords + 1, lit(spanWords))))))
+      .select(col("doc_id"), col("pos").cast("long").as("span_no"), col("col").as("span"))
+    val keyed = spans.select(col("doc_id"), col("span_no"), col("span"),
+      (col("doc_id") * 1000 + col("span_no")).as("k"))
+    val keeper = keyed.groupBy("span").agg(min("k").as("kk"))
+    keyed.join(keeper, "span")
+      .select(col("doc_id"), col("span_no"),
+        floor(col("kk") / 1000.0).cast("long").as("keep_doc"),
+        (col("kk") % 1000).as("keep_span"),
+        (col("k") =!= col("kk")).as("is_dup"))
+  }
+
   /** i-th MinHash: lexicographic min of a seeded md5 prefix — the hex min
     * equals the numeric min of the underlying 48-bit value. */
   private def minhashCol(i: Int): Column =

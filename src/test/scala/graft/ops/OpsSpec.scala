@@ -78,6 +78,33 @@ class OpsSpec extends AnyFunSuite {
     assert(dups.forall(_.getLong(1) > 1))
   }
 
+  test("spanDedup: shared boilerplate inside distinct documents is caught span-wise") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      // doc 0: boilerplate + 20 unique words → spans 0 (boiler) and 1.
+      0L -> (boiler + " " + (1 to 20).map(i => s"u$i").mkString(" ")),
+      // doc 1: all-unique words — no dup spans anywhere.
+      1L -> (1 to 40).map(i => s"v$i").mkString(" "),
+      // doc 2: different unique words but the SAME boilerplate as span 1.
+      2L -> ((1 to 20).map(i => s"w$i").mkString(" ") + " " + boiler),
+      // doc 3: short doc (< spanWords words) = exactly doc 1's first span.
+      3L -> (1 to 20).map(i => s"v$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.spanDedup(docs, col("doc_id"), col("text"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.size == 7, s"2+2+2+1 spans expected, got ${out.keySet}")
+    // Whole-document dedup sees nothing: all four docs are distinct texts.
+    // Span dedup catches the boilerplate: doc2's second span dups doc0's first.
+    assert(out((2L, 1L)) == ((0L, 0L, true)))
+    assert(out((0L, 0L)) == ((0L, 0L, false)), "first occurrence keeps itself")
+    // ...and the short doc3 dups doc1's leading span.
+    assert(out((3L, 0L)) == ((1L, 0L, true)))
+    // Everything else is unique.
+    assert(out.count(_._2._3) == 2)
+  }
+
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
