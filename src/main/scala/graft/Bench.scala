@@ -116,6 +116,25 @@ object Bench {
             e.where(col("vec_id") < 8), k = 10)
           .agg(count(lit(1)).as("n"))
       }),
+      // Span-level exact dedup (q92 shape): one explode + partial-agg'd
+      // min + equi-join; guards the span keeper from regressing to a
+      // window-sort or a non-combining agg.
+      "x_span_dedup" -> (() =>
+        graft.ops.DedupOps.spanDedup(docs, col("doc_id"), col("text"), 20)
+          .agg(count(lit(1)).as("spans"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups"))),
+      // REAL image decode throughput: payloads are honest PNG containers
+      // (rendered once through the JDK encoder, persisted outside the
+      // timed thunk); the timed pass decodes every pixel and average-pools
+      // features — the per-asset cost model for multimodal curation.
+      "x_image_decode" -> {
+        val assets = graft.ops.MediaCodecs.syntheticImageAssets(
+          docs.select(col("doc_id")), col("doc_id")).persist()
+        assets.count() // materialize: the bench times decode, not encode
+        () => graft.ops.MultiModal.decodeFeatures(
+            assets, new graft.ops.MediaCodecs.ImageCodec(4, 4))
+          .agg(count(lit(1)).as("n"))
+      },
       // Bloom prefilter + exact semi join (q82 shape): guards the native
       // bloom_might_contain probe's scan-side cost.
       "x_bloom_semijoin" -> (() => {

@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFormat, AudioSystem}
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -149,6 +149,44 @@ object MediaCodecs {
         Some(out)
       } finally src.close()
     } catch { case _: Exception => None }
+
+  /** Deterministic synthetic image assets rendered through the REAL PNG
+    * encoder — the bench/test fixture generator when no asset store exists
+    * in the environment. Each id renders a `w`×`h` two-tone gradient keyed
+    * by the id (not solid color, so PNG row filtering does nontrivial
+    * work and decode cost is representative). Narrow; payloads are honest
+    * PNG containers the [[ImageCodec]] round-trips. */
+  def syntheticImageAssets(ids: DataFrame, idCol: Column,
+                           w: Int = 32, h: Int = 32): DataFrame = {
+    require(w > 0 && h > 0, s"geometry must be positive, got ${w}x$h")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(MultiModal.assetSchema)
+    val in: Dataset[Row] = ids.where(idCol.isNotNull).select(idCol.cast("long").as("id"))
+    in.mapPartitions { rows =>
+      initImageIo()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val base = (id * 0x9e3779b9L).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rr = (base & 0xff) * (x + 1) / w
+            val gg = ((base >> 8) & 0xff) * (y + 1) / h
+            val bb = ((base >> 16) & 0xff) * (x + y + 2) / (w + h)
+            img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        val png = bos.toByteArray
+        Row(id, png, Row("image/png", w, h, null))
+      }
+    }(enc)
+  }
 
   private val imageMetaSchema = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
