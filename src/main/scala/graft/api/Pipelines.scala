@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, DedupOps, SketchOps, TextOps}
+import graft.ops.{Ann, DedupOps, MediaCodecs, MultiModal, SketchOps, TextOps}
 
 /** Task-level entry points composing the ops layer — what a data-pipeline
   * user calls without learning each operator's plumbing. All of these are
@@ -75,6 +75,27 @@ object Pipelines {
   def similaritySearchIvf(probes: DataFrame, gallery: DataFrame,
                           centroids: DataFrame, k: Int): DataFrame =
     Ann.topKQuantizedIvf(probes, gallery, centroids, k)
+
+  /** Span-level exact dedup decisions (q92 semantics): boilerplate shared
+    * INSIDE otherwise-distinct documents, at `spanWords` granularity. */
+  def spanDuplicates(docs: DataFrame, id: Column, text: Column,
+                     spanWords: Int = 20): DataFrame =
+    DedupOps.spanDedup(docs, id, text, spanWords)
+
+  /** REAL image decode → pooled-RGB feature vectors (JDK ImageIO — no
+    * external codec libraries). Undecodable assets are row-absent; audit
+    * them by anti-joining asset_id. */
+  def imageFeatures(assets: DataFrame, grid: Int = 4): DataFrame =
+    MultiModal.decodeFeatures(assets, new MediaCodecs.ImageCodec(grid, grid))
+
+  /** End-to-end image near-dup: decode real pixels into pooled features,
+    * then LSH-bucketed cosine candidate generation + exact verify — the
+    * image-side twin of the text dedup path, sharing its auto-sized
+    * banding. One narrow decode, one equi-join on bucket keys. */
+  def imageNearDuplicates(assets: DataFrame, threshold: Double = 0.98,
+                          grid: Int = 4): DataFrame =
+    Ann.neardupLshAuto(imageFeatures(assets, grid), threshold,
+      id = "asset_id", vec = "features")
 
   /** Per-document text-quality report: token stats, lexical diversity,
     * language guess and keep/drop verdict — the pre-training filter row. */

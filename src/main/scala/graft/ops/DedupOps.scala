@@ -68,7 +68,10 @@ object DedupOps {
                 spanWords: Int = 20): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
     val l = split(text, " ")
-    val spans = docs.select(
+    // Null id/text rows are excluded (the H13 degenerate-row posture: a
+    // null would poison the keeper key / vanish via posexplode anyway);
+    // empty text yields ONE empty span, so all-empty docs dedup together.
+    val spans = docs.where(id.isNotNull && text.isNotNull).select(
         id.as("doc_id"),
         posexplode(transform(
           sequence(lit(0), floor((size(l) - 1) / lit(spanWords.toDouble)).cast("int")),

@@ -50,6 +50,19 @@ class NullSafetySpec extends AnyFunSuite {
     assert(sh(1).isNullAt(0) && !sh(0).isNullAt(0))
   }
 
+  test("spanDedup: null rows absent, empty/whitespace docs dedup among themselves") {
+    val out = DedupOps.spanDedup(degenerate, col("doc_id"), col("text"), 2)
+      .orderBy("doc_id", "span_no").collect()
+    // Doc 2 (null text) is absent; docs 1/3/4 emit their spans.
+    assert(out.map(_.getLong(0)).distinct.toSeq == Seq(1L, 3L, 4L))
+    // "" splits to [""] (one empty span) and "   " to ["","","",""] (two
+    // all-empty 2-word spans) — they all dedup to doc 3's empty span?
+    // No: span texts differ ("" vs " "), so only exact span texts group.
+    val empty3 = out.filter(_.getLong(0) == 3L)
+    assert(empty3.length == 1 && !empty3(0).getBoolean(4), "first empty span keeps")
+    assert(out.forall(r => !r.isNullAt(4)), "no null decisions survive")
+  }
+
   test("contaminationFilter never drops or crashes on null text") {
     val probe = TestSpark.table("documents").where(col("doc_id") < 5)
       .select(explode(TextOps.wordShingles(col("text"), 3)).as("sh")).distinct()
