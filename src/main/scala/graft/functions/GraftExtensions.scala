@@ -14,8 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
+    // Portable-SQL acceleration: the HOF cosine/dot lowerings rewrite to
+    // the native fused expressions (bit-identical; NativeVectorRewriteSpec).
+    ext.injectOptimizerRule(_ => NativeVectorRewrite)
+  }
 }
 
 object GraftFunctions {
