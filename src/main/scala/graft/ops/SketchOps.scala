@@ -154,4 +154,32 @@ object SketchOps {
     if (keepCols.isEmpty) sketchTable.agg(est)
     else sketchTable.groupBy(keepCols.map(col): _*).agg(est)
   }
+
+  /** Reaggregatable QUANTILE sketch table — [[hllSketchTable]]'s analog
+    * for percentiles, which are just as non-additive as distinct counts:
+    * one KLL sketch per fine-grained group; any coarser percentile later
+    * merges sketches (lossless over sketches, bounded rank error) instead
+    * of re-reading raw data. A year of daily per-dimension sketches
+    * answers "p95 latency last quarter, by type" from kilobytes. */
+  def kllSketchTable(df: DataFrame, valueCol: String,
+                     groupCols: String*): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kll_sketch_agg_double(col(valueCol).cast("double")).as("kll"))
+
+  /** Roll a KLL sketch table up to `keepCols` (empty = global) and answer
+    * the given quantiles from the merged sketch: one `p<q>` column per
+    * requested quantile (rank error ~1.65% at the default sketch size). */
+  def kllRollup(sketchTable: DataFrame, quantiles: Seq[Double],
+                keepCols: String*): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be within [0,1], got $quantiles")
+    val merged = kll_merge_agg_double(col("kll")).as("kll")
+    val base =
+      if (keepCols.isEmpty) sketchTable.agg(merged)
+      else sketchTable.groupBy(keepCols.map(col): _*).agg(merged)
+    quantiles.foldLeft(base) { (df, q) =>
+      df.withColumn(f"p${math.round(q * 100)}%d",
+        kll_sketch_get_quantile_double(col("kll"), lit(q)))
+    }.drop("kll")
+  }
 }

@@ -126,6 +126,32 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(math.abs(global - exactGlobal) <= math.max(1L, (exactGlobal * 0.05).toLong))
   }
 
+  test("KLL sketch table answers rollup quantiles within rank tolerance") {
+    import org.apache.spark.sql.functions._
+    val ev = TestSpark.table("events")
+      .withColumn("d", date_trunc("day", col("ts")))
+    // Fine-grained sketches: day × event_type; roll up per type and global.
+    val table = SketchOps.kllSketchTable(ev, "value", "d", "event_type")
+    val byType = SketchOps.kllRollup(table, Seq(0.5, 0.95), "event_type")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // Rank check (principled for any distribution): the estimated
+    // q-quantile's TRUE rank must be within q ± 3% per merged sketch.
+    def trueRank(tpe: String, v: Double): Double = {
+      val g = ev.where(col("event_type") === tpe)
+      g.where(col("value").cast("double") <= v).count().toDouble /
+        math.max(g.count(), 1L)
+    }
+    byType.foreach { case (tpe, (p50, p95)) =>
+      assert(math.abs(trueRank(tpe, p50) - 0.5) <= 0.03, s"$tpe p50=$p50")
+      assert(math.abs(trueRank(tpe, p95) - 0.95) <= 0.03, s"$tpe p95=$p95")
+    }
+    // Global rollup from the SAME sketch table (no raw re-read).
+    val g = SketchOps.kllRollup(table, Seq(0.5)).head().getDouble(0)
+    val n = ev.count().toDouble
+    val gRank = ev.where(col("value").cast("double") <= g).count() / n
+    assert(math.abs(gRank - 0.5) <= 0.03, s"global p50=$g rank=$gRank")
+  }
+
   test("empty small side yields an empty semi join, not an error") {
     val corp = shingles("doc_id >= 10")
     val empty = shingles("doc_id < 0").select("sh").distinct()
