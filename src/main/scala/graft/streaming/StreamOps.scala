@@ -121,6 +121,30 @@ object StreamOps {
       .drop("__sigkey")
   }
 
+  /** CROSS-RUN streaming dedup — the streaming twin of the q91 incremental
+    * operator (DedupOps.incrementalDedup): a document passes only if its
+    * MinHash signature is absent from the PERSISTED prior-run fingerprint
+    * table (`prior` = (sigkey, keep_id) from DedupOps.fingerprintTable)
+    * AND first-seen within this stream. The prior side is static, so the
+    * prune is a stream-static LEFT ANTI join — per-batch hash lookup
+    * against state that lives in parquet between runs, no stream-side
+    * state beyond [[nearDupFilter]]'s per-signature key (and the anti join
+    * runs FIRST, so signatures already known to history never enter that
+    * state). Matches the batch operator's keep set for append-only
+    * pipelines with monotone ids (the batch form's undercut case — a new
+    * id smaller than a prior keeper — cannot arise there). Works
+    * identically on batch frames. */
+  def incrementalDedupFilter(docs: DataFrame, textCol: String,
+                             prior: DataFrame, k: Int = 8): DataFrame = {
+    import graft.ops.TextOps
+    docs
+      .withColumn("__sigkey",
+        array_join(transform(TextOps.minhashSig(col(textCol), k), _.cast("string")), "|"))
+      .join(prior.select(col("sigkey").as("__sigkey")), Seq("__sigkey"), "left_anti")
+      .dropDuplicates("__sigkey")
+      .drop("__sigkey")
+  }
+
   /** Streaming eval-set contamination filter: drop documents sharing ANY
     * word `n`-gram with a STATIC held-out set (`probeShingles`). The probe
     * set folds into a Bloom filter at plan time (one batch pass); each

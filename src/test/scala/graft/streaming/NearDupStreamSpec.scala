@@ -40,6 +40,36 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cross-run streaming dedup: stream survivors equal the batch q91 keep set") {
+    val all = TestSpark.table("documents")
+    val prior = DedupOps.fingerprintTable(
+      all.where(col("doc_id") < 150), col("doc_id"), col("text"))
+    // Batch truth: the incremental operator's keepers for the new batch.
+    val expectKept = DedupOps.incrementalDedup(
+        all.where(col("doc_id") >= 150), col("doc_id"), col("text"), prior)
+      .where(!col("is_dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    val docs = all.where(col("doc_id") >= 150).select("doc_id", "text")
+      .as[Doc].collect().toSeq.sortBy(_.doc_id)
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.incrementalDedupFilter(mem.toDF(), "text", prior)
+      .writeStream.format("memory").queryName("t_incdedup").outputMode("append").start()
+    try {
+      docs.grouped(docs.size / 4 + 1).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("t_incdedup")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == expectKept, s"stream=${streamed.size} batch=${expectKept.size}")
+      assert(expectKept.nonEmpty, "vacuous if the batch keeps nothing")
+      // Replaying history admits nothing: signatures known to the prior
+      // run never re-enter, and within-stream repeats are droppedDuplicates.
+      mem.addData(docs.take(30)); q.processAllAvailable()
+      assert(spark.table("t_incdedup").count() == expectKept.size)
+    } finally q.stop()
+  }
+
   test("batch mode of the same operator matches the keep-bit decision") {
     val batch = StreamOps.nearDupFilter(TestSpark.table("documents"), "text")
     val keep = DedupOps.minhashDedupKeepFast(
