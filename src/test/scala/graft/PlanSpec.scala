@@ -125,6 +125,15 @@ class PlanSpec extends AnyFunSuite {
       s"overfetch cut should push below the window:\n$p")
   }
 
+  test("q92: span keeper is a partial+final agg joined back — no window, no cartesian") {
+    val p = planString(TestSpark.corpus("q92_span_dedup"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"span keeper min must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"keeper must not be a per-span window sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span join must be equi on the span text:\n$p")
+  }
+
   test("q84: blocked edit-distance joins on the block key — no nested-loop pair join") {
     val p = planString(TestSpark.corpus("q84_editdistance_blocked"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
