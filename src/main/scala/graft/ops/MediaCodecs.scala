@@ -215,7 +215,10 @@ object MediaCodecs {
             val reader = readers.next()
             try {
               reader.setInput(stream, true, true)
-              Iterator.single(Row(r.getLong(0), reader.getFormatName.toLowerCase,
+              // Locale.ROOT: a tr_TR default locale would fold "GIF" to
+              // "gıf" (dotless i) and break format comparisons.
+              Iterator.single(Row(r.getLong(0),
+                reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
                 reader.getWidth(0), reader.getHeight(0)))
             } catch { case _: Exception => Iterator.empty }
             finally reader.dispose()
