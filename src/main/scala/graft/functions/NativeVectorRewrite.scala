@@ -123,5 +123,10 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
     case e if matchDot(e).exists { case (a, b) => floatArray(a) && floatArray(b) } =>
       val (a, b) = matchDot(e).get
       DotProduct(a, b)
+    // Standalone sum-of-squares (the norm² fold): dot_f32(a, a) adds the
+    // exact same xi·xi sequence left-to-right — bit-identical.
+    case e if matchSumSq(e).exists(floatArray) =>
+      val a = matchSumSq(e).get
+      DotProduct(a, a)
   }
 }

@@ -77,6 +77,20 @@ class NativeVectorRewriteSpec extends AnyFunSuite {
       viaNative.map(java.lang.Double.doubleToLongBits).toSeq)
   }
 
+  test("standalone norm-squared fold rewrites to dot_f32(a, a), bit-identically") {
+    val df = emb.limit(20).select(
+      (VectorOps.norm2(col("embedding")) * VectorOps.norm2(col("embedding"))).as("n2"))
+    val plan = optimized(df)
+    assert(plan.contains("dot_f32"), s"no norm rewrite in:\n$plan")
+    val viaRule = df.collect().map(_.getDouble(0))
+    val viaNative = emb.limit(20).select(
+      (sqrt(call_function("dot_f32", col("embedding"), col("embedding"))) *
+        sqrt(call_function("dot_f32", col("embedding"), col("embedding")))).as("n2"))
+      .collect().map(_.getDouble(0))
+    assert(viaRule.map(java.lang.Double.doubleToLongBits).toSeq ==
+      viaNative.map(java.lang.Double.doubleToLongBits).toSeq)
+  }
+
   test("near-miss shapes are NOT rewritten") {
     emb.createOrReplaceTempView("e_rw")
     // Norms of (a, a) under a dot of (a, b): not a cosine — must survive.
