@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, DedupOps, MediaCodecs, MultiModal, SketchOps, TextOps}
+import graft.ops.{Ann, Bpe, DedupOps, MediaCodecs, MultiModal, SketchOps, TextOps}
 
 /** Task-level entry points composing the ops layer — what a data-pipeline
   * user calls without learning each operator's plumbing. All of these are
@@ -96,6 +96,33 @@ object Pipelines {
                           grid: Int = 4): DataFrame =
     Ann.neardupLshAuto(imageFeatures(assets, grid), threshold,
       id = "asset_id", vec = "features")
+
+  /** REAL audio decode → windowed RMS energy features (JDK javax.sound —
+    * WAV/AU/AIFF). Undecodable assets are row-absent. */
+  def audioFeatures(assets: DataFrame, windows: Int = 8): DataFrame =
+    MultiModal.decodeFeatures(assets, new MediaCodecs.WavCodec(windows))
+
+  /** Train a BPE tokenizer on the corpus (word-level, deterministic);
+    * returns the ordered merge table — persist it alongside the corpus. */
+  def trainTokenizer(docs: DataFrame, text: Column,
+                     numMerges: Int, minWordCount: Long = 1L): Seq[(String, String)] =
+    Bpe.train(docs, text, numMerges, minWordCount)
+
+  /** Tokenize documents under a trained merge table: (doc_id, tokens,
+    * n_tokens) — exact token budgets, one narrow pass, no shuffle. */
+  def tokenize(docs: DataFrame, id: Column, text: Column,
+               merges: Seq[(String, String)]): DataFrame =
+    Bpe.encode(docs, id, text, merges)
+
+  /** Stratified corpus sampling — the mixture-weighting step (e.g.
+    * rebalance languages or sources to target fractions). Seeded and
+    * per-row deterministic (`sampleBy` hashes the row, so the SAME rows
+    * are chosen on re-run — a reproducibility requirement for training
+    * corpora); strata absent from `fractions` are dropped, which is the
+    * point of a mixture spec. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    docs.stat.sampleBy(stratumCol, fractions, seed)
 
   /** Per-document text-quality report: token stats, lexical diversity,
     * language guess and keep/drop verdict — the pre-training filter row. */

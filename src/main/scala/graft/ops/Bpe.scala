@@ -49,8 +49,11 @@ object Bpe {
 
   /** Train `numMerges` BPE merges over the corpus. Deterministic: the best
     * pair each round is the highest weighted count, ties broken by the
-    * lexicographically smallest (a, b). Stops early when no pair occurs
-    * at least `minPairCount` times (further merges would memorize noise).
+    * lexicographically smallest (a, b) in Spark's UTF8 binary order (=
+    * code-point order; JVM String.compareTo differs for supplementary
+    * characters — the tie-break is deterministic either way, just pinned
+    * to the engine's ordering). Stops early when no pair occurs at least
+    * `minPairCount` times (further merges would memorize noise).
     *
     * Returns merges in training order — position IS the rank the encoder
     * uses. */

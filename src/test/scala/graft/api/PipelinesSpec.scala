@@ -104,6 +104,34 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample: seeded, per-row deterministic, near-target fractions") {
+    val docs = TestSpark.table("documents")
+    val frac = Map("src0" -> 1.0, "src1" -> 0.5) // src2+ dropped: mixture spec
+    val a = Pipelines.stratifiedSample(docs, "source", frac, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Pipelines.stratifiedSample(docs, "source", frac, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same seed must choose the same rows")
+    val bySrc = Pipelines.stratifiedSample(docs, "source", frac, seed = 7L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == Set("src0", "src1"), s"strata outside the spec survived: $bySrc")
+    assert(bySrc("src0") == full("src0"), "fraction 1.0 keeps every row")
+    val r1 = bySrc("src1").toDouble / full("src1")
+    assert(r1 > 0.2 && r1 < 0.8, s"src1 sampled fraction $r1 far from 0.5")
+  }
+
+  test("tokenize facade: exact token budget over a trained merge table") {
+    val docs = TestSpark.table("documents").where(col("doc_id") < 30)
+    val merges = Pipelines.trainTokenizer(docs, col("text"), numMerges = 10)
+    assert(merges.size == 10)
+    val toks = Pipelines.tokenize(docs, col("doc_id"), col("text"), merges)
+    assert(toks.count() == docs.count())
+    assert(toks.where(col("n_tokens") <= 0).count() == 0)
+  }
+
   test("AQE is live: runtime coalescing appears in a shuffled agg plan") {
     val df = TestSpark.table("lineitem").groupBy("l_partkey").count()
     df.collect()
