@@ -1007,6 +1007,27 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       and cast(t.top_c as double)/t.n_tok <= 0.2 then 'keep' else 'drop' end verdict
  from m join top t on m.doc_id = t.doc_id
  order by m.doc_id limit 300"""),
+
+    // Last-observation-carried-forward (IGNORE NULLS analytic windows) —
+    // the forward-fill twin of q90's gap fill: sensors report sparsely
+    // (every third event blanked deterministically here), the window
+    // carries the latest non-null reading forward per user. Same running
+    // partition frame as q37's totals; no extra shuffle beyond it.
+    q2("q95_locf",
+      """with s as (select event_id, user_id, ts,
+   case when event_id % 3 = 0 then null else round(value, 4) end v_sparse
+ from events)
+ select event_id, user_id, v_sparse,
+ last_value(v_sparse, true) over (partition by user_id order by ts, event_id
+   rows between unbounded preceding and current row) v_filled
+ from s order by user_id, ts, event_id limit 300""",
+      """with s as (select event_id, user_id, ts,
+   case when event_id % 3 = 0 then null else round(value, 4) end v_sparse
+ from events)
+ select event_id, user_id, v_sparse,
+ last_value(v_sparse ignore nulls) over (partition by user_id order by ts, event_id
+   rows between unbounded preceding and current row) v_filled
+ from s order by user_id, ts, event_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -592,6 +592,21 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q95_locf" -> { (s, _) =>
+      // Forward-fill: last non-null reading per user carried forward
+      // (IGNORE NULLS running window — one shuffle on user_id, same frame
+      // as the running totals family).
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_id") % 3 === 0, lit(null))
+            .otherwise(round(col("value"), 4)).as("v_sparse"))
+        .withColumn("v_filled", last(col("v_sparse"), ignoreNulls = true).over(w))
+        .orderBy(col("user_id"), col("ts"), col("event_id")).limit(300)
+        .select("event_id", "user_id", "v_sparse", "v_filled")
+    },
+
     "q91_incremental_dedup" -> { (s, _) =>
       // Cross-run incremental dedup: the batch (doc_id >= 150) dedups
       // against ONLY the persisted fingerprint state of the prior corpus —
