@@ -173,6 +173,8 @@ object SketchOps {
                 keepCols: String*): DataFrame = {
     require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
       s"quantiles must be within [0,1], got $quantiles")
+    require(quantiles.map(q => math.round(q * 100)).distinct.size == quantiles.size,
+      s"quantiles collide after p<percent> naming (e.g. 0.5 and 0.501): $quantiles")
     val merged = kll_merge_agg_double(col("kll")).as("kll")
     val base =
       if (keepCols.isEmpty) sketchTable.agg(merged)
