@@ -105,6 +105,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count(_._2._3) == 2)
   }
 
+  test("spanDedup: a mega-hot span (half the corpus) resolves to one keeper") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"hot$i").mkString(" ")
+    // 2000 docs, every even id carries the SAME boilerplate span plus a
+    // unique tail — the worst skew case for the span-keyed join.
+    val docs = spark.sparkContext.parallelize(0L until 2000L, 8).map { i =>
+      val tail = (1 to 20).map(j => s"u${i}_$j").mkString(" ")
+      (i, if (i % 2 == 0) boiler + " " + tail else tail)
+    }.toDF("doc_id", "text")
+    val out = DedupOps.spanDedup(docs, col("doc_id"), col("text"), 20)
+    val hot = out.where(col("span_no") === 0 && col("doc_id") % 2 === 0)
+      .select("doc_id", "keep_doc", "is_dup").collect()
+    assert(hot.length == 1000)
+    // Exactly one keeper (doc 0), everyone else a dup pointing at it.
+    assert(hot.forall(_.getLong(1) == 0L))
+    assert(hot.count(!_.getBoolean(2)) == 1)
+    // Unique tails never dup.
+    val tails = out.where(col("doc_id") % 2 === 0 && col("span_no") === 1)
+    assert(tails.where(col("is_dup")).count() == 0)
+  }
+
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
