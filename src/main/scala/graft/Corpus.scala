@@ -1028,6 +1028,21 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
  last_value(v_sparse ignore nulls) over (partition by user_id order by ts, event_id
    rows between unbounded preceding and current row) v_filled
  from s order by user_id, ts, event_id limit 300"""),
+
+    // k-means recenter / IVF centroid update, element-wise: per-cluster
+    // per-dimension mean over the q59 fixture clustering (cid = vec_id % 8).
+    // Long rows (cid, pos, mean) instead of arrays — array outputs crash
+    // the driver compare (H: ndarray cells), and per-dim rows are what the
+    // recenter agg shuffles anyway. Spark posexplode is 0-based, DuckDB
+    // generate_subscripts 1-based: aligned to 1-based here.
+    q2("q96_centroids",
+      """with x as (select vec_id % 8 cid, p, v from embeddings
+   lateral view posexplode(embedding) t as p, v)
+ select cid, cast(p + 1 as bigint) pos, round(avg(cast(v as double)), 6) m
+ from x group by cid, p order by cid, pos limit 300""",
+      """with x as (select vec_id % 8 cid, generate_subscripts(embedding, 1) pos, unnest(embedding) v from embeddings)
+ select cid, cast(pos as bigint) pos, round(avg(cast(v as double)), 6) m
+ from x group by cid, pos order by cid, pos limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

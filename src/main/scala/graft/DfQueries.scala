@@ -592,6 +592,18 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q96_centroids" -> { (s, _) =>
+      // The k-means recenter step (Ann.recenter's per-dim agg), declared
+      // as long rows over the q59 fixture clustering. posexplode pos is
+      // 0-based; the contract is 1-based (DuckDB generate_subscripts).
+      t(s, "embeddings")
+        .select((col("vec_id") % 8).as("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .select(col("cid"), (col("pos") + 1).cast("long").as("pos"), col("m"))
+        .orderBy("cid", "pos").limit(300)
+    },
+
     "q95_locf" -> { (s, _) =>
       // Forward-fill: last non-null reading per user carried forward
       // (IGNORE NULLS running window — one shuffle on user_id, same frame

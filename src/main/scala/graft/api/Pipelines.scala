@@ -68,6 +68,12 @@ object Pipelines {
   def similaritySearch(probes: DataFrame, gallery: DataFrame, k: Int): DataFrame =
     Ann.topKQuantized(probes, gallery, k)
 
+  /** Train IVF centroids with Lloyd's k-means (deterministic, cosine
+    * metric — matching the search side). Feed the result to
+    * [[similaritySearchIvf]]; persist it like any index artifact. */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int = 5): DataFrame =
+    Ann.kmeans(emb, k, iters)
+
   /** The full-scale ANN: IVF candidate generation fused with the int8
     * coarse pass — a probe batch touches ~nprobe/K of the gallery instead
     * of all of it (Ann.topKQuantizedIvf; persist Ann.ivfIndex to amortize

@@ -335,4 +335,57 @@ object Ann {
       .where(col("rn") <= k)
       .select("p_id", "g_id", "s", "rn")
   }
+
+  /** Element-wise per-cluster centroid (the k-means recenter / IVF centroid
+    * update, and the q96 shape): posexplode to (cid, pos, value), one hash
+    * agg for the per-dimension mean, one agg to reassemble the array sorted
+    * by position. Output matches [[ivfAssign]]'s centroid contract
+    * ((id, vec) columns), so the result feeds straight back into
+    * assignment. Two shuffles, both on small keys (clusters × dims). */
+  def recenter(assigned: DataFrame, cidCol: String = "cid",
+               vec: String = "embedding"): DataFrame =
+    assigned
+      .select(col(cidCol), posexplode(col(vec)))
+      .groupBy(col(cidCol), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col(cidCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m").cast("float")).as(vec))
+
+  /** Lloyd's k-means over an embedding table — REAL centroid training for
+    * the IVF search path (centroids stop being a caller artifact).
+    * Deterministic: init = the `k` lowest-id vectors; each iteration is a
+    * broadcast [[ivfAssign]] (cosine, matching the search-side metric)
+    * plus one [[recenter]]. The centroid table is tiny (k × dims) and is
+    * localCheckpoint'ed each round, so iteration lineage never compounds;
+    * a cluster that loses every member keeps its previous centroid rather
+    * than collapsing k. Returns (id, vec) rows with cid ids 0..k-1,
+    * directly usable by [[ivfAssign]] / [[topKQuantizedIvf]]. */
+  def kmeans(emb: DataFrame, k: Int, iters: Int = 5,
+             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // Deterministic seeds: the k lowest-id vectors, renumbered 0..k-1 (a
+    // global window over exactly k rows — driver-scale by construction).
+    val wSeed = org.apache.spark.sql.expressions.Window.orderBy(col(id))
+    var centroids = emb.select(col(id), col(vec)).orderBy(col(id)).limit(k)
+      .withColumn("__cid", row_number().over(wSeed).cast("long") - 1)
+      .select(col("__cid").as(id), col(vec))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val assigned = ivfAssign(emb, centroids, id, vec)
+        .select(col(id).as("__vid"), col("cid"))
+      val updated = recenter(
+        emb.join(assigned, col(id) === col("__vid")).select(col("cid"), col(vec)),
+        "cid", vec)
+        .select(col("cid").as(id), col(vec))
+      // Clusters that lost every member keep their previous centroid.
+      val stale = centroids.join(updated.select(col(id)), Seq(id), "left_anti")
+      centroids = updated.unionByName(stale).localCheckpoint()
+      it += 1
+    }
+    centroids
+  }
 }

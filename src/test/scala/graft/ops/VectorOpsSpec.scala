@@ -187,6 +187,48 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(fromDisk == fused)
   }
 
+  test("kmeans recovers well-separated clusters and feeds the fused search") {
+    import spark.implicits._
+    // Three orthogonal-ish prototype directions, 60 members each, mild
+    // noise: Lloyd's must put every member of a true cluster under the
+    // same learned centroid.
+    val rnd = new scala.util.Random(11)
+    val protos = Array.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat * 3f))
+    val vecs = (0 until 180).map { i =>
+      (i.toLong, protos(i % 3).map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Ann.kmeans(vecs, k = 3, iters = 5)
+    assert(centroids.count() == 3)
+    val assign = Ann.ivfAssign(vecs, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Purity: each true cluster maps to exactly one learned cid, and the
+    // three cids are distinct.
+    val byTrue = (0 until 3).map(c =>
+      (0 until 180).filter(_ % 3 == c).map(i => assign(i.toLong)).distinct)
+    assert(byTrue.forall(_.size == 1), s"mixed clusters: $byTrue")
+    assert(byTrue.flatten.distinct.size == 3)
+    // Learned centroids are usable by the fused search directly.
+    val hits = Ann.topKQuantizedIvf(vecs.limit(5), vecs, centroids, k = 3)
+    assert(hits.groupBy("p_id").count().collect().forall(_.getLong(1) == 3))
+    // Determinism: training again yields the same centroids.
+    val again = Ann.kmeans(vecs, k = 3, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val first = centroids.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == first)
+  }
+
+  test("kmeans: k above the distinct-point count keeps stale centroids, no collapse") {
+    import spark.implicits._
+    val one = Array.fill(8)(1f)
+    val two = Array.fill(8)(-1f)
+    val vecs = Seq((0L, one), (1L, one), (2L, two)).toDF("vec_id", "embedding")
+    val cents = Ann.kmeans(vecs, k = 5, iters = 3)
+    // Only 3 seed vectors exist -> 3 centroids seeded; the two clusters
+    // that lose members to identical twins persist via the stale branch.
+    assert(cents.count() == 3)
+    assert(Ann.ivfAssign(vecs, cents).count() == 3)
+  }
+
   test("brute-force audit guards fire above their size bounds") {
     import spark.implicits._
     val vecs = (1L to 6L).map(i => (i, Array(i.toFloat, 1f)))
