@@ -64,6 +64,30 @@ class SourcesSpec extends AnyFunSuite {
       TestSpark.table("orders").count())
   }
 
+  test("compact rewrites a many-small-files table into the planned file count") {
+    val dir = tmp("orders_small")
+    // 64 tiny files — the pathological layout compaction exists for.
+    TestSpark.table("orders").repartition(64).write.parquet(dir)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) == 64)
+    val out = tmp("orders_compact")
+    val planned = graft.sources.Maintenance.plannedFiles(dir, targetBytes = 256L * 1024)
+    val back = graft.sources.Maintenance.compact(spark, dir, out, targetBytes = 256L * 1024)
+    assert(parquetFiles(out) == planned && planned < 64,
+      s"planned=$planned actual=${parquetFiles(out)}")
+    // Content survives byte-for-byte (same rows, same checksum of a column).
+    assert(back.count() == TestSpark.table("orders").count())
+    val a = back.agg(sum(crc32(col("o_orderstatus").cast("binary")))).head().getLong(0)
+    val b = TestSpark.table("orders")
+      .agg(sum(crc32(col("o_orderstatus").cast("binary")))).head().getLong(0)
+    assert(a == b)
+    // Never in place.
+    intercept[IllegalArgumentException] {
+      graft.sources.Maintenance.compact(spark, dir, dir)
+    }
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = tmp("orders_part")
     TestSpark.table("orders")
