@@ -1043,6 +1043,18 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       """with x as (select vec_id % 8 cid, generate_subscripts(embedding, 1) pos, unnest(embedding) v from embeddings)
  select cid, cast(pos as bigint) pos, round(avg(cast(v as double)), 6) m
  from x group by cid, pos order by cid, pos limit 300"""),
+
+    // UNPIVOT (wide → long, the inverse of q40's pivot): both engines
+    // support the SQL clause with the same shape; values pre-cast to
+    // double so the unpivoted column has one type (decimal outputs are
+    // driver-compare-hostile, H2).
+    q("q97_unpivot",
+      """select l_orderkey, l_linenumber, k, round(cast(v as double), 4) v
+ from (select l_orderkey, l_linenumber, cast(l_quantity as double) quantity,
+        cast(l_extendedprice as double) extendedprice, cast(l_discount as double) discount
+      from lineitem) t
+ unpivot (v for k in (quantity, extendedprice, discount))
+ order by l_orderkey, l_linenumber, k, v limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

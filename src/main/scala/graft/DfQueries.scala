@@ -592,6 +592,21 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q97_unpivot" -> { (s, _) =>
+      // Wide → long via the typed unpivot API (inverse of q40's pivot);
+      // a narrow generate step, no shuffle until the final order.
+      t(s, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")), "k", "v")
+        .select(col("l_orderkey"), col("l_linenumber"), col("k"),
+          round(col("v"), 4).as("v"))
+        .orderBy("l_orderkey", "l_linenumber", "k", "v").limit(300)
+    },
+
     "q96_centroids" -> { (s, _) =>
       // The k-means recenter step (Ann.recenter's per-dim agg), declared
       // as long rows over the q59 fixture clustering. posexplode pos is
