@@ -77,13 +77,20 @@ object StreamOps {
     * on batch frames (plain join, no state). Output: left columns prefixed
     * `l_`, right prefixed `r_`. */
   def bandJoin(left: DataFrame, right: DataFrame, key: String,
-               bandSeconds: Long, tsCol: String = "ts"): DataFrame = {
+               bandSeconds: Long, tsCol: String = "ts",
+               joinType: String = "inner"): DataFrame = {
     val l = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"l_$c"))
     val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+    // The time-bound equi+band condition is what makes OUTER stream-stream
+    // joins legal: Spark can only emit a null-padded unmatched row once the
+    // watermark proves no in-band partner can still arrive, and the band
+    // bound is that proof. joinType "left_outer"/"right_outer"/"full_outer"
+    // therefore require BOTH sides watermarked (withEventTime).
     l.join(r,
       col(s"l_$key") === col(s"r_$key") &&
         col(s"r_$tsCol") > col(s"l_$tsCol") &&
-        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"interval $bandSeconds second"))
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"interval $bandSeconds second"),
+      joinType)
   }
 
   /** Exactly-once-per-key view of an at-least-once stream: drop duplicate

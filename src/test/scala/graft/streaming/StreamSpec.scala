@@ -150,6 +150,45 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER band join: unmatched lefts null-pad after the watermark") {
+    val rows = eventRows
+    val clicks = rows.filter(_.event_type == "click")
+    val purchases = rows.filter(_.event_type == "purchase")
+    val memC = MemoryStream[Ev]
+    val memP = MemoryStream[Ev]
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.withEventTime(df.selectExpr("event_id", "user_id", "ts"), "10 minutes")
+    val q = StreamOps.bandJoin(prep(memC.toDF()), prep(memP.toDF()),
+        key = "user_id", bandSeconds = 300, joinType = "left_outer")
+      .select("l_event_id", "r_event_id")
+      .writeStream.format("memory").queryName("t_ssouter").outputMode("append").start()
+    try {
+      memC.addData(clicks); memP.addData(purchases)
+      q.processAllAvailable()
+      // Push the watermark far past every click so unmatched lefts can
+      // finalize: a late sentinel event on each side.
+      val last = rows.map(_.ts).max(Ordering.by((t: LocalDateTime) => t.toString))
+      val sentinel = Ev(999999L, -1L, "click", 0.0, last.plusHours(1))
+      memC.addData(Seq(sentinel)); memP.addData(Seq(sentinel.copy(event_id = 999998L)))
+      q.processAllAvailable()
+      val streamed = spark.table("t_ssouter")
+        .where(org.apache.spark.sql.functions.col("l_event_id") =!= 999999L)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sorted.toSeq
+      val batch = StreamOps.bandJoin(
+          spark.createDataset(clicks).toDF().selectExpr("event_id", "user_id", "ts"),
+          spark.createDataset(purchases).toDF().selectExpr("event_id", "user_id", "ts"),
+          key = "user_id", bandSeconds = 300, joinType = "left_outer")
+        .select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sorted.toSeq
+      assert(streamed == batch)
+      // The outer semantics is non-vacuous both ways: some clicks matched,
+      // some went unmatched and were null-padded.
+      assert(batch.exists(_._2 == -1L) && batch.exists(_._2 != -1L))
+    } finally q.stop()
+  }
+
   test("stream dedup removes cross-batch duplicate keys") {
     val rows = eventRows.take(50)
     val mem = MemoryStream[Ev]
