@@ -27,9 +27,15 @@ object TemporalOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String],
+               direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward | forward | nearest, got '$direction'")
     val leftCols = left.columns.toSeq
-    val vStruct = struct(valueCols.map(col): _*)
+    // The matched right timestamp rides inside the struct (__rts): forward
+    // needs its own traversal, nearest needs both distances — and backward
+    // projections never surface it, so the q15 semantics is unchanged.
+    val vStruct = struct(col(rightTs).as("__rts") +: valueCols.map(col): _*)
     val vType = right.select(vStruct).schema.head.dataType
     val lTagged = left
       .withColumn("__ts", col(leftTs))
@@ -42,12 +48,33 @@ object TemporalOps {
       .withColumn("__side", lit(0))
       .select(Seq(col(key).as("__key"), col("__ts"), col("__side")) ++
         leftCols.map(c => lit(null).as(c)) :+ vStruct.as("__vrow"): _*)
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side"))
+    // Backward: ascending traversal, right rows first at equal instants
+    // (inclusive as-of). Forward: DESCENDING traversal — the last non-null
+    // right seen before a left row is then the EARLIEST right at/after it;
+    // __side still ascends so an equal-instant right stays visible. Both
+    // windows share the partitioning, so "nearest" (both fills) still
+    // costs ONE shuffle — just a second in-partition sort.
+    val base = Window.partitionBy(col("__key"))
+    val wBack = base.orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = lTagged.unionAll(rTagged)
-      .select(Seq(col("__side")) ++ leftCols.map(col) :+
-        last(col("__vrow"), ignoreNulls = true).over(w).as("__fill"): _*)
+    val wFwd = base.orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val unioned = lTagged.unionAll(rTagged)
+    def micros(ts: Column): Column = unix_micros(ts.cast(TimestampType))
+    val fill = direction match {
+      case "backward" => last(col("__vrow"), ignoreNulls = true).over(wBack)
+      case "forward"  => last(col("__vrow"), ignoreNulls = true).over(wFwd)
+      case "nearest" =>
+        val b = last(col("__vrow"), ignoreNulls = true).over(wBack)
+        val f = last(col("__vrow"), ignoreNulls = true).over(wFwd)
+        // Ties go backward (the pandas/polars convention).
+        when(f.isNull, b).when(b.isNull, f)
+          .when(micros(col("__ts")) - micros(b("__rts")) <=
+                micros(f("__rts")) - micros(col("__ts")), b)
+          .otherwise(f)
+    }
+    val filled = unioned
+      .select(Seq(col("__side")) ++ leftCols.map(col) :+ fill.as("__fill"): _*)
     filled.where(col("__side") === 1)
       .select(leftCols.map(col) ++
         valueCols.map(c => col(s"__fill.$c").as(c)): _*)

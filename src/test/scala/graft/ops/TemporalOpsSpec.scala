@@ -64,6 +64,28 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(got(1) == (2L, None, None), s"got ${got(1)}")
   }
 
+  test("asofJoin directions: forward finds the next row, nearest ties go backward") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 300L), (3L, 2L, 100L))
+      .toDF("id", "k", "lts")
+    val right = Seq(
+      (1L, 90L, "a"), (1L, 105L, "b"), (1L, 200L, "c"),
+      (2L, 95L, "x"), (2L, 105L, "y")) // equidistant from 100
+      .toDF("k", "rts", "v")
+    def run(dir: String) = TemporalOps
+      .asofJoin(left, right, "k", "lts", "rts", Seq("v"), direction = dir)
+      .orderBy("id").collect().map(r => Option(r.getString(3))).toSeq
+    // id=1 (ts 100): backward a (90), forward b (105), nearest b (5 < 10).
+    // id=2 (ts 300): backward c, forward NONE, nearest falls back to c.
+    // id=3 (ts 100): x and y both 5 away — the tie goes BACKWARD (x).
+    assert(run("backward") == Seq(Some("a"), Some("c"), Some("x")))
+    assert(run("forward") == Seq(Some("b"), None, Some("y")))
+    assert(run("nearest") == Seq(Some("b"), Some("c"), Some("x")))
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoin(left, right, "k", "lts", "rts", Seq("v"), "sideways")
+    }
+  }
+
   test("timeBandJoin accepts identical column names on both sides") {
     val events = TestSpark.table("events")
     val clicks = events.where(col("event_type") === "click")
