@@ -1055,6 +1055,14 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       from lineitem) t
  unpivot (v for k in (quantity, extendedprice, discount))
  order by l_orderkey, l_linenumber, k, v limit 300"""),
+
+    // Bitwise aggregate family (bit_and/bit_or/bit_xor): flag-mask rollups
+    // (feature bitsets, permission masks) as one-pass mergeable aggs —
+    // same text in both engines.
+    q("q98_bitagg",
+      """select l_returnflag, bit_and(l_linenumber) ba, bit_or(l_linenumber) bo,
+ bit_xor(l_linenumber) bx, bit_and(l_partkey) bp, bit_or(l_suppkey) bs
+ from lineitem group by l_returnflag order by l_returnflag"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -592,6 +592,18 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q98_bitagg" -> { (s, _) =>
+      // One-pass mergeable bit-mask aggregates (map-side combined like any
+      // hash agg) — the flag-rollup family.
+      t(s, "lineitem").groupBy("l_returnflag")
+        .agg(bit_and(col("l_linenumber")).as("ba"),
+          bit_or(col("l_linenumber")).as("bo"),
+          bit_xor(col("l_linenumber")).as("bx"),
+          bit_and(col("l_partkey")).as("bp"),
+          bit_or(col("l_suppkey")).as("bs"))
+        .orderBy("l_returnflag")
+    },
+
     "q97_unpivot" -> { (s, _) =>
       // Wide → long via the typed unpivot API (inverse of q40's pivot);
       // a narrow generate step, no shuffle until the final order.
