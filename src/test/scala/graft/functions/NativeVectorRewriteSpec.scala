@@ -112,6 +112,17 @@ class NativeVectorRewriteSpec extends AnyFunSuite {
     assert(!optimized(doubles).contains("dot_f32"))
   }
 
+  test("rewrite completeness: every declared SQL using the HOF vector dialect goes native") {
+    TestSpark.table("embeddings") // ensure the catalog is registered
+    graft.Corpus.all
+      .filter(c => c.sparkSql.contains("zip_with"))
+      .foreach { c =>
+        val plan = spark.sql(c.sparkSql).queryExecution.optimizedPlan.toString
+        assert(plan.contains("cosine_sim") || plan.contains("dot_f32"),
+          s"${c.name}: HOF vector math not rewritten:\n${plan.take(1500)}")
+      }
+  }
+
   test("null/degenerate semantics survive the rewrite") {
     import spark.implicits._
     // RDD-backed (not a LocalRelation): ConvertToLocalRelation would
