@@ -16,7 +16,7 @@ object PlanProbe {
     df.collect()
     val t0 = System.nanoTime()
     df.collect()
-    println(s"== $name warm: ${(System.nanoTime() - t0) / 1e9}%s sec")
+    println(f"== $name warm: ${(System.nanoTime() - t0) / 1e9}%.3f sec")
     println(df.queryExecution.executedPlan.toString.take(6000))
   }
 }

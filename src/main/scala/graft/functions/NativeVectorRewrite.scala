@@ -7,35 +7,62 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Catalyst optimizer rule: recognize the PORTABLE HOF vector lowerings —
   * the cross-engine dialect the declared corpus (and any user writing
-  * engine-portable SQL) uses — and rewrite them to graft's fused native
+  * engine-portable SQL) uses — and rewrite them to graft's native
   * expressions:
   *
-  *   aggregate(zip_with(a,b,(x,y)->xd*yd), 0d, (acc,x)->acc+x)
-  *     / (sqrt(aggregate(transform(a,x->xd*xd),…)) * sqrt(…b…))  ⇒  cosine_sim(a,b)
-  *   aggregate(zip_with(a,b,(x,y)->xd*yd), 0d, (acc,x)->acc+x)   ⇒  dot_f32(a,b)
+  *   CASE WHEN sqrt(Σa²)*sqrt(Σb²) = 0 THEN NaN
+  *        ELSE dot/(sqrt(Σa²)*sqrt(Σb²)) END              ⇒  cosine_sim(a,b)
+  *   aggregate(zip_with(a,b,(x,y)->xd*yd), 0d, (acc,x)->acc+x)  ⇒  dot_f32(a,b)
+  *   aggregate(transform(a,x->xd*xd), 0d, (acc,x)->acc+x)       ⇒  dot_f32(a,a)
   *
   * The rewrite is BIT-IDENTICAL, not merely equivalent: the native
   * expressions fold each accumulator left-to-right in double precision,
   * exactly the HOF accumulation order (FunctionsSpec pins it), and
-  * null/length-mismatch/zero-norm cases agree (null-poisoned folds ⇒ NULL,
-  * 0/0 ⇒ NaN). What changes is the execution shape: one codegen'd loop
-  * with scalar accumulators instead of three HOF passes materializing
-  * intermediate arrays — measured ~20× per pair on all-pairs scans
-  * (SURVEY.md §2.6). Users keep writing portable SQL; Catalyst supplies
-  * the kernel.
+  * null/length-mismatch cases agree (null-poisoned folds ⇒ NULL).
   *
-  * Guards: only fires when the dot's operand arrays and the two norms'
-  * arrays are semantically the same `array<float>` pair, in the same
-  * order. Anything else (double arrays, mismatched norm operands, custom
-  * folds) is left untouched.
+  * The FUSED cosine fires only for the NaN-GUARDED CaseWhen shape
+  * ([[graft.ops.VectorOps.cosine]]): there the guard's predicate-true arm
+  * already yields NaN, which for float inputs is exactly cosine_sim's 0/0
+  * (den = 0 ⇔ a norm's every float² summand is 0 ⇔ dot = 0 — a float²
+  * cast to double cannot underflow to 0). A BARE `dot/(sqrt·sqrt)` divide
+  * is NOT fused: Spark's Divide yields NULL (non-ANSI) or throws
+  * (ANSI) on a 0.0 divisor, while cosine_sim yields NaN — fusing would
+  * silently change user results for zero-norm/empty vectors. Instead the
+  * three inner folds go native and the Divide node (with its evalMode) is
+  * preserved — bit-identical in every case including degenerate ones,
+  * still no intermediate arrays or per-element lambda dispatch (~20× per
+  * pair on all-pairs scans, SURVEY.md §2.6). Users keep writing portable
+  * SQL; Catalyst supplies the kernels.
+  *
+  * Guards: the product operands must carry EXPLICIT to-double casts over
+  * the lambda variables (the portable dialect's `cast(x as double)`) — a
+  * bare float-precision product `(x,y)->x*y` rounds each product to float
+  * before the fold widens it, different bits than the double-product
+  * kernel, so it is left untouched. The fused cosine additionally requires
+  * the dot's operand arrays and the two norms' arrays to be semantically
+  * the same `array<float>` pair, in the same order.
   */
 object NativeVectorRewrite extends Rule[LogicalPlan] {
 
-  /** The variable under an optional to-double cast (the portable dialect
-    * writes cast(x as double); analysis may also insert it). */
+  /** The variable under an optional to-double cast (used for the fold's
+    * accumulator step, where operands are already double). */
   private def asVar(e: Expression): Option[NamedLambdaVariable] = e match {
     case v: NamedLambdaVariable => Some(v)
     case c: Cast if c.dataType == DoubleType => asVar(c.child)
+    case _ => None
+  }
+
+  /** A lambda variable under an EXPLICIT to-double cast — the portable
+    * dialect's product operand, `cast(x as double)`. A bare (uncast)
+    * variable is rejected: over array<float> it means a float-precision
+    * product, which the double-precision kernel would not reproduce
+    * bit-for-bit. */
+  private def castedVar(e: Expression): Option[NamedLambdaVariable] = e match {
+    case c: Cast if c.dataType == DoubleType =>
+      c.child match {
+        case v: NamedLambdaVariable => Some(v)
+        case _ => None
+      }
     case _ => None
   }
 
@@ -71,7 +98,7 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
       prod.arguments match {
         case Seq(x: NamedLambdaVariable, y: NamedLambdaVariable) =>
           prod.function match {
-            case Multiply(l, r, _) => (asVar(l), asVar(r)) match {
+            case Multiply(l, r, _) => (castedVar(l), castedVar(r)) match {
               case (Some(v1), Some(v2))
                   if Set(v1.exprId, v2.exprId) == Set(x.exprId, y.exprId) =>
                 Some((a, b))
@@ -92,7 +119,7 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
         if zeroDouble(zero) && isAccPlusElem(merge) && isIdentity(finish) =>
       sq.arguments match {
         case Seq(x: NamedLambdaVariable) => sq.function match {
-          case Multiply(l, r, _) => (asVar(l), asVar(r)) match {
+          case Multiply(l, r, _) => (castedVar(l), castedVar(r)) match {
             case (Some(v1), Some(v2))
                 if v1.exprId == x.exprId && v2.exprId == x.exprId => Some(a)
             case _ => None
@@ -109,17 +136,58 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def isNaNLiteral(e: Expression): Boolean = e match {
+    case Literal(v: Double, DoubleType) => java.lang.Double.isNaN(v)
+    case _ => false
+  }
+
+  /** `den = 0.0` (either operand order) ⇒ the den expression. */
+  private def denOfZeroCheck(p: Expression): Option[Expression] = p match {
+    case EqualTo(den, z) if zeroDouble(z) => Some(den)
+    case EqualTo(z, den) if zeroDouble(z) => Some(den)
+    case _ => None
+  }
+
+  /** sqrt(Σa²) * sqrt(Σb²) ⇒ (a, b). */
+  private def matchNormProduct(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case Multiply(Sqrt(na), Sqrt(nb), _) =>
+        (matchSumSq(na), matchSumSq(nb)) match {
+          case (Some(a), Some(b)) => Some((a, b))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** The NaN-guarded cosine ([[graft.ops.VectorOps.cosine]]'s shape):
+    * `CASE WHEN den = 0 THEN NaN ELSE dot/den END` with den the norm
+    * product of the dot's own operands. Predicate-true implies dot = 0
+    * (see object doc), so the whole conditional is bit-identical to the
+    * fused kernel's unconditional `dot/den` arithmetic. */
+  private def matchGuardedCosine(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case CaseWhen(Seq((pred, nan)), Some(Divide(dot, den, _)))
+          if isNaNLiteral(nan) &&
+             denOfZeroCheck(pred).exists(_.semanticEquals(den)) =>
+        (matchDot(dot), matchNormProduct(den)) match {
+          case (Some((a, b)), Some((a2, b2)))
+              if a.semanticEquals(a2) && b.semanticEquals(b2) &&
+                 floatArray(a) && floatArray(b) =>
+            Some((a, b))
+          case _ => None
+        }
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    // Full cosine shape first (top-down: the Divide is seen before its
-    // inner aggregates, so the dot below never pre-empts it).
-    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), _) =>
-      (matchDot(dot), matchSumSq(na), matchSumSq(nb)) match {
-        case (Some((a, b)), Some(a2), Some(b2))
-            if a.semanticEquals(a2) && b.semanticEquals(b2) &&
-               floatArray(a) && floatArray(b) =>
-          CosineSimilarity(a, b)
-        case _ => d
-      }
+    // Fused cosine only for the NaN-guarded conditional (top-down: the
+    // CaseWhen is seen before its inner aggregates, so the dot case below
+    // never pre-empts it). A BARE dot/(sqrt·sqrt) divide deliberately
+    // falls through to the component rewrites: the Divide node survives
+    // with its evalMode, keeping NULL/ANSI-error zero-divisor semantics.
+    case e if matchGuardedCosine(e).isDefined =>
+      val (a, b) = matchGuardedCosine(e).get
+      CosineSimilarity(a, b)
     case e if matchDot(e).exists { case (a, b) => floatArray(a) && floatArray(b) } =>
       val (a, b) = matchDot(e).get
       DotProduct(a, b)

@@ -28,7 +28,19 @@ object Maintenance {
     math.max(1, math.ceil(dirBytes(dir).toDouble / targetBytes).toInt)
   }
 
+  /** Resolve to a canonical absolute path for the in-place guard: real
+    * path (symlinks resolved) when the file exists, normalized absolute
+    * path (`x/../y` collapsed) otherwise. */
+  private def canonical(p: String): Path = {
+    val abs = Paths.get(p).toAbsolutePath.normalize
+    if (Files.exists(abs)) abs.toRealPath() else abs
+  }
+
   /** Compact a parquet directory into ~`targetBytes` files at `outDir`.
+    *
+    * LOCAL-FILESYSTEM ONLY: sizing walks `java.nio` paths, so `dir` must
+    * be a local directory (not an `hdfs://`/`s3://` URI — those fail the
+    * walk up front rather than mis-sizing).
     *
     * Sizing reads the CURRENT on-disk bytes (compressed), so the output
     * count is computed from real data, not row-count guesses. The rewrite
@@ -37,11 +49,13 @@ object Maintenance {
     * `shuffle = false` to trade balance for a shuffle-free plan when the
     * inputs are already even. Writes to a NEW directory (never in place:
     * a failed in-place rewrite loses the table; swap directories at the
-    * catalog/metastore level after validating the output). */
+    * catalog/metastore level after validating the output). The guard
+    * compares NORMALIZED REAL paths, so `x/../t` or symlinked aliases of
+    * `dir` cannot slip past it. */
   def compact(spark: SparkSession, dir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024,
               shuffle: Boolean = true): DataFrame = {
-    require(Paths.get(outDir).toAbsolutePath != Paths.get(dir).toAbsolutePath,
+    require(canonical(outDir) != canonical(dir),
       "compact never rewrites in place — write to a new directory and swap")
     val n = plannedFiles(dir, targetBytes)
     val df = spark.read.parquet(dir)

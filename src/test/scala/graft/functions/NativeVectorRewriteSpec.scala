@@ -31,10 +31,15 @@ class NativeVectorRewriteSpec extends AnyFunSuite {
           from e_rw a join e_rw b on a.vec_id < 8 and b.vec_id between 8 and 40""")
   }
 
-  test("portable HOF cosine SQL is rewritten to the native expression") {
+  test("portable HOF cosine SQL gets native kernels, Divide preserved") {
+    // The BARE divide must NOT fuse into cosine_sim (Divide's zero-divisor
+    // semantics — NULL / ANSI error — differ from the kernel's NaN); its
+    // three inner folds go native and the Divide node survives.
     val plan = optimized(pairs)
-    assert(plan.contains("cosine_sim"), s"no rewrite in:\n$plan")
+    assert(plan.contains("dot_f32"), s"no rewrite in:\n$plan")
+    assert(!plan.contains("cosine_sim"), s"bare divide illegally fused in:\n$plan")
     assert(!plan.contains("aggregate(zip_with"), s"HOF survived in:\n$plan")
+    assert(!plan.contains("aggregate(transform"), s"norm HOF survived in:\n$plan")
   }
 
   test("rewrite is bit-identical to the native function (and to no-rule eval)") {
@@ -54,11 +59,16 @@ class NativeVectorRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("VectorOps.cosine (HOF Column form) gets the native kernel too") {
+  test("VectorOps.cosine (NaN-guarded CaseWhen form) fuses to cosine_sim") {
     val df = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .limit(10)
       .select(VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("s"))
-    assert(optimized(df).contains("cosine_sim"))
+    val plan = optimized(df)
+    assert(plan.contains("cosine_sim"), s"guarded cosine not fused in:\n$plan")
+    // Fully fused: the guard predicate's norm folds are gone too — no
+    // residual dot_f32 norms evaluated twice.
+    assert(!plan.contains("dot_f32"), s"residual norm kernels in:\n$plan")
+    assert(!plan.contains("CASE WHEN"), s"guard survived in:\n$plan")
   }
 
   test("standalone HOF dot product rewrites to dot_f32") {
@@ -110,6 +120,62 @@ class NativeVectorRewriteSpec extends AnyFunSuite {
       """select aggregate(zip_with(cast(a.embedding as array<double>), cast(b.embedding as array<double>), (x,y)->x*y), cast(0.0 as double), (acc,x)->acc+x) s
          from e_rw a join e_rw b on a.vec_id < 2 and b.vec_id = 5""")
     assert(!optimized(doubles).contains("dot_f32"))
+    // FLOAT-precision product (no cast on the lambda vars) over
+    // array<float>: each product rounds to float before the fold widens
+    // it — different bits than the double-product kernel. Must survive.
+    val floatProd = spark.sql(
+      """select aggregate(zip_with(a.embedding, b.embedding, (x,y)->x*y), cast(0.0 as double), (acc,x)->acc+x) s
+         from e_rw a join e_rw b on a.vec_id < 2 and b.vec_id = 5""")
+    assert(!optimized(floatProd).contains("dot_f32"),
+      s"float-precision product illegally rewritten:\n${optimized(floatProd)}")
+    val floatSq = spark.sql(
+      """select aggregate(transform(a.embedding, x->x*x), cast(0.0 as double), (acc,x)->acc+x) s
+         from e_rw a where a.vec_id < 2""")
+    assert(!optimized(floatSq).contains("dot_f32"),
+      s"float-precision square illegally rewritten:\n${optimized(floatSq)}")
+  }
+
+  test("zero-norm/empty bare-SQL cosine: rewritten plan ≡ rule-disabled plan") {
+    import spark.implicits._
+    // Degenerate vectors through the BARE portable divide: the rewrite
+    // must not change what the user gets (Divide semantics preserved),
+    // whether that is a NULL, a NaN, or an ANSI divide-by-zero error.
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, Array(1f, 2f), Array(1f, 2f)),           // normal
+      (2L, Array(0f, 0f), Array(1f, 2f)),           // zero norm
+      (3L, Array.empty[Float], Array.empty[Float])), 2)) // empty
+      .toDF("id", "a", "b")
+    d.createOrReplaceTempView("deg_rw")
+    val bareSql =
+      """select id,
+           aggregate(zip_with(a, b, (x,y)->cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,x)->acc+x)
+           / (sqrt(aggregate(transform(a, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))
+            * sqrt(aggregate(transform(b, x->cast(x as double)*cast(x as double)), cast(0.0 as double),(acc,x)->acc+x))) sim
+         from deg_rw order by id"""
+
+    def outcome(): Either[String, Seq[(Long, Option[Long])]] =
+      try Right(spark.sql(bareSql).collect().toSeq.map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(1))))))
+      catch { case e: Exception => Left(e.getClass.getName) }
+
+    val withRule = outcome()
+    assert(optimized(spark.sql(bareSql)).contains("dot_f32")) // rule did fire
+    val exclKey = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(exclKey)
+    spark.conf.set(exclKey, "graft.functions.NativeVectorRewrite")
+    try {
+      val noRulePlan = optimized(spark.sql(bareSql))
+      assert(!noRulePlan.contains("dot_f32") && !noRulePlan.contains("cosine_sim"),
+        s"exclusion did not disable the rule:\n$noRulePlan")
+      assert(outcome() == withRule,
+        "rewritten and rule-disabled plans disagree on degenerate inputs")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(exclKey, v)
+        case None => spark.conf.unset(exclKey)
+      }
+    }
   }
 
   test("rewrite completeness: every declared SQL using the HOF vector dialect goes native") {
