@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Skew mitigation for large joins (the 100 TB posture, SURVEY.md §2).
   *
@@ -24,16 +25,45 @@ object SkewOps {
 
   private val saltCol = "__graft_salt"
 
+  private def hasMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+    case a: ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+
+  /** Deterministic per-row salt in [0, salts): xxhash64 over `saltBy`
+    * (or, when empty, every non-map column of `df` — hash throws on
+    * MapType). The salt is a PURE FUNCTION OF ROW CONTENT — never of RNG
+    * state, partition layout, or row order — so a retried or speculative
+    * task emits exactly the salts its twin would, and downstream
+    * operators may safely key on it. (A seeded `rand` does not have this
+    * property: its per-row stream depends on partition index and
+    * intra-partition position, both unstable under retry with
+    * non-deterministic upstream ordering.)
+    *
+    * CONTRACT: byte-identical rows share a salt bucket. If a hot key's
+    * rows are largely EXACT duplicates (common in raw logs), content
+    * hashing cannot spread them — pass a distinguishing column set via
+    * `saltBy` (e.g. a unique event id), or exact-dedup upstream.
+    */
+  private[graft] def saltExpr(df: DataFrame, saltBy: Seq[Column], salts: Int): Column = {
+    val basis =
+      if (saltBy.nonEmpty) saltBy
+      else df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => df(f.name)).toSeq
+    require(basis.nonEmpty,
+      "saltedJoin: no hashable (non-map) columns to derive a salt from — pass saltBy explicitly")
+    pmod(xxhash64(basis: _*), lit(salts.toLong)).cast("int")
+  }
+
   /** Equi-join `fact ⋈ dim` on `key`, salted `salts` ways. Result is
-    * row-identical to the plain inner join. */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    * row-identical to the plain inner join; salt assignment is
+    * deterministic (see [[saltExpr]] for the contract on duplicate
+    * rows and the `saltBy` escape hatch). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+                 saltBy: Seq[Column] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
-    // Salt from seeded rand, NOT from hashing the row: hash() throws on
-    // MapType columns, and byte-identical duplicate rows (common in raw
-    // logs) would all land in ONE salt bucket — leaving the hot partition
-    // hot. Any salt value joins correctly (the dim side is replicated to
-    // every salt), so per-row uniformity is all that matters.
-    val salted = fact.withColumn(saltCol, floor(rand(42) * salts).cast("int"))
+    val salted = fact.withColumn(saltCol, saltExpr(fact, saltBy, salts))
     val exploded = dim
       .withColumn(saltCol, explode(sequence(lit(0), lit(salts - 1))))
       .withColumnRenamed(key, s"${key}__dim")

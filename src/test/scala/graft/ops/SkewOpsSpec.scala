@@ -25,16 +25,47 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("map-typed fact columns and duplicate rows don't break or defeat the salt") {
+  test("map-typed fact columns don't break the salt (maps excluded from the hash basis)") {
     import spark.implicits._
-    // A map column would crash a hash(all-columns) salt at analysis, and
-    // 100 byte-identical hot-key rows would all land in one salt bucket.
+    // hash/xxhash64 throw on MapType at analysis — the salt basis must
+    // silently skip map columns, not crash.
     val fact = spark.range(100)
       .select(lit(1L).as("k"), lit("same").as("v"),
         map(lit("a"), lit(1)).as("m"))
     val dim = Seq((1L, "dim")).toDF("k", "d")
     val joined = SkewOps.saltedJoin(fact, dim, "k", 8)
     assert(joined.count() == 100)
+  }
+
+  test("salt is a pure function of row content: stable across executions and layouts") {
+    // The retry-determinism contract: a speculative/retried task must emit
+    // the same salts as its twin, regardless of partition layout or row
+    // order. Re-execute the same rows under three different layouts; every
+    // row's salt must be identical — rand(seed) would fail this (its
+    // stream depends on partition index and position).
+    val base = spark.range(0, 1000, 1, 8)
+      .select(col("id"), (col("id") % 7).cast("string").as("v"))
+    def saltsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select(col("id"), SkewOps.saltExpr(df, Nil, 16).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = saltsOf(base)
+    val b = saltsOf(base.repartition(13))          // different layout
+    val c = saltsOf(base.orderBy(col("id").desc))  // different order
+    assert(a == b && a == c)
+    assert(a.values.toSet.size > 4, "salt failed to spread distinct rows")
+  }
+
+  test("byte-identical duplicates share a bucket; saltBy spreads them") {
+    // Documented contract: content hashing cannot spread exact duplicates.
+    val dups = spark.range(100).select(lit(1L).as("k"), lit("same").as("v"))
+    val oneBucket = dups.select(SkewOps.saltExpr(dups, Nil, 8).as("s"))
+      .distinct().collect()
+    assert(oneBucket.length == 1, "identical rows unexpectedly split buckets")
+    // The escape hatch: salt by a distinguishing column (a unique id).
+    val tagged = spark.range(100).select(lit(1L).as("k"), col("id").as("event_id"))
+    val spread = tagged.select(SkewOps.saltExpr(tagged, Seq(col("event_id")), 8).as("s"))
+      .distinct().count()
+    assert(spread > 4, s"saltBy failed to spread: $spread buckets")
   }
 
   test("dedup keep decisions are skew-invariant: mega-cluster window equals two-phase agg+join") {
