@@ -298,6 +298,24 @@ object Ann {
       .select(col("g_id"), col("cid"), VectorOps.quantizeInt8(col("g_emb")).as("g_q"))
   }
 
+  /** Persist an [[ivfIndex]] BUCKETED by cluster id: the steady-state
+    * probe join ([[topKQuantizedIvfWithIndex]] step 3) then reads the
+    * index pre-partitioned on `cid` and only the probe side shuffles —
+    * no corpus-sized Exchange per probe batch (plan-asserted in
+    * BucketedStateSpec). Rebuild to a NEW path when the gallery changes
+    * and swap (see [[graft.sources.Bucketed]]). */
+  def persistIvfIndex(index: DataFrame, table: String, path: String,
+                      buckets: Int = 32,
+                      mode: org.apache.spark.sql.SaveMode =
+                        org.apache.spark.sql.SaveMode.ErrorIfExists): Unit =
+    graft.sources.Bucketed.write(index, table, path, "cid", buckets, mode)
+
+  /** Re-attach a persisted bucketed [[ivfIndex]]; `buckets` must match
+    * the write. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                   path: String, buckets: Int = 32): DataFrame =
+    graft.sources.Bucketed.register(spark, table, path, "cid", buckets)
+
   /** [[topKQuantizedIvf]] over a prebuilt (possibly persisted) [[ivfIndex]]
     * — the steady-state shape: the index is read, never recomputed;
     * `gallery` supplies only the float vectors for the final re-rank

@@ -353,6 +353,26 @@ object DedupOps {
       .unionByName(fingerprintTable(newDocs, id, text, k))
       .groupBy("sigkey").agg(min(col("keep_id")).as("keep_id"))
 
+  /** Persist fingerprint state BUCKETED by sigkey so every later run's
+    * [[incrementalDedup]] joins it Exchange-free: the state scan already
+    * satisfies the join's hash distribution, only the new batch's
+    * signatures shuffle (plan-asserted in BucketedStateSpec) — at 100 TB
+    * the state-side shuffle is the recurring cost this deletes. Write each
+    * run's state to a NEW path and swap (never overwrite the path being
+    * read — see [[graft.sources.Bucketed]]). */
+  def persistFingerprints(fp: DataFrame, table: String, path: String,
+                          buckets: Int = 32,
+                          mode: org.apache.spark.sql.SaveMode =
+                            org.apache.spark.sql.SaveMode.ErrorIfExists): Unit =
+    graft.sources.Bucketed.write(fp.select(col("sigkey"), col("keep_id")),
+      table, path, "sigkey", buckets, mode)
+
+  /** Re-attach persisted fingerprint state (fresh session/run); `buckets`
+    * must match the write. */
+  def loadFingerprints(spark: org.apache.spark.sql.SparkSession, table: String,
+                       path: String, buckets: Int = 32): DataFrame =
+    graft.sources.Bucketed.register(spark, table, path, "sigkey", buckets)
+
   /** Typed mergeable MinHash sketch (the `Aggregator` path of SURVEY.md
     * §4.3): one pass, one buffer of k minima per doc, element-wise merged —
     * partial aggregation happens map-side exactly like a sketch union.

@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.{Ann, DedupOps}
+
+/** Bucketed persisted state (VERDICT r4 #1): the recurring state-side
+  * shuffle of incremental dedup and ANN probing must disappear when the
+  * state is written with bucketBy — only the new batch side may
+  * exchange. */
+class BucketedStateSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Scans under `plan` that read files below a directory whose path
+    * contains `dirTag`. */
+  private def stateScans(plan: SparkPlan, dirTag: String): Seq[FileSourceScanExec] =
+    plan.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(dirTag)) => s
+    }
+
+  /** Root-to-node path, or None if `target` is not in this subtree. */
+  private def pathTo(plan: SparkPlan, target: SparkPlan): Option[List[SparkPlan]] =
+    if (plan eq target) Some(List(plan))
+    else plan.children.view.flatMap(c => pathTo(c, target)).headOption.map(plan :: _)
+
+  /** The plan segment between the state scan and its nearest enclosing
+    * sort-merge join keyed on one of `keyNames` (exclusive of the join,
+    * inclusive of the scan). Downstream shuffles of DERIVED data above
+    * that join are legitimate; an Exchange inside this segment means the
+    * state itself was re-shuffled for its own join. */
+  private def segmentBelowKeyJoin(plan: SparkPlan, dirTag: String,
+                                  keyNames: Set[String]): List[SparkPlan] = {
+    val scans = stateScans(plan, dirTag)
+    assert(scans.nonEmpty, s"state scan not found in:\n$plan")
+    scans.toList.flatMap { scan =>
+      val path = pathTo(plan, scan).getOrElse(fail(s"no path to scan in:\n$plan"))
+      val joinIdx = path.lastIndexWhere {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          (j.leftKeys ++ j.rightKeys).exists(_.references.exists(a => keyNames(a.name)))
+        case _ => false
+      }
+      assert(joinIdx >= 0, s"no ${keyNames.mkString("/")}-keyed join above the state scan in:\n$plan")
+      path.drop(joinIdx + 1)
+    }
+  }
+
+  private def segmentExchanges(plan: SparkPlan, dirTag: String,
+                               keyNames: Set[String]): List[SparkPlan] =
+    segmentBelowKeyJoin(plan, dirTag, keyNames)
+      .filter(_.isInstanceOf[ShuffleExchangeExec])
+
+  /** Run `body` in the inspectable sort-merge regime (no AQE re-planning,
+    * no broadcast turning the state join into a BHJ). */
+  private def smjRegime[T](body: => T): T = {
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      spark.conf.set("spark.sql.adaptive.enabled", false)
+      body
+    } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").resolve("state").toString
+
+  test("fingerprint state round-trips through write + register, content-identical") {
+    val docs = TestSpark.table("documents")
+    val fp = DedupOps.fingerprintTable(docs, col("doc_id"), col("text"))
+    val dir = tmp("fp_rt")
+    DedupOps.persistFingerprints(fp, "fp_rt_w", dir, buckets = 4)
+    try {
+      // Re-attach under a DIFFERENT catalog name: the register path (what a
+      // fresh session runs) must see exactly the written rows.
+      val back = DedupOps.loadFingerprints(spark, "fp_rt_r", dir, buckets = 4)
+      def canon(df: DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      assert(canon(back) == canon(fp) && back.count() > 0)
+    } finally Seq("fp_rt_w", "fp_rt_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("incremental dedup against bucketed state: no Exchange above the state scan") {
+    val docs = TestSpark.table("documents")
+    val prior = DedupOps.fingerprintTable(
+      docs.where(col("doc_id") < 150), col("doc_id"), col("text"))
+    val batch = docs.where(col("doc_id") >= 150)
+    val dir = tmp("fp_plan")
+    DedupOps.persistFingerprints(prior, "fp_plan_w", dir, buckets = 4)
+    try {
+      val bucketed = spark.table("fp_plan_w")
+      smjRegime {
+        val viaBucketed =
+          DedupOps.incrementalDedup(batch, col("doc_id"), col("text"), bucketed)
+        val plan = viaBucketed.queryExecution.executedPlan
+        // The prior side is renamed to psig before its join.
+        val keys = Set("sigkey", "psig")
+        assert(segmentExchanges(plan, "fp_plan", keys).isEmpty,
+          s"bucketed state still shuffles into its own join:\n$plan")
+        // The batch side DOES exchange (its signatures must co-partition) —
+        // proves the join really is a shuffle join, not a degenerate shape.
+        assert(plan.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+          s"expected the batch side to shuffle:\n$plan")
+
+        // Contrast: the SAME state as a plain (bucket-blind) parquet read
+        // lands under an Exchange — bucketing, not luck, deletes it.
+        val plain = spark.read.parquet(dir)
+        val viaPlain =
+          DedupOps.incrementalDedup(batch, col("doc_id"), col("text"), plain)
+        assert(segmentExchanges(viaPlain.queryExecution.executedPlan, "fp_plan", keys).nonEmpty,
+          "plain parquet state unexpectedly avoided the shuffle")
+
+        // And the decisions are identical either way.
+        def canon(df: DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+            .sortBy(_._1).toSeq
+        assert(canon(viaBucketed) == canon(viaPlain) && canon(viaBucketed).nonEmpty)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS `fp_plan_w`")
+  }
+
+  test("IVF probe against bucketed index: index side Exchange-free, results identical") {
+    val emb = TestSpark.table("embeddings")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val centroids = emb.where(col("vec_id") < 8)
+    val gallery = emb.where(col("vec_id") >= 8 && col("vec_id") <= maxId - 20)
+    val probes = emb.where(col("vec_id") > maxId - 20)
+    val index = Ann.ivfIndex(gallery, centroids)
+    val dir = tmp("ivf_plan")
+    Ann.persistIvfIndex(index, "ivf_plan_w", dir, buckets = 4)
+    try {
+      val bucketed = spark.table("ivf_plan_w")
+      smjRegime {
+        val viaBucketed = Ann.topKQuantizedIvfWithIndex(
+          probes, bucketed, gallery, centroids, k = 5)
+        val plan = viaBucketed.queryExecution.executedPlan
+        assert(segmentExchanges(plan, "ivf_plan", Set("cid")).isEmpty,
+          s"bucketed index still shuffles into its own join:\n$plan")
+
+        val viaPlain = Ann.topKQuantizedIvfWithIndex(
+          probes, spark.read.parquet(dir), gallery, centroids, k = 5)
+        assert(segmentExchanges(viaPlain.queryExecution.executedPlan, "ivf_plan", Set("cid")).nonEmpty,
+          "plain parquet index unexpectedly avoided the shuffle")
+
+        def canon(df: DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+            .sortBy(t => (t._1, t._4)).toSeq
+        assert(canon(viaBucketed) == canon(viaPlain) && canon(viaBucketed).nonEmpty)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS `ivf_plan_w`")
+  }
+}
