@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.DedupOps
+
+/** The closed streaming dedup loop must equal the batch q91 chain run
+  * stage by stage — including across a mid-stream restart — and its
+  * per-batch writes must be replay-idempotent. */
+class DedupLoopSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs = TestSpark.table("documents").select("doc_id", "text")
+
+  test("two-stage run with restart equals the batch q91 chain run twice") {
+    val root = Files.createTempDirectory("graft-deduploop").toString
+    val (src, out, state, ckpt) =
+      (s"$root/src", s"$root/out", s"$root/state", s"$root/ckpt")
+
+    val seed = DedupOps.fingerprintTable(
+      docs.where(col("doc_id") < 100), col("doc_id"), col("text"))
+    val stage1 = docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+    val stage2 = docs.where(col("doc_id") >= 200)
+
+    // Batch truth: the q91 chain — decide stage1 vs seed, fold, decide
+    // stage2 vs the folded state.
+    val keep1 = DedupOps.incrementalDedup(stage1, col("doc_id"), col("text"), seed)
+      .where(!col("is_dup")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val state1 = DedupOps.updatedFingerprints(seed, stage1, col("doc_id"), col("text"))
+    val keep2 = DedupOps.incrementalDedup(stage2, col("doc_id"), col("text"), state1)
+      .where(!col("is_dup")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = keep1 ++ keep2
+    assert(keep1.nonEmpty && keep2.nonEmpty, "vacuous stages")
+
+    DedupLoop.seedState(seed, state)
+    def runOnce(): Unit = {
+      val q = DedupLoop.run(
+        spark.readStream.schema(docs.schema).parquet(src),
+        "doc_id", "text", state, out, ckpt,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(120000)
+      q.stop()
+    }
+
+    // Stage 1, then STOP (the mid-stream restart), then stage 2.
+    stage1.write.mode("append").parquet(src)
+    runOnce()
+    val afterStage1 = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterStage1 == keep1, s"stage1 survivors ${afterStage1.size} != batch ${keep1.size}")
+
+    stage2.write.mode("append").parquet(src)
+    runOnce()
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == expect,
+      s"loop survivors ${survivors.size} != batch chain ${expect.size}")
+
+    // The folded state equals the batch chain's state after both stages.
+    val loopState = DedupLoop.latestState(spark, state)
+    val chainState = DedupOps.updatedFingerprints(state1, stage2, col("doc_id"), col("text"))
+    def canon(df: DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(canon(loopState) == canon(chainState))
+  }
+
+  test("replaying a batch (crash before checkpoint commit) is idempotent") {
+    val root = Files.createTempDirectory("graft-deduploop-rp").toString
+    val (out, state) = (s"$root/out", s"$root/state")
+    val batch = docs.where(col("doc_id") < 150)
+
+    DedupLoop.dedupBatch(batch, 0L, "doc_id", "text", state, out, 8)
+    val firstOut = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val firstState = spark.read.parquet(s"$state/v1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+
+    // Replay the SAME batch id: output and state must be rewritten, not
+    // duplicated or drifted.
+    DedupLoop.dedupBatch(batch, 0L, "doc_id", "text", state, out, 8)
+    val secondOut = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val secondState = spark.read.parquet(s"$state/v1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(secondOut == firstOut && secondState == firstState)
+    assert(firstOut.nonEmpty)
+  }
+}
