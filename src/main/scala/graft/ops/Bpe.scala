@@ -47,6 +47,46 @@ object Bpe {
   private[ops] def toSymbols(w: String): IndexedSeq[String] =
     w.map(_.toString).toIndexedSeq :+ EndOfWord
 
+  /** The batch of merges provably safe to apply in ONE round, given the
+    * round's pair counts in `(count desc, a, b)` order: the maximal
+    * pairwise SYMBOL-DISJOINT prefix, truncated to counts STRICTLY above
+    * the first conflicting (or first unfetched) pair's count.
+    *
+    * Why this replays the sequential algorithm exactly: merging a pair can
+    * only (i) leave a symbol-disjoint pair's count unchanged, (ii) shrink
+    * a symbol-sharing neighbor's count, or (iii) create new pairs
+    * involving the merged symbol — and a new pair `(x, ab)`'s count is
+    * bounded by the STATIC count of the neighbor `(x, a)` (every
+    * occurrence of x·ab was an occurrence of x·a). Accepted pairs are
+    * disjoint (so (i) applies among them) and each accepted count strictly
+    * exceeds every non-accepted/neighbor count (so nothing from (ii)/(iii)
+    * can overtake or tie one) — the sequential trainer would pick exactly
+    * these pairs, in exactly this order. Pairs under `minPairCount` are
+    * ignorable bounds: their neighbors' new pairs stay under the threshold
+    * too. */
+  private[ops] def selectBatch(sorted: IndexedSeq[(String, String, Long)],
+                               want: Int, minPairCount: Long,
+                               fetchComplete: Boolean): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var bound = Option.empty[Long]
+    var belowThreshold = false
+    var i = 0
+    while (i < sorted.length && acc.size < want && bound.isEmpty && !belowThreshold) {
+      val (a, b, c) = sorted(i)
+      if (c < minPairCount) belowThreshold = true
+      else if (used(a) || used(b)) bound = Some(c)
+      else { acc += ((a, b, c)); used ++= Set(a, b, a + b); i += 1 }
+    }
+    val cut = bound.orElse {
+      if (belowThreshold) None // everything past here is sub-threshold forever
+      else if (i < sorted.length) Some(sorted(i)._3) // capped at `want`
+      else if (!fetchComplete) Some(sorted.last._3) // unseen pairs <= last fetched
+      else None // scanned the complete pair list, all accepted
+    }
+    acc.toSeq.collect { case (a, b, c) if cut.forall(c > _) => (a, b) }
+  }
+
   /** Train `numMerges` BPE merges over the corpus. Deterministic: the best
     * pair each round is the highest weighted count, ties broken by the
     * lexicographically smallest (a, b) in Spark's UTF8 binary order (=
@@ -55,12 +95,26 @@ object Bpe {
     * to the engine's ordering). Stops early when no pair occurs at least
     * `minPairCount` times (further merges would memorize noise).
     *
+    * Each Spark round applies up to `batchK` merges (the provably-safe
+    * batch of [[selectBatch]] — the result is IDENTICAL to one-merge-per-
+    * round training, BpeSpec pins it), cutting driver round-trips for
+    * large vocabularies; at least one merge always applies per round.
+    *
     * Returns merges in training order — position IS the rank the encoder
     * uses. */
   def train(docs: DataFrame, text: Column, numMerges: Int,
             minWordCount: Long = 1L, minPairCount: Long = 2L,
-            cutEvery: Int = 20): Seq[(String, String)] = {
+            cutEvery: Int = 20, batchK: Int = 8): Seq[(String, String)] =
+    trainWithStats(docs, text, numMerges, minWordCount, minPairCount,
+      cutEvery, batchK)._1
+
+  /** [[train]] plus the number of Spark rounds it took (for batching
+    * diagnostics/specs). */
+  def trainWithStats(docs: DataFrame, text: Column, numMerges: Int,
+                     minWordCount: Long = 1L, minPairCount: Long = 2L,
+                     cutEvery: Int = 20, batchK: Int = 8): (Seq[(String, String)], Int) = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(batchK > 0, s"batchK must be positive, got $batchK")
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab: Dataset[(IndexedSeq[String], Long)] = docs
@@ -72,10 +126,12 @@ object Bpe {
       .map { case (w, n) => (toSymbols(w), n) }
     vocab = vocab.localCheckpoint() // the expensive corpus agg runs ONCE
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    var round = 0
+    var rounds = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val best = vocab
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(batchK, numMerges - merges.size)
+      val fetch = want * 2 + 8
+      val top = vocab
         .flatMap { case (syms, n) =>
           if (syms.length < 2) Iterator.empty
           else syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, n))
@@ -83,19 +139,26 @@ object Bpe {
         .toDF("a", "b", "n")
         .groupBy("a", "b").agg(sum("n").as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
-        .head(1)
-      if (best.isEmpty || best(0).getLong(2) < minPairCount) exhausted = true
+        .head(fetch)
+      rounds += 1
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
       else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        merges += ((a, b))
-        vocab = vocab.map { case (syms, n) => (mergeOnce(syms, a, b), n) }
-        round += 1
-        // Bounded plan depth: each merge map chains a narrow step; cut the
+        val sorted = top.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
+        val safe = selectBatch(sorted, want, minPairCount, top.length < fetch)
+        // The head pair alone is always the correct next merge (the plain
+        // sequential step) — guarantees progress when truncation empties
+        // the batch.
+        val batch = if (safe.nonEmpty) safe else Seq((sorted.head._1, sorted.head._2))
+        merges ++= batch
+        vocab = vocab.map { case (syms, n) =>
+          (batch.foldLeft(syms) { case (s, (a, b)) => mergeOnce(s, a, b) }, n)
+        }
+        // Bounded plan depth: each round chains a narrow map; cut the
         // lineage before analysis cost compounds across hundreds of rounds.
-        if (round % math.max(cutEvery, 1) == 0) vocab = vocab.localCheckpoint()
+        if (rounds % math.max(cutEvery, 1) == 0) vocab = vocab.localCheckpoint()
       }
     }
-    merges.toList
+    (merges.toList, rounds)
   }
 
   /** Tokenize one word with a trained rank map: start from characters and

@@ -66,6 +66,44 @@ class BpeSpec extends AnyFunSuite {
     assert(got.size == 30, "fixture corpus supports 30 merges")
   }
 
+  test("batched merge rounds: identical merge list, fewer Spark rounds") {
+    val docs = TestSpark.table("documents").where(col("doc_id") < 40)
+    val (seqMerges, seqRounds) = Bpe.trainWithStats(docs, col("text"), 30, batchK = 1)
+    val (batMerges, batRounds) = Bpe.trainWithStats(docs, col("text"), 30, batchK = 8)
+    assert(batMerges == seqMerges, "batching changed the merge sequence")
+    assert(seqRounds == 30)
+    assert(batRounds < seqRounds, s"batching saved no rounds: $batRounds")
+    info(s"30 merges: $seqRounds sequential rounds vs $batRounds batched")
+    // And on the classic corpus too.
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val (sm, _) = Bpe.trainWithStats(corpusDf(words), col("text"), 10, batchK = 1)
+    val (bm, _) = Bpe.trainWithStats(corpusDf(words), col("text"), 10, batchK = 8)
+    assert(bm == sm)
+  }
+
+  test("selectBatch: conflicting pair stops the batch, strict-count truncation holds") {
+    // d/e conflict with the accepted (d,e)? no — (c,d) shares d with (d,e).
+    val sorted = IndexedSeq(
+      ("a", "b", 10L), ("c", "d", 8L), ("e", "f", 8L), ("d", "g", 8L), ("h", "i", 7L))
+    // (d,g) shares d with accepted (c,d): batch stops there; accepted with
+    // count strictly > 8 survive — only (a,b).
+    assert(Bpe.selectBatch(sorted, want = 8, minPairCount = 2L, fetchComplete = true)
+      == Seq(("a", "b")))
+    // Without the conflict the whole disjoint list is safe.
+    val clean = IndexedSeq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L))
+    assert(Bpe.selectBatch(clean, want = 8, minPairCount = 2L, fetchComplete = true)
+      == Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    // Truncated fetch: unseen pairs bound the batch by the last count.
+    assert(Bpe.selectBatch(clean, want = 8, minPairCount = 2L, fetchComplete = false)
+      == Seq(("a", "b"), ("c", "d")))
+    // Merged-symbol collision: (ab, x) involves the symbol a+b created by
+    // the first merge — must not be batched with it.
+    val collide = IndexedSeq(("a", "b", 10L), ("ab", "x", 4L))
+    assert(Bpe.selectBatch(collide, want = 8, minPairCount = 2L, fetchComplete = true)
+      == Seq(("a", "b")))
+  }
+
   test("encode replays merges: tokens reconstruct the word, counts are exact") {
     import spark.implicits._
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
