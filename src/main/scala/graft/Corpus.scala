@@ -1063,6 +1063,35 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       """select l_returnflag, bit_and(l_linenumber) ba, bit_or(l_linenumber) bo,
  bit_xor(l_linenumber) bx, bit_and(l_partkey) bp, bit_or(l_suppkey) bs
  from lineitem group by l_returnflag order by l_returnflag"""),
+
+    // Map-type operations under a CANONICAL textual form (closes SURVEY
+    // §2.2's "no cross-engine textual form" row): build a per-customer
+    // status→count map, look a key up, and serialize the map as its
+    // SORTED entry list joined to ONE STRING — deterministic in both
+    // engines and driver-compare-safe (no ARRAY/MAP output columns, H2).
+    // The Spark side exercises the real map surface (map_from_entries /
+    // try_element_at / map_entries); DuckDB computes the same values
+    // relationally — map SEMANTICS are declared, construction syntax is
+    // dialect (hazard H16, SURVEY §2.5).
+    q2("q99_map_ops",
+      """with c as (select o_custkey, o_orderstatus st, count(*) cnt
+       from orders group by o_custkey, o_orderstatus),
+ m as (select o_custkey,
+        map_from_entries(array_sort(collect_list(struct(st, cnt)))) mp
+       from c group by o_custkey)
+ select o_custkey,
+  coalesce(try_element_at(mp, 'O'), cast(0 as bigint)) open_cnt,
+  cast(size(mp) as bigint) n_statuses,
+  array_join(transform(array_sort(map_entries(mp)),
+    e -> concat(e.key, ':', cast(e.value as string))), ',') entries
+ from m order by o_custkey limit 300""",
+      """with c as (select o_custkey, o_orderstatus st, count(*) cnt
+       from orders group by o_custkey, o_orderstatus)
+ select o_custkey,
+  coalesce(max(case when st = 'O' then cnt end), 0) open_cnt,
+  count(*) n_statuses,
+  string_agg(st || ':' || cast(cnt as varchar), ',' order by st) entries
+ from c group by o_custkey order by o_custkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

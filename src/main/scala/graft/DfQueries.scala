@@ -604,6 +604,28 @@ object DfQueries {
         .orderBy("l_returnflag")
     },
 
+    "q99_map_ops" -> { (s, _) =>
+      // Map build + lookup + canonical serialization: entries SORTED at
+      // construction and again at render, so the map column is engine-
+      // deterministic; output is scalar columns only (H2). Two hash aggs
+      // (status counts, map assembly) — same shuffle shape as any
+      // two-level rollup. try_element_at, not element_at: ANSI mode throws
+      // on absent keys (hazard H16).
+      val counts = t(s, "orders")
+        .groupBy(col("o_custkey"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy("o_custkey")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("st"), col("cnt"))))).as("mp"))
+        .select(col("o_custkey"),
+          coalesce(try_element_at(col("mp"), lit("O")), lit(0L)).as("open_cnt"),
+          size(col("mp")).cast("long").as("n_statuses"),
+          array_join(transform(array_sort(map_entries(col("mp"))),
+            e => concat(e.getField("key"), lit(":"),
+              e.getField("value").cast("string"))), ",").as("entries"))
+        .orderBy("o_custkey").limit(300)
+    },
+
     "q97_unpivot" -> { (s, _) =>
       // Wide → long via the typed unpivot API (inverse of q40's pivot);
       // a narrow generate step, no shuffle until the final order.
