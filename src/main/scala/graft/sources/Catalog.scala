@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.engine.Graft
 
@@ -19,18 +20,48 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table from `dir`; `events` gets the H1 rewrite — but only
-    * when the file actually carries nanos (surfacing as LongType under the
-    * legacy conf). Parquet written with plain micros/millis timestamps
-    * (any non-driver source) reads as a timestamp type and passes through. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    Graft.configure(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema.find(_.name == "ts").exists(
-          _.dataType == org.apache.spark.sql.types.LongType))
+  /** H1 discipline, format- and name-independent: a column named exactly
+    * `ts` that reads as a raw LONG is the driver's nanosecond epoch
+    * (parquet TIMESTAMP(NANOS) under the legacy conf, or the same epoch
+    * in a csv/json lake) and is rewritten to timestamp_ntz. A
+    * timestamp-typed `ts` (plain micros/millis from any non-driver
+    * source) passes through untouched — the trigger is the observed
+    * type, never an assumption. */
+  private def h1(df: DataFrame): DataFrame =
+    if (df.schema.find(_.name == "ts").exists(_.dataType == LongType))
       df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
     else df
+
+  /** Load one table from `dir` (parquet layout of the driver fixtures). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Graft.configure(spark)
+    h1(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Attach ONE table of any supported format at `path` as the temp view
+    * `name` — the non-parquet-lake entry point, with the same H1 nanos
+    * discipline parquet gets. Supply `schema` for csv/json lakes (the
+    * engine's numeric/decimal/date types are a contract; csv inference
+    * picks int-vs-long by value range and is offered only as an
+    * exploration convenience). Returns the registered frame. */
+  def registerTable(spark: SparkSession, name: String, path: String,
+                    format: String = "parquet",
+                    schema: Option[StructType] = None): DataFrame = {
+    Graft.configure(spark)
+    val reader = spark.read
+    schema.foreach(reader.schema)
+    val raw = format match {
+      case "parquet" => reader.parquet(path)
+      case "csv" =>
+        if (schema.isEmpty) reader.option("inferSchema", "true").option("header", "true").csv(path)
+        else reader.option("header", "true").csv(path)
+      case "json" => reader.json(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported catalog format: $other (parquet | csv | json)")
+    }
+    val df = h1(raw)
+    df.createOrReplaceTempView(name)
+    df
   }
 
   /** Schema report: table → (column, type) list as the engine exposes it

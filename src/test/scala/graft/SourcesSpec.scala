@@ -25,6 +25,43 @@ class SourcesSpec extends AnyFunSuite {
       src.agg(count(lit(1)), sum("o_totalprice")).head().toSeq)
   }
 
+  test("catalog registers a CSV lineitem: the q01 shape matches the parquet result") {
+    val dir = tmp("lineitem_csv")
+    val src = TestSpark.table("lineitem")
+    src.write.option("header", "true").csv(dir)
+    val csvLineitem = graft.sources.Catalog.registerTable(
+      spark, "lineitem_csv_t", dir, "csv", Some(src.schema))
+    assert(csvLineitem.schema == src.schema, "explicit schema must carry through")
+    def q01Shape(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("l_quantity") > 45 &&
+        col("l_shipdate") >= expr("timestamp '1997-01-01 00:00:00'"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"))
+      .orderBy("l_orderkey", "l_linenumber").limit(100)
+      .collect().map(_.toSeq).toSeq
+    val viaCsv = q01Shape(spark.table("lineitem_csv_t"))
+    val viaParquet = q01Shape(src)
+    assert(viaCsv == viaParquet && viaCsv.nonEmpty)
+  }
+
+  test("catalog CSV/JSON events get the H1 nanos rewrite, same as parquet") {
+    // A csv/json lake delivering the raw nanos epoch as a LONG column must
+    // come out as the same timestamp_ntz the parquet path produces.
+    val parquetEvents = TestSpark.table("events")
+    val raw = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    assume(raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType, "fixture carries nanos longs")
+    val dir = tmp("events_csv")
+    raw.select("event_id", "ts").write.option("header", "true").csv(dir)
+    val back = graft.sources.Catalog.registerTable(spark, "events_csv_t", dir, "csv",
+      Some(StructType(raw.select("event_id", "ts").schema.fields)))
+    assert(back.schema("ts").dataType == TimestampNTZType, "H1 rewrite must fire")
+    val expect = parquetEvents.select("event_id", "ts").orderBy("event_id")
+      .limit(50).collect().map(_.toSeq).toSeq
+    val got = back.orderBy("event_id").limit(50).collect().map(_.toSeq).toSeq
+    assert(got == expect)
+  }
+
   test("json round-trip preserves NTZ timestamps and nested-ish values") {
     val dir = tmp("events_json")
     val src = TestSpark.table("events").select("event_id", "event_type", "ts", "props")
