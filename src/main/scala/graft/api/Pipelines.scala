@@ -108,6 +108,35 @@ object Pipelines {
   def audioFeatures(assets: DataFrame, windows: Int = 8): DataFrame =
     MultiModal.decodeFeatures(assets, new MediaCodecs.WavCodec(windows))
 
+  /** Per-format curation coverage — what a decode pass over this asset
+    * table CAN and CANNOT read, so the skipped set is AUDITED, not
+    * silent: (format, n_assets, n_decodable, n_undecodable, bytes),
+    * sorted by format. Formats come from the magic-byte sniff (pure
+    * column expression; names JDK-codec-less containers like mp4/mp3/webp
+    * explicitly); decodability is the REAL header probe (ImageIO /
+    * javax.sound readers), so a corrupt png counts as undecodable even
+    * though its format is known. Probes are narrow; the id joins and the
+    * final rollup are the only shuffles. */
+  def coverageReport(assets: DataFrame): DataFrame = {
+    val sniffed = assets.select(col("asset_id"),
+      MediaCodecs.sniffFormat(col("payload")).as("format"),
+      coalesce(length(col("payload")), lit(0)).cast("long").as("bytes"))
+    val img = MediaCodecs.imageMeta(assets)
+      .select(col("asset_id"), lit(true).as("__img"))
+    val aud = MediaCodecs.audioMeta(assets)
+      .select(col("asset_id"), lit(true).as("__aud"))
+    sniffed
+      .join(img, Seq("asset_id"), "left")
+      .join(aud, Seq("asset_id"), "left")
+      .withColumn("decodable", coalesce(col("__img"), col("__aud"), lit(false)))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("decodable"), 1L).otherwise(0L)).as("n_decodable"),
+        sum(when(col("decodable"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(col("bytes")).as("bytes"))
+      .orderBy("format")
+  }
+
   /** Train a BPE tokenizer on the corpus (word-level, deterministic);
     * returns the ordered merge table — persist it alongside the corpus. */
   def trainTokenizer(docs: DataFrame, text: Column,

@@ -188,6 +188,30 @@ object MediaCodecs {
     }(enc)
   }
 
+  /** Container-format sniff by MAGIC BYTES — a pure column expression (a
+    * substring+hex compare chain inside whole-stage codegen: no decode, no
+    * UDF, no mapPartitions), so auditing a petabyte of assets costs one
+    * scan. Deliberately recognizes formats the JDK CANNOT decode
+    * (mp4/mp3/webp) — the point of the coverage report is to NAME what a
+    * decode pass will skip, not just count it. Null payloads sniff as
+    * "missing", unrecognized ones as "unknown". */
+  def sniffFormat(payload: Column): Column = {
+    def pfx(off: Int, hexStr: String) =
+      hex(substring(payload, off, hexStr.length / 2)) === lit(hexStr)
+    when(payload.isNull, "missing")
+      .when(pfx(1, "89504E47"), "png")
+      .when(pfx(1, "FFD8FF"), "jpeg")
+      .when(pfx(1, "474946"), "gif")
+      .when(pfx(1, "52494646") && pfx(9, "57415645"), "wav")
+      .when(pfx(1, "52494646") && pfx(9, "57454250"), "webp")
+      .when(pfx(1, "464F524D") && pfx(9, "41494646"), "aiff")
+      .when(pfx(1, "2E736E64"), "au")
+      .when(pfx(1, "424D"), "bmp")
+      .when(pfx(1, "494433") || pfx(1, "FFFB") || pfx(1, "FFF3") || pfx(1, "FFF2"), "mp3")
+      .when(pfx(5, "66747970"), "mp4")
+      .otherwise("unknown")
+  }
+
   private val imageMetaSchema = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("format", StringType, nullable = false),

@@ -53,4 +53,27 @@ class MultiModalPipelineSpec extends AnyFunSuite {
     assert(feats.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     assert(feats.forall(_.getSeq[Float](1).length == 4 * 4 * 3))
   }
+
+  test("coverageReport: per-format decodable/undecodable counts over a mixed table") {
+    // What the StubCodec-era gap looks like to a curation run: the mp4 is
+    // NAMED (magic bytes) even though no JDK codec exists for it, and a
+    // corrupt png is undecodable despite its recognized format.
+    val mp4 = Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm',
+      0, 0, 0, 0x20)
+    val corrupt = png((_, _) => 0xff0000).take(20) // valid magic, truncated body
+    val rows = Seq(
+      Row(1L, png((_, _) => 0xff0000), Row("image/png", 16, 16, null)),
+      Row(2L, png((_, _) => 0x0000ff), Row("image/png", 16, 16, null)),
+      Row(3L, mp4, Row("video/mp4", null, null, null)),
+      Row(4L, corrupt, Row("image/png", null, null, null)),
+      Row(5L, Array[Byte](1, 2, 3), Row("application/octet-stream", null, null, null)))
+    val table = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiModal.assetSchema)
+    val rep = Pipelines.coverageReport(table).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep("png") == ((3L, 2L, 1L)), s"png row: ${rep.get("png")}")
+    assert(rep("mp4") == ((1L, 0L, 1L)), s"mp4 row: ${rep.get("mp4")}")
+    assert(rep("unknown") == ((1L, 0L, 1L)), s"unknown row: ${rep.get("unknown")}")
+    assert(rep.keySet == Set("png", "mp4", "unknown"))
+  }
 }
