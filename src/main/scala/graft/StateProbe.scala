@@ -38,6 +38,32 @@ object StateProbe {
       batch, col("doc_id"), col("text"), spark.read.parquet(plainFp)).agg(count(lit(1))))
     val tFpBucket = timed(() => DedupOps.incrementalDedup(
       batch, col("doc_id"), col("text"), spark.table("sp_fp")).agg(count(lit(1))))
+    if (args.length > 1 && args(1) == "bisect") {
+      // Same bucketed files, bucket-blind read: isolates plan shape from
+      // file layout.
+      spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+      val tBlind = timed(() => DedupOps.incrementalDedup(
+        batch, col("doc_id"), col("text"), spark.table("sp_fp")).agg(count(lit(1))))
+      spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+      // AQE off: does pinned 32-partition co-partitioning explain the gap?
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val tNoAqePlain = timed(() => DedupOps.incrementalDedup(
+        batch, col("doc_id"), col("text"), spark.read.parquet(plainFp)).agg(count(lit(1))))
+      val tNoAqeBucket = timed(() => DedupOps.incrementalDedup(
+        batch, col("doc_id"), col("text"), spark.table("sp_fp")).agg(count(lit(1))))
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      println(f"BISECT blindBucket=$tBlind%.2f noAqePlain=$tNoAqePlain%.2f noAqeBucket=$tNoAqeBucket%.2f")
+    }
+    if (args.length > 1 && args(1) == "explain") {
+      val fp1 = DedupOps.incrementalDedup(batch, col("doc_id"), col("text"),
+        spark.read.parquet(plainFp))
+      fp1.collect()
+      println("== FP PLAIN ==\n" + fp1.queryExecution.executedPlan.toString.take(5000))
+      val fp2 = DedupOps.incrementalDedup(batch, col("doc_id"), col("text"),
+        spark.table("sp_fp"))
+      fp2.collect()
+      println("== FP BUCKET ==\n" + fp2.queryExecution.executedPlan.toString.take(5000))
+    }
 
     // --- IVF probe: index over the gallery, probes = newest 1000 ---
     val emb = spark.table("embeddings")
@@ -55,8 +81,12 @@ object StateProbe {
     val tIvfBucket = timed(() => Ann.topKQuantizedIvfWithIndex(
       probes, spark.table("sp_ivf"), gallery, centroids, 10).agg(count(lit(1))))
 
+    // --- q92 span dedup over the whole corpus (the third r4 shuffle shape) ---
+    val tSpan = timed(() => DedupOps.spanDedup(docs, col("doc_id"), col("text"))
+      .agg(count(lit(1))))
+
     println(f"STATEPROBE docs=${docs.count()} fpPlain=$tFpPlain%.2f fpBucket=$tFpBucket%.2f " +
-      f"ivfPlain=$tIvfPlain%.2f ivfBucket=$tIvfBucket%.2f")
+      f"ivfPlain=$tIvfPlain%.2f ivfBucket=$tIvfBucket%.2f span=$tSpan%.2f")
     spark.stop()
   }
 }
