@@ -1092,6 +1092,42 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
   count(*) n_statuses,
   string_agg(st || ':' || cast(cnt as varchar), ',' order by st) entries
  from c group by o_custkey order by o_custkey limit 300"""),
+
+    // ntile bucketing + median: the quantile-binning shape every feature
+    // pipeline runs (ntile PARTITIONED per nation — un-partitioned ntile
+    // is the single-task scale killer PlanSpec sweeps against; order key
+    // extended to unique c_custkey so bucket assignment is deterministic).
+    // median over double in both engines; decimals cast first (H2).
+    q("q100_ntile_median",
+      """with d as (select c_nationkey, c_custkey, cast(c_acctbal as double) bal,
+        ntile(4) over (partition by c_nationkey order by c_acctbal, c_custkey) q
+       from customer)
+ select c_nationkey, q, cast(count(*) as bigint) n,
+  round(min(bal), 2) lo, round(max(bal), 2) hi,
+  round(cast(median(bal) as double), 4) med
+ from d group by c_nationkey, q order by c_nationkey, q"""),
+
+    // Array set operations under the canonical sorted-joined render (same
+    // H16 discipline as q99): intersection of consecutive documents' token
+    // sets, count + sorted word list as ONE string. Spark exercises the
+    // real array surface (array_intersect distinct semantics, array_sort,
+    // array_join); DuckDB computes the same values relationally.
+    q2("q101_array_setops",
+      """with t as (select doc_id, split(text, ' ') w from documents where doc_id < 100),
+ p as (select a.doc_id i, b.doc_id j,
+        array_sort(array_intersect(a.w, b.w)) common
+       from t a join t b on b.doc_id = a.doc_id + 1)
+ select i, j, cast(size(common) as bigint) n_common,
+  array_join(common, ' ') common
+ from p where size(common) > 0 order by i limit 300""",
+      """with t as (select doc_id, unnest(string_split(text, ' ')) w
+       from documents where doc_id < 100),
+ td as (select distinct doc_id, w from t),
+ c as (select a.doc_id i, b.doc_id j, a.w
+       from td a join td b on b.doc_id = a.doc_id + 1 and a.w = b.w)
+ select i, j, cast(count(*) as bigint) n_common,
+  string_agg(w, ' ' order by w) common
+ from c group by i, j order by i limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

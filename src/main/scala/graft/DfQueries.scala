@@ -626,6 +626,39 @@ object DfQueries {
         .orderBy("o_custkey").limit(300)
     },
 
+    "q100_ntile_median" -> { (s, _) =>
+      // Quantile binning + per-bin stats: ntile PARTITIONED per nation
+      // (un-partitioned ntile funnels the table through one task — the
+      // PlanSpec-swept scale killer); order key includes unique c_custkey
+      // so bucket assignment is deterministic.
+      val d = t(s, "customer").select(col("c_nationkey"), col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"),
+        ntile(4).over(Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))).as("q"))
+      d.groupBy("c_nationkey", "q")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("bal")), 2).as("lo"),
+          round(max(col("bal")), 2).as("hi"),
+          round(median(col("bal")).cast("double"), 4).as("med"))
+        .orderBy("c_nationkey", "q")
+    },
+
+    "q101_array_setops" -> { (s, _) =>
+      // Array set ops under the canonical sorted-joined render (H16):
+      // array_intersect is DISTINCT by definition in both the engine and
+      // the relational oracle; the self-join is an equi join on doc_id+1.
+      val tok = t(s, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      tok.as("a").join(tok.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          array_sort(array_intersect(col("a.w"), col("b.w"))).as("common"))
+        .where(size(col("common")) > 0)
+        .select(col("i"), col("j"),
+          size(col("common")).cast("long").as("n_common"),
+          array_join(col("common"), " ").as("common"))
+        .orderBy("i").limit(300)
+    },
+
     "q97_unpivot" -> { (s, _) =>
       // Wide → long via the typed unpivot API (inverse of q40's pivot);
       // a narrow generate step, no shuffle until the final order.
