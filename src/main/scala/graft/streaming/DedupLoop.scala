@@ -1,10 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-import scala.util.Using
-
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -45,24 +40,6 @@ object DedupLoop {
     StructField("sigkey", StringType, nullable = true),
     StructField("keep_id", LongType, nullable = true)))
 
-  private def versionPath(stateDir: String, v: Long) = s"$stateDir/v$v"
-
-  /** Versions with a `_SUCCESS` marker — complete, readable state. */
-  private def validVersions(stateDir: String): Seq[Long] = {
-    val root = Paths.get(stateDir)
-    if (!Files.isDirectory(root)) Nil
-    else Using.resource(Files.list(root)) { s =>
-      s.iterator().asScala
-        .flatMap { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-              Files.exists(p.resolve("_SUCCESS"))) Some(n.drop(1).toLong)
-          else None
-        }
-        .toSeq
-    }
-  }
-
   private def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stateSchema)
 
@@ -71,15 +48,16 @@ object DedupLoop {
     * `v0`, so batch 0 already dedups against it. */
   def seedState(prior: DataFrame, stateDir: String): Unit =
     prior.select(col("sigkey"), col("keep_id"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(versionPath(stateDir, 0L))
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(VersionedState.versionPath(stateDir, 0L))
 
   /** The loop's current fingerprint table (latest valid version) — the
     * hand-back to batch-era tooling: feed it to
     * [[DedupOps.incrementalDedup]] or persist it bucketed via
     * [[DedupOps.persistFingerprints]]. Empty if the loop never ran. */
   def latestState(spark: SparkSession, stateDir: String): DataFrame =
-    validVersions(stateDir).maxOption
-      .map(v => spark.read.schema(stateSchema).parquet(versionPath(stateDir, v)))
+    VersionedState.validVersions(stateDir).maxOption
+      .map(v => VersionedState.read(spark, stateDir, v, Some(stateSchema)))
       .getOrElse(emptyState(spark))
 
   /** One micro-batch of the loop — exposed for direct idempotency tests;
@@ -89,9 +67,9 @@ object DedupLoop {
                                     stateDir: String, outDir: String,
                                     k: Int): Unit = {
     val spark = batch.sparkSession
-    val priorV = validVersions(stateDir).filter(_ <= batchId).maxOption
+    val priorV = VersionedState.priorVersion(stateDir, batchId)
     val prior = priorV
-      .map(v => spark.read.schema(stateSchema).parquet(versionPath(stateDir, v)))
+      .map(v => VersionedState.read(spark, stateDir, v, Some(stateSchema)))
       .getOrElse(emptyState(spark))
 
     val keys = DedupOps.sigKeysFast(batch, col(idCol), col(textCol), k)
@@ -100,21 +78,11 @@ object DedupLoop {
     batch.join(keepIds, batch(idCol) === col("__keep_id"), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
 
-    prior.unionByName(keys.groupBy("sigkey").agg(min(col("doc_id")).as("keep_id")))
-      .groupBy("sigkey").agg(min(col("keep_id")).as("keep_id"))
-      .write.mode(SaveMode.Overwrite).parquet(versionPath(stateDir, batchId + 1))
-
-    // GC: anything older than the version this batch read is unreachable
-    // by any replay (a replayed batch id is >= this one).
-    priorV.foreach { pv =>
-      validVersions(stateDir).filter(_ < pv).foreach { v =>
-        val dir = Paths.get(versionPath(stateDir, v))
-        Using.resource(Files.walk(dir)) { w =>
-          w.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.deleteIfExists(_))
-        }
-      }
-    }
+    VersionedState.write(
+      prior.unionByName(keys.groupBy("sigkey").agg(min(col("doc_id")).as("keep_id")))
+        .groupBy("sigkey").agg(min(col("keep_id")).as("keep_id")),
+      stateDir, batchId + 1)
+    priorV.foreach(VersionedState.gcBelow(stateDir, _))
   }
 
   /** Start the loop over `stream` (must carry `idCol` and `textCol`).
