@@ -1128,6 +1128,19 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
  select i, j, cast(count(*) as bigint) n_common,
   string_agg(w, ' ' order by w) common
  from c group by i, j order by i limit 300"""),
+
+    // grouping() flags: the rollup-NULL disambiguation q43–q45 sidestep
+    // with coalesce — here the data column REALLY contains nulls
+    // (nullif-derived), so '(null)' detail rows and subtotal rows collide
+    // textually and only grouping() tells them apart. Same text both
+    // engines; flags also make the ORDER BY unique.
+    q("q102_grouping_flags",
+      """with t as (select l_returnflag rf, nullif(l_linestatus, 'O') ls from lineitem)
+ select coalesce(rf, '(total)') rf_g, coalesce(ls, '(null)') ls_g,
+  cast(grouping(rf) as bigint) g_rf, cast(grouping(ls) as bigint) g_ls,
+  cast(count(*) as bigint) c
+ from t group by rollup(rf, ls)
+ order by g_rf, g_ls, rf_g, ls_g"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

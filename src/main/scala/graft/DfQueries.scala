@@ -626,6 +626,24 @@ object DfQueries {
         .orderBy("o_custkey").limit(300)
     },
 
+    "q102_grouping_flags" -> { (s, _) =>
+      // Rollup with REAL nulls in the data column: grouping() is the only
+      // thing separating a '(null)' detail row from a subtotal row — the
+      // coalesce-rendering q43-45 use would silently merge them.
+      t(s, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          when(col("l_linestatus") === "O", lit(null).cast("string"))
+            .otherwise(col("l_linestatus")).as("ls"))
+        .rollup(col("rf"), col("ls"))
+        .agg(grouping(col("rf")).cast("long").as("g_rf"),
+          grouping(col("ls")).cast("long").as("g_ls"),
+          count(lit(1)).as("c"))
+        .select(coalesce(col("rf"), lit("(total)")).as("rf_g"),
+          coalesce(col("ls"), lit("(null)")).as("ls_g"),
+          col("g_rf"), col("g_ls"), col("c"))
+        .orderBy("g_rf", "g_ls", "rf_g", "ls_g")
+    },
+
     "q100_ntile_median" -> { (s, _) =>
       // Quantile binning + per-bin stats: ntile PARTITIONED per nation
       // (un-partitioned ntile funnels the table through one task — the
