@@ -1141,6 +1141,25 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
   cast(count(*) as bigint) c
  from t group by rollup(rf, ls)
  order by g_rf, g_ls, rf_g, ls_g"""),
+
+    // ANSI-safe ingestion: try_cast absorbs malformed numerics as NULL in
+    // both engines (under Spark 4's default ANSI mode a bare cast would
+    // THROW and kill the job on one bad row — the 100 TB posture is
+    // row-absent, never job-fatal), and `x / nullif(y, 0)` is THE
+    // portable zero-safe division (Spark's try_divide has no DuckDB
+    // twin; nullif makes the dividend NULL-poison instead of erroring).
+    q("q103_safe_parse",
+      """with t as (select p_partkey,
+        case when p_partkey % 3 = 0 then cast(p_size as string)
+             when p_partkey % 3 = 1 then concat(cast(p_size as string), 'x')
+             else '' end raw,
+        p_size, cast(p_retailprice as double) price
+       from part)
+ select p_partkey, raw,
+  try_cast(raw as int) parsed,
+  coalesce(try_cast(raw as int), -1) parsed_filled,
+  round(price / nullif(p_size - 5, 0), 4) ratio
+ from t order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

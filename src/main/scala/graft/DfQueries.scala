@@ -626,6 +626,24 @@ object DfQueries {
         .orderBy("o_custkey").limit(300)
     },
 
+    "q103_safe_parse" -> { (s, _) =>
+      // Row-absent-not-job-fatal parsing: try_cast nulls malformed
+      // numerics (ANSI cast would throw), nullif makes zero-divisors
+      // NULL-poison — both pure projections, no shuffle before the sort.
+      t(s, "part")
+        .select(col("p_partkey"),
+          when(col("p_partkey") % 3 === 0, col("p_size").cast("string"))
+            .when(col("p_partkey") % 3 === 1,
+              concat(col("p_size").cast("string"), lit("x")))
+            .otherwise(lit("")).as("raw"),
+          col("p_size"), col("p_retailprice").cast("double").as("price"))
+        .select(col("p_partkey"), col("raw"),
+          col("raw").try_cast("int").as("parsed"),
+          coalesce(col("raw").try_cast("int"), lit(-1)).as("parsed_filled"),
+          round(col("price") / nullif(col("p_size") - 5, lit(0)), 4).as("ratio"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q102_grouping_flags" -> { (s, _) =>
       // Rollup with REAL nulls in the data column: grouping() is the only
       // thing separating a '(null)' detail row from a subtotal row — the
