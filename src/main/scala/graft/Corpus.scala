@@ -1160,6 +1160,23 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
   coalesce(try_cast(raw as int), -1) parsed_filled,
   round(price / nullif(p_size - 5, 0), 4) ratio
  from t order by p_partkey limit 300"""),
+
+    // Calendar-week rollup: date_trunc('week') is ISO-Monday in BOTH
+    // engines (same text); the day-difference is the one dialect split —
+    // Spark datediff(end, start) vs DuckDB date_diff('day', start, end).
+    // Weeks emitted as timestamps (raw DATE renders differently across
+    // engines — §2.5 gotcha).
+    q2("q104_week_rollup",
+      """select date_trunc('week', ts) wk, event_type,
+  cast(count(*) as bigint) c,
+  cast(datediff(max(ts), min(ts)) as bigint) span_days
+ from events group by date_trunc('week', ts), event_type
+ order by wk, event_type limit 300""",
+      """select date_trunc('week', ts) wk, event_type,
+  cast(count(*) as bigint) c,
+  cast(date_diff('day', min(ts), max(ts)) as bigint) span_days
+ from events group by date_trunc('week', ts), event_type
+ order by wk, event_type limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -626,6 +626,16 @@ object DfQueries {
         .orderBy("o_custkey").limit(300)
     },
 
+    "q104_week_rollup" -> { (s, _) =>
+      // ISO-Monday week rollup; one hash agg, datediff over the group's
+      // min/max — the calendar shape of every ingestion dashboard.
+      t(s, "events")
+        .groupBy(date_trunc("week", col("ts")).as("wk"), col("event_type"))
+        .agg(count(lit(1)).as("c"),
+          datediff(max(col("ts")), min(col("ts"))).cast("long").as("span_days"))
+        .orderBy("wk", "event_type").limit(300)
+    },
+
     "q103_safe_parse" -> { (s, _) =>
       // Row-absent-not-job-fatal parsing: try_cast nulls malformed
       // numerics (ANSI cast would throw), nullif makes zero-divisors
