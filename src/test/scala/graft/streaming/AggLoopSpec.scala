@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The incremental exact-rollup fold must EXACTLY equal the one-shot
+  * aggregate over all history — decimal sums make merge order
+  * irrelevant — across batch boundaries, a mid-stream restart, and a
+  * coarser read-time rollup. */
+class AggLoopSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def events = TestSpark.table("events")
+    .select("event_id", "user_id", "event_type", "value")
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("two-stage run with restart: folded state ≡ one-shot aggregate, exactly") {
+    val root = Files.createTempDirectory("graft-aggloop").toString
+    val (src, state, ckpt) = (s"$root/src", s"$root/state", s"$root/ckpt")
+    val stage1 = events.where(col("event_id") % 3 =!= 0)
+    val stage2 = events.where(col("event_id") % 3 === 0)
+
+    def runOnce(): Unit = {
+      val q = AggLoop.run(
+        spark.readStream.schema(events.schema).parquet(src),
+        Seq("event_type"), Seq("value"), state, ckpt,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(120000)
+      q.stop()
+    }
+
+    stage1.write.mode("append").parquet(src)
+    runOnce() // STOP — mid-stream restart
+    stage2.write.mode("append").parquet(src)
+    runOnce()
+
+    val folded = AggLoop.latestState(spark, state).get
+    val oneShot = AggLoop.aggTable(events, Seq("event_type"), Seq("value"))
+    // EXACT equality of the state tables (decimal sums are associative).
+    assert(canon(folded) == canon(oneShot) && canon(folded).nonEmpty)
+    // Read-time report agrees with a direct aggregate, including avg.
+    val rep = AggLoop.report(folded, Seq("event_type"), Seq("value"))
+      .select("event_type", "n", "sum_value", "avg_value")
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(28,8)")).cast("double"), 4).as("sum_value"),
+        round((sum(col("value").cast("decimal(28,8)")) / count(lit(1))).cast("double"), 4).as("avg_value"))
+    assert(canon(rep) == canon(direct))
+  }
+
+  test("seeded history + coarser rollup: merge(eras) ≡ one-shot at every level") {
+    val root = Files.createTempDirectory("graft-aggloop-seed").toString
+    val state = s"$root/state"
+    val hist = events.where(col("event_id") % 2 === 0)
+    val live = events.where(col("event_id") % 2 === 1)
+    AggLoop.seedState(
+      AggLoop.aggTable(hist, Seq("event_type", "user_id"), Seq("value")), state)
+    AggLoop.foldBatch(live, 0L, Seq("event_type", "user_id"), Seq("value"), state)
+    val folded = AggLoop.latestState(spark, state).get
+    // Stored grouping.
+    assert(canon(folded) ==
+      canon(AggLoop.aggTable(events, Seq("event_type", "user_id"), Seq("value"))))
+    // Coarser read-time rollup from the SAME state — no raw re-read.
+    assert(canon(AggLoop.merge(Seq(folded), Seq("event_type"), Seq("value"))) ==
+      canon(AggLoop.aggTable(events, Seq("event_type"), Seq("value"))))
+  }
+
+  test("replay overwrites from the same base: state unchanged") {
+    val root = Files.createTempDirectory("graft-aggloop-rp").toString
+    val state = s"$root/state"
+    val batch = events.where(col("event_id") < 700)
+    AggLoop.foldBatch(batch, 0L, Seq("event_type"), Seq("value"), state)
+    val first = canon(AggLoop.latestState(spark, state).get)
+    AggLoop.foldBatch(batch, 0L, Seq("event_type"), Seq("value"), state)
+    val second = canon(AggLoop.latestState(spark, state).get)
+    assert(first == second && first.nonEmpty)
+  }
+}
