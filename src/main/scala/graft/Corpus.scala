@@ -1177,6 +1177,19 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
   cast(date_diff('day', min(ts), max(ts)) as bigint) span_days
  from events group by date_trunc('week', ts), event_type
  order by wk, event_type limit 300"""),
+
+    // Deterministic EXACT-k per-stratum sample (Pipelines.sampleExactK):
+    // rank by a seeded md5 of the id inside each stratum, keep the k
+    // smallest — reservoir sampling a pipeline can REPRODUCE (no RNG
+    // state; stable across runs/partitionings/retries, the q69 stable-
+    // split contract). md5 hex and row_number agree across engines; the
+    // id tie-break keeps ordering total.
+    q("q105_sample_exact_k",
+      """with r as (select source, doc_id,
+        row_number() over (partition by source
+          order by md5(concat('s0:', cast(doc_id as string))), doc_id) rk
+       from documents)
+ select source, doc_id from r where rk <= 7 order by source, doc_id"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

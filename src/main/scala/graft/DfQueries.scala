@@ -626,6 +626,14 @@ object DfQueries {
         .orderBy("o_custkey").limit(300)
     },
 
+    "q105_sample_exact_k" -> { (s, _) =>
+      // Deterministic exact-k stratified sample via the Pipelines op —
+      // the declared twin verifies the seeded-hash ranking cross-engine.
+      graft.api.Pipelines.sampleExactK(
+          t(s, "documents").select("source", "doc_id"), "source", "doc_id", 7)
+        .orderBy("source", "doc_id")
+    },
+
     "q104_week_rollup" -> { (s, _) =>
       // ISO-Monday week rollup; one hash agg, datediff over the group's
       // min/max — the calendar shape of every ingestion dashboard.

@@ -159,6 +159,22 @@ object Pipelines {
                        fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     docs.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** EXACT-k deterministic sample per stratum — the reservoir-sample
+    * equivalent a curation pipeline can actually reproduce: rows rank by
+    * a seeded CONTENT hash of their id inside each stratum and the k
+    * smallest win. No RNG state, so the sample is identical across runs,
+    * partitionings, and task retries (same contract as q69's stable
+    * split, and the fix `SkewOps` needed); changing `seed` draws an
+    * independent sample. One shuffle on the stratum key; strata smaller
+    * than k pass through whole. Declared as q105. */
+  def sampleExactK(df: DataFrame, stratumCol: String, idCol: String, k: Int,
+                   seed: String = "s0"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
+  }
+
   /** Per-document text-quality report: token stats, lexical diversity,
     * language guess and keep/drop verdict — the pre-training filter row. */
   def qualityReport(docs: DataFrame, id: Column, text: Column): DataFrame =
