@@ -175,6 +175,35 @@ object Pipelines {
     df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
   }
 
+  /** End-to-end corpus canonicalization — the curation composition a
+    * training pipeline runs as one step: near-dup pairs (auto-sized
+    * banded LSH) → transitive closure (pointer-jumping connected
+    * components, so a~b~c collapses even when a,c were never compared) →
+    * ONE representative per cluster, the highest distinct-token count
+    * with doc-id tie-break; docs with no near-dup edge are their own
+    * singleton cluster. Returns (doc_id, cluster, cluster_size) for the
+    * KEPT docs — join back on doc_id for the payload. Shuffle shape:
+    * the LSH band join, O(log diameter) component rounds, one window on
+    * the cluster key. */
+  def canonicalDocs(docs: DataFrame, id: Column, text: Column,
+                    threshold: Double = 0.8,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDuplicates(docs, id, text, threshold).select("d1", "d2")
+    val labels = DedupOps.connectedComponents(pairs, checkpointDir = checkpointDir)
+    val base = docs.select(id.as("doc_id"),
+      size(array_distinct(TextOps.tokens(text))).as("__q"))
+    val labeled = base.join(labels, base("doc_id") === labels("doc"), "left")
+      .select(col("doc_id"), col("__q"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+    val w = Window.partitionBy("cluster").orderBy(col("__q").desc, col("doc_id"))
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("doc_id"), col("cluster"), col("cluster_size").cast("long").as("cluster_size"))
+  }
+
   /** Per-document text-quality report: token stats, lexical diversity,
     * language guess and keep/drop verdict — the pre-training filter row. */
   def qualityReport(docs: DataFrame, id: Column, text: Column): DataFrame =

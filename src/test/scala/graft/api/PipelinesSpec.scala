@@ -104,6 +104,47 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalDocs: one best representative per near-dup cluster, singletons pass") {
+    val docs = TestSpark.table("documents")
+    val kept = Pipelines.canonicalDocs(docs, col("doc_id"), col("text"))
+    val rows = kept.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Exactly one representative per cluster; sizes cover the corpus.
+    assert(rows.map(_._2).distinct.length == rows.length)
+    assert(rows.map(_._3).sum == docs.count())
+    assert(rows.exists(_._3 > 1), "fixture corpus is near-dup-dense; expected clusters")
+    // The representative maximizes distinct-token count within its cluster:
+    // rebuild labels and compare the argmax per cluster.
+    val pairs = Pipelines.nearDuplicates(docs, col("doc_id"), col("text")).select("d1", "d2")
+    val labels = graft.ops.DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = docs.select(col("doc_id"),
+        size(array_distinct(graft.ops.TextOps.tokens(col("text")))).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = q.keys.groupBy(d => labels.getOrElse(d, d)).map { case (c, ds) =>
+      c -> ds.minBy(d => (-q(d), d))
+    }
+    assert(rows.map(r => r._2 -> r._1).toMap == expect)
+  }
+
+  test("sampleExactK: exact size per stratum, deterministic across layouts") {
+    val docs = TestSpark.table("documents").select("source", "doc_id")
+    val k = 5
+    def draw(df: org.apache.spark.sql.DataFrame) =
+      Pipelines.sampleExactK(df, "source", "doc_id", k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = draw(docs)
+    val b = draw(docs.repartition(7)) // layout-independent
+    assert(a == b)
+    val perStratum = a.groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (s, n) => assert(n == math.min(k, totals(s))) }
+    // A different seed draws a different (but equally-sized) sample.
+    val c = Pipelines.sampleExactK(docs, "source", "doc_id", k, seed = "s1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(c.size == a.size && c != a)
+  }
+
   test("stratifiedSample: seeded, per-row deterministic, near-target fractions") {
     val docs = TestSpark.table("documents")
     val frac = Map("src0" -> 1.0, "src1" -> 0.5) // src2+ dropped: mixture spec
