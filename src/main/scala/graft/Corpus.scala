@@ -1190,6 +1190,22 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
           order by md5(concat('s0:', cast(doc_id as string))), doc_id) rk
        from documents)
  select source, doc_id from r where rk <= 7 order by source, doc_id"""),
+
+    // Higher central moments from FIRST PRINCIPLES: Spark's skewness/
+    // kurtosis are population-form while DuckDB's are bias-corrected
+    // sample-form, so the built-ins can never hash-match — but the
+    // moment algebra itself is engine-free: one tiny mean CTE
+    // cross-joined back (broadcast at scale), then avg of powered
+    // deviations. Same text in both engines.
+    q("q106_moments",
+      """with t as (select cast(c_acctbal as double) bal from customer),
+ s as (select avg(bal) mu from t)
+ select cast(count(*) as bigint) n,
+  round(avg(bal - mu), 4) centered_mean,
+  round(avg(pow(bal - mu, 2)), 4) m2,
+  round(avg(pow(bal - mu, 3)) / pow(avg(pow(bal - mu, 2)), 1.5), 6) skew_pop,
+  round(avg(pow(bal - mu, 4)) / pow(avg(pow(bal - mu, 2)), 2) - 3, 6) kurt_excess
+ from t, s"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

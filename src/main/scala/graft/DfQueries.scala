@@ -626,6 +626,22 @@ object DfQueries {
         .orderBy("o_custkey").limit(300)
     },
 
+    "q106_moments" -> { (s, _) =>
+      // Two-pass central moments: the mean is a one-row aggregate
+      // broadcast back over the data (crossJoin of a single row), then
+      // one hash agg of powered deviations — no window, no collect.
+      val bal = t(s, "customer").select(col("c_acctbal").cast("double").as("bal"))
+      val mu = bal.agg(avg(col("bal")).as("mu"))
+      val d = bal.crossJoin(broadcast(mu))
+      d.agg(count(lit(1)).as("n"),
+          round(avg(col("bal") - col("mu")), 4).as("centered_mean"),
+          round(avg(pow(col("bal") - col("mu"), 2)), 4).as("m2"),
+          round(avg(pow(col("bal") - col("mu"), 3)) /
+            pow(avg(pow(col("bal") - col("mu"), 2)), 1.5), 6).as("skew_pop"),
+          round(avg(pow(col("bal") - col("mu"), 4)) /
+            pow(avg(pow(col("bal") - col("mu"), 2)), 2) - 3, 6).as("kurt_excess"))
+    },
+
     "q105_sample_exact_k" -> { (s, _) =>
       // Deterministic exact-k stratified sample via the Pipelines op —
       // the declared twin verifies the seeded-hash ranking cross-engine.
