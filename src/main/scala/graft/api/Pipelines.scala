@@ -240,6 +240,57 @@ object Pipelines {
       .select("doc_id").distinct()
   }
 
+  /** [[curate]]'s result: the surviving rows (input schema preserved) and
+    * a per-stage audit of the funnel — both lazy plans. */
+  final case class CurationResult(curated: DataFrame, audit: DataFrame)
+
+  /** ONE-CALL corpus curation — the full pre-training funnel as a single
+    * lazy composition over a conventional (doc_id, text[, source]) table:
+    *
+    *   1. quality + language gate (per-row scalars, no shuffle);
+    *   2. near-dup CLUSTER canonicalization ([[canonicalDocs]]: banded
+    *      LSH → components → best representative per cluster);
+    *   3. optional eval-set decontamination (Bloom-prefiltered exact
+    *      3-gram overlap, contaminated docs dropped);
+    *   4. optional deterministic per-source cap ([[sampleExactK]] —
+    *      reproducible across runs and retries).
+    *
+    * `audit` is the funnel report — (stage, n_docs), one row per stage in
+    * order — so a curation run documents what each stage removed instead
+    * of emitting one unexplained survivor set. Everything is lazy; the
+    * audit's counts and the curated frame share scan lineage but execute
+    * as separate actions. */
+  def curate(docs: DataFrame, dedupThreshold: Double = 0.8,
+             lang: Option[String] = Some("en"),
+             evalSet: Option[DataFrame] = None,
+             perSourceCap: Option[Int] = None): CurationResult = {
+    val id = col("doc_id"); val text = col("text")
+    val quality = docs.where(TextOps.qualityVerdict(text) === "keep" &&
+      lang.map(l => TextOps.langGuess(text) === l).getOrElse(lit(true)))
+    val canon = quality.join(
+      canonicalDocs(quality, id, text, dedupThreshold)
+        .select(col("doc_id").as("__keep")),
+      id === col("__keep"), "left_semi")
+    val clean = evalSet match {
+      case Some(es) => canon.join(
+        contaminatedDocs(canon, id, text, es, col("text"))
+          .select(col("doc_id").as("__dirty")),
+        id === col("__dirty"), "left_anti")
+      case None => canon
+    }
+    val capped = perSourceCap match {
+      case Some(k) => sampleExactK(clean, "source", "doc_id", k)
+      case None => clean
+    }
+    val stages = Seq("input" -> docs, "quality_lang" -> quality,
+      "canonical" -> canon, "decontaminated" -> clean, "capped" -> capped)
+    val audit = stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage_no"), lit(name).as("stage"), col("n_docs"))
+    }.reduce(_.unionByName(_)).orderBy("stage_no")
+    CurationResult(capped, audit)
+  }
+
   /** Vocabulary census: n-grams occurring at least `minCount` times, with
     * EXACT counts (count-min prefilter — the shuffle carries candidates
     * only; see SketchOps.heavyHitters). */

@@ -126,6 +126,31 @@ class PipelinesSpec extends AnyFunSuite {
     assert(rows.map(r => r._2 -> r._1).toMap == expect)
   }
 
+  test("curate: monotone funnel, audit matches, cap respected, schema preserved") {
+    val docs = TestSpark.table("documents")
+    val eval = TestSpark.table("documents").where(col("doc_id") < 5)
+      .select(col("text"))
+    val res = Pipelines.curate(docs, evalSet = Some(eval), perSourceCap = Some(20))
+    val audit = res.audit.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(audit.map(_._2).toSeq ==
+      Seq("input", "quality_lang", "canonical", "decontaminated", "capped"))
+    // Monotone non-increasing funnel, each stage genuinely active.
+    val ns = audit.map(_._3).toSeq
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, s"not monotone: $ns")
+    assert(ns.head == docs.count() && ns.last == res.curated.count())
+    assert(ns.last < ns.head, "curation removed nothing — vacuous fixture")
+    // The eval docs' own text is 3-gram-contaminated by construction, so
+    // their surviving representatives must be gone.
+    val keptIds = res.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!(0L until 5L).exists(keptIds), "decontamination left eval-overlap docs")
+    // Cap respected per source; input schema preserved.
+    val bySource = res.curated.groupBy("source").count()
+      .collect().map(_.getLong(1))
+    assert(bySource.forall(_ <= 20))
+    assert(res.curated.schema == docs.schema)
+  }
+
   test("sampleExactK: exact size per stratum, deterministic across layouts") {
     val docs = TestSpark.table("documents").select("source", "doc_id")
     val k = 5
