@@ -1206,6 +1206,26 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
   round(avg(pow(bal - mu, 3)) / pow(avg(pow(bal - mu, 2)), 1.5), 6) skew_pop,
   round(avg(pow(bal - mu, 4)) / pow(avg(pow(bal - mu, 2)), 2) - 3, 6) kurt_excess
  from t, s"""),
+
+    // Ordered-set aggregates: the ANSI WITHIN GROUP spelling parses in
+    // both engines with interpolating percentile_cont semantics — the
+    // syntax-level twin of q46's function-form percentiles.
+    q("q107_within_group",
+      """select o_orderpriority,
+  round(percentile_cont(0.5) within group (order by cast(o_totalprice as double)), 4) p50,
+  round(percentile_cont(0.9) within group (order by cast(o_totalprice as double)), 4) p90
+ from orders group by o_orderpriority order by o_orderpriority"""),
+
+    // Capture-group replacement: the REFERENCE dialect split — Spark
+    // spells backreferences $1, DuckDB spells them \1 (same regex, same
+    // semantics, different escape). Word-pair swap over part names.
+    q2("q108_regex_backref",
+      """select p_partkey,
+  regexp_replace(p_name, '^(\\w+) (\\w+)', '$2 $1') swapped
+ from part order by p_partkey limit 300""",
+      """select p_partkey,
+  regexp_replace(p_name, '^(\w+) (\w+)', '\2 \1') swapped
+ from part order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

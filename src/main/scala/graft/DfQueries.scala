@@ -626,6 +626,24 @@ object DfQueries {
         .orderBy("o_custkey").limit(300)
     },
 
+    "q107_within_group" -> { (s, _) =>
+      // ANSI WITHIN GROUP ordered-set aggregate — SQL-only syntax, so the
+      // DF impl goes through expr(); one hash agg per group either way.
+      t(s, "orders").groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile_cont(0.5) within group (order by cast(o_totalprice as double))"), 4).as("p50"),
+          round(expr("percentile_cont(0.9) within group (order by cast(o_totalprice as double))"), 4).as("p90"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q108_regex_backref" -> { (s, _) =>
+      // Backreference dialect split documented at the query level: Spark
+      // $1 vs DuckDB \1 — the regex and semantics are identical.
+      t(s, "part").select(col("p_partkey"),
+          regexp_replace(col("p_name"), "^(\\w+) (\\w+)", "$2 $1").as("swapped"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q106_moments" -> { (s, _) =>
       // Two-pass central moments: the mean is a one-row aggregate
       // broadcast back over the data (crossJoin of a single row), then
