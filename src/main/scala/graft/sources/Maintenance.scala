@@ -4,7 +4,8 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Data-lake maintenance: the small-files problem is the dominant
   * operational failure mode of a 100 TB parquet lake (every file is a
@@ -61,6 +62,53 @@ object Maintenance {
     val df = spark.read.parquet(dir)
     val sized = if (shuffle) df.repartition(n) else df.coalesce(n)
     sized.write.mode(SaveMode.ErrorIfExists).parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  /** The z-value: interleave the bits of per-column QUANTILE-RANK buckets
+    * (bucket = #breakpoints ≤ value, breakpoints from approxQuantile so
+    * every bucket holds ~equal rows regardless of the value
+    * distribution). Pure column math — comparisons against a broadcast
+    * literal array plus shifts — no window, no UDF. */
+  private def zValue(df: DataFrame, cols: Seq[String], bitsPerCol: Int): Column = {
+    val buckets = 1 << bitsPerCol
+    val breaks: Seq[Array[Double]] = cols.map { c =>
+      df.stat.approxQuantile(c,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    }
+    val bucketCols = cols.zip(breaks).map { case (c, bs) =>
+      // #breakpoints ≤ value == the value's quantile bucket in [0, 2^bits).
+      bs.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)
+      }
+    }
+    (0 until bitsPerCol).flatMap { k =>
+      bucketCols.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, k).bitwiseAND(1L), k * cols.size + j)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** Z-ORDER rewrite: range-partition and sort the table by an
+    * interleaved-bits curve over `cols`, so rows close in EVERY listed
+    * dimension land in the same files — parquet min/max stats then prune
+    * multi-dimension range predicates, where a plain sort helps only its
+    * leading column. The layout lever for 100 TB range scans: a box
+    * predicate touches a handful of files instead of all of them
+    * (MaintenanceSpec measures exactly that via input_file_name).
+    * Same never-in-place rule as [[compact]]. */
+  def zorder(spark: SparkSession, dir: String, outDir: String,
+             cols: Seq[String], files: Int,
+             bitsPerCol: Int = 8): DataFrame = {
+    require(canonical(outDir) != canonical(dir),
+      "zorder never rewrites in place — write to a new directory and swap")
+    require(cols.nonEmpty && files > 0, "need at least one column and one file")
+    val df = spark.read.parquet(dir)
+    df.withColumn("__z", zValue(df, cols, bitsPerCol))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.ErrorIfExists).parquet(outDir)
     spark.read.parquet(outDir)
   }
 }

@@ -101,6 +101,40 @@ class SourcesSpec extends AnyFunSuite {
       TestSpark.table("orders").count())
   }
 
+  test("zorder: a box predicate touches far fewer files than a random layout") {
+    import spark.implicits._
+    // 64k points on a 256x256 grid, deterministic; a 1/8-per-side box
+    // holds ~1/64 of the rows. Randomly laid out, matches smear across
+    // every file; z-ordered, they concentrate in a few.
+    val n = 65536
+    val src = tmp("z_src")
+    spark.range(n).select(
+        (col("id") % 256).as("x"),
+        ((col("id") * 2654435761L) % 256).as("y"), // deterministic scramble
+        col("id").as("payload"))
+      .write.parquet(src)
+    val plainDir = tmp("z_plain")
+    val zDir = tmp("z_sorted")
+    val files = 16
+    spark.read.parquet(src).repartition(files)
+      .write.parquet(plainDir)
+    val z = graft.sources.Maintenance.zorder(spark, src, zDir,
+      Seq("x", "y"), files)
+    // Same rows either way.
+    assert(z.count() == n)
+    def touched(dir: String): Long = spark.read.parquet(dir)
+      .where(col("x").between(32, 63) && col("y").between(96, 127))
+      .select(input_file_name()).distinct().count()
+    val (tPlain, tZ) = (touched(plainDir), touched(zDir))
+    assert(tPlain >= files - 2, s"random layout unexpectedly clustered: $tPlain")
+    assert(tZ * 4 <= tPlain, s"zorder pruning too weak: $tZ vs $tPlain files")
+    // And the matching row set is identical.
+    def rows(dir: String) = spark.read.parquet(dir)
+      .where(col("x").between(32, 63) && col("y").between(96, 127))
+      .select("payload").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows(zDir) == rows(plainDir) && rows(zDir).nonEmpty)
+  }
+
   test("compact rewrites a many-small-files table into the planned file count") {
     val dir = tmp("orders_small")
     // 64 tiny files — the pathological layout compaction exists for.
