@@ -316,6 +316,81 @@ object Ann {
                    path: String, buckets: Int = 32): DataFrame =
     graft.sources.Bucketed.register(spark, table, path, "cid", buckets)
 
+  /** Probe-side/gallery-side LSH bucket keys: `tables` hash tables of
+    * `nBits` sign bits over disjoint hyperplane ranges. */
+  private def lshBucketCols(vec: Column, nBits: Int, tables: Int): Seq[Column] = {
+    require(tables * nBits <= 64, "only 64 md5-keyed hyperplanes declared")
+    (1 to tables).map { tbl =>
+      concat(lit(s"t$tbl:"), hyperplaneBucket(vec, nBits, (tbl - 1) * nBits + 1))
+    }
+  }
+
+  /** The hyperplane-LSH analogue of [[ivfIndex]]: one row per (gallery
+    * vector, hash table) with its sign bucket and int8 codes — the
+    * one-time gallery pass of the q60 path, split from probing. PERSIST
+    * it with [[persistLshIndex]] (bucketed by the LSH bucket key) and
+    * steady-state probe batches join it Exchange-free
+    * ([[topKLshWithIndex]]). */
+  def lshIndex(gallery: DataFrame, nBits: Int = 4, tables: Int = 1,
+               id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    gallery.select(col(id).as("g_id"),
+        explode(array(lshBucketCols(col(vec), nBits, tables): _*)).as("bucket"),
+        VectorOps.quantizeInt8(col(vec)).as("g_q"))
+
+  /** Persist an [[lshIndex]] BUCKETED by its LSH bucket key — same
+    * steady-state story as [[persistIvfIndex]]: only the probe side
+    * shuffles per batch. */
+  def persistLshIndex(index: DataFrame, table: String, path: String,
+                      buckets: Int = 32,
+                      mode: org.apache.spark.sql.SaveMode =
+                        org.apache.spark.sql.SaveMode.ErrorIfExists): Unit =
+    graft.sources.Bucketed.write(index, table, path, "bucket", buckets, mode)
+
+  /** Re-attach a persisted bucketed [[lshIndex]]; `buckets` must match
+    * the write. */
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                   path: String, buckets: Int = 32): DataFrame =
+    graft.sources.Bucketed.register(spark, table, path, "bucket", buckets)
+
+  /** LSH top-k over a prebuilt (possibly persisted) [[lshIndex]] — the
+    * steady-state q60 shape: probes bucket narrowly (nBits·tables sign
+    * projections per row), candidates come from an EQUI join on the
+    * bucket key (index side Exchange-free when bucketed), int8 coarse
+    * rank keeps `overfetch`·k per probe, float cosine re-ranks only the
+    * survivors. Multi-table candidates dedup on (probe, candidate)
+    * before ranking so no pair is scored twice. Approximate by
+    * construction: a true neighbor sharing no bucket is unreachable —
+    * recall follows the 1-(1-p^b)^L curve; raise `tables` to buy recall
+    * with index size. */
+  def topKLshWithIndex(probes: DataFrame, index: DataFrame, gallery: DataFrame,
+                       k: Int, nBits: Int = 4, tables: Int = 1,
+                       overfetch: Int = 4,
+                       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
+    val pb = p.select(col("p_id"),
+      VectorOps.quantizeInt8(col("p_emb")).as("p_q"),
+      explode(array(lshBucketCols(col("p_emb"), nBits, tables): _*)).as("bucket"))
+    val gq = index.select(col("g_id"), col("bucket"), col("g_q"))
+    val joined = pb.join(gq, "bucket").select("p_id", "g_id", "p_q", "g_q")
+    val deduped = if (tables > 1) joined.dropDuplicates("p_id", "g_id") else joined
+    val wCoarse = Window.partitionBy("p_id")
+      .orderBy(rankSafe(col("cs")).desc, col("g_id"))
+    val cand = deduped
+      .withColumn("cs", round(VectorOps.cosineInt8(col("p_q"), col("g_q")), 6))
+      .withColumn("rn", row_number().over(wCoarse))
+      .where(col("rn") <= overfetch * k)
+      .select("p_id", "g_id")
+    val gal = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
+    val wExact = Window.partitionBy("p_id")
+      .orderBy(rankSafe(col("s")).desc, col("g_id"))
+    cand.join(p, "p_id")
+      .join(gal, "g_id")
+      .withColumn("s", cosine6(col("p_emb"), col("g_emb")))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= k)
+      .select("p_id", "g_id", "s", "rn")
+  }
+
   /** [[topKQuantizedIvf]] over a prebuilt (possibly persisted) [[ivfIndex]]
     * — the steady-state shape: the index is read, never recomputed;
     * `gallery` supplies only the float vectors for the final re-rank

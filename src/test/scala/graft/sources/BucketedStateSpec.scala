@@ -127,6 +127,56 @@ class BucketedStateSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS `fp_plan_w`")
   }
 
+  test("LSH probe against bucketed index: index side Exchange-free, exact vs recompute") {
+    val emb = TestSpark.table("embeddings")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val gallery = emb.where(col("vec_id") <= maxId - 20)
+    val probes = emb.where(col("vec_id") > maxId - 20)
+    val index = Ann.lshIndex(gallery, nBits = 3, tables = 2)
+    val dir = tmp("lsh_plan")
+    Ann.persistLshIndex(index, "lsh_plan_w", dir, buckets = 4)
+    try {
+      val bucketed = spark.table("lsh_plan_w")
+      smjRegime {
+        val viaBucketed = Ann.topKLshWithIndex(
+          probes, bucketed, gallery, k = 5, nBits = 3, tables = 2, overfetch = 1000)
+        val plan = viaBucketed.queryExecution.executedPlan
+        assert(segmentExchanges(plan, "lsh_plan", Set("bucket")).isEmpty,
+          s"bucketed LSH index still shuffles into its own join:\n$plan")
+
+        def canon(df: DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+            .sortBy(t => (t._1, t._4)).toSeq
+        // Plain read: same results.
+        val viaPlain = Ann.topKLshWithIndex(
+          probes, spark.read.parquet(dir), gallery, k = 5, nBits = 3, tables = 2,
+          overfetch = 1000)
+        assert(canon(viaBucketed) == canon(viaPlain) && canon(viaBucketed).nonEmpty)
+
+        // Independent recompute (the q60 shape inline): per probe, exact
+        // cosine top-5 over bucket-cohabiting gallery vectors. With
+        // overfetch covering whole buckets, the index path must agree
+        // EXACTLY.
+        import org.apache.spark.sql.expressions.Window
+        val gb = Ann.lshIndex(gallery, nBits = 3, tables = 2)
+          .select(col("g_id"), col("bucket"))
+        val pb = Ann.lshIndex(probes, nBits = 3, tables = 2)
+          .select(col("g_id").as("p_id"), col("bucket"))
+        val w = Window.partitionBy("p_id")
+          .orderBy(nanvl(col("s"), lit(-2.0)).desc, col("g_id"))
+        val expected = pb.join(gb, "bucket")
+          .dropDuplicates("p_id", "g_id")
+          .join(probes.select(col("vec_id").as("p_id"), col("embedding").as("p_emb")), "p_id")
+          .join(gallery.select(col("vec_id").as("g_id"), col("embedding").as("g_emb")), "g_id")
+          .withColumn("s", graft.ops.VectorOps.cosine6Native(col("p_emb"), col("g_emb")))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select("p_id", "g_id", "s", "rn")
+        assert(canon(viaBucketed) == canon(expected))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS `lsh_plan_w`")
+  }
+
   test("IVF probe against bucketed index: index side Exchange-free, results identical") {
     val emb = TestSpark.table("embeddings")
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
