@@ -85,6 +85,12 @@ class BucketedStateSpec extends AnyFunSuite {
       def canon(df: DataFrame) =
         df.collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
       assert(canon(back) == canon(fp) && back.count() > 0)
+      // ONE file per bucket (the tasks×buckets spray was a measured 2×
+      // read regression — regression guard for the repartition-first fix).
+      val dataFiles = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      assert(dataFiles.length == 4,
+        s"expected one file per bucket, got ${dataFiles.length}")
     } finally Seq("fp_rt_w", "fp_rt_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 

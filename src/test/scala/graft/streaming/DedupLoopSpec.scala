@@ -69,6 +69,12 @@ class DedupLoopSpec extends AnyFunSuite {
     def canon(df: DataFrame) =
       df.collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
     assert(canon(loopState) == canon(chainState))
+
+    // GC ran: versions no replay can need are gone (only the version each
+    // live batch read, plus the latest, may remain).
+    val versions = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName).sorted.toSeq
+    assert(versions.size <= 2, s"stale state versions survived GC: $versions")
   }
 
   test("replaying a batch (crash before checkpoint commit) is idempotent") {
