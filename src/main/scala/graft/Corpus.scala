@@ -1196,14 +1196,18 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
     // sample-form, so the built-ins can never hash-match — but the
     // moment algebra itself is engine-free: one tiny mean CTE
     // cross-joined back (broadcast at scale), then avg of powered
-    // deviations. Same text in both engines.
+    // deviations. Same text in both engines. The near-zero outputs
+    // (centered_mean is an FP residual of exact 0; a symmetric
+    // distribution's skew hovers near 0) get `+ 0`: IEEE -0.0 + 0 = +0.0,
+    // killing the engines' sign-of-zero render split (Spark's round
+    // yields +0.0 where DuckDB's preserves -0.0 — hazard H17).
     q("q106_moments",
       """with t as (select cast(c_acctbal as double) bal from customer),
  s as (select avg(bal) mu from t)
  select cast(count(*) as bigint) n,
-  round(avg(bal - mu), 4) centered_mean,
+  round(avg(bal - mu), 4) + 0 centered_mean,
   round(avg(pow(bal - mu, 2)), 4) m2,
-  round(avg(pow(bal - mu, 3)) / pow(avg(pow(bal - mu, 2)), 1.5), 6) skew_pop,
+  round(avg(pow(bal - mu, 3)) / pow(avg(pow(bal - mu, 2)), 1.5), 6) + 0 skew_pop,
   round(avg(pow(bal - mu, 4)) / pow(avg(pow(bal - mu, 2)), 2) - 3, 6) kurt_excess
  from t, s"""),
 

@@ -651,11 +651,13 @@ object DfQueries {
       val bal = t(s, "customer").select(col("c_acctbal").cast("double").as("bal"))
       val mu = bal.agg(avg(col("bal")).as("mu"))
       val d = bal.crossJoin(broadcast(mu))
+      // `+ 0` on the near-zero outputs: IEEE -0.0 + 0 = +0.0 (H17 — the
+      // engines render the sign of a rounded zero differently).
       d.agg(count(lit(1)).as("n"),
-          round(avg(col("bal") - col("mu")), 4).as("centered_mean"),
+          (round(avg(col("bal") - col("mu")), 4) + lit(0)).as("centered_mean"),
           round(avg(pow(col("bal") - col("mu"), 2)), 4).as("m2"),
-          round(avg(pow(col("bal") - col("mu"), 3)) /
-            pow(avg(pow(col("bal") - col("mu"), 2)), 1.5), 6).as("skew_pop"),
+          (round(avg(pow(col("bal") - col("mu"), 3)) /
+            pow(avg(pow(col("bal") - col("mu"), 2)), 1.5), 6) + lit(0)).as("skew_pop"),
           round(avg(pow(col("bal") - col("mu"), 4)) /
             pow(avg(pow(col("bal") - col("mu"), 2)), 2) - 3, 6).as("kurt_excess"))
     },

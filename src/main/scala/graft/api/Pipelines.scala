@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Ann, Bpe, DedupOps, MediaCodecs, MultiModal, SketchOps, TextOps}
 
 /** Task-level entry points composing the ops layer — what a data-pipeline
-  * user calls without learning each operator's plumbing. All of these are
-  * lazy plan builders; nothing executes until an action.
+  * user calls without learning each operator's plumbing. These are lazy
+  * plan builders — nothing executes until an action — EXCEPT the
+  * iterative ones, which run cluster jobs at call time: [[trainTokenizer]]
+  * and [[trainCentroids]] (training rounds), and [[canonicalDocs]] /
+  * [[curate]] (the connected-components closure iterates to convergence
+  * while the plan is being built).
   */
 object Pipelines {
 
@@ -166,7 +170,12 @@ object Pipelines {
     * partitionings, and task retries (same contract as q69's stable
     * split, and the fix `SkewOps` needed); changing `seed` draws an
     * independent sample. One shuffle on the stratum key; strata smaller
-    * than k pass through whole. Declared as q105. */
+    * than k pass through whole. Declared as q105.
+    *
+    * PRECONDITION: `idCol` must be UNIQUE and NON-NULL (the usual primary
+    * key) — duplicate or null ids tie the (hash, id) sort key, and which
+    * tied row survives the cut would fall back to partition order,
+    * forfeiting exactly the determinism this exists for. */
   def sampleExactK(df: DataFrame, stratumCol: String, idCol: String, k: Int,
                    seed: String = "s0"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -257,9 +266,10 @@ object Pipelines {
     *
     * `audit` is the funnel report — (stage, n_docs), one row per stage in
     * order — so a curation run documents what each stage removed instead
-    * of emitting one unexplained survivor set. Everything is lazy; the
-    * audit's counts and the curated frame share scan lineage but execute
-    * as separate actions. */
+    * of emitting one unexplained survivor set. NOT fully lazy: stage 2's
+    * transitive closure iterates cluster jobs to convergence during THIS
+    * call (see [[canonicalDocs]]); the returned frames are then lazy and
+    * execute as separate actions. */
   def curate(docs: DataFrame, dedupThreshold: Double = 0.8,
              lang: Option[String] = Some("en"),
              evalSet: Option[DataFrame] = None,

@@ -145,11 +145,7 @@ object Ann {
   def neardupLsh(emb: DataFrame, threshold: Double, tables: Int = 4,
                  bitsPerTable: Int = 2,
                  id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    require(tables * bitsPerTable <= 64, "only 64 md5-keyed hyperplanes declared")
-    val bkCols = (1 to tables).map { tbl =>
-      concat(lit(s"t$tbl:"),
-        hyperplaneBucket(col(vec), bitsPerTable, (tbl - 1) * bitsPerTable + 1))
-    }
+    val bkCols = lshBucketCols(col(vec), bitsPerTable, tables)
     val bk = emb.select(col(id), explode(array(bkCols: _*)).as("bk"))
     val cand = bk.select(col(id).as("d1"), col("bk"))
       .join(bk.select(col(id).as("d2"), col("bk").as("bk2")),

@@ -103,6 +103,8 @@ object Maintenance {
     require(canonical(outDir) != canonical(dir),
       "zorder never rewrites in place — write to a new directory and swap")
     require(cols.nonEmpty && files > 0, "need at least one column and one file")
+    require(cols.size * bitsPerCol <= 63,
+      s"z-value must fit a signed Long: cols×bits = ${cols.size * bitsPerCol} > 63")
     val df = spark.read.parquet(dir)
     df.withColumn("__z", zValue(df, cols, bitsPerCol))
       .repartitionByRange(files, col("__z"))

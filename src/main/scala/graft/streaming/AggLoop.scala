@@ -66,22 +66,23 @@ object AggLoop {
   def report(state: DataFrame, keepCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     val merged = merge(Seq(state), keepCols, valueCols)
     valueCols.foldLeft(merged) { (df, v) =>
-      df.withColumn(sumCol(v), round(col(sumCol(v)).cast("double"), 4))
-        .withColumn(s"avg_$v",
+      // avg derives from the EXACT decimal sum; only then does each output
+      // round independently (rounding the sum first would feed a
+      // 4dp-truncated numerator into the average).
+      df.withColumn(s"avg_$v",
           round((col(sumCol(v)) / col("n")).cast("double"), 4))
+        .withColumn(sumCol(v), round(col(sumCol(v)).cast("double"), 4))
     }
   }
 
   /** Seed with batch-era state ([[aggTable]] over history), written as
     * `v0` so batch 0 folds onto it. */
   def seedState(table: DataFrame, stateDir: String): Unit =
-    table.write.mode(SaveMode.ErrorIfExists)
-      .parquet(VersionedState.versionPath(stateDir, 0L))
+    VersionedState.seed(table, stateDir)
 
   /** The loop's current rollup table (None until seeded or run). */
   def latestState(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    VersionedState.validVersions(stateDir).maxOption
-      .map(v => VersionedState.read(spark, stateDir, v))
+    VersionedState.latest(spark, stateDir)
 
   /** One micro-batch fold — exposed for direct replay tests. */
   private[streaming] def foldBatch(batch: DataFrame, batchId: Long,

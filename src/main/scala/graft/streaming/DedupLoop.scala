@@ -47,17 +47,14 @@ object DedupLoop {
     * [[DedupOps.fingerprintTable]]) before the stream starts: written as
     * `v0`, so batch 0 already dedups against it. */
   def seedState(prior: DataFrame, stateDir: String): Unit =
-    prior.select(col("sigkey"), col("keep_id"))
-      .write.mode(SaveMode.ErrorIfExists)
-      .parquet(VersionedState.versionPath(stateDir, 0L))
+    VersionedState.seed(prior.select(col("sigkey"), col("keep_id")), stateDir)
 
   /** The loop's current fingerprint table (latest valid version) — the
     * hand-back to batch-era tooling: feed it to
     * [[DedupOps.incrementalDedup]] or persist it bucketed via
     * [[DedupOps.persistFingerprints]]. Empty if the loop never ran. */
   def latestState(spark: SparkSession, stateDir: String): DataFrame =
-    VersionedState.validVersions(stateDir).maxOption
-      .map(v => VersionedState.read(spark, stateDir, v, Some(stateSchema)))
+    VersionedState.latest(spark, stateDir, Some(stateSchema))
       .getOrElse(emptyState(spark))
 
   /** One micro-batch of the loop — exposed for direct idempotency tests;

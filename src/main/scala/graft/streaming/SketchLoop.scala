@@ -31,14 +31,12 @@ object SketchLoop {
   /** Seed with batch-era state (a [[SketchOps.hllSketchTable]] over the
     * historical corpus), written as `v0` so batch 0 folds onto it. */
   def seedState(sketchTable: DataFrame, stateDir: String): Unit =
-    sketchTable.write.mode(SaveMode.ErrorIfExists)
-      .parquet(VersionedState.versionPath(stateDir, 0L))
+    VersionedState.seed(sketchTable, stateDir)
 
-  /** The loop's current sketch table (empty-schema-less: None until the
-    * loop or a seed has written state). */
+  /** The loop's current sketch table (None until the loop or a seed has
+    * written state). */
   def latestState(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    VersionedState.validVersions(stateDir).maxOption
-      .map(v => VersionedState.read(spark, stateDir, v))
+    VersionedState.latest(spark, stateDir)
 
   /** Estimate distinct counts from the current state rolled up to
     * `keepCols` (empty = global) — live answers from kilobytes. */

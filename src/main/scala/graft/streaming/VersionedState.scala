@@ -54,6 +54,15 @@ private[streaming] object VersionedState {
   def write(df: DataFrame, stateDir: String, v: Long): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(versionPath(stateDir, v))
 
+  /** Seed `v0` with batch-era state; refuses to clobber an existing seed. */
+  def seed(df: DataFrame, stateDir: String): Unit =
+    df.write.mode(SaveMode.ErrorIfExists).parquet(versionPath(stateDir, 0L))
+
+  /** The latest valid version as a frame, if any state exists. */
+  def latest(spark: SparkSession, stateDir: String,
+             schema: Option[StructType] = None): Option[DataFrame] =
+    validVersions(stateDir).maxOption.map(read(spark, stateDir, _, schema))
+
   /** Delete valid versions strictly below `keepFrom`. */
   def gcBelow(stateDir: String, keepFrom: Long): Unit =
     validVersions(stateDir).filter(_ < keepFrom).foreach { v =>
