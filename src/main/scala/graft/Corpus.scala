@@ -1230,6 +1230,30 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       """select p_partkey,
   regexp_replace(p_name, '^(\w+) (\w+)', '\2 \1') swapped
  from part order by p_partkey limit 300"""),
+
+    // Array membership/overlap: the names split (arrays_overlap/
+    // array_position vs list_has_any/list_position) but BOTH engines at
+    // these versions return 0 for an absent element (newer DuckDB docs
+    // say NULL — verified 0 here, so the declared canonical form is the
+    // 0-for-absent convention, widths normalized to bigint: Spark emits
+    // long, DuckDB int32).
+    q2("q109_array_membership",
+      """with t as (select doc_id, split(text, ' ') w from documents where doc_id < 200),
+ p as (select a.doc_id i, b.doc_id j, a.w wa, b.w wb
+       from t a join t b on b.doc_id = a.doc_id + 100)
+ select i, j,
+  arrays_overlap(wa, wb) as has_common,
+  cast(array_position(wa, 'the') as bigint) the_pos,
+  cast(size(wa) as bigint) n_a
+ from p order by i""",
+      """with t as (select doc_id, string_split(text, ' ') w from documents where doc_id < 200),
+ p as (select a.doc_id i, b.doc_id j, a.w wa, b.w wb
+       from t a join t b on b.doc_id = a.doc_id + 100)
+ select i, j,
+  list_has_any(wa, wb) as has_common,
+  cast(list_position(wa, 'the') as bigint) the_pos,
+  cast(len(wa) as bigint) n_a
+ from p order by i"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -636,6 +636,20 @@ object DfQueries {
         .orderBy("o_orderpriority")
     },
 
+    "q109_array_membership" -> { (s, _) =>
+      // Membership predicates are narrow per-row HOFs; the only shuffle
+      // is the doc_id+100 equi self-join. 0-for-absent position, widths
+      // normalized to bigint (see the corpus note).
+      val tok = t(s, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      tok.as("a").join(tok.as("b"), col("b.doc_id") === col("a.doc_id") + 100)
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          arrays_overlap(col("a.w"), col("b.w")).as("has_common"),
+          array_position(col("a.w"), lit("the")).cast("long").as("the_pos"),
+          size(col("a.w")).cast("long").as("n_a"))
+        .orderBy("i")
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
