@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.util.Using
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Closed interval bounds on one column; an open side is `None`. Bound
+  * values go through `lit(...)`, so use the column's external type
+  * (Int/Long/Double/String/java.sql.Timestamp/...). */
+final case class ColumnBounds(column: String, lo: Option[Any], hi: Option[Any])
+
+/** Manifest-style FILE-LEVEL statistics pruning — the planning-time skip
+  * that parquet's own row-group stats cannot give. Stock Spark prunes a
+  * file's row groups only AFTER scheduling a task and reading its footer;
+  * at 100 TB (~a million files) a selective scan is therefore
+  * scheduler-bound even when almost every file is irrelevant. A manifest
+  * of per-file `min/max/null-count` — the same idea as a Delta/Iceberg
+  * transaction-log manifest — lets the driver drop files BEFORE any task
+  * exists: a range probe on a sorted or z-ordered layout schedules a
+  * handful of tasks instead of a million.
+  *
+  * The manifest is one row per file, built in ONE distributed pass
+  * (group-by `input_file_name`, map-side combined — never a footer loop
+  * on the driver). Pruning collects the manifest to the driver: that list
+  * is exactly what any Spark scan's file index already materializes, so
+  * it is driver-safe by the same argument.
+  *
+  * Exactness is by construction, not by trust in the stats: a file
+  * survives unless its stats PROVE no row can match (`max < lo` or
+  * `min > hi`; missing/all-null stats keep the file), and [[prunedRead]]
+  * re-applies the row-level predicate to the survivors.
+  *
+  * LOCAL-FILESYSTEM staleness guard, like [[Maintenance]]: a manifest
+  * describes one immutable snapshot of the directory; [[prunedRead]]
+  * refuses to plan from a manifest whose file set no longer matches the
+  * directory (a file added or compacted away after [[collect]] would
+  * otherwise be silently skipped — the failure mode transaction logs
+  * exist to prevent). Note an UN-persisted manifest is lazily
+  * re-evaluated by Spark and so re-lists the directory at use time —
+  * always fresh, never stale; [[writeManifest]] is what turns it into
+  * the durable snapshot the guard protects.
+  */
+object FileStats {
+
+  private def minCol(c: String) = s"min_$c"
+  private def maxCol(c: String) = s"max_$c"
+  private def nullCol(c: String) = s"n_null_$c"
+
+  /** Per-file stats manifest for `cols` over the parquet table at `dir`:
+    * `(file, n_rows, min_<c>, max_<c>, n_null_<c> ...)`. One distributed
+    * aggregation pass over the data. */
+  def collect(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one stats column required")
+    val df = spark.read.parquet(dir)
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        min(col(c)).as(minCol(c)),
+        max(col(c)).as(maxCol(c)),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(nullCol(c))))
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist a manifest (tiny; one row per data file). */
+  def writeManifest(manifest: DataFrame, path: String): Unit =
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** File survives unless stats prove emptiness; unknown (null) stats are
+    * conservative — the file stays. */
+  private def survives(bounds: Seq[ColumnBounds]): Column =
+    bounds.flatMap { b =>
+      b.lo.map(v => coalesce(col(maxCol(b.column)) >= lit(v), lit(true))) ++
+      b.hi.map(v => coalesce(col(minCol(b.column)) <= lit(v), lit(true)))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** The row-level predicate the pruning stands in for — re-applied to
+    * survivors so file-granularity skipping can never change results. */
+  def residual(bounds: Seq[ColumnBounds]): Column =
+    bounds.flatMap { b =>
+      b.lo.map(v => col(b.column) >= lit(v)) ++
+      b.hi.map(v => col(b.column) <= lit(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** The files a pruned scan would read — exposed for planning audits. */
+  def prunedFiles(manifest: DataFrame, bounds: Seq[ColumnBounds]): Seq[String] =
+    manifest.where(survives(bounds)).select("file")
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** File basenames currently on disk (part-file names carry a UUID, so
+    * basenames identify files across `file:` URI spellings). */
+  private def diskBasenames(dir: String): Set[String] =
+    Using.resource(Files.walk(Paths.get(dir))) { walk =>
+      val it = walk.filter(Files.isRegularFile(_: Path)).iterator()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.endsWith(".parquet")) b += n
+      }
+      b.result()
+    }
+
+  private def basename(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** Read `dir` scheduling ONLY files whose stats admit `bounds`, with the
+    * residual row predicate applied. Refuses a stale manifest. */
+  def prunedRead(spark: SparkSession, dir: String, manifest: DataFrame,
+                 bounds: Seq[ColumnBounds]): DataFrame = {
+    require(bounds.nonEmpty, "no bounds — use spark.read.parquet directly")
+    val listed = manifest.select("file").collect().map(r => r.getString(0)).toSeq
+    val onDisk = diskBasenames(dir)
+    val inManifest = listed.map(basename).toSet
+    require(inManifest == onDisk,
+      s"stale manifest for $dir: ${(onDisk -- inManifest).size} file(s) on disk " +
+        s"missing from manifest, ${(inManifest -- onDisk).size} manifest file(s) gone " +
+        "— re-run FileStats.collect after any rewrite")
+    val files = prunedFiles(manifest, bounds)
+    if (files.isEmpty)
+      // Provably-empty result; keep the schema without scheduling a scan.
+      spark.read.parquet(dir).where(lit(false))
+    else
+      spark.read.parquet(files: _*).where(residual(bounds))
+  }
+}

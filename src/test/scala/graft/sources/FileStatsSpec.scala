@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Manifest pruning must (a) actually shrink the scheduled file set on a
+  * sorted layout — measured, not assumed — (b) never change results on
+  * ANY layout, (c) stay conservative for nulls, and (d) refuse a stale
+  * manifest. */
+class FileStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-filestats-$tag").toString + "/t"
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+
+  private val files = 16
+
+  private def sortedDir: String = {
+    val d = tmp("sorted")
+    TestSpark.table("orders")
+      .repartitionByRange(files, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(d)
+    d
+  }
+
+  test("sorted layout: a narrow key range schedules a small fraction of the files") {
+    val d = sortedDir
+    val manifest = FileStats.collect(spark, d, Seq("o_orderkey", "o_totalprice"))
+    assert(manifest.count() == files)
+    // sf0.001 keys span 0–1499; ~94 keys/file across 16 range files, so a
+    // 101-key probe overlaps at most ~3 of them.
+    val bounds = Seq(ColumnBounds("o_orderkey", Some(100L), Some(200L)))
+    val pruned = FileStats.prunedFiles(manifest, bounds)
+    assert(pruned.size * 4 <= files, s"pruning too weak: ${pruned.size} of $files files")
+    // Result set identical to the unpruned scan + filter.
+    val got = FileStats.prunedRead(spark, d, manifest, bounds)
+    val want = spark.read.parquet(d)
+      .where(col("o_orderkey").between(100L, 200L))
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // The pruned scan really reads only the surviving files.
+    val touched = got.select(input_file_name()).distinct().count()
+    assert(touched == pruned.size.toLong, s"touched $touched, planned ${pruned.size}")
+  }
+
+  test("random layout: conservative (files survive) but results still exact") {
+    val d = tmp("random")
+    TestSpark.table("orders").repartition(files).write.parquet(d)
+    val manifest = FileStats.collect(spark, d, Seq("o_orderkey"))
+    val bounds = Seq(ColumnBounds("o_orderkey", Some(100L), Some(200L)))
+    // Round-robin smears the range everywhere — stats can prove nothing.
+    assert(FileStats.prunedFiles(manifest, bounds).size == files)
+    val got = FileStats.prunedRead(spark, d, manifest, bounds)
+    val want = spark.read.parquet(d).where(col("o_orderkey").between(100L, 200L))
+    assert(canon(got) == canon(want))
+  }
+
+  test("two-column bounds compose; one-sided bounds work") {
+    val d = sortedDir
+    val manifest = FileStats.collect(spark, d, Seq("o_orderkey", "o_totalprice"))
+    val bounds = Seq(
+      ColumnBounds("o_orderkey", Some(500L), None),
+      ColumnBounds("o_totalprice", None, Some(200000.0)))
+    val got = FileStats.prunedRead(spark, d, manifest, bounds)
+    val want = spark.read.parquet(d)
+      .where(col("o_orderkey") >= 500L && col("o_totalprice") <= 200000.0)
+    assert(canon(got) == canon(want) && got.count() > 0)
+  }
+
+  test("all-null and mixed-null files are kept conservatively, rows exact") {
+    import spark.implicits._
+    val d = tmp("nulls")
+    // File boundaries via repartitionByRange on a tag that isolates the
+    // all-null group into its own file(s).
+    Seq[(Int, Option[Long])]((0, None), (0, None), (1, Some(5L)), (1, None),
+        (2, Some(50L)), (2, Some(99L)))
+      .toDF("tag", "v")
+      .repartitionByRange(3, col("tag")).write.parquet(d)
+    val manifest = FileStats.collect(spark, d, Seq("v"))
+    val bounds = Seq(ColumnBounds("v", Some(0L), Some(10L)))
+    val got = FileStats.prunedRead(spark, d, manifest, bounds)
+    assert(canon(got) == canon(spark.read.parquet(d).where(col("v").between(0L, 10L))))
+    assert(got.count() == 1) // only v=5 matches; null rows excluded by residual
+  }
+
+  test("provably-empty range: zero rows, schema preserved, no scan") {
+    val d = sortedDir
+    val manifest = FileStats.collect(spark, d, Seq("o_orderkey"))
+    val got = FileStats.prunedRead(spark, d, manifest,
+      Seq(ColumnBounds("o_orderkey", Some(Long.MaxValue - 1), None)))
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == spark.read.parquet(d).columns.toSeq)
+  }
+
+  test("stale PERSISTED manifest (file added after collect) is refused") {
+    // An in-memory manifest re-lists the directory lazily (Spark read
+    // semantics), so it always reflects current disk — safe by
+    // freshness. The hazard is a manifest persisted as a snapshot and
+    // then used after the data directory changed; that is exactly what
+    // the guard must catch.
+    val d = tmp("stale")
+    val mPath = tmp("stale-manifest")
+    TestSpark.table("region").write.parquet(d)
+    FileStats.writeManifest(FileStats.collect(spark, d, Seq("r_regionkey")), mPath)
+    TestSpark.table("region").write.mode("append").parquet(d)
+    val e = intercept[IllegalArgumentException] {
+      FileStats.prunedRead(spark, d, FileStats.readManifest(spark, mPath),
+        Seq(ColumnBounds("r_regionkey", Some(0L), None)))
+    }
+    assert(e.getMessage.contains("stale manifest"))
+  }
+
+  test("manifest round-trips through its persisted form") {
+    val d = sortedDir
+    val mPath = tmp("manifest")
+    FileStats.writeManifest(
+      FileStats.collect(spark, d, Seq("o_orderkey")), mPath)
+    val back = FileStats.readManifest(spark, mPath)
+    val bounds = Seq(ColumnBounds("o_orderkey", Some(1000L), Some(2000L)))
+    val got = FileStats.prunedRead(spark, d, back, bounds)
+    val want = spark.read.parquet(d).where(col("o_orderkey").between(1000L, 2000L))
+    assert(canon(got) == canon(want) && got.count() > 0)
+  }
+}
