@@ -1254,6 +1254,42 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
   cast(list_position(wa, 'the') as bigint) the_pos,
   cast(len(wa) as bigint) n_a
  from p order by i"""),
+
+    // Time-INTERVAL range frames — the sliding-lookback aggregate ("events
+    // in the last hour per user") that q18's numeric RANGE frames can't
+    // spell. Same text in both engines; the frame sum goes through
+    // DECIMAL like q18's (frame-order double accumulation is not
+    // guaranteed to associate identically across engines).
+    q("q110_time_range_frames",
+      """select event_id, user_id,
+ cast(count(*) over (partition by user_id order by ts range between interval 1 hour preceding and current row) as bigint) c1h,
+ round(cast(sum(cast(value as decimal(18,4))) over (partition by user_id order by ts range between interval 1 hour preceding and current row) as double), 4) s1h
+ from events order by user_id, event_id limit 300"""),
+
+    // Second string-function family beyond q23: translate / repeat /
+    // left / right / split_part (1-based, both engines) / ANSI
+    // position(... in ...) — all same text, widths to bigint (Spark
+    // position is int, DuckDB bigint).
+    q("q111_string_funcs2",
+      """select p_partkey,
+ translate(p_name, 'aeiou', '12345') tr,
+ repeat(p_brand, 2) rp,
+ left(p_name, 4) l4, right(p_name, 4) r4,
+ split_part(p_name, ' ', 2) w2,
+ cast(position('a' in p_name) as bigint) pos_a
+ from part order by p_partkey limit 300"""),
+
+    // POSITIONAL tokenization — explode with ordinality, the primitive
+    // under every span/window-over-tokens op (q92 builds on it). Dialect
+    // split: Spark LATERAL VIEW posexplode (0-based) vs DuckDB
+    // unnest + generate_subscripts (1-based, shifted down).
+    q2("q112_pos_explode",
+      """select doc_id, cast(pos as bigint) pos, w
+ from documents lateral view posexplode(split(text, ' ')) t as pos, w
+ where doc_id < 50 order by doc_id, pos limit 500""",
+      """select doc_id, cast(generate_subscripts(string_split(text,' '),1) - 1 as bigint) pos,
+  unnest(string_split(text,' ')) w
+ from documents where doc_id < 50 order by doc_id, pos limit 500"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -650,6 +650,39 @@ object DfQueries {
         .orderBy("i")
     },
 
+    "q110_time_range_frames" -> { (s, _) =>
+      // Interval RANGE frames are SQL-only syntax (the Column API's
+      // rangeBetween takes longs), so the windows go through expr() —
+      // still one Window exec partitioned on user_id, decimal frame sum
+      // per the q18 discipline.
+      t(s, "events").select(col("event_id"), col("user_id"),
+          expr("cast(count(*) over (partition by user_id order by ts range between interval 1 hour preceding and current row) as bigint)").as("c1h"),
+          expr("round(cast(sum(cast(value as decimal(18,4))) over (partition by user_id order by ts range between interval 1 hour preceding and current row) as double), 4)").as("s1h"))
+        .orderBy("user_id", "event_id").limit(300)
+    },
+
+    "q111_string_funcs2" -> { (s, _) =>
+      // Pure projections; instr == ANSI position (1-based, 0 absent).
+      t(s, "part").select(col("p_partkey"),
+          translate(col("p_name"), "aeiou", "12345").as("tr"),
+          repeat(col("p_brand"), 2).as("rp"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 4)").as("r4"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("w2"),
+          instr(col("p_name"), "a").cast("long").as("pos_a"))
+        .orderBy("p_partkey").limit(300)
+    },
+
+    "q112_pos_explode" -> { (s, _) =>
+      // posexplode is a narrow generator — no shuffle before the sort;
+      // 0-based pos normalized to bigint (DuckDB's subscripts are
+      // 1-based, shifted in its dialect text).
+      t(s, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("w"))
+        .orderBy("doc_id", "pos").limit(500)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
