@@ -135,6 +135,27 @@ object Bench {
             assets, new graft.ops.MediaCodecs.ImageCodec(4, 4))
           .agg(count(lit(1)).as("n"))
       },
+      // Manifest-pruned range read (FileStats): layout + stats collection
+      // happen once outside the timed thunk (that's table maintenance,
+      // amortized over every probe); the timed pass is plan-from-manifest
+      // + scan of only the surviving files — the steady-state cost of a
+      // selective range probe on a sorted lake.
+      "x_manifest_prune" -> {
+        import graft.sources.{ColumnBounds, FileStats}
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-manifest")
+          .toString + "/orders"
+        spark.table("orders")
+          .repartitionByRange(32, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+          .write.parquet(dir)
+        val manifest = FileStats.collect(spark, dir, Seq("o_orderkey")).persist()
+        manifest.count() // materialize: the bench times the probe, not the census
+        val mx = spark.table("orders").agg(max(col("o_orderkey"))).head().getLong(0)
+        () => FileStats.prunedRead(spark, dir, manifest,
+            Seq(ColumnBounds("o_orderkey", Some(mx / 4), Some(mx / 4 + mx / 64))))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("s"))
+      },
       // Bloom prefilter + exact semi join (q82 shape): guards the native
       // bloom_might_contain probe's scan-side cost.
       "x_bloom_semijoin" -> (() => {

@@ -65,6 +65,48 @@ object FileStats {
     df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incrementally extend a manifest after files were APPENDED to `dir`:
+    * stat ONLY the files the manifest doesn't cover and union them in —
+    * history is never re-scanned, so keeping the manifest current costs
+    * O(new data), the property that makes a stats log viable at 100 TB
+    * (re-collecting over the whole table would cost a full scan per
+    * append). Files REMOVED from the directory are not handled here —
+    * that's a rewrite (compact/zorder), after which [[collect]] over the
+    * new directory is the honest move. */
+  def update(spark: SparkSession, dir: String, manifest: DataFrame,
+             cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one stats column required")
+    val known = manifest.select("file").collect().map(r => basename(r.getString(0))).toSet
+    val gone = known -- diskBasenames(dir)
+    require(gone.isEmpty,
+      s"${gone.size} manifest file(s) no longer on disk — the directory was " +
+        "rewritten, not appended; re-run FileStats.collect")
+    // Resolve new files to full paths via one directory walk.
+    val newPaths = Using.resource(Files.walk(Paths.get(dir))) { walk =>
+      val it = walk.filter(Files.isRegularFile(_: Path)).iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !known.contains(n)) b += p.toString
+      }
+      b.result()
+    }
+    if (newPaths.isEmpty) manifest
+    else {
+      val fresh = spark.read.parquet(newPaths: _*)
+      cols.foreach(c => require(fresh.columns.contains(c), s"no such column: $c"))
+      val aggs: Seq[Column] =
+        count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          min(col(c)).as(minCol(c)),
+          max(col(c)).as(maxCol(c)),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(nullCol(c))))
+      manifest.unionByName(
+        fresh.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*))
+    }
+  }
+
   /** Persist a manifest (tiny; one row per data file). */
   def writeManifest(manifest: DataFrame, path: String): Unit =
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)

@@ -119,6 +119,43 @@ class FileStatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale manifest"))
   }
 
+  test("update stats only the appended files; result ≡ a fresh collect") {
+    val d = tmp("update")
+    val old = TestSpark.table("orders").where(col("o_orderkey") < 700)
+    val neu = TestSpark.table("orders").where(col("o_orderkey") >= 700)
+    old.repartition(4).write.parquet(d)
+    val mPath = tmp("update-manifest")
+    FileStats.writeManifest(FileStats.collect(spark, d, Seq("o_orderkey")), mPath)
+    val snapshot = FileStats.readManifest(spark, mPath) // durable pre-append state
+    neu.repartition(4).write.mode("append").parquet(d)
+
+    val updated = FileStats.update(spark, d, snapshot, Seq("o_orderkey"))
+    assert(canon(updated) == canon(FileStats.collect(spark, d, Seq("o_orderkey"))))
+    // And the updated manifest plans correct pruned reads over the union.
+    val bounds = Seq(ColumnBounds("o_orderkey", Some(100L), Some(900L)))
+    val got = FileStats.prunedRead(spark, d, updated, bounds)
+    val want = spark.read.parquet(d).where(col("o_orderkey").between(100L, 900L))
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // No-op update (nothing new) returns the manifest unchanged.
+    assert(canon(FileStats.update(spark, d, updated, Seq("o_orderkey"))) == canon(updated))
+  }
+
+  test("update refuses a directory that was rewritten (files removed)") {
+    val d0 = tmp("rewrite-a")
+    TestSpark.table("region").repartition(2).write.parquet(d0)
+    val mPath = tmp("rewrite-manifest")
+    FileStats.writeManifest(FileStats.collect(spark, d0, Seq("r_regionkey")), mPath)
+    val snapshot = FileStats.readManifest(spark, mPath)
+    // Simulate a compaction: delete the directory contents, write anew.
+    val dir = new java.io.File(d0)
+    dir.listFiles().foreach(_.delete())
+    TestSpark.table("region").coalesce(1).write.mode("overwrite").parquet(d0)
+    val e = intercept[IllegalArgumentException] {
+      FileStats.update(spark, d0, snapshot, Seq("r_regionkey"))
+    }
+    assert(e.getMessage.contains("rewritten"))
+  }
+
   test("manifest round-trips through its persisted form") {
     val d = sortedDir
     val mPath = tmp("manifest")
