@@ -1290,6 +1290,54 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       """select doc_id, cast(generate_subscripts(string_split(text,' '),1) - 1 as bigint) pos,
   unnest(string_split(text,' ')) w
  from documents where doc_id < 50 order by doc_id, pos limit 500"""),
+
+    // NULL-SAFE equality join (ANSI IS NOT DISTINCT FROM — same text both
+    // engines; Spark's <=> is the same operator): the join where NULL
+    // keys MATCH each other instead of vanishing — the semantics every
+    // dedup-on-nullable-key pipeline actually wants.
+    q("q113_nullsafe_join",
+      """with a as (select p_partkey, nullif(p_size, 5) sz from part where p_partkey < 100),
+ b as (select p_partkey, nullif(p_size, 5) sz from part where p_partkey >= 100)
+ select a.p_partkey ka, b.p_partkey kb
+ from a join b on a.sz is not distinct from b.sz
+ order by ka, kb limit 300"""),
+
+    // Inline VALUES relation joined to a stored table — literal dimension
+    // tables (label maps, config rows) without a file. Same text both
+    // engines.
+    q("q114_values_join",
+      """select t.tag, r.r_name
+ from (values (0,'alpha'),(1,'beta'),(2,'gamma')) t(rk, tag)
+ join region r on r.r_regionkey = t.rk
+ order by t.tag"""),
+
+    // Calendar fields: doy/quarter agree textually, but DOW is a dialect
+    // TRAP — Spark date_part('dow') is 1–7 with Sunday=1 (dayofweek)
+    // while DuckDB is 0–6 with Sunday=0; the canonical form is the
+    // 0-based convention (Spark side shifts down). Measured, not
+    // documented anywhere loudly: 2026-08 verification.
+    q2("q115_calendar_parts",
+      """select o_orderkey,
+ cast(date_part('dow', o_orderdate) - 1 as bigint) dow,
+ cast(date_part('doy', o_orderdate) as bigint) doy,
+ cast(date_part('quarter', o_orderdate) as bigint) q
+ from orders order by o_orderkey limit 300""",
+      """select o_orderkey,
+ cast(date_part('dow', o_orderdate) as bigint) dow,
+ cast(date_part('doy', o_orderdate) as bigint) doy,
+ cast(date_part('quarter', o_orderdate) as bigint) q
+ from orders order by o_orderkey limit 300"""),
+
+    // Format-string round trip: the pattern LANGUAGE splits (JDK
+    // yyyy/MM/dd vs strftime %Y/%m/%d) but the rendered text and the
+    // parsed-back timestamp must agree exactly.
+    q2("q116_format_parse",
+      """with s as (select o_orderkey, date_format(o_orderdate, 'yyyy/MM/dd') txt from orders)
+ select o_orderkey, txt, to_timestamp(txt, 'yyyy/MM/dd') back
+ from s order by o_orderkey limit 300""",
+      """with s as (select o_orderkey, strftime(o_orderdate, '%Y/%m/%d') txt from orders)
+ select o_orderkey, txt, strptime(txt, '%Y/%m/%d') back
+ from s order by o_orderkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

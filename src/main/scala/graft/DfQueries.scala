@@ -683,6 +683,47 @@ object DfQueries {
         .orderBy("doc_id", "pos").limit(500)
     },
 
+    "q113_nullsafe_join" -> { (s, _) =>
+      // eqNullSafe (<=>) keeps NULL keys matchable; still a plain hash
+      // join on the null-safe key — no special plan shape.
+      val part = t(s, "part").select(col("p_partkey"),
+        nullif(col("p_size"), lit(5)).as("sz"))
+      val a = part.where(col("p_partkey") < 100).as("a")
+      val b = part.where(col("p_partkey") >= 100).as("b")
+      a.join(b, col("a.sz") <=> col("b.sz"))
+        .select(col("a.p_partkey").as("ka"), col("b.p_partkey").as("kb"))
+        .orderBy("ka", "kb").limit(300)
+    },
+
+    "q114_values_join" -> { (s, _) =>
+      // Literal dimension relation — broadcast-joined to the stored table
+      // (3 rows; Catalyst folds it to a LocalRelation).
+      import s.implicits._
+      val vals = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("rk", "tag")
+      vals.join(t(s, "region"), col("r_regionkey") === col("rk"))
+        .select(col("tag"), col("r_name")).orderBy("tag")
+    },
+
+    "q115_calendar_parts" -> { (s, _) =>
+      // 0-based DOW canonical form (Sunday=0): Spark's dayofweek is
+      // 1-based — see the corpus note on the dialect trap.
+      t(s, "orders").select(col("o_orderkey"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          quarter(col("o_orderdate")).cast("long").as("q"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
+    "q116_format_parse" -> { (s, _) =>
+      // Render + parse-back round trip under the JDK pattern dialect.
+      t(s, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy/MM/dd").as("txt"))
+        .select(col("o_orderkey"), col("txt"),
+          to_timestamp(col("txt"), "yyyy/MM/dd").as("back"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
