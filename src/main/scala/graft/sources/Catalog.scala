@@ -56,8 +56,9 @@ object Catalog {
         if (schema.isEmpty) reader.option("inferSchema", "true").option("header", "true").csv(path)
         else reader.option("header", "true").csv(path)
       case "json" => reader.json(path)
+      case "orc" => reader.orc(path)
       case other => throw new IllegalArgumentException(
-        s"unsupported catalog format: $other (parquet | csv | json)")
+        s"unsupported catalog format: $other (parquet | csv | json | orc)")
     }
     val df = h1(raw)
     df.createOrReplaceTempView(name)

@@ -44,6 +44,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaCsv == viaParquet && viaCsv.nonEmpty)
   }
 
+  test("catalog ORC table: q01 shape matches the parquet result exactly") {
+    val dir = tmp("lineitem_orc")
+    val src = TestSpark.table("lineitem")
+    src.write.orc(dir)
+    val orcLineitem = graft.sources.Catalog.registerTable(
+      spark, "lineitem_orc_t", dir, "orc")
+    // ORC is self-describing like parquet — no schema needed, and NTZ
+    // timestamps must survive the round trip.
+    assert(orcLineitem.schema == src.schema, "orc schema must round-trip")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net"))
+      .orderBy("l_orderkey", "l_linenumber").limit(100)
+      .collect().map(_.toSeq).toSeq
+    val viaOrc = shape(spark.table("lineitem_orc_t"))
+    assert(viaOrc == shape(src) && viaOrc.nonEmpty)
+  }
+
   test("catalog CSV/JSON events get the H1 nanos rewrite, same as parquet") {
     // A csv/json lake delivering the raw nanos epoch as a LONG column must
     // come out as the same timestamp_ntz the parquet path produces.
