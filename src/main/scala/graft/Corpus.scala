@@ -1338,6 +1338,27 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       """with s as (select o_orderkey, strftime(o_orderdate, '%Y/%m/%d') txt from orders)
  select o_orderkey, txt, strptime(txt, '%Y/%m/%d') back
  from s order by o_orderkey limit 300"""),
+
+    // RECURSIVE CTE, UNION ALL form with a strictly-monotone bound — the
+    // shape Spark 4.1 does support (UNION-distinct recursion is rejected,
+    // which is why q72's transitive closure stays an iterative kernel —
+    // see CorpusSqlSpec). Same text both engines; the recursion feeds a
+    // join to a stored table so the declared result exercises both the
+    // fixpoint and the equi-join.
+    q("q117_recursive_cte",
+      """with recursive m(k) as (select 1 union all select k+1 from m where k < 12)
+ select k, count(*) c from m join orders on extract(month from o_orderdate) = k
+ group by k order by k"""),
+
+    // greatest/least: both engines SKIP nulls (return the extreme of the
+    // non-null arguments; all-null gives NULL) — verified identical, so
+    // the nullif-fed columns declare that convention.
+    q("q118_greatest_least",
+      """select p_partkey,
+ greatest(p_size, 10) g, least(p_size, 10) l,
+ greatest(nullif(p_size,5), 0) gn,
+ least(nullif(p_size,5), 999) ln
+ from part order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

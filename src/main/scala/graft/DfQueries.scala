@@ -724,6 +724,26 @@ object DfQueries {
         .orderBy("o_orderkey").limit(300)
     },
 
+    "q117_recursive_cte" -> { (s, _) =>
+      // The Column API has no recursion; the DF twin lowers the SAME
+      // fixpoint (k = 1..12) to sequence+explode — a LocalRelation after
+      // constant folding, so the plan is the join + agg alone. The
+      // declared SQL text exercises the real recursive execution.
+      val months = s.range(1).select(explode(sequence(lit(1), lit(12))).as("k"))
+      months.join(t(s, "orders"), month(col("o_orderdate")) === col("k"))
+        .groupBy("k").agg(count(lit(1)).as("c")).orderBy("k")
+    },
+
+    "q118_greatest_least" -> { (s, _) =>
+      // Pure projections; both engines' greatest/least skip nulls.
+      t(s, "part").select(col("p_partkey"),
+          greatest(col("p_size"), lit(10)).as("g"),
+          least(col("p_size"), lit(10)).as("l"),
+          greatest(nullif(col("p_size"), lit(5)), lit(0)).as("gn"),
+          least(nullif(col("p_size"), lit(5)), lit(999)).as("ln"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
