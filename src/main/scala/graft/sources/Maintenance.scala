@@ -89,6 +89,29 @@ object Maintenance {
     }.reduce(_ + _)
   }
 
+  /** One-call PRUNING-READY write: range-partition + sort rows on
+    * `sortCols` so each file owns a tight, nearly-disjoint min/max range,
+    * write `files` parquet files, and persist the [[FileStats]] manifest
+    * beside the data (`<outDir>_stats`) — the layout + stats pair a
+    * selective range probe needs to schedule a handful of files instead
+    * of all of them ([[FileStats.prunedRead]] is the read side; append +
+    * [[FileStats.update]] keeps the manifest current at O(new data)).
+    * Stats default to `sortCols` — the columns whose ranges the layout
+    * actually tightened. Same never-in-place rule as [[compact]].
+    * Returns (data, manifest) as re-read from disk. */
+  def writeOptimized(spark: SparkSession, df: DataFrame, outDir: String,
+                     sortCols: Seq[String], files: Int,
+                     statsCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    require(sortCols.nonEmpty && files > 0, "need at least one sort column and one file")
+    val stats = if (statsCols.nonEmpty) statsCols else sortCols
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.ErrorIfExists).parquet(outDir)
+    FileStats.writeManifest(
+      FileStats.collect(spark, outDir, stats), s"${outDir}_stats")
+    (spark.read.parquet(outDir), FileStats.readManifest(spark, s"${outDir}_stats"))
+  }
+
   /** Z-ORDER rewrite: range-partition and sort the table by an
     * interleaved-bits curve over `cols`, so rows close in EVERY listed
     * dimension land in the same files — parquet min/max stats then prune

@@ -156,6 +156,23 @@ class FileStatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rewritten"))
   }
 
+  test("writeOptimized: layout + manifest in one call, probe-ready") {
+    val d = tmp("wo")
+    val (data, manifest) = Maintenance.writeOptimized(
+      spark, TestSpark.table("orders"), d, Seq("o_orderkey"), files)
+    assert(data.count() == TestSpark.table("orders").count())
+    assert(manifest.count() == files)
+    val bounds = Seq(ColumnBounds("o_orderkey", Some(100L), Some(200L)))
+    assert(FileStats.prunedFiles(manifest, bounds).size * 4 <= files)
+    val got = FileStats.prunedRead(spark, d, manifest, bounds)
+    val want = spark.read.parquet(d).where(col("o_orderkey").between(100L, 200L))
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // Never in place.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Maintenance.writeOptimized(spark, TestSpark.table("orders"), d, Seq("o_orderkey"), files)
+    }
+  }
+
   test("manifest round-trips through its persisted form") {
     val d = sortedDir
     val mPath = tmp("manifest")
