@@ -1359,6 +1359,30 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
  greatest(nullif(p_size,5), 0) gn,
  least(nullif(p_size,5), 999) ln
  from part order by p_partkey limit 300"""),
+
+    // Scalar edit distance — same name, same DP definition, verified
+    // equal (the q84 near-dup operator composes this inside prefix
+    // blocks; here the scalar itself is declared).
+    q("q119_levenshtein",
+      """select a.p_partkey ka, b.p_partkey kb, levenshtein(a.p_name, b.p_name) d
+ from part a join part b on b.p_partkey = a.p_partkey + 100
+ order by ka limit 300"""),
+
+    // Case-insensitive LIKE — same text both engines (q02/q23 cover
+    // case-sensitive LIKE and case mapping separately).
+    q("q120_ilike",
+      """select p_partkey, p_name from part
+ where p_name ilike '%WiDg%' order by p_partkey limit 300"""),
+
+    // REGEX-delimited splitting (multi-char delimiter classes — the
+    // tokenizer shape real text needs; q31's split is single-space).
+    // Dialect split on the function name only: Spark split() IS
+    // regex-based, DuckDB needs string_split_regex.
+    q2("q121_regex_split",
+      """select doc_id, cast(size(split(text, '[ ,.]+')) as bigint) n
+ from documents order by doc_id limit 300""",
+      """select doc_id, cast(len(string_split_regex(text, '[ ,.]+')) as bigint) n
+ from documents order by doc_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -744,6 +744,28 @@ object DfQueries {
         .orderBy("p_partkey").limit(300)
     },
 
+    "q119_levenshtein" -> { (s, _) =>
+      // Key-shifted equi self-join; the DP runs per matched pair only.
+      val part = t(s, "part").select("p_partkey", "p_name")
+      part.as("a").join(part.as("b"), col("b.p_partkey") === col("a.p_partkey") + 100)
+        .select(col("a.p_partkey").as("ka"), col("b.p_partkey").as("kb"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("d"))
+        .orderBy("ka").limit(300)
+    },
+
+    "q120_ilike" -> { (s, _) =>
+      t(s, "part").where(col("p_name").ilike("%WiDg%"))
+        .select("p_partkey", "p_name").orderBy("p_partkey").limit(300)
+    },
+
+    "q121_regex_split" -> { (s, _) =>
+      // split() is regex-based in Spark; narrow projection, no shuffle
+      // before the sort.
+      t(s, "documents")
+        .select(col("doc_id"), size(split(col("text"), "[ ,.]+")).cast("long").as("n"))
+        .orderBy("doc_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
