@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.FileStats
+
+/** Streaming ingestion that lands a PRUNING-READY lake: a foreachBatch
+  * sink that writes each micro-batch under `outDir/batch=<id>` AND keeps
+  * the [[FileStats]] manifest current — so a reader can
+  * `FileStats.prunedRead(..., partitioned = true)` against live-ingested
+  * data without ever re-scanning history for stats. The manifest fold is
+  * O(batch): stats are collected over the just-written batch directory
+  * only and unioned onto the prior manifest (the same O(new-data)
+  * contract as [[FileStats.update]], driven by the stream).
+  *
+  * Same [[VersionedState]] machinery and exactly-once posture as the
+  * other loops. Replay detail: rewriting `batch=<id>` gives the files
+  * NEW uuid names, so the fold also DROPS any prior manifest rows under
+  * that batch directory before unioning — a replayed batch replaces its
+  * own stats rather than duplicating them (the prior version normally
+  * predates the batch, but a belt against exotic replay interleavings
+  * costs one filter).
+  */
+object ManifestLoop {
+
+  /** The loop's current manifest (None until a batch ran). Feed it to
+    * [[FileStats.prunedRead]] with `partitioned = true`, or persist it
+    * via [[FileStats.writeManifest]] for the batch era. */
+  def latestManifest(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    VersionedState.latest(spark, stateDir)
+
+  /** One micro-batch fold — exposed for direct replay tests. */
+  private[streaming] def foldBatch(batch: DataFrame, batchId: Long,
+                                   outDir: String, statsCols: Seq[String],
+                                   stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val batchDir = s"$outDir/batch=$batchId"
+    batch.write.mode(SaveMode.Overwrite).parquet(batchDir)
+    val batchStats = FileStats.collect(spark, batchDir, statsCols)
+    val priorV = VersionedState.priorVersion(stateDir, batchId)
+    val folded = priorV match {
+      case Some(v) =>
+        VersionedState.read(spark, stateDir, v)
+          .where(!col("file").contains(s"/batch=$batchId/"))
+          .unionByName(batchStats)
+      case None => batchStats
+    }
+    VersionedState.write(folded, stateDir, batchId + 1)
+    priorV.foreach(VersionedState.gcBelow(stateDir, _))
+  }
+
+  /** Start the manifest-maintaining ingestion loop over `stream`. */
+  def run(stream: DataFrame, outDir: String, statsCols: Seq[String],
+          stateDir: String, checkpointDir: String,
+          trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, outDir, statsCols, stateDir)
+      }
+    trigger.foreach(w.trigger)
+    w.start()
+  }
+}
