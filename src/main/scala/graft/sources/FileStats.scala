@@ -151,9 +151,13 @@ object FileStats {
   private def basename(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
 
   /** Read `dir` scheduling ONLY files whose stats admit `bounds`, with the
-    * residual row predicate applied. Refuses a stale manifest. */
+    * residual row predicate applied. Refuses a stale manifest. Set
+    * `partitioned = true` when `dir` has partition subdirectories
+    * (`batch=N/...`): explicit-file reads skip partition discovery unless
+    * the basePath is pinned, and silently dropping the partition column
+    * would make the pruned schema differ from the full scan's. */
   def prunedRead(spark: SparkSession, dir: String, manifest: DataFrame,
-                 bounds: Seq[ColumnBounds]): DataFrame = {
+                 bounds: Seq[ColumnBounds], partitioned: Boolean = false): DataFrame = {
     require(bounds.nonEmpty, "no bounds — use spark.read.parquet directly")
     val listed = manifest.select("file").collect().map(r => r.getString(0)).toSeq
     val onDisk = diskBasenames(dir)
@@ -166,7 +170,10 @@ object FileStats {
     if (files.isEmpty)
       // Provably-empty result; keep the schema without scheduling a scan.
       spark.read.parquet(dir).where(lit(false))
-    else
-      spark.read.parquet(files: _*).where(residual(bounds))
+    else {
+      val reader = spark.read
+      if (partitioned) reader.option("basePath", dir)
+      reader.parquet(files: _*).where(residual(bounds))
+    }
   }
 }
