@@ -38,8 +38,11 @@ object LakeProbe {
     orders.repartitionByRange(nFiles, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey").write.parquet(dir)
 
-    val (tCollect, manifest0) =
-      timed(() => FileStats.collect(spark, dir, Seq("o_orderkey")).persist())
+    // Time the MATERIALIZED stats pass (collect() runs the job; a bare
+    // .persist() is lazy and would time only plan construction).
+    val (tCollect, _) =
+      timed(() => FileStats.collect(spark, dir, Seq("o_orderkey")).collect())
+    val manifest0 = FileStats.collect(spark, dir, Seq("o_orderkey")).persist()
     manifest0.count()
     p("manifest_collect", tCollect, s"rows=${orders.count()}")
 

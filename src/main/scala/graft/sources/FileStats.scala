@@ -49,12 +49,10 @@ object FileStats {
   private def maxCol(c: String) = s"max_$c"
   private def nullCol(c: String) = s"n_null_$c"
 
-  /** Per-file stats manifest for `cols` over the parquet table at `dir`:
-    * `(file, n_rows, min_<c>, max_<c>, n_null_<c> ...)`. One distributed
-    * aggregation pass over the data. */
-  def collect(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+  /** The one manifest-building aggregation — shared by [[collect]] and
+    * [[update]] so the two can never diverge on the manifest schema. */
+  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one stats column required")
-    val df = spark.read.parquet(dir)
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
     val aggs: Seq[Column] =
       count(lit(1)).as("n_rows") +:
@@ -64,6 +62,12 @@ object FileStats {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(nullCol(c))))
     df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-file stats manifest for `cols` over the parquet table at `dir`:
+    * `(file, n_rows, min_<c>, max_<c>, n_null_<c> ...)`. One distributed
+    * aggregation pass over the data. */
+  def collect(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    statsOf(spark.read.parquet(dir), cols)
 
   /** Incrementally extend a manifest after files were APPENDED to `dir`:
     * stat ONLY the files the manifest doesn't cover and union them in —
@@ -81,30 +85,27 @@ object FileStats {
     require(gone.isEmpty,
       s"${gone.size} manifest file(s) no longer on disk — the directory was " +
         "rewritten, not appended; re-run FileStats.collect")
-    // Resolve new files to full paths via one directory walk.
-    val newPaths = Using.resource(Files.walk(Paths.get(dir))) { walk =>
+    // Resolve new files to full paths via one directory walk (same
+    // hidden-dir discipline as diskBasenames — a sibling `_stats` dir
+    // must not read as "new data").
+    val root = Paths.get(dir)
+    val newPaths = Using.resource(Files.walk(root)) { walk =>
       val it = walk.filter(Files.isRegularFile(_: Path)).iterator()
       val b = Seq.newBuilder[String]
       while (it.hasNext) {
         val p = it.next()
+        val rel = root.relativize(p)
+        val hidden = (0 until rel.getNameCount - 1).exists { i =>
+          val seg = rel.getName(i).toString
+          seg.startsWith("_") || seg.startsWith(".")
+        }
         val n = p.getFileName.toString
-        if (n.endsWith(".parquet") && !known.contains(n)) b += p.toString
+        if (!hidden && n.endsWith(".parquet") && !known.contains(n)) b += p.toString
       }
       b.result()
     }
     if (newPaths.isEmpty) manifest
-    else {
-      val fresh = spark.read.parquet(newPaths: _*)
-      cols.foreach(c => require(fresh.columns.contains(c), s"no such column: $c"))
-      val aggs: Seq[Column] =
-        count(lit(1)).as("n_rows") +:
-        cols.flatMap(c => Seq(
-          min(col(c)).as(minCol(c)),
-          max(col(c)).as(maxCol(c)),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(nullCol(c))))
-      manifest.unionByName(
-        fresh.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*))
-    }
+    else manifest.unionByName(statsOf(spark.read.parquet(newPaths: _*), cols))
   }
 
   /** Persist a manifest (tiny; one row per data file). */
@@ -136,44 +137,54 @@ object FileStats {
       .collect().map(_.getString(0)).toSeq.sorted
 
   /** File basenames currently on disk (part-file names carry a UUID, so
-    * basenames identify files across `file:` URI spellings). */
-  private def diskBasenames(dir: String): Set[String] =
-    Using.resource(Files.walk(Paths.get(dir))) { walk =>
+    * basenames identify files across `file:` URI spellings). Files under
+    * underscore/dot-prefixed directories are skipped — Spark's reader
+    * hides those (e.g. a sibling `_stats` manifest dir), so the
+    * staleness comparison must hide them too. */
+  private def diskBasenames(dir: String): Set[String] = {
+    val root = Paths.get(dir)
+    Using.resource(Files.walk(root)) { walk =>
       val it = walk.filter(Files.isRegularFile(_: Path)).iterator()
       val b = Set.newBuilder[String]
       while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.endsWith(".parquet")) b += n
+        val p = it.next()
+        val rel = root.relativize(p)
+        val hidden = (0 until rel.getNameCount - 1).exists { i =>
+          val seg = rel.getName(i).toString
+          seg.startsWith("_") || seg.startsWith(".")
+        }
+        val n = p.getFileName.toString
+        if (!hidden && n.endsWith(".parquet")) b += n
       }
       b.result()
     }
+  }
 
   private def basename(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
 
   /** Read `dir` scheduling ONLY files whose stats admit `bounds`, with the
-    * residual row predicate applied. Refuses a stale manifest. Set
-    * `partitioned = true` when `dir` has partition subdirectories
-    * (`batch=N/...`): explicit-file reads skip partition discovery unless
-    * the basePath is pinned, and silently dropping the partition column
-    * would make the pruned schema differ from the full scan's. */
+    * residual row predicate applied. Refuses a stale manifest. The
+    * basePath is always pinned to `dir`, so partition columns
+    * (`batch=N/...` layouts) survive the explicit-file read exactly as
+    * they would a full directory scan; on an unpartitioned layout the
+    * option is inert. */
   def prunedRead(spark: SparkSession, dir: String, manifest: DataFrame,
-                 bounds: Seq[ColumnBounds], partitioned: Boolean = false): DataFrame = {
+                 bounds: Seq[ColumnBounds]): DataFrame = {
     require(bounds.nonEmpty, "no bounds — use spark.read.parquet directly")
-    val listed = manifest.select("file").collect().map(r => r.getString(0)).toSeq
+    // ONE driver round-trip serves both the staleness check and the
+    // surviving-file list — this is the steady-state probe path.
+    val rows = manifest.select(col("file"), survives(bounds).as("keep")).collect()
     val onDisk = diskBasenames(dir)
-    val inManifest = listed.map(basename).toSet
+    val inManifest = rows.map(r => basename(r.getString(0))).toSet
     require(inManifest == onDisk,
       s"stale manifest for $dir: ${(onDisk -- inManifest).size} file(s) on disk " +
         s"missing from manifest, ${(inManifest -- onDisk).size} manifest file(s) gone " +
         "— re-run FileStats.collect after any rewrite")
-    val files = prunedFiles(manifest, bounds)
+    val files = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq.sorted
     if (files.isEmpty)
       // Provably-empty result; keep the schema without scheduling a scan.
       spark.read.parquet(dir).where(lit(false))
-    else {
-      val reader = spark.read
-      if (partitioned) reader.option("basePath", dir)
-      reader.parquet(files: _*).where(residual(bounds))
-    }
+    else
+      spark.read.option("basePath", dir).parquet(files: _*).where(residual(bounds))
   }
 }

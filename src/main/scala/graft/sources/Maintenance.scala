@@ -103,13 +103,17 @@ object Maintenance {
                      sortCols: Seq[String], files: Int,
                      statsCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     require(sortCols.nonEmpty && files > 0, "need at least one sort column and one file")
+    // Normalize away trailing slashes: "x/y/" + "_stats" would otherwise
+    // nest the manifest INSIDE the data directory.
+    val out = outDir.reverse.dropWhile(_ == '/').reverse
+    require(out.nonEmpty, s"not a writable directory path: $outDir")
     val stats = if (statsCols.nonEmpty) statsCols else sortCols
     df.repartitionByRange(files, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode(SaveMode.ErrorIfExists).parquet(outDir)
+      .write.mode(SaveMode.ErrorIfExists).parquet(out)
     FileStats.writeManifest(
-      FileStats.collect(spark, outDir, stats), s"${outDir}_stats")
-    (spark.read.parquet(outDir), FileStats.readManifest(spark, s"${outDir}_stats"))
+      FileStats.collect(spark, out, stats), s"${out}_stats")
+    (spark.read.parquet(out), FileStats.readManifest(spark, s"${out}_stats"))
   }
 
   /** Z-ORDER rewrite: range-partition and sort the table by an

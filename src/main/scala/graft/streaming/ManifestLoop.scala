@@ -16,7 +16,9 @@ import graft.sources.FileStats
   * contract as [[FileStats.update]], driven by the stream).
   *
   * Same [[VersionedState]] machinery and exactly-once posture as the
-  * other loops. Replay detail: rewriting `batch=<id>` gives the files
+  * other loops ([[FileStats.prunedRead]] pins the basePath, so the
+  * `batch` partition column survives pruned reads over the live lake).
+  * Replay detail: rewriting `batch=<id>` gives the files
   * NEW uuid names, so the fold also DROPS any prior manifest rows under
   * that batch directory before unioning — a replayed batch replaces its
   * own stats rather than duplicating them (the prior version normally
@@ -26,8 +28,8 @@ import graft.sources.FileStats
 object ManifestLoop {
 
   /** The loop's current manifest (None until a batch ran). Feed it to
-    * [[FileStats.prunedRead]] with `partitioned = true`, or persist it
-    * via [[FileStats.writeManifest]] for the batch era. */
+    * [[FileStats.prunedRead]], or persist it via
+    * [[FileStats.writeManifest]] for the batch era. */
   def latestManifest(spark: SparkSession, stateDir: String): Option[DataFrame] =
     VersionedState.latest(spark, stateDir)
 

@@ -173,6 +173,18 @@ class FileStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeOptimized with a trailing-slash outDir keeps the manifest OUTSIDE the data dir") {
+    val d = tmp("wo-slash")
+    val (_, manifest) = Maintenance.writeOptimized(
+      spark, TestSpark.table("orders"), d + "/", Seq("o_orderkey"), 4)
+    // The manifest must not pollute the data directory: pruned reads
+    // right off the returned pair must pass the staleness guard.
+    val bounds = Seq(ColumnBounds("o_orderkey", Some(100L), Some(200L)))
+    val got = FileStats.prunedRead(spark, d, manifest, bounds)
+    val want = spark.read.parquet(d).where(col("o_orderkey").between(100L, 200L))
+    assert(canon(got) == canon(want) && got.count() > 0)
+  }
+
   test("manifest round-trips through its persisted form") {
     val d = sortedDir
     val mPath = tmp("manifest")

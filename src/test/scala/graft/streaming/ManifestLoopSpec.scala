@@ -49,7 +49,7 @@ class ManifestLoopSpec extends AnyFunSuite {
 
     // Pruned read over the live lake: partition column present, rows exact.
     val bounds = Seq(ColumnBounds("o_orderkey", Some(100L), Some(400L)))
-    val got = FileStats.prunedRead(spark, out, manifest, bounds, partitioned = true)
+    val got = FileStats.prunedRead(spark, out, manifest, bounds)
     assert(got.columns.contains("batch"), "partition column must survive the pruned read")
     val want = spark.read.parquet(out).where(col("o_orderkey").between(100L, 400L))
     assert(canon(got.drop("batch")) == canon(want.drop("batch")) && got.count() > 0)
