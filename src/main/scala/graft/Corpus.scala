@@ -1383,6 +1383,34 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
  from documents order by doc_id limit 300""",
       """select doc_id, cast(len(string_split_regex(text, '[ ,.]+')) as bigint) n
  from documents order by doc_id limit 300"""),
+
+    // Scalar Hamming distance via popcount-of-xor — the distance under
+    // every simhash near-dup cut (q56 / native simhash16); bit_count is
+    // shared, the xor spelling splits (^ vs xor()).
+    q2("q122_hamming",
+      """select p_partkey, cast(bit_count(p_partkey ^ cast(p_size as bigint)) as bigint) hd
+ from part order by p_partkey limit 300""",
+      """select p_partkey, cast(bit_count(xor(p_partkey, cast(p_size as bigint))) as bigint) hd
+ from part order by p_partkey limit 300"""),
+
+    // SUFFIX window frames (CURRENT ROW .. UNBOUNDED FOLLOWING and
+    // 1 FOLLOWING ..): the reverse of q37's running totals — remaining-
+    // backlog / lookahead-count shapes. Same text both engines; decimal
+    // sum per the q18 discipline.
+    q("q123_suffix_frames",
+      """select o_orderkey, o_custkey,
+ round(cast(sum(cast(o_totalprice as decimal(18,4))) over (partition by o_custkey order by o_orderdate, o_orderkey rows between current row and unbounded following) as double), 4) suffix_sum,
+ cast(count(*) over (partition by o_custkey order by o_orderdate, o_orderkey rows between 1 following and unbounded following) as bigint) n_after
+ from orders order by o_custkey, o_orderkey limit 300"""),
+
+    // Epoch seconds: Spark unix_timestamp FLOORS the fractional second,
+    // DuckDB epoch() keeps it and the bigint cast ROUNDS — off-by-one on
+    // any ts with fraction ≥ .5 (measured). The canonical form floors.
+    q2("q124_epoch_seconds",
+      """select event_id, cast(unix_timestamp(ts) as bigint) es
+ from events order by event_id limit 300""",
+      """select event_id, cast(floor(epoch(ts)) as bigint) es
+ from events order by event_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

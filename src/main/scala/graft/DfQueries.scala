@@ -766,6 +766,36 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q122_hamming" -> { (s, _) =>
+      // popcount-of-xor projection — the simhash distance as a scalar.
+      t(s, "part").select(col("p_partkey"),
+          bit_count(col("p_partkey").bitwiseXOR(col("p_size").cast("long")))
+            .cast("long").as("hd"))
+        .orderBy("p_partkey").limit(300)
+    },
+
+    "q123_suffix_frames" -> { (s, _) =>
+      // Reverse-running aggregates: same partitioned Window exec, frame
+      // anchored at the partition's end.
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, "orders").select(col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)"))
+            .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            .cast("double"), 4).as("suffix_sum"),
+          count(lit(1))
+            .over(w.rowsBetween(1, Window.unboundedFollowing))
+            .cast("long").as("n_after"))
+        .orderBy("o_custkey", "o_orderkey").limit(300)
+    },
+
+    "q124_epoch_seconds" -> { (s, _) =>
+      // unix_timestamp floors fractional seconds (the canonical
+      // convention — see the corpus note on DuckDB's rounding cast).
+      t(s, "events").select(col("event_id"),
+          unix_timestamp(col("ts")).cast("long").as("es"))
+        .orderBy("event_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
