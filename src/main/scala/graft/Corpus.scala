@@ -1411,6 +1411,18 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
  from events order by event_id limit 300""",
       """select event_id, cast(floor(epoch(ts)) as bigint) es
  from events order by event_id limit 300"""),
+
+    // WINDOWED collection (trailing-3 event history per row) — the
+    // sequence-feature shape session models train on. The frame makes
+    // the list deterministic; rendered as ONE joined string per H2/H16.
+    // Names split: collect_list/array_join vs list/array_to_string.
+    q2("q125_window_collect",
+      """select event_id, user_id,
+ array_join(collect_list(event_type) over (partition by user_id order by ts, event_id rows between 2 preceding and current row), ',') last3
+ from events order by user_id, event_id limit 300""",
+      """select event_id, user_id,
+ array_to_string(list(event_type) over (partition by user_id order by ts, event_id rows between 2 preceding and current row), ',') last3
+ from events order by user_id, event_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -796,6 +796,16 @@ object DfQueries {
         .orderBy("event_id").limit(300)
     },
 
+    "q125_window_collect" -> { (s, _) =>
+      // Trailing-history collection under a ROWS frame — deterministic
+      // by the (ts, event_id) total order, rendered as one string.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+      t(s, "events").select(col("event_id"), col("user_id"),
+          array_join(collect_list(col("event_type")).over(w), ",").as("last3"))
+        .orderBy("user_id", "event_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
