@@ -1423,6 +1423,41 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       """select event_id, user_id,
  array_to_string(list(event_type) over (partition by user_id order by ts, event_id rows between 2 preceding and current row), ',') last3
  from events order by user_id, event_id limit 300"""),
+
+    // DISTINCT ordered string agg (q88 is the non-distinct form). Spark's
+    // collect_set cannot take an ORDER BY, so its canonical spelling is
+    // sort-after-dedup (array_sort ∘ collect_set) vs DuckDB's native
+    // string_agg(distinct ... order by) — same rendered string.
+    q2("q126_distinct_string_agg",
+      """select o_custkey, array_join(array_sort(collect_set(o_orderpriority)), ',') prios
+ from orders group by o_custkey order by o_custkey limit 300""",
+      """select o_custkey, string_agg(distinct o_orderpriority, ',' order by o_orderpriority) prios
+ from orders group by o_custkey order by o_custkey limit 300"""),
+
+    // Regex PREDICATE (find-anywhere semantics, unlike LIKE's full-match):
+    // regexp_like vs regexp_matches, same RE2-ish class syntax.
+    q2("q127_regex_predicate",
+      """select doc_id from documents
+ where regexp_like(text, 'qu[a-z]+') order by doc_id limit 300""",
+      """select doc_id from documents
+ where regexp_matches(text, 'qu[a-z]+') order by doc_id limit 300"""),
+
+    // Integer arithmetic conventions on NEGATIVES, measured identical:
+    // div/`//` both TRUNCATE toward zero (-100 div 7 = -14, not floor's
+    // -15), % takes the dividend's sign (-2), and round() is
+    // half-away-from-zero in both (round(-0.5) = -1, round(2.5) = 3).
+    // The `+ 0` is the H17 sign-of-zero guard.
+    q2("q128_int_arith",
+      """select p_partkey,
+ cast((p_partkey - 100) % 7 as bigint) md,
+ cast((100 - p_partkey) div 7 as bigint) dv,
+ round((p_size - 10) / 2.0, 0) + 0 rh
+ from part order by p_partkey limit 300""",
+      """select p_partkey,
+ cast((p_partkey - 100) % 7 as bigint) md,
+ cast((100 - p_partkey) // 7 as bigint) dv,
+ round((p_size - 10) / 2.0, 0) + 0 rh
+ from part order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

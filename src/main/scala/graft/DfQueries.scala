@@ -806,6 +806,29 @@ object DfQueries {
         .orderBy("user_id", "event_id").limit(300)
     },
 
+    "q126_distinct_string_agg" -> { (s, _) =>
+      // Dedup inside the agg buffer (collect_set), sort + join at the
+      // end — one hash agg, map-side combined.
+      t(s, "orders").groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("prios"))
+        .orderBy("o_custkey").limit(300)
+    },
+
+    "q127_regex_predicate" -> { (s, _) =>
+      // Find-anywhere regex predicate — pushed to the scan as a filter.
+      t(s, "documents").where(regexp_like(col("text"), lit("qu[a-z]+")))
+        .select("doc_id").orderBy("doc_id").limit(300)
+    },
+
+    "q128_int_arith" -> { (s, _) =>
+      // Truncating integer division (see the corpus convention note).
+      t(s, "part").select(col("p_partkey"),
+          ((col("p_partkey") - 100) % 7).cast("long").as("md"),
+          expr("cast((100 - p_partkey) div 7 as bigint)").as("dv"),
+          (round((col("p_size") - 10) / 2.0, 0) + 0).as("rh"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
