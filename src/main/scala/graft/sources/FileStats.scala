@@ -7,10 +7,21 @@ import scala.util.Using
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Closed interval bounds on one column; an open side is `None`. Bound
-  * values go through `lit(...)`, so use the column's external type
+/** A file-prunable predicate on one stats column. Values go through
+  * `lit(...)`, so use the column's external type
   * (Int/Long/Double/String/java.sql.Timestamp/...). */
+sealed trait FilePredicate { def column: String }
+
+/** Closed interval bounds; an open side is `None`. */
 final case class ColumnBounds(column: String, lo: Option[Any], hi: Option[Any])
+  extends FilePredicate
+
+/** IN-list membership: a file survives if ANY listed value could fall in
+  * its [min, max] — point lookups and small key sets prune as sharply as
+  * ranges on a sorted layout. */
+final case class ColumnPoints(column: String, values: Seq[Any]) extends FilePredicate {
+  require(values.nonEmpty, "empty IN-list prunes everything — express that explicitly")
+}
 
 /** Manifest-style FILE-LEVEL statistics pruning — the planning-time skip
   * that parquet's own row-group stats cannot give. Stock Spark prunes a
@@ -117,23 +128,32 @@ object FileStats {
 
   /** File survives unless stats prove emptiness; unknown (null) stats are
     * conservative — the file stays. */
-  private def survives(bounds: Seq[ColumnBounds]): Column =
-    bounds.flatMap { b =>
-      b.lo.map(v => coalesce(col(maxCol(b.column)) >= lit(v), lit(true))) ++
-      b.hi.map(v => coalesce(col(minCol(b.column)) <= lit(v), lit(true)))
+  private def survives(preds: Seq[FilePredicate]): Column =
+    preds.flatMap {
+      case b: ColumnBounds =>
+        b.lo.map(v => coalesce(col(maxCol(b.column)) >= lit(v), lit(true))) ++
+        b.hi.map(v => coalesce(col(minCol(b.column)) <= lit(v), lit(true)))
+      case p: ColumnPoints =>
+        Seq(p.values.map(v => coalesce(
+            col(minCol(p.column)) <= lit(v) && col(maxCol(p.column)) >= lit(v),
+            lit(true)))
+          .reduce(_ || _))
     }.reduceOption(_ && _).getOrElse(lit(true))
 
   /** The row-level predicate the pruning stands in for — re-applied to
     * survivors so file-granularity skipping can never change results. */
-  def residual(bounds: Seq[ColumnBounds]): Column =
-    bounds.flatMap { b =>
-      b.lo.map(v => col(b.column) >= lit(v)) ++
-      b.hi.map(v => col(b.column) <= lit(v))
+  def residual(preds: Seq[FilePredicate]): Column =
+    preds.flatMap {
+      case b: ColumnBounds =>
+        b.lo.map(v => col(b.column) >= lit(v)) ++
+        b.hi.map(v => col(b.column) <= lit(v))
+      case p: ColumnPoints =>
+        Seq(col(p.column).isin(p.values: _*))
     }.reduceOption(_ && _).getOrElse(lit(true))
 
   /** The files a pruned scan would read — exposed for planning audits. */
-  def prunedFiles(manifest: DataFrame, bounds: Seq[ColumnBounds]): Seq[String] =
-    manifest.where(survives(bounds)).select("file")
+  def prunedFiles(manifest: DataFrame, preds: Seq[FilePredicate]): Seq[String] =
+    manifest.where(survives(preds)).select("file")
       .collect().map(_.getString(0)).toSeq.sorted
 
   /** File basenames currently on disk (part-file names carry a UUID, so
@@ -169,7 +189,7 @@ object FileStats {
     * they would a full directory scan; on an unpartitioned layout the
     * option is inert. */
   def prunedRead(spark: SparkSession, dir: String, manifest: DataFrame,
-                 bounds: Seq[ColumnBounds]): DataFrame = {
+                 bounds: Seq[FilePredicate]): DataFrame = {
     require(bounds.nonEmpty, "no bounds — use spark.read.parquet directly")
     // ONE driver round-trip serves both the staleness check and the
     // surviving-file list — this is the steady-state probe path.

@@ -58,11 +58,15 @@ object DedupLoop {
       .getOrElse(emptyState(spark))
 
   /** One micro-batch of the loop — exposed for direct idempotency tests;
-    * [[run]] wires it into foreachBatch. */
+    * [[run]] wires it into foreachBatch. When `manifest` is set, the
+    * just-written survivors also fold into a [[ManifestLoop]]-style
+    * stats manifest, so the dedup'd lake stays pruning-ready as it
+    * grows. */
   private[streaming] def dedupBatch(batch: DataFrame, batchId: Long,
                                     idCol: String, textCol: String,
                                     stateDir: String, outDir: String,
-                                    k: Int): Unit = {
+                                    k: Int,
+                                    manifest: Option[(Seq[String], String)] = None): Unit = {
     val spark = batch.sparkSession
     val priorV = VersionedState.priorVersion(stateDir, batchId)
     val prior = priorV
@@ -74,6 +78,9 @@ object DedupLoop {
       .where(!col("is_dup")).select(col("doc_id").as("__keep_id"))
     batch.join(keepIds, batch(idCol) === col("__keep_id"), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+    manifest.foreach { case (statsCols, manifestStateDir) =>
+      ManifestLoop.foldDirStats(spark, outDir, batchId, statsCols, manifestStateDir)
+    }
 
     VersionedState.write(
       prior.unionByName(keys.groupBy("sigkey").agg(min(col("doc_id")).as("keep_id")))
@@ -85,14 +92,17 @@ object DedupLoop {
   /** Start the loop over `stream` (must carry `idCol` and `textCol`).
     * Survivors land under `outDir/batch=<id>/` (read the whole directory
     * as parquet; `batch` becomes a partition column); state evolves under
-    * `stateDir`. */
+    * `stateDir`. Pass `manifest = Some((statsCols, manifestStateDir))`
+    * to also maintain a [[graft.sources.FileStats]] manifest over the
+    * survivor lake ([[ManifestLoop.latestManifest]] reads it back). */
   def run(stream: DataFrame, idCol: String, textCol: String,
           stateDir: String, outDir: String, checkpointDir: String,
-          k: Int = 8, trigger: Option[Trigger] = None): StreamingQuery = {
+          k: Int = 8, trigger: Option[Trigger] = None,
+          manifest: Option[(Seq[String], String)] = None): StreamingQuery = {
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupBatch(batch, batchId, idCol, textCol, stateDir, outDir, k)
+        dedupBatch(batch, batchId, idCol, textCol, stateDir, outDir, k, manifest)
       }
     trigger.foreach(w.trigger)
     w.start()

@@ -33,24 +33,43 @@ object ManifestLoop {
   def latestManifest(spark: SparkSession, stateDir: String): Option[DataFrame] =
     VersionedState.latest(spark, stateDir)
 
+  /** Fold the stats of an ALREADY-written `outDir/batch=<id>` directory
+    * into the versioned manifest state — the reusable half of
+    * [[foldBatch]], for loops that write their own batch output (e.g.
+    * [[DedupLoop]] survivors). A batch that wrote no parquet files (all
+    * rows filtered) folds nothing: prior state is carried forward as the
+    * next version; with no prior state either, no version exists yet
+    * (there is nothing to describe and no schema to write). */
+  private[streaming] def foldDirStats(spark: SparkSession, outDir: String,
+                                      batchId: Long, statsCols: Seq[String],
+                                      stateDir: String): Unit = {
+    val batchDir = s"$outDir/batch=$batchId"
+    val hasFiles = {
+      val d = new java.io.File(batchDir)
+      d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+    }
+    val priorV = VersionedState.priorVersion(stateDir, batchId)
+    val prior = priorV.map(v =>
+      VersionedState.read(spark, stateDir, v)
+        .where(!col("file").contains(s"/batch=$batchId/")))
+    val folded = (prior, hasFiles) match {
+      case (Some(p), true) => Some(p.unionByName(FileStats.collect(spark, batchDir, statsCols)))
+      case (Some(p), false) => Some(p)
+      case (None, true) => Some(FileStats.collect(spark, batchDir, statsCols))
+      case (None, false) => None
+    }
+    folded.foreach { f =>
+      VersionedState.write(f, stateDir, batchId + 1)
+      priorV.foreach(VersionedState.gcBelow(stateDir, _))
+    }
+  }
+
   /** One micro-batch fold — exposed for direct replay tests. */
   private[streaming] def foldBatch(batch: DataFrame, batchId: Long,
                                    outDir: String, statsCols: Seq[String],
                                    stateDir: String): Unit = {
-    val spark = batch.sparkSession
-    val batchDir = s"$outDir/batch=$batchId"
-    batch.write.mode(SaveMode.Overwrite).parquet(batchDir)
-    val batchStats = FileStats.collect(spark, batchDir, statsCols)
-    val priorV = VersionedState.priorVersion(stateDir, batchId)
-    val folded = priorV match {
-      case Some(v) =>
-        VersionedState.read(spark, stateDir, v)
-          .where(!col("file").contains(s"/batch=$batchId/"))
-          .unionByName(batchStats)
-      case None => batchStats
-    }
-    VersionedState.write(folded, stateDir, batchId + 1)
-    priorV.foreach(VersionedState.gcBelow(stateDir, _))
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+    foldDirStats(batch.sparkSession, outDir, batchId, statsCols, stateDir)
   }
 
   /** Start the manifest-maintaining ingestion loop over `stream`. */

@@ -64,6 +64,25 @@ class FileStatsSpec extends AnyFunSuite {
     assert(canon(got) == canon(want))
   }
 
+  test("IN-list points prune as sharply as ranges on a sorted layout") {
+    val d = sortedDir
+    val manifest = FileStats.collect(spark, d, Seq("o_orderkey"))
+    // Three scattered point lookups → at most 3 files (plus boundary).
+    val preds = Seq(ColumnPoints("o_orderkey", Seq(50L, 700L, 1400L)))
+    val pruned = FileStats.prunedFiles(manifest, preds)
+    assert(pruned.size <= 4, s"point pruning too weak: ${pruned.size} of $files files")
+    val got = FileStats.prunedRead(spark, d, manifest, preds)
+    val want = spark.read.parquet(d).where(col("o_orderkey").isin(50L, 700L, 1400L))
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // Points + bounds compose conjunctively.
+    val both = Seq(ColumnPoints("o_orderkey", Seq(50L, 700L, 1400L)),
+      ColumnBounds("o_orderkey", Some(600L), None))
+    val g2 = FileStats.prunedRead(spark, d, manifest, both)
+    val w2 = spark.read.parquet(d)
+      .where(col("o_orderkey").isin(50L, 700L, 1400L) && col("o_orderkey") >= 600L)
+    assert(canon(g2) == canon(w2) && g2.count() > 0)
+  }
+
   test("two-column bounds compose; one-sided bounds work") {
     val d = sortedDir
     val manifest = FileStats.collect(spark, d, Seq("o_orderkey", "o_totalprice"))

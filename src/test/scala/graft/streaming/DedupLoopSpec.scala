@@ -19,6 +19,39 @@ class DedupLoopSpec extends AnyFunSuite {
 
   private def docs = TestSpark.table("documents").select("doc_id", "text")
 
+  test("dedup loop with manifest: survivor lake stays pruning-ready as it grows") {
+    import graft.sources.{ColumnBounds, FileStats}
+    val root = Files.createTempDirectory("graft-deduploop-manifest").toString
+    val (src, out, state, mstate, ckpt) =
+      (s"$root/src", s"$root/out", s"$root/state", s"$root/mstate", s"$root/ckpt")
+    val stage1 = docs.where(col("doc_id") < 150)
+    val stage2 = docs.where(col("doc_id") >= 150)
+
+    def runOnce(): Unit = {
+      val q = DedupLoop.run(
+        spark.readStream.schema(docs.schema).parquet(src),
+        "doc_id", "text", state, out, ckpt,
+        trigger = Some(Trigger.AvailableNow()),
+        manifest = Some((Seq("doc_id"), mstate)))
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    stage1.write.mode("append").parquet(src)
+    runOnce() // STOP — mid-stream restart
+    stage2.write.mode("append").parquet(src)
+    runOnce()
+
+    val manifest = ManifestLoop.latestManifest(spark, mstate).get
+    // The streamed manifest describes the survivor lake exactly.
+    def canon(df: DataFrame) = df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(canon(manifest) == canon(FileStats.collect(spark, out, Seq("doc_id"))))
+    // And prunes correctly over it.
+    val bounds = Seq(ColumnBounds("doc_id", Some(0L), Some(100L)))
+    val got = FileStats.prunedRead(spark, out, manifest, bounds)
+    val want = spark.read.parquet(out).where(col("doc_id").between(0L, 100L))
+    assert(canon(got.drop("batch")) == canon(want.drop("batch")) && got.count() > 0)
+  }
+
   test("two-stage run with restart equals the batch q91 chain run twice") {
     val root = Files.createTempDirectory("graft-deduploop").toString
     val (src, out, state, ckpt) =
