@@ -1458,6 +1458,28 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
  cast((100 - p_partkey) // 7 as bigint) dv,
  round((p_size - 10) / 2.0, 0) + 0 rh
  from part order by p_partkey limit 300"""),
+
+    // Array ZIP under the canonical joined render (H16): positional
+    // pairing of two token streams, BOTH engines null-pad to the longer
+    // array (verified — the '_' cells). Dialect: arrays_zip+transform
+    // with struct fields vs list_zip+list_transform with 1-based
+    // subscripts.
+    q2("q129_array_zip",
+      """with t as (select doc_id, split(text,' ') w from documents where doc_id < 100),
+ p as (select a.doc_id i, a.w wa, b.w wb from t a join t b on b.doc_id = a.doc_id + 1)
+ select i, array_join(transform(arrays_zip(wa, wb), x -> concat(coalesce(x.wa,'_'), ':', coalesce(x.wb,'_'))), ' ') pairs
+ from p order by i limit 200""",
+      """with t as (select doc_id, string_split(text,' ') w from documents where doc_id < 100),
+ p as (select a.doc_id i, a.w wa, b.w wb from t a join t b on b.doc_id = a.doc_id + 1)
+ select i, array_to_string(list_transform(list_zip(wa, wb), x -> concat(coalesce(x[1],'_'), ':', coalesce(x[2],'_'))), ' ') pairs
+ from p order by i limit 200"""),
+
+    // chr/ascii + ANSI trim forms (BOTH 'set' FROM / LEADING 'set' FROM
+    // — character-SET strip, not substring). Same text both engines.
+    q("q130_chr_trim",
+      """select p_partkey, ascii(p_name) a1, chr(65 + cast(p_partkey % 26 as int)) ch,
+ trim(both 'B#' from p_brand) tb, trim(leading 'abc' from p_name) lt
+ from part order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -829,6 +829,30 @@ object DfQueries {
         .orderBy("p_partkey").limit(300)
     },
 
+    "q129_array_zip" -> { (s, _) =>
+      // Positional pairing — per-row HOFs after one equi self-join;
+      // null-padding to the longer array is the declared convention.
+      val tok = t(s, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      tok.as("a").join(tok.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("i"),
+          array_join(transform(arrays_zip(col("a.w").as("wa"), col("b.w").as("wb")),
+            x => concat(coalesce(x.getField("wa"), lit("_")), lit(":"),
+              coalesce(x.getField("wb"), lit("_")))), " ").as("pairs"))
+        .orderBy("i").limit(200)
+    },
+
+    "q130_chr_trim" -> { (s, _) =>
+      // ANSI trim forms are SQL-only spellings — expr() for those; the
+      // whole row is a pure projection.
+      t(s, "part").select(col("p_partkey"),
+          ascii(col("p_name")).as("a1"),
+          expr("chr(65 + cast(p_partkey % 26 as int))").as("ch"),
+          expr("trim(both 'B#' from p_brand)").as("tb"),
+          expr("trim(leading 'abc' from p_name)").as("lt"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
