@@ -1480,6 +1480,107 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       """select p_partkey, ascii(p_name) a1, chr(65 + cast(p_partkey % 26 as int)) ch,
  trim(both 'B#' from p_brand) tb, trim(leading 'abc' from p_name) lt
  from part order by p_partkey limit 300"""),
+
+    // lead/lag with explicit OFFSET and DEFAULT (q17 declares the bare
+    // 1-offset forms): the default fills the frame edge instead of NULL.
+    // Same names, same semantics, verified identical.
+    q("q131_lead_lag_default",
+      """select event_id, user_id,
+ lead(event_type, 2, 'END') over (partition by user_id order by ts, event_id) nx2,
+ lag(value, 3, 0.0) over (partition by user_id order by ts, event_id) pv3
+ from events order by user_id, event_id limit 300"""),
+
+    // NULL ordering is a DIALECT TRAP (hazard H19): Spark defaults
+    // ASC -> NULLS FIRST, DuckDB ASC -> NULLS LAST (measured) — the
+    // canonical convention is to ALWAYS spell the qualifier. The LIMIT
+    // makes placement observable through the kept row SET (~40 null
+    // keys sort ahead of the 300-row cut only under NULLS FIRST).
+    q("q132_null_ordering",
+      """select p_partkey, nullif(p_size, 25) k
+ from part order by nullif(p_size, 25) asc nulls first, p_partkey limit 300"""),
+
+    // Three-valued logic: x NOT IN (..., NULL) is never TRUE — FALSE on
+    // a match, NULL (unknown) otherwise, so a bare WHERE silently drops
+    // every row. Declared as projected booleans beside the coalesce'd
+    // safe form; ANSI semantics, identical in both engines.
+    q("q133_not_in_null",
+      """select p_partkey,
+ p_size not in (5, 10, null) raw,
+ coalesce(p_size not in (5, 10, null), true) safe,
+ p_size not in (5, 10) plain
+ from part order by p_partkey limit 300"""),
+
+    // Cryptographic hash family: md5 is the shared spelling (the
+    // corpus' portable hash primitive — q54 builds minhashes on it);
+    // SHA-256 splits on the function name (sha2(x,256) vs sha256()).
+    q2("q134_hash_funcs",
+      """select p_partkey, md5(p_name) h1, sha2(p_name, 256) h2,
+ cast(length(md5(p_brand)) as bigint) hl
+ from part order by p_partkey limit 300""",
+      """select p_partkey, md5(p_name) h1, sha256(p_name) h2,
+ cast(length(md5(p_brand)) as bigint) hl
+ from part order by p_partkey limit 300"""),
+
+    // Integer sequence generation + slicing. HAZARD: Spark sequence(a,b)
+    // auto-steps DOWNWARD when a > b where DuckDB generate_series returns
+    // [] — the declared form keeps a <= b by construction. Slice
+    // spellings differ (slice(arr,start,len) vs 1-based stop-inclusive
+    // arr[a:b]); an out-of-range slice is [] in both (renders '').
+    q2("q135_sequence_slice",
+      """select p_partkey,
+ array_join(transform(sequence(1, p_size % 6 + 1), x -> cast(x as string)), ',') seq,
+ array_join(transform(slice(sequence(1, p_size % 6 + 1), 2, 3), x -> cast(x as string)), ',') sl
+ from part order by p_partkey limit 300""",
+      """select p_partkey,
+ array_to_string(list_transform(generate_series(1, p_size % 6 + 1), x -> cast(x as string)), ',') seq,
+ array_to_string(list_transform((generate_series(1, p_size % 6 + 1))[2:4], x -> cast(x as string)), ',') sl
+ from part order by p_partkey limit 300"""),
+
+    // Scalar bit ops: shifts and masks share one spelling; XOR does not —
+    // DuckDB's ^ is POWER (a silent semantic trap), its xor() is the
+    // function form of Spark's ^ operator. q98 declares the aggregate
+    // family, q122 the popcount composition; this is the scalar family.
+    q2("q136_bit_shifts",
+      """select p_partkey,
+ cast(p_partkey << 3 as bigint) shl, cast(p_partkey >> 2 as bigint) shr,
+ cast(p_partkey & 255 as bigint) mask, cast(p_partkey | 4096 as bigint) orr,
+ cast(p_partkey ^ cast(p_size as bigint) as bigint) xr
+ from part order by p_partkey limit 300""",
+      """select p_partkey,
+ cast(p_partkey << 3 as bigint) shl, cast(p_partkey >> 2 as bigint) shr,
+ cast(p_partkey & 255 as bigint) mask, cast(p_partkey | 4096 as bigint) orr,
+ cast(xor(p_partkey, cast(p_size as bigint)) as bigint) xr
+ from part order by p_partkey limit 300"""),
+
+    // End-of-month calendar arithmetic: month adds CLAMP to the last
+    // valid day in both engines (Jan 31 + 1 month = Feb 29, measured
+    // both directions). Spelling splits: add_months vs +/- INTERVAL
+    // (DuckDB's date+interval yields a timestamp — cast back to date).
+    q2("q137_month_clamp",
+      """select o_orderkey, cast(add_months(o_orderdate, 1) as date) m1,
+ cast(add_months(o_orderdate, -3) as date) m3, cast(last_day(o_orderdate) as date) ld
+ from orders order by o_orderkey limit 300""",
+      """select o_orderkey, cast(o_orderdate + interval 1 month as date) m1,
+ cast(o_orderdate - interval 3 month as date) m3, cast(last_day(o_orderdate) as date) ld
+ from orders order by o_orderkey limit 300"""),
+
+    // Padding + negative-start substring — verified SHARED conventions:
+    // lpad/rpad pad or TRUNCATE to exactly n; a negative start counts
+    // from the string end, clamping when it reaches past the front
+    // (substring('abc',-6,4) = 'a' in both). Same text both engines.
+    q("q138_pad_substr",
+      """select p_partkey, lpad(cast(p_partkey as string), 8, '0') pk8,
+ rpad(p_brand, 10, '.') br,
+ substring(p_name, -6, 4) tail4, substring(p_name, -6) tail
+ from part order by p_partkey limit 300"""),
+
+    // Aggregates over EMPTY input: grouping-less aggregation returns
+    // exactly ONE row — count 0, sum/min/avg NULL — in both engines
+    // (a GROUP BY would instead return zero rows).
+    q("q139_empty_agg",
+      """select cast(count(*) as bigint) c, sum(l_quantity) s,
+ min(l_shipdate) m, avg(l_extendedprice) a
+ from lineitem where l_quantity > 1000000"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

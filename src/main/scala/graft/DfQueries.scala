@@ -853,6 +853,94 @@ object DfQueries {
         .orderBy("p_partkey").limit(300)
     },
 
+    "q131_lead_lag_default" -> { (s, _) =>
+      // Defaults fill the frame edges — same single Window exec as the
+      // bare q17 forms, one shuffle on user_id.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, "events").select(col("event_id"), col("user_id"),
+          lead(col("event_type"), 2, "END").over(w).as("nx2"),
+          lag(col("value"), 3, 0.0).over(w).as("pv3"))
+        .orderBy("user_id", "event_id").limit(300)
+    },
+
+    "q132_null_ordering" -> { (s, _) =>
+      // Explicit NULLS FIRST (hazard H19: the engines' defaults differ)
+      // — observable through the LIMIT cut, not just render order.
+      t(s, "part").select(col("p_partkey"), nullif(col("p_size"), lit(25)).as("k"))
+        .orderBy(col("k").asc_nulls_first, col("p_partkey")).limit(300)
+    },
+
+    "q133_not_in_null" -> { (s, _) =>
+      // The NULL-in-list forms are SQL spellings (isin has no null
+      // overload) — expr() keeps the declared three-valued semantics.
+      t(s, "part").select(col("p_partkey"),
+          expr("p_size not in (5, 10, null)").as("raw"),
+          coalesce(expr("p_size not in (5, 10, null)"), lit(true)).as("safe"),
+          (!col("p_size").isin(5, 10)).as("plain"))
+        .orderBy("p_partkey").limit(300)
+    },
+
+    "q134_hash_funcs" -> { (s, _) =>
+      // Pure codegen projection; md5 is the corpus' portable primitive.
+      t(s, "part").select(col("p_partkey"),
+          md5(col("p_name")).as("h1"),
+          sha2(col("p_name"), 256).as("h2"),
+          length(md5(col("p_brand"))).cast("long").as("hl"))
+        .orderBy("p_partkey").limit(300)
+    },
+
+    "q135_sequence_slice" -> { (s, _) =>
+      // Bounded per-row generation (1..6 elements) — no explode, the
+      // arrays never leave the projection.
+      val seqCol = sequence(lit(1), col("p_size") % 6 + 1)
+      t(s, "part").select(col("p_partkey"),
+          array_join(transform(seqCol, x => x.cast("string")), ",").as("seq"),
+          array_join(transform(slice(seqCol, 2, 3), x => x.cast("string")), ",").as("sl"))
+        .orderBy("p_partkey").limit(300)
+    },
+
+    "q136_bit_shifts" -> { (s, _) =>
+      // Scalar bit family (shiftleft/shiftright are the Column names of
+      // the declared << / >> operators).
+      t(s, "part").select(col("p_partkey"),
+          shiftleft(col("p_partkey"), 3).cast("long").as("shl"),
+          shiftright(col("p_partkey"), 2).cast("long").as("shr"),
+          col("p_partkey").bitwiseAND(255).cast("long").as("mask"),
+          col("p_partkey").bitwiseOR(4096).cast("long").as("orr"),
+          col("p_partkey").bitwiseXOR(col("p_size").cast("long")).cast("long").as("xr"))
+        .orderBy("p_partkey").limit(300)
+    },
+
+    "q137_month_clamp" -> { (s, _) =>
+      // add_months clamps to month end in both engines (corpus note).
+      t(s, "orders").select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 1).cast("date").as("m1"),
+          add_months(col("o_orderdate"), -3).cast("date").as("m3"),
+          last_day(col("o_orderdate")).cast("date").as("ld"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
+    "q138_pad_substr" -> { (s, _) =>
+      // Pad/truncate-to-n plus the negative-start convention (counts
+      // from the end, clamps at the front) — pure projection.
+      t(s, "part").select(col("p_partkey"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("pk8"),
+          rpad(col("p_brand"), 10, ".").as("br"),
+          substring(col("p_name"), -6, 4).as("tail4"),
+          expr("substring(p_name, -6)").as("tail"))
+        .orderBy("p_partkey").limit(300)
+    },
+
+    "q139_empty_agg" -> { (s, _) =>
+      // Grouping-less agg over zero rows: one row, count 0, NULL
+      // extremes — the filter prunes at the scan.
+      t(s, "lineitem").where(col("l_quantity") > 1000000)
+        .agg(count(lit(1)).cast("long").as("c"),
+          sum(col("l_quantity")).as("s"),
+          min(col("l_shipdate")).as("m"),
+          avg(col("l_extendedprice")).as("a"))
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
