@@ -179,22 +179,31 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  // Extractor objects: one evaluation per (node, pattern) — a
+  // `case e if m(e).isDefined => m(e).get` shape would run each matcher
+  // twice per hit, and the optimizer applies this rule to every
+  // expression of every plan it sees.
+  private object GuardedCosine {
+    def unapply(e: Expression): Option[(Expression, Expression)] = matchGuardedCosine(e)
+  }
+  private object FloatDot {
+    def unapply(e: Expression): Option[(Expression, Expression)] =
+      matchDot(e).filter { case (a, b) => floatArray(a) && floatArray(b) }
+  }
+  private object FloatSumSq {
+    def unapply(e: Expression): Option[Expression] = matchSumSq(e).filter(floatArray)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     // Fused cosine only for the NaN-guarded conditional (top-down: the
     // CaseWhen is seen before its inner aggregates, so the dot case below
     // never pre-empts it). A BARE dot/(sqrt·sqrt) divide deliberately
     // falls through to the component rewrites: the Divide node survives
     // with its evalMode, keeping NULL/ANSI-error zero-divisor semantics.
-    case e if matchGuardedCosine(e).isDefined =>
-      val (a, b) = matchGuardedCosine(e).get
-      CosineSimilarity(a, b)
-    case e if matchDot(e).exists { case (a, b) => floatArray(a) && floatArray(b) } =>
-      val (a, b) = matchDot(e).get
-      DotProduct(a, b)
+    case GuardedCosine(a, b) => CosineSimilarity(a, b)
+    case FloatDot(a, b)      => DotProduct(a, b)
     // Standalone sum-of-squares (the norm² fold): dot_f32(a, a) adds the
     // exact same xi·xi sequence left-to-right — bit-identical.
-    case e if matchSumSq(e).exists(floatArray) =>
-      val a = matchSumSq(e).get
-      DotProduct(a, a)
+    case FloatSumSq(a)       => DotProduct(a, a)
   }
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 
 /** Bucketed persisted STATE tables — the steady-state answer to the
   * recurring shuffle (VERDICT r4 "What's missing" #2).
@@ -67,7 +68,12 @@ object Bucketed {
     * return it. `bucketCol`/`buckets` must match what the directory was
     * written with — bucketing metadata lives in the catalog, not the
     * files, so the caller re-declares it (state layouts are pipeline
-    * constants, not data). Idempotent per (session, table). */
+    * constants, not data). Idempotent per (session, table).
+    *
+    * If `table` ALREADY exists, `CREATE IF NOT EXISTS` is a silent no-op —
+    * so the catalog entry is verified against the arguments afterwards
+    * and a mismatch (old path after a state swap, different bucket
+    * layout) THROWS instead of silently serving the stale table. */
   def register(spark: SparkSession, table: String, path: String,
                bucketCol: String, buckets: Int): DataFrame = {
     val schema = spark.read.parquet(path).schema.toDDL
@@ -76,6 +82,22 @@ object Bucketed {
          |USING PARQUET
          |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $buckets BUCKETS
          |LOCATION '$path'""".stripMargin)
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    // Compare as filesystem paths: catalog locations render as URIs with
+    // one OR three slashes (`file:/x` vs `file:///x`), arguments arrive
+    // relative or absolute.
+    def norm(u: java.net.URI) =
+      java.nio.file.Paths.get(u.getPath).normalize.toString.replaceAll("/+$", "")
+    val catLoc = norm(meta.location)
+    val argLoc = norm(new java.io.File(path).getAbsoluteFile.toURI)
+    require(catLoc == argLoc,
+      s"table `$table` already registered at $catLoc, not $argLoc — the state " +
+        "was swapped to a new path; DROP TABLE (or use a per-run table name) first")
+    val spec = meta.bucketSpec
+    require(spec.exists(s => s.numBuckets == buckets &&
+        s.bucketColumnNames == Seq(bucketCol)),
+      s"table `$table` already registered with bucket spec ${spec.orNull}, " +
+        s"not ($buckets buckets on `$bucketCol`) — DROP TABLE first")
     spark.table(table)
   }
 }

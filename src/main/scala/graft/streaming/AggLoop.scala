@@ -30,10 +30,14 @@ object AggLoop {
   private def sumCol(v: String) = s"sum_$v"
   private def minCol(v: String) = s"min_$v"
   private def maxCol(v: String) = s"max_$v"
+  private def cntCol(v: String) = s"cnt_$v"
   private val dec = "decimal(28,8)"
 
   /** One-shot partial-aggregate table over `df` — also the per-batch
-    * building block and the seed for the loop. */
+    * building block and the seed for the loop. `cnt_<v>` is the NON-NULL
+    * count per value column (what SQL `COUNT(v)` returns): `sum` skips
+    * NULLs, so a read-time average must divide by the same denominator or
+    * it silently diverges from SQL `AVG` on nullable columns. */
   def aggTable(df: DataFrame, groupCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty && valueCols.nonEmpty, "group and value columns required")
     val aggs: Seq[Column] =
@@ -41,7 +45,8 @@ object AggLoop {
       valueCols.flatMap(v => Seq(
         sum(col(v).cast(dec)).as(sumCol(v)),
         min(col(v)).as(minCol(v)),
-        max(col(v)).as(maxCol(v))))
+        max(col(v)).as(maxCol(v)),
+        count(col(v)).as(cntCol(v))))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -55,7 +60,8 @@ object AggLoop {
       valueCols.flatMap(v => Seq(
         sum(col(sumCol(v))).as(sumCol(v)),
         min(col(minCol(v))).as(minCol(v)),
-        max(col(maxCol(v))).as(maxCol(v))))
+        max(col(maxCol(v))).as(maxCol(v)),
+        sum(col(cntCol(v))).as(cntCol(v))))
     tables.reduce(_.unionByName(_))
       .groupBy(keepCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -66,11 +72,15 @@ object AggLoop {
   def report(state: DataFrame, keepCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     val merged = merge(Seq(state), keepCols, valueCols)
     valueCols.foldLeft(merged) { (df, v) =>
-      // avg derives from the EXACT decimal sum; only then does each output
-      // round independently (rounding the sum first would feed a
-      // 4dp-truncated numerator into the average).
+      // avg derives from the EXACT decimal sum over the NON-NULL count
+      // (SQL AVG; `n` would be wrong for nullable columns), and only then
+      // does each output round independently (rounding the sum first would
+      // feed a 4dp-truncated numerator into the average). An all-NULL
+      // group averages to NULL — the `when` also keeps ANSI mode from
+      // raising on the /0.
       df.withColumn(s"avg_$v",
-          round((col(sumCol(v)) / col("n")).cast("double"), 4))
+          when(col(cntCol(v)) > 0,
+            round((col(sumCol(v)) / col(cntCol(v))).cast("double"), 4)))
         .withColumn(sumCol(v), round(col(sumCol(v)).cast("double"), 4))
     }
   }

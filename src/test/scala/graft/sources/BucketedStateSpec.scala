@@ -94,6 +94,30 @@ class BucketedStateSpec extends AnyFunSuite {
     } finally Seq("fp_rt_w", "fp_rt_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("register verifies the existing catalog entry: stale path or bucket spec throws (r5 advice)") {
+    val docs = TestSpark.table("documents").limit(50)
+    val fp = DedupOps.fingerprintTable(docs, col("doc_id"), col("text"))
+    val dirA = tmp("reg_a")
+    val dirB = tmp("reg_b")
+    Bucketed.write(fp, "reg_guard", dirA, "sigkey", buckets = 4)
+    try {
+      // Same args → idempotent re-register succeeds.
+      assert(Bucketed.register(spark, "reg_guard", dirA, "sigkey", 4).count() == fp.count())
+      // State swapped to a new path but table name reused: CREATE IF NOT
+      // EXISTS would silently keep serving dirA — must throw instead.
+      fp.write.mode("overwrite").parquet(dirB) // plain files; register would catalog them
+      val e1 = intercept[IllegalArgumentException] {
+        Bucketed.register(spark, "reg_guard", dirB, "sigkey", 4)
+      }
+      assert(e1.getMessage.contains("swapped"))
+      // Different bucket spec under the same name must throw too.
+      val e2 = intercept[IllegalArgumentException] {
+        Bucketed.register(spark, "reg_guard", dirA, "sigkey", 8)
+      }
+      assert(e2.getMessage.contains("bucket spec"))
+    } finally spark.sql("DROP TABLE IF EXISTS `reg_guard`")
+  }
+
   test("incremental dedup against bucketed state: no Exchange above the state scan") {
     val docs = TestSpark.table("documents")
     val prior = DedupOps.fingerprintTable(

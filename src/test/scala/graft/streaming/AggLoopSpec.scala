@@ -74,6 +74,32 @@ class AggLoopSpec extends AnyFunSuite {
       canon(AggLoop.aggTable(events, Seq("event_type"), Seq("value"))))
   }
 
+  test("nullable value column: report avg ≡ SQL AVG; all-NULL group is NULL (r5 advice)") {
+    val root = Files.createTempDirectory("graft-aggloop-null").toString
+    val state = s"$root/state"
+    // NULL every third value, and one group that is ALL null — sum skips
+    // NULLs, so avg must divide by the non-null count, not n.
+    val nulled = events.withColumn("value",
+      when(col("event_type") === "click", lit(null).cast("double"))
+        .when(col("event_id") % 3 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    assert(nulled.where(col("event_type") === "click").count() > 0)
+    val b0 = nulled.where(col("event_id") % 2 === 0)
+    val b1 = nulled.where(col("event_id") % 2 === 1)
+    AggLoop.foldBatch(b0, 0L, Seq("event_type"), Seq("value"), state)
+    AggLoop.foldBatch(b1, 1L, Seq("event_type"), Seq("value"), state)
+    val rep = AggLoop.report(AggLoop.latestState(spark, state).get,
+        Seq("event_type"), Seq("value"))
+      .select("event_type", "n", "cnt_value", "avg_value")
+    val direct = nulled.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("value")).as("cnt_value"),
+        round(avg(col("value").cast("decimal(28,8)")).cast("double"), 4).as("avg_value"))
+    assert(canon(rep) == canon(direct))
+    // The all-NULL group is present with a NULL average, not dropped or 0.
+    assert(rep.where(col("event_type") === "click" && col("avg_value").isNull
+      && col("cnt_value") === 0 && col("n") > 0).count() == 1)
+  }
+
   test("replay overwrites from the same base: state unchanged") {
     val root = Files.createTempDirectory("graft-aggloop-rp").toString
     val state = s"$root/state"
