@@ -173,21 +173,35 @@ object Bench {
     val spark: SparkSession = graft.engine.Graft.session("graft-bench")
     Catalog.register(spark, sfDir)
 
-    def timed(thunk: () => DataFrame): Double = {
+    // MEDIAN-OF-3 protocol (round 6): one warm pass, then three timed
+    // runs, report the median. A single-sample bench let one host-noise
+    // artifact (r5: x_embed_neardup_lsh 8.07 s recorded vs 1.91 s on
+    // re-run, path unchanged) masquerade as a plan regression; the median
+    // absorbs one bad sample per query while keeping the headline
+    // comparable (a steady-state query's median ≈ its old single sample).
+    def timedSamples(thunk: () => DataFrame): Seq[Double] = {
       thunk().collect() // warm: plan + shuffle + codegen paths hot
-      val t0 = System.nanoTime()
-      thunk().collect()
-      (System.nanoTime() - t0) / 1e9
+      Seq.fill(3) {
+        val t0 = System.nanoTime()
+        thunk().collect()
+        (System.nanoTime() - t0) / 1e9
+      }
     }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    val results = suite.map { case (name, sql) =>
-      name -> timed(() => spark.sql(sql))
+    val sampled = suite.map { case (name, sql) =>
+      name -> timedSamples(() => spark.sql(sql))
     }
-    val extraResults = extras(spark).map { case (name, thunk) =>
-      name -> timed(thunk)
+    val extraSampled = extras(spark).map { case (name, thunk) =>
+      name -> timedSamples(thunk)
     }
+    val results = sampled.map { case (n, xs) => n -> median(xs) }
+    val extraResults = extraSampled.map { case (n, xs) => n -> median(xs) }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsamples(kvs: Seq[(String, Seq[Double])]): String =
+      kvs.map { case (k, xs) => "\"" + k + "\":" + xs.mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
     // sfDir comes from the environment — escape it or a quote/backslash in
     // the path breaks the one-line JSON contract the harness parses.
     val sfJson = sfDir.flatMap {
@@ -197,7 +211,7 @@ object Bench {
       case c => c.toString
     }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"sf":"$sfJson"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"samples":${jsamples(sampled ++ extraSampled)},"sf":"$sfJson"}""")
     spark.stop()
   }
 }

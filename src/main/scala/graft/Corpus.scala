@@ -1525,7 +1525,10 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
     // auto-steps DOWNWARD when a > b where DuckDB generate_series returns
     // [] — the declared form keeps a <= b by construction. Slice
     // spellings differ (slice(arr,start,len) vs 1-based stop-inclusive
-    // arr[a:b]); an out-of-range slice is [] in both (renders '').
+    // arr[a:b]); an out-of-range slice is [] in both, but DuckDB 1.0's
+    // array_to_string([]) returns NULL where Spark's array_join([])
+    // returns '' (round 6, measured — newer DuckDB returns '') — the
+    // duck side coalesces so the render is version-stable.
     q2("q135_sequence_slice",
       """select p_partkey,
  array_join(transform(sequence(1, p_size % 6 + 1), x -> cast(x as string)), ',') seq,
@@ -1533,7 +1536,7 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
  from part order by p_partkey limit 300""",
       """select p_partkey,
  array_to_string(list_transform(generate_series(1, p_size % 6 + 1), x -> cast(x as string)), ',') seq,
- array_to_string(list_transform((generate_series(1, p_size % 6 + 1))[2:4], x -> cast(x as string)), ',') sl
+ coalesce(array_to_string(list_transform((generate_series(1, p_size % 6 + 1))[2:4], x -> cast(x as string)), ','), '') sl
  from part order by p_partkey limit 300"""),
 
     // Scalar bit ops: shifts and masks share one spelling; XOR does not —
@@ -1554,14 +1557,15 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
 
     // End-of-month calendar arithmetic: month adds CLAMP to the last
     // valid day in both engines (Jan 31 + 1 month = Feb 29, measured
-    // both directions). Spelling splits: add_months vs +/- INTERVAL
-    // (DuckDB's date+interval yields a timestamp — cast back to date).
+    // both directions). Spelling splits: add_months vs +/- INTERVAL.
+    // Outputs cast to TIMESTAMP, not raw DATE — the house render rule
+    // (q73): engines render bare dates differently in the compare.
     q2("q137_month_clamp",
-      """select o_orderkey, cast(add_months(o_orderdate, 1) as date) m1,
- cast(add_months(o_orderdate, -3) as date) m3, cast(last_day(o_orderdate) as date) ld
+      """select o_orderkey, cast(add_months(o_orderdate, 1) as timestamp) m1,
+ cast(add_months(o_orderdate, -3) as timestamp) m3, cast(last_day(o_orderdate) as timestamp) ld
  from orders order by o_orderkey limit 300""",
-      """select o_orderkey, cast(o_orderdate + interval 1 month as date) m1,
- cast(o_orderdate - interval 3 month as date) m3, cast(last_day(o_orderdate) as date) ld
+      """select o_orderkey, cast(o_orderdate + interval 1 month as timestamp) m1,
+ cast(o_orderdate - interval 3 month as timestamp) m3, cast(last_day(o_orderdate) as timestamp) ld
  from orders order by o_orderkey limit 300"""),
 
     // Padding + negative-start substring — verified SHARED conventions:
@@ -1581,6 +1585,31 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
       """select cast(count(*) as bigint) c, sum(l_quantity) s,
  min(l_shipdate) m, avg(l_extendedprice) a
  from lineitem where l_quantity > 1000000"""),
+
+    // TYPED JSON parsing (round 6): one from_json against an explicit
+    // schema replaces per-field get_json_object calls — nested struct
+    // path, array index, and an ABSENT field (typed null, no error) in
+    // one parse. DuckDB has no typed parse; its oracle is per-path
+    // json_extract + casts (the q28 idiom, per path). The JSON document
+    // is rendered from integer/string columns only — float rendering
+    // differs between engines and must never pass through a JSON string.
+    q2("q140_typed_json",
+      """with j as (select event_id, props, concat('{"id":', cast(user_id as string),
+ ',"tags":["', event_type, '","x"],"meta":{"d":', cast(event_id % 7 as string), '}}') js from events),
+ p as (select event_id, props, from_json(js, 'id BIGINT, tags ARRAY<STRING>, meta STRUCT<d: BIGINT>, nope STRING') s from j)
+select event_id, s.id jid, element_at(s.tags, 1) t0,
+ cast(size(s.tags) as bigint) nt, s.meta.d md, s.nope missing,
+ cast(get_json_object(props, '$.k') as int) pk
+from p order by event_id limit 300""",
+      """with j as (select event_id, props, concat('{"id":', cast(user_id as varchar),
+ ',"tags":["', event_type, '","x"],"meta":{"d":', cast(event_id % 7 as varchar), '}}') js from events)
+select event_id, cast(json_extract(js, '$.id') as bigint) jid,
+ json_extract_string(js, '$.tags[0]') t0,
+ cast(json_array_length(js, '$.tags') as bigint) nt,
+ cast(json_extract(js, '$.meta.d') as bigint) md,
+ json_extract_string(js, '$.nope') missing,
+ cast(json_extract(props, '$.k') as integer) pk
+from j order by event_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

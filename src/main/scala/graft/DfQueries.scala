@@ -913,10 +913,12 @@ object DfQueries {
 
     "q137_month_clamp" -> { (s, _) =>
       // add_months clamps to month end in both engines (corpus note).
+      // Timestamp render per the house rule — raw DATE columns render
+      // differently across the compare paths (q73 note).
       t(s, "orders").select(col("o_orderkey"),
-          add_months(col("o_orderdate"), 1).cast("date").as("m1"),
-          add_months(col("o_orderdate"), -3).cast("date").as("m3"),
-          last_day(col("o_orderdate")).cast("date").as("ld"))
+          add_months(col("o_orderdate"), 1).cast("timestamp").as("m1"),
+          add_months(col("o_orderdate"), -3).cast("timestamp").as("m3"),
+          last_day(col("o_orderdate")).cast("timestamp").as("ld"))
         .orderBy("o_orderkey").limit(300)
     },
 
@@ -939,6 +941,28 @@ object DfQueries {
           sum(col("l_quantity")).as("s"),
           min(col("l_shipdate")).as("m"),
           avg(col("l_extendedprice")).as("a"))
+    },
+
+    "q140_typed_json" -> { (s, _) =>
+      // ONE typed from_json parse against an explicit DDL schema serves
+      // every extraction — nested path, array index, absent field (typed
+      // null) — where the q28 idiom costs one get_json_object walk per
+      // field. At 100 TB this is the difference between parsing a
+      // payload once and parsing it per column; pure projection, codegen,
+      // no shuffle.
+      val js = concat(lit("{\"id\":"), col("user_id").cast("string"),
+        lit(",\"tags\":[\""), col("event_type"), lit("\",\"x\"],\"meta\":{\"d\":"),
+        (col("event_id") % 7).cast("string"), lit("}}"))
+      t(s, "events")
+        .select(col("event_id"), col("props"),
+          from_json(js, org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, tags ARRAY<STRING>, meta STRUCT<d: BIGINT>, nope STRING")).as("s"))
+        .select(col("event_id"), col("s.id").as("jid"),
+          element_at(col("s.tags"), 1).as("t0"),
+          size(col("s.tags")).cast("long").as("nt"),
+          col("s.meta.d").as("md"), col("s.nope").as("missing"),
+          get_json_object(col("props"), "$.k").cast("int").as("pk"))
+        .orderBy("event_id").limit(300)
     },
 
     "q108_regex_backref" -> { (s, _) =>

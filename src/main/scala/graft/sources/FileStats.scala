@@ -76,9 +76,35 @@ object FileStats {
 
   /** Per-file stats manifest for `cols` over the parquet table at `dir`:
     * `(file, n_rows, min_<c>, max_<c>, n_null_<c> ...)`. One distributed
-    * aggregation pass over the data. */
+    * aggregation pass over the data. ZERO-ROW parquet files (Spark writes
+    * one schema-bearing empty part file when an empty frame is saved —
+    * e.g. an all-duplicates [[graft.streaming.DedupLoop]] batch) produce
+    * no group under `input_file_name`, so they are synthesized in from
+    * the directory listing as `n_rows = 0` rows with null min/max —
+    * every on-disk file is represented, which is what [[prunedRead]]'s
+    * staleness check requires. */
   def collect(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
-    statsOf(spark.read.parquet(dir), cols)
+    withAllFiles(spark, statsOf(spark.read.parquet(dir), cols),
+      walkParquet(dir), cols)
+
+  /** Full-outer-join `stats` against the file listing so files the
+    * aggregation never saw (zero rows) still get a manifest row. The
+    * join is on basename: `input_file_name` yields `file:` URIs while
+    * the walk yields plain paths, but part-file names carry a UUID. */
+  private def withAllFiles(spark: SparkSession, stats: DataFrame,
+                           paths: Seq[String], cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val listed = paths.toDF("__disk_file")
+    val base = (c: Column) => substring_index(c, "/", -1)
+    val outCols: Seq[Column] =
+      coalesce(col("file"), col("__disk_file")).as("file") +:
+      coalesce(col("n_rows"), lit(0L)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        col(minCol(c)), col(maxCol(c)),
+        coalesce(col(nullCol(c)), lit(0L)).as(nullCol(c))))
+    stats.join(listed, base(col("file")) === base(col("__disk_file")), "full_outer")
+      .select(outCols: _*)
+  }
 
   /** Incrementally extend a manifest after files were APPENDED to `dir`:
     * stat ONLY the files the manifest doesn't cover and union them in —
@@ -96,27 +122,10 @@ object FileStats {
     require(gone.isEmpty,
       s"${gone.size} manifest file(s) no longer on disk — the directory was " +
         "rewritten, not appended; re-run FileStats.collect")
-    // Resolve new files to full paths via one directory walk (same
-    // hidden-dir discipline as diskBasenames — a sibling `_stats` dir
-    // must not read as "new data").
-    val root = Paths.get(dir)
-    val newPaths = Using.resource(Files.walk(root)) { walk =>
-      val it = walk.filter(Files.isRegularFile(_: Path)).iterator()
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val p = it.next()
-        val rel = root.relativize(p)
-        val hidden = (0 until rel.getNameCount - 1).exists { i =>
-          val seg = rel.getName(i).toString
-          seg.startsWith("_") || seg.startsWith(".")
-        }
-        val n = p.getFileName.toString
-        if (!hidden && n.endsWith(".parquet") && !known.contains(n)) b += p.toString
-      }
-      b.result()
-    }
+    val newPaths = walkParquet(dir).filterNot(p => known.contains(basename(p)))
     if (newPaths.isEmpty) manifest
-    else manifest.unionByName(statsOf(spark.read.parquet(newPaths: _*), cols))
+    else manifest.unionByName(withAllFiles(spark,
+      statsOf(spark.read.parquet(newPaths: _*), cols), newPaths, cols))
   }
 
   /** Persist a manifest (tiny; one row per data file). */
@@ -127,9 +136,11 @@ object FileStats {
     spark.read.parquet(path)
 
   /** File survives unless stats prove emptiness; unknown (null) stats are
-    * conservative — the file stays. */
+    * conservative — the file stays. A `n_rows = 0` file (synthesized by
+    * [[collect]]/[[update]] for empty part files) is provably empty and
+    * always drops. */
   private def survives(preds: Seq[FilePredicate]): Column =
-    preds.flatMap {
+    ((col("n_rows") > lit(0L)) +: preds.flatMap {
       case b: ColumnBounds =>
         b.lo.map(v => coalesce(col(maxCol(b.column)) >= lit(v), lit(true))) ++
         b.hi.map(v => coalesce(col(minCol(b.column)) <= lit(v), lit(true)))
@@ -138,7 +149,7 @@ object FileStats {
             col(minCol(p.column)) <= lit(v) && col(maxCol(p.column)) >= lit(v),
             lit(true)))
           .reduce(_ || _))
-    }.reduceOption(_ && _).getOrElse(lit(true))
+    }).reduce(_ && _)
 
   /** The row-level predicate the pruning stands in for — re-applied to
     * survivors so file-granularity skipping can never change results. */
@@ -156,16 +167,15 @@ object FileStats {
     manifest.where(survives(preds)).select("file")
       .collect().map(_.getString(0)).toSeq.sorted
 
-  /** File basenames currently on disk (part-file names carry a UUID, so
-    * basenames identify files across `file:` URI spellings). Files under
-    * underscore/dot-prefixed directories are skipped — Spark's reader
-    * hides those (e.g. a sibling `_stats` manifest dir), so the
-    * staleness comparison must hide them too. */
-  private def diskBasenames(dir: String): Set[String] = {
+  /** The parquet data files under `dir`, full paths, via one walk. Files
+    * under underscore/dot-prefixed directories are skipped — Spark's
+    * reader hides those (e.g. a sibling `_stats` manifest dir), so
+    * neither the manifest nor the staleness comparison may see them. */
+  private def walkParquet(dir: String): Seq[String] = {
     val root = Paths.get(dir)
     Using.resource(Files.walk(root)) { walk =>
       val it = walk.filter(Files.isRegularFile(_: Path)).iterator()
-      val b = Set.newBuilder[String]
+      val b = Seq.newBuilder[String]
       while (it.hasNext) {
         val p = it.next()
         val rel = root.relativize(p)
@@ -174,11 +184,16 @@ object FileStats {
           seg.startsWith("_") || seg.startsWith(".")
         }
         val n = p.getFileName.toString
-        if (!hidden && n.endsWith(".parquet")) b += n
+        if (!hidden && n.endsWith(".parquet")) b += p.toString
       }
       b.result()
     }
   }
+
+  /** File basenames currently on disk (part-file names carry a UUID, so
+    * basenames identify files across `file:` URI spellings). */
+  private def diskBasenames(dir: String): Set[String] =
+    walkParquet(dir).map(basename).toSet
 
   private def basename(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
 
@@ -191,16 +206,30 @@ object FileStats {
   def prunedRead(spark: SparkSession, dir: String, manifest: DataFrame,
                  bounds: Seq[FilePredicate]): DataFrame = {
     require(bounds.nonEmpty, "no bounds — use spark.read.parquet directly")
-    // ONE driver round-trip serves both the staleness check and the
-    // surviving-file list — this is the steady-state probe path.
-    val rows = manifest.select(col("file"), survives(bounds).as("keep")).collect()
+    import spark.implicits._
+    // ONE distributed aggregation serves both the staleness check and the
+    // surviving-file list, and the driver receives only O(survivors) —
+    // at ~1M files a selective probe collects a handful of paths plus
+    // three counters, not the whole manifest. (The disk listing itself is
+    // driver-side O(files), but that is exactly what Spark's own file
+    // index materializes for any scan, so it adds no new posture.)
     val onDisk = diskBasenames(dir)
-    val inManifest = rows.map(r => basename(r.getString(0))).toSet
-    require(inManifest == onDisk,
-      s"stale manifest for $dir: ${(onDisk -- inManifest).size} file(s) on disk " +
-        s"missing from manifest, ${(inManifest -- onDisk).size} manifest file(s) gone " +
+    val diskDf = broadcast(onDisk.toSeq.toDF("__base")
+      .withColumn("__on_disk", lit(true)))
+    val base = substring_index(col("file"), "/", -1).as("__base")
+    val row = manifest.select(col("file"), survives(bounds).as("keep"), base)
+      .join(diskDf, Seq("__base"), "left")
+      .agg(
+        countDistinct(col("__base")).as("m_distinct"),
+        countDistinct(when(col("__on_disk"), col("__base"))).as("m_matched"),
+        sort_array(collect_list(when(col("keep"), col("file")))).as("files"))
+      .head()
+    val (mDistinct, mMatched) = (row.getLong(0), row.getLong(1))
+    require(mMatched == mDistinct && mMatched == onDisk.size,
+      s"stale manifest for $dir: ${onDisk.size - mMatched} file(s) on disk " +
+        s"missing from manifest, ${mDistinct - mMatched} manifest file(s) gone " +
         "— re-run FileStats.collect after any rewrite")
-    val files = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq.sorted
+    val files = row.getSeq[String](2)
     if (files.isEmpty)
       // Provably-empty result; keep the schema without scheduling a scan.
       spark.read.parquet(dir).where(lit(false))

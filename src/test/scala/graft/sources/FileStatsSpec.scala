@@ -120,6 +120,35 @@ class FileStatsSpec extends AnyFunSuite {
     assert(got.columns.toSeq == spark.read.parquet(d).columns.toSeq)
   }
 
+  test("zero-row part files are synthesized into the manifest and always prune away") {
+    val d = tmp("zero")
+    TestSpark.table("region").coalesce(1).write.parquet(d)
+    // An empty frame still lands one schema-bearing part file — the
+    // all-duplicates DedupLoop batch shape (r5 advice).
+    spark.read.parquet(d).where(lit(false)).write.mode("append").parquet(d)
+    val nOnDisk = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nOnDisk == 2, s"expected a schema-bearing empty part file, found $nOnDisk files")
+    val manifest = FileStats.collect(spark, d, Seq("r_regionkey"))
+    assert(manifest.count() == 2)
+    val zeros = manifest.where(col("n_rows") === 0L)
+    assert(zeros.count() == 1, "empty part file missing from manifest")
+    assert(zeros.where(col("min_r_regionkey").isNull && col("max_r_regionkey").isNull
+      && col("n_null_r_regionkey") === 0L).count() == 1)
+    // Staleness passes (every on-disk file is represented) and the
+    // zero-row file is provably empty — never scheduled.
+    val bounds = Seq(ColumnBounds("r_regionkey", Some(0L), None))
+    assert(FileStats.prunedFiles(manifest, bounds).size == 1)
+    val got = FileStats.prunedRead(spark, d, manifest, bounds)
+    val want = spark.read.parquet(d).where(col("r_regionkey") >= 0L)
+    assert(canon(got) == canon(want) && got.count() > 0)
+    // update() after a LATER empty append synthesizes the new file too.
+    spark.read.parquet(d).where(lit(false)).write.mode("append").parquet(d)
+    val updated = FileStats.update(spark, d, manifest, Seq("r_regionkey"))
+    assert(updated.where(col("n_rows") === 0L).count() == 2)
+    assert(canon(FileStats.prunedRead(spark, d, updated, bounds)) == canon(want))
+  }
+
   test("stale PERSISTED manifest (file added after collect) is refused") {
     // An in-memory manifest re-lists the directory lazily (Spark read
     // semantics), so it always reflects current disk — safe by

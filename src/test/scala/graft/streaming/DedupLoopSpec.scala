@@ -52,6 +52,33 @@ class DedupLoopSpec extends AnyFunSuite {
     assert(canon(got.drop("batch")) == canon(want.drop("batch")) && got.count() > 0)
   }
 
+  test("an ALL-duplicates batch leaves the manifest-composed lake pruning-ready (r5 advice)") {
+    import graft.sources.{ColumnBounds, FileStats}
+    val root = Files.createTempDirectory("graft-deduploop-alldup").toString
+    val (out, state, mstate) = (s"$root/out", s"$root/state", s"$root/mstate")
+    val batch = docs.where(col("doc_id") < 100)
+    val m = Some((Seq("doc_id"), mstate))
+    DedupLoop.dedupBatch(batch, 0L, "doc_id", "text", state, out, 8, m)
+    // Batch 1 re-feeds the SAME texts under LARGER ids: every doc loses to
+    // its batch-0 keeper — zero survivors. Spark still writes a
+    // schema-bearing empty part file under batch=1 — the manifest fold
+    // must represent it or prunedRead's staleness guard trips forever.
+    DedupLoop.dedupBatch(batch.withColumn("doc_id", col("doc_id") + 100000L),
+      1L, "doc_id", "text", state, out, 8, m)
+    val b1 = new java.io.File(s"$out/batch=1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(b1 >= 1, "expected an empty part file under batch=1 — scenario not exercised")
+    assert(spark.read.parquet(s"$out/batch=1").count() == 0)
+
+    val manifest = ManifestLoop.latestManifest(spark, mstate).get
+    def canon(df: DataFrame) = df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(canon(manifest) == canon(FileStats.collect(spark, out, Seq("doc_id"))))
+    val bounds = Seq(ColumnBounds("doc_id", Some(0L), Some(50L)))
+    val got = FileStats.prunedRead(spark, out, manifest, bounds)
+    val want = spark.read.parquet(out).where(col("doc_id").between(0L, 50L))
+    assert(canon(got.drop("batch")) == canon(want.drop("batch")) && got.count() > 0)
+  }
+
   test("two-stage run with restart equals the batch q91 chain run twice") {
     val root = Files.createTempDirectory("graft-deduploop").toString
     val (src, out, state, ckpt) =
