@@ -129,14 +129,24 @@ object Pipelines {
       .select(col("asset_id"), lit(true).as("__img"))
     val aud = MediaCodecs.audioMeta(assets)
       .select(col("asset_id"), lit(true).as("__aud"))
+    // Header-only MP4/MP3 box/frame parse: no JDK codec exists for these,
+    // but the report can still carry REAL metadata (duration, dims,
+    // bitrate) instead of counting them undecodable-only.
+    val ctr = MediaCodecs.containerMeta(assets)
+      .select(col("asset_id"), lit(true).as("__ctr"),
+        col("duration_ms").as("__dur"))
     sniffed
       .join(img, Seq("asset_id"), "left")
       .join(aud, Seq("asset_id"), "left")
+      .join(ctr, Seq("asset_id"), "left")
       .withColumn("decodable", coalesce(col("__img"), col("__aud"), lit(false)))
+      .withColumn("probed", col("decodable") || coalesce(col("__ctr"), lit(false)))
       .groupBy("format")
       .agg(count(lit(1)).as("n_assets"),
         sum(when(col("decodable"), 1L).otherwise(0L)).as("n_decodable"),
         sum(when(col("decodable"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(when(col("probed"), 1L).otherwise(0L)).as("n_with_metadata"),
+        sum(col("__dur")).as("container_duration_ms"),
         sum(col("bytes")).as("bytes"))
       .orderBy("format")
   }

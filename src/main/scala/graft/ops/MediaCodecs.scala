@@ -283,6 +283,187 @@ object MediaCodecs {
     }(enc)
   }
 
+  private val containerMetaSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("container", StringType, nullable = false),
+    StructField("brand", StringType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bitrate_kbps", IntegerType, nullable = true)))
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+    ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def fourCC(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Walk the ISO-BMFF sibling boxes in `b[from, until)`, yielding
+    * (type, payloadStart, payloadEnd). Size 1 means 64-bit largesize,
+    * size 0 means to-end-of-enclosing; malformed sizes end the walk
+    * (header-probe posture: salvage what parses, never throw). */
+  private def mp4Boxes(b: Array[Byte], from: Int, until: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var off = from
+      def hasNext: Boolean = off + 8 <= until
+      def next(): (String, Int, Int) = {
+        val size32 = be32(b, off)
+        val typ = fourCC(b, off + 4)
+        val (payload, end) =
+          if (size32 == 1L && off + 16 <= until) {
+            val sz = be64(b, off + 8)
+            (off + 16, if (sz >= 16 && off + sz <= until) (off + sz).toInt else until)
+          }
+          else if (size32 == 0L) (off + 8, until)
+          else if (size32 >= 8L && off + size32 <= until) (off + 8, (off + size32).toInt)
+          else (off + 8, until) // malformed: consume the rest, stop after
+        off = end
+        (typ, payload, end)
+      }
+    }
+
+  /** `mvhd` payload → duration in ms (version picks 32/64-bit fields). */
+  private def mvhdDurationMs(b: Array[Byte], p: Int, end: Int): Option[Long] = {
+    if (p + 4 > end) return None
+    val v = b(p) & 0xff
+    val (tsOff, durLen) = if (v == 1) (p + 4 + 16, 8) else (p + 4 + 8, 4)
+    if (tsOff + 4 + durLen > end) return None
+    val timescale = be32(b, tsOff)
+    val duration = if (durLen == 8) be64(b, tsOff + 4) else be32(b, tsOff + 4)
+    if (timescale > 0) Some(duration * 1000L / timescale) else None
+  }
+
+  /** `tkhd` payload → (width, height) from the trailing 16.16 fixed-point
+    * fields; audio tracks carry (0, 0). */
+  private def tkhdDims(b: Array[Byte], p: Int, end: Int): Option[(Int, Int)] = {
+    if (p + 4 > end) return None
+    val v = b(p) & 0xff
+    val wOff = p + 4 + (if (v == 1) 32 else 20) + 52
+    if (wOff + 8 > end) None
+    else Some(((be32(b, wOff) >> 16).toInt, (be32(b, wOff + 4) >> 16).toInt))
+  }
+
+  /** MP4: `ftyp` major brand + `moov/mvhd` duration + max `trak/tkhd`
+    * video dims. Pure byte arithmetic over the box tree — no codec. */
+  private def mp4Meta(b: Array[Byte]): Option[(String, Option[Long], Option[Int], Option[Int])] = {
+    var brand: Option[String] = None
+    var dur: Option[Long] = None
+    var w = 0; var h = 0
+    var sawBox = false
+    mp4Boxes(b, 0, b.length).foreach {
+      case ("ftyp", p, end) if p + 4 <= end =>
+        sawBox = true; brand = Some(fourCC(b, p).trim)
+      case ("moov", p, end) =>
+        sawBox = true
+        mp4Boxes(b, p, end).foreach {
+          case ("mvhd", q, e) => dur = mvhdDurationMs(b, q, e)
+          case ("trak", q, e) =>
+            mp4Boxes(b, q, e).foreach {
+              case ("tkhd", t, te) => tkhdDims(b, t, te).foreach { case (tw, th) =>
+                w = math.max(w, tw); h = math.max(h, th)
+              }
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    if (!sawBox) None
+    else Some((brand.getOrElse("isom"), dur,
+      if (w > 0) Some(w) else None, if (h > 0) Some(h) else None))
+  }
+
+  // MPEG audio Layer III tables, indexed by [mpeg1?][bitrate index] and
+  // [version bits][samplerate index].
+  private val mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val mp3SampleRate: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000),  // MPEG1
+    2 -> Array(22050, 24000, 16000),  // MPEG2
+    0 -> Array(11025, 12000, 8000))   // MPEG2.5
+
+  /** MP3: skip an ID3v2 tag (syncsafe size), find the first Layer-III
+    * frame sync, read bitrate/samplerate/channel-mode from the 4-byte
+    * frame header, and estimate duration from the audio byte count at
+    * that bitrate (exact for CBR — the common case — an honest estimate
+    * for VBR). */
+  private def mp3Meta(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    val hasId3 = b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3'
+    // Same evidence bar as sniffFormat: an ID3v2 tag, or a frame sync at
+    // offset 0. Without it, scanning arbitrary binary for 0xFFEx would
+    // false-positive (a PNG's pixel bytes can contain a "sync").
+    if (!hasId3 && !(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0))
+      return None
+    val audioStart =
+      if (hasId3)
+        10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+              ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+      else 0
+    var i = audioStart
+    val scanEnd = math.min(b.length - 4, audioStart + 4096) // sync sits just past the tag (padding allowed)
+    while (i <= scanEnd) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xe0) == 0xe0) {
+        val version = (b(i + 1) >> 3) & 3
+        val layer = (b(i + 1) >> 1) & 3
+        val bi = (b(i + 2) >> 4) & 0xf
+        val si = (b(i + 2) >> 2) & 3
+        val mode = (b(i + 3) >> 6) & 3
+        if (layer == 1 && bi > 0 && bi < 15 && si < 3 && version != 1) { // Layer III, valid indices
+          val kbps = if (version == 3) mp3BitrateV1(bi) else mp3BitrateV2(bi)
+          val rate = mp3SampleRate(version)(si)
+          val channels = if (mode == 3) 1 else 2
+          val ms = (b.length - audioStart).toLong * 8L / kbps
+          return Some((kbps, rate, channels, ms))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** HEADER-ONLY container metadata for the formats the JDK has no codec
+    * for: MP4 (`ftyp` brand, `mvhd` duration, `tkhd` track dims) and MP3
+    * (frame-header bitrate/samplerate/channels, CBR duration estimate) —
+    * pure byte arithmetic, no decode, narrow `mapPartitions`. This is the
+    * metadata tier of the coverage report: a 100 TB asset audit can name
+    * and measure its video/audio holdings without any codec on the
+    * cluster. Unparseable payloads are absent (probe posture, like
+    * [[imageMeta]]/[[audioMeta]]). */
+  def containerMeta(assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(containerMetaSchema)
+    val in: Dataset[Row] = assets
+      .where(col("asset_id").isNotNull && col("payload").isNotNull)
+      .select("asset_id", "payload")
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val isMp4 = b.length >= 12 && fourCC(b, 4) == "ftyp"
+        val out: Option[Row] =
+          if (isMp4)
+            mp4Meta(b).map { case (brand, dur, w, h) =>
+              Row(id, "mp4", brand, dur.map(java.lang.Long.valueOf).orNull,
+                w.map(Integer.valueOf).orNull, h.map(Integer.valueOf).orNull,
+                null, null, null)
+            }
+          else
+            mp3Meta(b).map { case (kbps, rate, ch, ms) =>
+              Row(id, "mp3", null, java.lang.Long.valueOf(ms), null, null,
+                Integer.valueOf(rate), Integer.valueOf(ch), Integer.valueOf(kbps))
+            }
+        out.iterator
+      }
+    }(enc)
+  }
+
   /** REAL resize: decode → bilinear-scale to exactly `w`×`h` via headless
     * Graphics2D → re-encode as PNG, with the metadata struct updated to the
     * actual output geometry. Same output shape as [[MultiModal.stubResize]]

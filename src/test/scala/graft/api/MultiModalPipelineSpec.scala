@@ -54,6 +54,87 @@ class MultiModalPipelineSpec extends AnyFunSuite {
     assert(feats.forall(_.getSeq[Float](1).length == 4 * 4 * 3))
   }
 
+  // ISO-BMFF box: 4-byte big-endian size + fourCC + payload.
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+    bb.array()
+  }
+
+  /** Minimal-but-real MP4: ftyp(isom) + moov(mvhd ts=1000 dur=5500,
+    * trak(tkhd 640x360)) — exactly the boxes the header probe parses. */
+  private def mp4Fixture: Array[Byte] = {
+    val mvhd = java.nio.ByteBuffer.allocate(20)
+      .putInt(0)           // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(1000)        // timescale
+      .putInt(5500)        // duration → 5500 ms
+      .array()
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84) // v0 layout, zero-filled
+      bb.putInt(8, 1)            // track id
+      bb.putInt(16, 5500)        // duration
+      bb.putInt(76, 640 << 16)   // width, 16.16 fixed
+      bb.putInt(80, 360 << 16)   // height
+      bb.array()
+    }
+    val ftyp = java.nio.ByteBuffer.allocate(8)
+      .put("isom".getBytes("ISO-8859-1")).putInt(0x200).array()
+    box("ftyp", ftyp) ++ box("moov", mvhd0(mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+  private def mvhd0(payload: Array[Byte]): Array[Byte] = box("mvhd", payload)
+
+  /** ID3v2 tag (empty body) + one MPEG1 Layer III frame header (128 kbps,
+    * 44.1 kHz, joint stereo) + CBR audio bytes sized for exactly 1000 ms. */
+  private def mp3Fixture: Array[Byte] = {
+    val id3 = "ID3".getBytes("ISO-8859-1") ++ Array[Byte](3, 0, 0, 0, 0, 0, 0)
+    val frame = Array(0xff, 0xfb, 0x90, 0x40).map(_.toByte) // sync|V1 L3, bi=9 si=0, joint stereo
+    id3 ++ frame ++ new Array[Byte](16000 - 4) // 16000 audio bytes @128kbps = 1000 ms
+  }
+
+  test("containerMeta: hand-built MP4 boxes and MP3 frame header parse without a codec") {
+    val rows = Seq(
+      Row(10L, mp4Fixture, Row("video/mp4", null, null, null)),
+      Row(11L, mp3Fixture, Row("audio/mpeg", null, null, null)),
+      Row(12L, png((_, _) => 0x00ff00), Row("image/png", 16, 16, null)),
+      Row(13L, Array[Byte](1, 2, 3), Row("application/octet-stream", null, null, null)))
+    val table = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiModal.assetSchema)
+    val meta = graft.ops.MediaCodecs.containerMeta(table).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // Only the two container formats probe; png/junk are absent.
+    assert(meta.keySet == Set(10L, 11L))
+    val m4 = meta(10L)
+    assert(m4.getString(1) == "mp4" && m4.getString(2) == "isom")
+    assert(m4.getLong(3) == 5500L, s"mp4 duration: ${m4.getLong(3)}")
+    assert(m4.getInt(4) == 640 && m4.getInt(5) == 360)
+    assert(m4.isNullAt(6) && m4.isNullAt(7) && m4.isNullAt(8))
+    val m3 = meta(11L)
+    assert(m3.getString(1) == "mp3" && m3.isNullAt(2))
+    assert(m3.getLong(3) == 1000L, s"mp3 duration: ${m3.getLong(3)}")
+    assert(m3.isNullAt(4) && m3.isNullAt(5))
+    assert(m3.getInt(6) == 44100 && m3.getInt(7) == 2 && m3.getInt(8) == 128)
+  }
+
+  test("coverageReport carries real mp4/mp3 metadata instead of undecodable-only") {
+    val rows = Seq(
+      Row(20L, mp4Fixture, Row("video/mp4", null, null, null)),
+      Row(21L, mp3Fixture, Row("audio/mpeg", null, null, null)),
+      Row(22L, png((_, _) => 0x00ff00), Row("image/png", 16, 16, null)))
+    val table = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiModal.assetSchema)
+    val rep = Pipelines.coverageReport(table).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // mp4/mp3 stay UNdecodable (no codec — honest) but now carry metadata.
+    assert(rep("mp4").getLong(2) == 0 && rep("mp4").getLong(4) == 1
+      && rep("mp4").getLong(5) == 5500L)
+    assert(rep("mp3").getLong(2) == 0 && rep("mp3").getLong(4) == 1
+      && rep("mp3").getLong(5) == 1000L)
+    // Decodable formats count as metadata-bearing too; no container duration.
+    assert(rep("png").getLong(2) == 1 && rep("png").getLong(4) == 1
+      && rep("png").isNullAt(5))
+  }
+
   test("coverageReport: per-format decodable/undecodable counts over a mixed table") {
     // What the StubCodec-era gap looks like to a curation run: the mp4 is
     // NAMED (magic bytes) even though no JDK codec exists for it, and a
