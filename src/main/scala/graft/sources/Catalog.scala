@@ -74,6 +74,44 @@ object Catalog {
         .map(f => (f.name, f.dataType.simpleString))
     }.toMap
 
+  /** Register `path` as an EXTERNAL catalog table named `name` and compute
+    * table statistics (plus column statistics for `analyzeColumns` — give
+    * it the join/filter keys), i.e. the `ANALYZE TABLE ... COMPUTE
+    * STATISTICS` tier stock Spark offers but temp views cannot hold.
+    *
+    * Why this exists at 100 TB: the temp-view path plans joins from FILE
+    * SIZES (and AQE's runtime stats). Catalog row counts + column NDV/
+    * min/max let the cost-based optimizer pick broadcast sides and join
+    * orders AT PLAN TIME — before a single task runs — which is the only
+    * timing that can avoid scheduling a shuffle stage at all, and it
+    * keeps working when AQE's runtime numbers arrive too late (the first
+    * exchange already materialized). Enable `spark.sql.cbo.enabled` (and
+    * `spark.sql.cbo.joinReorder.enabled`) to let the stats drive plans.
+    *
+    * H1 interplay: if the files carry the driver's nanosecond `ts` LONG,
+    * the stats-bearing table is registered as `<name>__files` and `name`
+    * becomes a temp view applying the ingest rewrite — scans under the
+    * view still carry the catalog stats (a view is just a plan alias).
+    * Stats are a SNAPSHOT: re-run after appends/rewrites (Spark does not
+    * auto-refresh them). */
+  def registerAnalyzed(spark: SparkSession, name: String, path: String,
+                       format: String = "parquet",
+                       analyzeColumns: Seq[String] = Nil): DataFrame = {
+    Graft.configure(spark)
+    val observed = spark.read.format(format).load(path)
+    val needsH1 = observed.schema.find(_.name == "ts").exists(_.dataType == LongType)
+    val tableName = if (needsH1) s"${name}__files" else name
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$tableName` USING $format LOCATION '$path'")
+    spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS")
+    if (analyzeColumns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS FOR COLUMNS " +
+        analyzeColumns.map(c => s"`$c`").mkString(", "))
+    if (needsH1) {
+      h1(spark.table(tableName)).createOrReplaceTempView(name)
+      spark.table(name)
+    } else spark.table(tableName)
+  }
+
   private val registeredKey = "spark.graft.catalog.dir"
 
   /** Register all tables of `dir` as temp views. Cheap (views are lazy) and

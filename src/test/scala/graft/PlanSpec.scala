@@ -37,6 +37,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$p")
   }
 
+  test("registerAnalyzed: catalog stats broadcast the dim at PLAN time (AQE off, CBO on)") {
+    // The temp-view path plans from file sizes + AQE runtime stats; this
+    // pins the third tier — ANALYZE'd catalog stats letting the cost-based
+    // optimizer choose the broadcast side before any task runs.
+    val keep = Seq("spark.sql.adaptive.enabled", "spark.sql.cbo.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val cust = graft.sources.Catalog.registerAnalyzed(spark, "cust_stats",
+        s"${TestSpark.sfDir}/customer.parquet", analyzeColumns = Seq("c_custkey"))
+      val ord = graft.sources.Catalog.registerAnalyzed(spark, "ord_stats",
+        s"${TestSpark.sfDir}/orders.parquet", analyzeColumns = Seq("o_custkey"))
+      // The stats really are in the catalog: plan-time row count is known.
+      val cstats = spark.table("cust_stats").queryExecution.optimizedPlan.stats
+      assert(cstats.rowCount.exists(_.toLong > 0), s"no row count in $cstats")
+      val joined = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy("c_mktsegment").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"expected plan-time broadcast:\n$p")
+    } finally {
+      keep.foreach { case (k, v) => spark.conf.set(k, v) }
+      Seq("cust_stats", "ord_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("q03: aggregation has map-side partial + final (the automatic combiner)") {
     val p = planString(TestSpark.corpus("q03_agg_tpch1_decimal"))
     assert("HashAggregate".r.findAllIn(p).length >= 2,

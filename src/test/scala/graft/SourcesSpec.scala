@@ -81,6 +81,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("registerAnalyzed on nanos events: H1 rewrite view over a stats-bearing table") {
+    try {
+      val ev = graft.sources.Catalog.registerAnalyzed(spark, "ev_stats",
+        s"${TestSpark.sfDir}/events.parquet", analyzeColumns = Seq("user_id"))
+      // The user-facing name applies the ingest rewrite...
+      assert(ev.schema("ts").dataType == TimestampNTZType)
+      assert(ev.count() == TestSpark.table("events").count())
+      // ...while the stats live on the files table underneath.
+      val stats = spark.table("ev_stats__files").queryExecution.optimizedPlan.stats
+      assert(stats.sizeInBytes > 0)
+      assert(spark.sql("DESC EXTENDED `ev_stats__files`").collect()
+        .exists(r => r.getString(0) == "Statistics"), "no catalog statistics row")
+    } finally spark.sql("DROP TABLE IF EXISTS `ev_stats__files`")
+  }
+
   test("json round-trip preserves NTZ timestamps and nested-ish values") {
     val dir = tmp("events_json")
     val src = TestSpark.table("events").select("event_id", "event_type", "ts", "props")
