@@ -61,11 +61,17 @@ object DedupOps {
     * (partial min per partition — a boilerplate span repeated across the
     * whole corpus combines map-side, so the hot key ships one row per
     * partition, not one per occurrence), one equi-join back. The join IS
-    * keyed by span text, so a mega-hot span skews the probe side — AQE
-    * skew-join splits it; decisions are order-independent (min is
-    * associative) exactly like minhashDedupKeep's skew pin. */
+    * keyed by span text, so a mega-hot span skews the probe side — and
+    * AQE's skew-join rule CANNOT split it: `OptimizeSkewedJoin` only
+    * matches a sort-merge join whose children are bare shuffle stages,
+    * and the keeper side here is Sort(HashAggregate(ShuffleStage))
+    * (executed-plan evidence pinned in PlanSpec). Pass `salts > 0` for
+    * corpora with corpus-wide boilerplate: the occurrence side is salted
+    * by row content and the (distinct-spans) keeper side replicated, so
+    * the hot span's rows spread over `salts` reduce buckets — decisions
+    * are order-independent (min is associative), results identical. */
   def spanDedup(docs: DataFrame, id: Column, text: Column,
-                spanWords: Int = 20): DataFrame = {
+                spanWords: Int = 20, salts: Int = 0): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
     val l = split(text, " ")
     // Null id/text rows are excluded (the H13 degenerate-row posture: a
@@ -80,7 +86,10 @@ object DedupOps {
     val keyed = spans.select(col("doc_id"), col("span_no"), col("span"),
       (col("doc_id") * 1000 + col("span_no")).as("k"))
     val keeper = keyed.groupBy("span").agg(min("k").as("kk"))
-    keyed.join(keeper, "span")
+    val joined =
+      if (salts > 0) SkewOps.saltedJoin(keyed, keeper, "span", salts)
+      else keyed.join(keeper, "span")
+    joined
       .select(col("doc_id"), col("span_no"),
         floor(col("kk") / 1000.0).cast("long").as("keep_doc"),
         (col("kk") % 1000).as("keep_span"),

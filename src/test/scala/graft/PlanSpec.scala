@@ -160,6 +160,52 @@ class PlanSpec extends AnyFunSuite {
       s"span join must be equi on the span text:\n$p")
   }
 
+  test("q92 span dedup hot key: AQE cannot split the agg-fed join; salting does") {
+    // A boilerplate span repeated corpus-wide is THE q92 skew case: every
+    // occurrence lands in one probe partition of the span-keyed join.
+    // Measured finding this pins: AQE's OptimizeSkewedJoin only matches a
+    // sort-merge join whose children are BARE shuffle stages, and the
+    // keeper side here is Sort(HashAggregate(ShuffleStage)) — so even
+    // with skew thresholds far below the hot partition size, no skew
+    // split fires. The explicit salted variant is the scale path.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // keeper table is corpus-sized in prod
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val keep = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val hot = (1 to 20).map(i => s"w$i").mkString(" ") // one shared 20-word span
+      val docs = spark.range(4000).select(col("id").as("doc_id"),
+        concat(lit(hot + " "),
+          concat_ws(" ", (1 to 20).map(i => concat(lit(s"u${i}_"), col("id"))): _*))
+          .as("text"))
+      def canon(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+
+      val plain = graft.ops.DedupOps.spanDedup(docs, col("doc_id"), col("text"))
+      val pPlain = executed(plain).toString
+      assert(pPlain.contains("SortMergeJoin") && !pPlain.contains("skew=true"),
+        s"shape changed — revisit the skew posture:\n$pPlain")
+
+      // Salted: the hot span's 4000 occurrences spread across the salt
+      // buckets (content-derived, deterministic), results identical.
+      val salted = graft.ops.DedupOps.spanDedup(docs, col("doc_id"), col("text"), salts = 8)
+      assert(canon(salted) == canon(plain) && canon(salted).size == 8000)
+      val hotRows = salted.where(col("span_no") === 0)
+      assert(hotRows.where(!col("is_dup")).count() == 1)
+      assert(hotRows.where(col("is_dup")).count() == 3999)
+      val spread = docs.select(
+          graft.ops.SkewOps.saltExpr(docs, Nil, 8).as("salt"))
+        .select(countDistinct("salt")).head().getLong(0)
+      assert(spread == 8, s"content salt spread only $spread/8 buckets")
+    } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q84: blocked edit-distance joins on the block key — no nested-loop pair join") {
     val p = planString(TestSpark.corpus("q84_editdistance_blocked"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
