@@ -1,9 +1,11 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ops.{Ann, Bpe, DedupOps, MediaCodecs, MultiModal, SketchOps, TextOps}
+import graft.streaming.{AggLoop, TopKLoop}
 
 /** Task-level entry points composing the ops layer — what a data-pipeline
   * user calls without learning each operator's plumbing. These are lazy
@@ -334,4 +336,45 @@ object Pipelines {
       array_min(transform(sh, s => TextOps.shingleHash(s))).as("shingle_fp"),
       size(array_distinct(sh)).cast("bigint").as("n_shingles"))
   }
+
+  /** Continuous top-k leaderboard over a stream — the one-call form of
+    * [[graft.streaming.TopKLoop]] (state bounded at groups·k payload rows
+    * forever; crash-safe versioned folds, replay-idempotent). Seed with
+    * batch history via `seed` (e.g. the table the stream continues), read
+    * the live board any time with [[currentLeaderboard]]. */
+  def leaderboard(stream: DataFrame, groupCols: Seq[String], orderCol: String,
+                  tiebreakCol: String, k: Int, stateDir: String,
+                  checkpointDir: String, descending: Boolean = true,
+                  seed: Option[DataFrame] = None,
+                  trigger: Option[Trigger] = None): StreamingQuery = {
+    seed.foreach(h => TopKLoop.seedState(
+      TopKLoop.topK(h, groupCols, orderCol, tiebreakCol, k, descending), stateDir))
+    TopKLoop.run(stream, groupCols, orderCol, tiebreakCol, k,
+      stateDir, checkpointDir, descending, trigger)
+  }
+
+  /** The leaderboard's current payload rows (None until seeded or run). */
+  def currentLeaderboard(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    TopKLoop.latestState(spark, stateDir)
+
+  /** Continuously-maintained exact rollup table over a stream — the
+    * one-call form of [[graft.streaming.AggLoop]] (decimal-exact
+    * incremental n/sum/min/max per group; avg at read time over non-null
+    * counts). Seed with batch history via `seed`; read any rollup level
+    * with [[currentRollup]] — no history re-read, ever. */
+  def rollupTable(stream: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
+                  stateDir: String, checkpointDir: String,
+                  seed: Option[DataFrame] = None,
+                  trigger: Option[Trigger] = None): StreamingQuery = {
+    seed.foreach(h => AggLoop.seedState(
+      AggLoop.aggTable(h, groupCols, valueCols), stateDir))
+    AggLoop.run(stream, groupCols, valueCols, stateDir, checkpointDir, trigger)
+  }
+
+  /** The live rollup read at `keepCols` granularity (⊆ the maintained
+    * grouping): n, sum/min/max/avg per value column as doubles. */
+  def currentRollup(spark: SparkSession, stateDir: String,
+                    keepCols: Seq[String], valueCols: Seq[String]): Option[DataFrame] =
+    AggLoop.latestState(spark, stateDir)
+      .map(AggLoop.report(_, keepCols, valueCols))
 }

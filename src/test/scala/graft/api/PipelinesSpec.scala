@@ -205,4 +205,66 @@ class PipelinesSpec extends AnyFunSuite {
     assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"),
       s"AQE runtime re-plan not visible:\n$plan")
   }
+
+  private def events = TestSpark.table("events")
+    .select("event_id", "user_id", "event_type", "value")
+
+  private def canonRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("leaderboard: seeded history + stream with restart ≡ one-shot top-k") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-pipe-lb").toString
+    val (src, state, ckpt) = (s"$root/src", s"$root/state", s"$root/ckpt")
+    val hist = events.where(col("event_id") % 3 === 0)
+    val live1 = events.where(col("event_id") % 3 === 1)
+    val live2 = events.where(col("event_id") % 3 === 2)
+
+    def runOnce(seed: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      val q = Pipelines.leaderboard(
+        spark.readStream.schema(events.schema).parquet(src),
+        Seq("event_type"), "value", "event_id", 5, state, ckpt,
+        seed = seed, trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(120000); q.stop()
+    }
+    live1.write.mode("append").parquet(src)
+    runOnce(seed = Some(hist)) // STOP — mid-stream restart
+    live2.write.mode("append").parquet(src)
+    runOnce(seed = None)
+
+    val board = Pipelines.currentLeaderboard(spark, state).get
+    val oneShot = graft.streaming.TopKLoop.topK(
+      events, Seq("event_type"), "value", "event_id", 5)
+    assert(canonRows(board) == canonRows(oneShot) && board.count() > 0)
+  }
+
+  test("rollupTable: seeded history + stream with restart ≡ direct aggregate (incl. avg)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-pipe-ru").toString
+    val (src, state, ckpt) = (s"$root/src", s"$root/state", s"$root/ckpt")
+    val hist = events.where(col("event_id") % 3 === 0)
+    val live1 = events.where(col("event_id") % 3 === 1)
+    val live2 = events.where(col("event_id") % 3 === 2)
+
+    def runOnce(seed: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      val q = Pipelines.rollupTable(
+        spark.readStream.schema(events.schema).parquet(src),
+        Seq("event_type"), Seq("value"), state, ckpt,
+        seed = seed, trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(120000); q.stop()
+    }
+    live1.write.mode("append").parquet(src)
+    runOnce(seed = Some(hist)) // STOP — mid-stream restart
+    live2.write.mode("append").parquet(src)
+    runOnce(seed = None)
+
+    val rollup = Pipelines.currentRollup(spark, state, Seq("event_type"), Seq("value")).get
+      .select("event_type", "n", "sum_value", "avg_value")
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(28,8)")).cast("double"), 4).as("sum_value"),
+        round((sum(col("value").cast("decimal(28,8)")) / count(col("value")))
+          .cast("double"), 4).as("avg_value"))
+    assert(canonRows(rollup) == canonRows(direct) && rollup.count() > 0)
+  }
 }
