@@ -1,17 +1,17 @@
 # Recompute expected canonical hashes at sf0.01 by running the DuckDB side
 # of every corpus query (local tooling only; the shipped engine is Scala).
 #
-# The canonical corpus lives in src/main/scala/graft/Corpus.scala; pass the
-# oracle_sql.json dumped by `runMain graft.Verify <sf> <out>` as argv[2] to
-# hash exactly what the engine declares (t2_corpus.py is the round-1
-# snapshot, used as fallback).
-import json, sys, duckdb
+# The ONE source of truth is src/main/scala/graft/Corpus.scala: this script
+# consumes only the oracle_sql.json generated from it by
+# `runMain graft.Verify <sf> <out>` (argv[2]; defaults to the committed
+# dump at verification/oracle_sql.json). t2_corpus.py is a round-1
+# historical snapshot and is deliberately NOT read.
+import json, os, sys, duckdb
 from t2_canon import canon_rows
 
-if len(sys.argv) > 2:
-    CORPUS = {k: {'duckdb': v} for k, v in json.load(open(sys.argv[2])).items()}
-else:
-    from t2_corpus import CORPUS
+_default = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'oracle_sql.json')
+_src = sys.argv[2] if len(sys.argv) > 2 else _default
+CORPUS = {k: {'duckdb': v} for k, v in json.load(open(_src)).items()}
 
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 con = duckdb.connect()
