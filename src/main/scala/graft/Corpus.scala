@@ -1610,6 +1610,35 @@ select event_id, cast(json_extract(js, '$.id') as bigint) jid,
  json_extract_string(js, '$.nope') missing,
  cast(json_extract(props, '$.k') as integer) pk
 from j order by event_id limit 300"""),
+
+    // OUTER positional explode (round 6): q112's H8 sibling for arrays
+    // that can be EMPTY — posexplode_outer keeps the parent row with a
+    // (NULL, NULL) child where inner explode DROPS it (the silent
+    // row-loss bug in any explode-then-rejoin pipeline). DuckDB has no
+    // outer unnest spelling; its oracle is LEFT JOIN LATERAL over the
+    // unnest subquery (probed: the empty array yields one NULL row).
+    // The nullable pos in the ORDER BY forces the H19 discipline — the
+    // qualifier is spelled in BOTH engines or the LIMIT keeps different
+    // row SETS.
+    q2("q141_explode_outer",
+      """select p_partkey, cast(pos as bigint) pos, w
+ from (select p_partkey, filter(split(p_name, ' '), x -> length(x) > 5) ws from part) s
+ lateral view outer posexplode(ws) t as pos, w
+ order by p_partkey, pos asc nulls first limit 300""",
+      """select s.p_partkey, cast(u.pos - 1 as bigint) pos, u.w
+ from (select p_partkey, list_filter(string_split(p_name, ' '), x -> length(x) > 5) ws from part) s
+ left join lateral (select unnest(s.ws) w, generate_subscripts(s.ws, 1) pos) u on true
+ order by p_partkey, pos asc nulls first limit 300"""),
+
+    // mode() + count_if (round 6): the statistical-mode aggregate shares
+    // name and semantics (declared on a column whose max count is UNIQUE
+    // at both scales — a tie would be impl-ordered in each engine), and
+    // count_if is the shared named form of q49's FILTER counting.
+    q("q142_mode_countif",
+      """select mode(o_orderpriority) m,
+ cast(count_if(o_totalprice > 150000) as bigint) big,
+ cast(count(*) - count_if(o_totalprice > 150000) as bigint) rest
+ from orders"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -965,6 +965,28 @@ object DfQueries {
         .orderBy("event_id").limit(300)
     },
 
+    "q141_explode_outer" -> { (s, _) =>
+      // posexplode_outer KEEPS the parent row with a (NULL, NULL) child on
+      // an empty array — inner explode silently drops it (H8 sibling).
+      // Explicit NULLS FIRST: the nullable pos under a LIMIT is H19.
+      t(s, "part")
+        .select(col("p_partkey"),
+          filter(split(col("p_name"), " "), x => length(x) > 5).as("ws"))
+        .select(col("p_partkey"), posexplode_outer(col("ws")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("col").as("w"))
+        .orderBy(col("p_partkey"), col("pos").asc_nulls_first)
+        .limit(300)
+    },
+
+    "q142_mode_countif" -> { (s, _) =>
+      // mode is declared only where the max count is unique (corpus note);
+      // count_if is q49's FILTER counting under its shared name.
+      t(s, "orders").agg(
+        mode(col("o_orderpriority")).as("m"),
+        count_if(col("o_totalprice") > 150000).cast("long").as("big"),
+        (count(lit(1)) - count_if(col("o_totalprice") > 150000)).cast("long").as("rest"))
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
