@@ -1639,6 +1639,29 @@ from j order by event_id limit 300"""),
  cast(count_if(o_totalprice > 150000) as bigint) big,
  cast(count(*) - count_if(o_totalprice > 150000) as bigint) rest
  from orders"""),
+
+    // nth_value (round 6): q17's analytic family lacks the general n-th.
+    // BOTH frame hazards are pinned by spelling them out: nth_value reads
+    // from the FRAME, and the default RANGE..CURRENT ROW frame would make
+    // row 1's nth_value(…,3) NULL; the explicit full frame gives every
+    // row the partition's 3rd. The window ORDER BY carries a unique
+    // tiebreak (H6) or the n-th element is engine-ordered.
+    q("q143_nth_value",
+      """select o_orderkey, o_custkey,
+ nth_value(o_totalprice, 3) over (partition by o_custkey order by o_orderdate, o_orderkey
+  rows between unbounded preceding and unbounded following) third,
+ nth_value(o_orderkey, 1) over (partition by o_custkey order by o_orderdate, o_orderkey
+  rows between unbounded preceding and unbounded following) firstk
+ from orders order by o_orderkey limit 300"""),
+
+    // GROUP BY ALL (round 6): both engines infer the grouping set from
+    // the non-aggregate select items — same text, same inference rule
+    // (every non-aggregate expression groups). The modern exploratory
+    // spelling; the declared output is plain q03-family shape.
+    q("q144_group_by_all",
+      """select o_orderstatus, o_orderpriority, cast(count(*) as bigint) c,
+ round(cast(sum(cast(o_totalprice as decimal(18,4))) as double), 4) s
+ from orders group by all order by o_orderstatus, o_orderpriority"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

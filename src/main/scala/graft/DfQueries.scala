@@ -987,6 +987,28 @@ object DfQueries {
         (count(lit(1)) - count_if(col("o_totalprice") > 150000)).cast("long").as("rest"))
     },
 
+    "q143_nth_value" -> { (s, _) =>
+      // Explicit full frame: nth_value reads from the FRAME and the
+      // default RANGE..CURRENT ROW would NULL rows before the n-th.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, "orders").select(col("o_orderkey"), col("o_custkey"),
+          nth_value(col("o_totalprice"), 3).over(w).as("third"),
+          nth_value(col("o_orderkey"), 1).over(w).as("firstk"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
+    "q144_group_by_all" -> { (s, _) =>
+      // The DF API has no GROUP BY ALL to infer — the twin groups
+      // explicitly, which is exactly what the inference resolves to.
+      t(s, "orders").groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("c"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4).as("s"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
