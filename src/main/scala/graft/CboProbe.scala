@@ -81,11 +81,15 @@ object CboProbe {
     def run(label: String, text: String = sql): Unit = {
       val df = spark.sql(text)
       val sec = timed(() => { df.collect(); () })
+      // AdaptiveSparkPlanExec.toString prints BOTH the final and the
+      // initial plan — count only the final section or every AQE row
+      // double-counts (and a runtime-demoted SMJ still reads as smj=1).
       val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
       val smj = "SortMergeJoin".r.findAllIn(plan).length
       val exch = "Exchange hashpartitioning".r.findAllIn(plan).length
-      println(f"== $label%-34s $sec%7.3f sec  bhj=$bhj smj=$smj shuffle_joins=$exch")
+      println(f"== $label%-34s $sec%7.3f sec  bhj=$bhj smj=$smj shuffle_exchanges=$exch")
     }
 
     // Regime 1: temp views (Catalog.register) + AQE.
@@ -117,15 +121,16 @@ object CboProbe {
     reg("nation", Seq("n_nationkey", "n_regionkey"))
     reg("region", Seq("r_regionkey", "r_name"))
 
-    // Regime 2: pure plan-time costing.
+    // Regime 2: pure plan-time costing (no join reorder yet, so any
+    // regime-3 delta is attributable).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     run("catalog_stats_cbo_noaqe")
     run("catalog_stats_cbo_noaqe_filtered", filteredSql)
     run("catalog_stats_cbo_noaqe_wide", wideSql)
 
     // Regime 3: stats + reorder + AQE insurance.
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     run("catalog_stats_cbo_aqe")
     run("catalog_stats_cbo_aqe_filtered", filteredSql)
