@@ -209,6 +209,7 @@ object MediaCodecs {
       .when(pfx(1, "424D"), "bmp")
       .when(pfx(1, "494433") || pfx(1, "FFFB") || pfx(1, "FFF3") || pfx(1, "FFF2"), "mp3")
       .when(pfx(5, "66747970"), "mp4")
+      .when(pfx(1, "664C6143"), "flac")
       .otherwise("unknown")
   }
 
@@ -429,14 +430,69 @@ object MediaCodecs {
     None
   }
 
+  private def le24(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    le24(b, off).toLong | ((b(off + 3) & 0xffL) << 24)
+
+  /** WebP (RIFF): canvas dims from the first VP8 (lossy sync-coded),
+    * VP8L (lossless bit-packed) or VP8X (extended, 24-bit LE minus-one)
+    * chunk — three different bit layouts, all header-only. */
+  private def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var off = 12
+    while (off + 8 <= b.length) {
+      val cc = fourCC(b, off)
+      val sz = le32(b, off + 4)
+      val p = off + 8
+      cc match {
+        case "VP8 " if p + 11 <= b.length &&
+            (b(p + 3) & 0xff) == 0x9d && (b(p + 4) & 0xff) == 0x01 && (b(p + 5) & 0xff) == 0x2a =>
+          return Some(((le24(b, p + 6) & 0x3fff), (le24(b, p + 8) & 0x3fff)))
+        case "VP8L" if p + 5 <= b.length && (b(p) & 0xff) == 0x2f =>
+          val bits = le32(b, p + 1)
+          return Some((((bits & 0x3fff) + 1).toInt, (((bits >> 14) & 0x3fff) + 1).toInt))
+        case "VP8X" if p + 10 <= b.length =>
+          return Some((le24(b, p + 4) + 1, le24(b, p + 7) + 1))
+        case _ =>
+      }
+      off = p + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+    }
+    None
+  }
+
+  /** FLAC: STREAMINFO (the mandatory first metadata block) carries
+    * sample rate (20 bits), channels-1 (3 bits) and total samples
+    * (36 bits) — exact duration with zero decoding. */
+  private def flacMeta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    var off = 4
+    while (off + 4 <= b.length) {
+      val hdr = b(off) & 0xff
+      val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      val p = off + 4
+      if ((hdr & 0x7f) == 0) { // STREAMINFO
+        if (p + 18 > b.length) return None
+        val rate = ((b(p + 10) & 0xff) << 12) | ((b(p + 11) & 0xff) << 4) | ((b(p + 12) & 0xff) >> 4)
+        val channels = ((b(p + 12) >> 1) & 0x7) + 1
+        val total = ((b(p + 13) & 0x0fL) << 32) | ((b(p + 14) & 0xffL) << 24) |
+          ((b(p + 15) & 0xffL) << 16) | ((b(p + 16) & 0xffL) << 8) | (b(p + 17) & 0xffL)
+        return if (rate > 0) Some((rate, channels, total * 1000L / rate)) else None
+      }
+      if ((hdr & 0x80) != 0) return None // last block, no STREAMINFO seen
+      off = p + len
+    }
+    None
+  }
+
   /** HEADER-ONLY container metadata for the formats the JDK has no codec
-    * for: MP4 (`ftyp` brand, `mvhd` duration, `tkhd` track dims) and MP3
-    * (frame-header bitrate/samplerate/channels, CBR duration estimate) —
-    * pure byte arithmetic, no decode, narrow `mapPartitions`. This is the
-    * metadata tier of the coverage report: a 100 TB asset audit can name
-    * and measure its video/audio holdings without any codec on the
-    * cluster. Unparseable payloads are absent (probe posture, like
-    * [[imageMeta]]/[[audioMeta]]). */
+    * for: MP4 (`ftyp` brand, `mvhd` duration, `tkhd` track dims), MP3
+    * (frame-header bitrate/samplerate/channels, CBR duration estimate),
+    * WebP (VP8/VP8L/VP8X canvas dims) and FLAC (STREAMINFO rate/channels/
+    * exact duration) — pure byte arithmetic, no decode, narrow
+    * `mapPartitions`. This is the metadata tier of the coverage report: a
+    * 100 TB asset audit can name and measure its video/audio holdings
+    * without any codec on the cluster. Unparseable payloads are absent
+    * (probe posture, like [[imageMeta]]/[[audioMeta]]). */
   def containerMeta(assets: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(containerMetaSchema)
     val in: Dataset[Row] = assets
@@ -447,12 +503,24 @@ object MediaCodecs {
         val id = r.getLong(0)
         val b = r.getAs[Array[Byte]](1)
         val isMp4 = b.length >= 12 && fourCC(b, 4) == "ftyp"
+        val isWebp = b.length >= 16 && fourCC(b, 0) == "RIFF" && fourCC(b, 8) == "WEBP"
+        val isFlac = b.length >= 8 && fourCC(b, 0) == "fLaC"
         val out: Option[Row] =
           if (isMp4)
             mp4Meta(b).map { case (brand, dur, w, h) =>
               Row(id, "mp4", brand, dur.map(java.lang.Long.valueOf).orNull,
                 w.map(Integer.valueOf).orNull, h.map(Integer.valueOf).orNull,
                 null, null, null)
+            }
+          else if (isWebp)
+            webpDims(b).map { case (w, h) =>
+              Row(id, "webp", null, null, Integer.valueOf(w), Integer.valueOf(h),
+                null, null, null)
+            }
+          else if (isFlac)
+            flacMeta(b).map { case (rate, ch, ms) =>
+              Row(id, "flac", null, java.lang.Long.valueOf(ms), null, null,
+                Integer.valueOf(rate), Integer.valueOf(ch), null)
             }
           else
             mp3Meta(b).map { case (kbps, rate, ch, ms) =>

@@ -92,18 +92,51 @@ class MultiModalPipelineSpec extends AnyFunSuite {
     id3 ++ frame ++ new Array[Byte](16000 - 4) // 16000 audio bytes @128kbps = 1000 ms
   }
 
+  /** Lossless WebP: RIFF/WEBP + one VP8L chunk; dims bit-packed as
+    * (width-1) | (height-1) << 14 after the 0x2f signature byte. */
+  private def webpFixture(w: Int, h: Int): Array[Byte] = {
+    val bits = (w - 1) | ((h - 1) << 14)
+    val vp8l = Array[Byte](0x2f,
+      (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+      ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte, 0)
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + vp8l.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + 8 + vp8l.length)
+      .put("WEBP".getBytes("ISO-8859-1"))
+      .put("VP8L".getBytes("ISO-8859-1")).putInt(vp8l.length).put(vp8l)
+    bb.array()
+  }
+
+  /** FLAC: fLaC magic + a last-flagged STREAMINFO block — 22.05 kHz,
+    * stereo, 16-bit, 44100 total samples (exactly 2000 ms). */
+  private def flacFixture: Array[Byte] = {
+    val si = new Array[Byte](34)
+    si(10) = 0x05; si(11) = 0x62.toByte; si(12) = 0x22 // rate 22050, ch 2
+    si(13) = 0xf0.toByte                               // bps 16, total high nibble 0
+    si(16) = 0xac.toByte; si(17) = 0x44                // total samples 44100
+    "fLaC".getBytes("ISO-8859-1") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+  }
+
   test("containerMeta: hand-built MP4 boxes and MP3 frame header parse without a codec") {
     val rows = Seq(
       Row(10L, mp4Fixture, Row("video/mp4", null, null, null)),
       Row(11L, mp3Fixture, Row("audio/mpeg", null, null, null)),
       Row(12L, png((_, _) => 0x00ff00), Row("image/png", 16, 16, null)),
-      Row(13L, Array[Byte](1, 2, 3), Row("application/octet-stream", null, null, null)))
+      Row(13L, Array[Byte](1, 2, 3), Row("application/octet-stream", null, null, null)),
+      Row(14L, webpFixture(320, 200), Row("image/webp", null, null, null)),
+      Row(15L, flacFixture, Row("audio/flac", null, null, null)))
     val table = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), MultiModal.assetSchema)
     val meta = graft.ops.MediaCodecs.containerMeta(table).collect()
       .map(r => r.getLong(0) -> r).toMap
-    // Only the two container formats probe; png/junk are absent.
-    assert(meta.keySet == Set(10L, 11L))
+    // Only the container formats probe; png/junk are absent.
+    assert(meta.keySet == Set(10L, 11L, 14L, 15L))
+    val wp = meta(14L)
+    assert(wp.getString(1) == "webp" && wp.getInt(4) == 320 && wp.getInt(5) == 200)
+    assert(wp.isNullAt(3) && wp.isNullAt(6))
+    val fl = meta(15L)
+    assert(fl.getString(1) == "flac" && fl.getLong(3) == 2000L)
+    assert(fl.getInt(6) == 22050 && fl.getInt(7) == 2 && fl.isNullAt(8))
     val m4 = meta(10L)
     assert(m4.getString(1) == "mp4" && m4.getString(2) == "isom")
     assert(m4.getLong(3) == 5500L, s"mp4 duration: ${m4.getLong(3)}")
