@@ -67,11 +67,17 @@ object DedupOps {
     * and the keeper side here is Sort(HashAggregate(ShuffleStage))
     * (executed-plan evidence pinned in PlanSpec). Pass `salts > 0` for
     * corpora with corpus-wide boilerplate: the occurrence side is salted
-    * by row content and the (distinct-spans) keeper side replicated, so
-    * the hot span's rows spread over `salts` reduce buckets — decisions
-    * are order-independent (min is associative), results identical. */
+    * by row content and the keeper side replicated, so the hot span's
+    * rows spread over `salts` reduce buckets — decisions are
+    * order-independent (min is associative), results identical. With
+    * `hotSpans` also given, ONLY those span texts salt and the cold
+    * majority joins plain: `graft.SkewProbe` measured that full salting
+    * replicates the whole keeper and loses 5× exactly in the
+    * huge-keeper regime that needs salting at all — feed the hot list
+    * from [[SketchOps]]' count-min heavy hitters over the span relation. */
   def spanDedup(docs: DataFrame, id: Column, text: Column,
-                spanWords: Int = 20, salts: Int = 0): DataFrame = {
+                spanWords: Int = 20, salts: Int = 0,
+                hotSpans: Seq[String] = Nil): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
     val l = split(text, " ")
     // Null id/text rows are excluded (the H13 degenerate-row posture: a
@@ -87,7 +93,9 @@ object DedupOps {
       (col("doc_id") * 1000 + col("span_no")).as("k"))
     val keeper = keyed.groupBy("span").agg(min("k").as("kk"))
     val joined =
-      if (salts > 0) SkewOps.saltedJoin(keyed, keeper, "span", salts)
+      if (salts > 0 && hotSpans.nonEmpty)
+        SkewOps.saltedJoinHot(keyed, keeper, "span", salts, hotSpans)
+      else if (salts > 0) SkewOps.saltedJoin(keyed, keeper, "span", salts)
       else keyed.join(keeper, "span")
     joined
       .select(col("doc_id"), col("span_no"),

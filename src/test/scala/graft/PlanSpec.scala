@@ -203,6 +203,12 @@ class PlanSpec extends AnyFunSuite {
           graft.ops.SkewOps.saltExpr(docs, Nil, 8).as("salt"))
         .select(countDistinct("salt")).head().getLong(0)
       assert(spread == 8, s"content salt spread only $spread/8 buckets")
+
+      // Hot-key-only salting (the huge-keeper regime per SkewProbe):
+      // identical decisions with just the named span replicated.
+      val hotOnly = graft.ops.DedupOps.spanDedup(docs, col("doc_id"), col("text"),
+        salts = 8, hotSpans = Seq(hot))
+      assert(canon(hotOnly) == canon(plain))
     } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
