@@ -340,15 +340,20 @@ object Pipelines {
   /** Continuous top-k leaderboard over a stream — the one-call form of
     * [[graft.streaming.TopKLoop]] (state bounded at groups·k payload rows
     * forever; crash-safe versioned folds, replay-idempotent). Seed with
-    * batch history via `seed` (e.g. the table the stream continues), read
-    * the live board any time with [[currentLeaderboard]]. */
+    * batch history via `seed` (e.g. the table the stream continues) —
+    * applied only when the state directory has no live version yet, so a
+    * supervisor restarting the identical call resumes instead of
+    * tripping over its own seed. Read the live board any time with
+    * [[currentLeaderboard]]. */
   def leaderboard(stream: DataFrame, groupCols: Seq[String], orderCol: String,
                   tiebreakCol: String, k: Int, stateDir: String,
                   checkpointDir: String, descending: Boolean = true,
                   seed: Option[DataFrame] = None,
                   trigger: Option[Trigger] = None): StreamingQuery = {
-    seed.foreach(h => TopKLoop.seedState(
-      TopKLoop.topK(h, groupCols, orderCol, tiebreakCol, k, descending), stateDir))
+    val spark = stream.sparkSession
+    if (TopKLoop.latestState(spark, stateDir).isEmpty)
+      seed.foreach(h => TopKLoop.seedState(
+        TopKLoop.topK(h, groupCols, orderCol, tiebreakCol, k, descending), stateDir))
     TopKLoop.run(stream, groupCols, orderCol, tiebreakCol, k,
       stateDir, checkpointDir, descending, trigger)
   }
@@ -360,14 +365,18 @@ object Pipelines {
   /** Continuously-maintained exact rollup table over a stream — the
     * one-call form of [[graft.streaming.AggLoop]] (decimal-exact
     * incremental n/sum/min/max per group; avg at read time over non-null
-    * counts). Seed with batch history via `seed`; read any rollup level
-    * with [[currentRollup]] — no history re-read, ever. */
+    * counts). Seed with batch history via `seed` — applied only when the
+    * state directory has no live version yet (restart-safe, as
+    * [[leaderboard]]); read any rollup level with [[currentRollup]] — no
+    * history re-read, ever. */
   def rollupTable(stream: DataFrame, groupCols: Seq[String], valueCols: Seq[String],
                   stateDir: String, checkpointDir: String,
                   seed: Option[DataFrame] = None,
                   trigger: Option[Trigger] = None): StreamingQuery = {
-    seed.foreach(h => AggLoop.seedState(
-      AggLoop.aggTable(h, groupCols, valueCols), stateDir))
+    val spark = stream.sparkSession
+    if (AggLoop.latestState(spark, stateDir).isEmpty)
+      seed.foreach(h => AggLoop.seedState(
+        AggLoop.aggTable(h, groupCols, valueCols), stateDir))
     AggLoop.run(stream, groupCols, valueCols, stateDir, checkpointDir, trigger)
   }
 

@@ -79,6 +79,8 @@ object DedupOps {
                 spanWords: Int = 20, salts: Int = 0,
                 hotSpans: Seq[String] = Nil): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    require(hotSpans.isEmpty || salts > 0,
+      "hotSpans given but salts = 0 — the skew mitigation would silently not run")
     val l = split(text, " ")
     // Null id/text rows are excluded (the H13 degenerate-row posture: a
     // null would poison the keeper key / vanish via posexplode anyway);

@@ -337,7 +337,11 @@ object MediaCodecs {
     if (tsOff + 4 + durLen > end) return None
     val timescale = be32(b, tsOff)
     val duration = if (durLen == 8) be64(b, tsOff + 4) else be32(b, tsOff + 4)
-    if (timescale > 0) Some(duration * 1000L / timescale) else None
+    // All-ones is ISO-BMFF's "duration unknown" sentinel (common in
+    // fragmented MP4) — surfacing it would put ~49 days into the
+    // coverage report's duration sum.
+    val unknown = if (durLen == 8) duration == -1L else duration == 0xffffffffL
+    if (timescale > 0 && !unknown) Some(duration * 1000L / timescale) else None
   }
 
   /** `tkhd` payload → (width, height) from the trailing 16.16 fixed-point
@@ -440,11 +444,12 @@ object MediaCodecs {
     * VP8L (lossless bit-packed) or VP8X (extended, 24-bit LE minus-one)
     * chunk — three different bit layouts, all header-only. */
   private def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
-    var off = 12
+    var off = 12L
     while (off + 8 <= b.length) {
-      val cc = fourCC(b, off)
-      val sz = le32(b, off + 4)
-      val p = off + 8
+      val o = off.toInt
+      val cc = fourCC(b, o)
+      val sz = le32(b, o + 4)
+      val p = o + 8
       cc match {
         case "VP8 " if p + 11 <= b.length &&
             (b(p + 3) & 0xff) == 0x9d && (b(p + 4) & 0xff) == 0x01 && (b(p + 5) & 0xff) == 0x2a =>
@@ -456,7 +461,11 @@ object MediaCodecs {
           return Some((le24(b, p + 4) + 1, le24(b, p + 7) + 1))
         case _ =>
       }
-      off = p + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+      // Long arithmetic: a malformed/adversarial 32-bit chunk size must
+      // not wrap Int and stall or reverse the walk (probe posture: give
+      // up on nonsense, never loop or throw).
+      off = p.toLong + sz + (sz & 1L)
+      if (off <= p) return None
     }
     None
   }

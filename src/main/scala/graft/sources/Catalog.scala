@@ -98,10 +98,25 @@ object Catalog {
                        format: String = "parquet",
                        analyzeColumns: Seq[String] = Nil): DataFrame = {
     Graft.configure(spark)
+    require(!name.contains("`"), s"illegal table name: $name")
     val observed = spark.read.format(format).load(path)
     val needsH1 = observed.schema.find(_.name == "ts").exists(_.dataType == LongType)
     val tableName = if (needsH1) s"${name}__files" else name
-    spark.sql(s"CREATE TABLE IF NOT EXISTS `$tableName` USING $format LOCATION '$path'")
+    // Single quotes in the path double per SQL string-literal rules.
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$tableName` USING $format " +
+      s"LOCATION '${path.replace("'", "''")}'")
+    // CREATE IF NOT EXISTS is a silent no-op over a pre-existing entry —
+    // verify the catalog location matches the argument or the stats (and
+    // the returned frame) would silently describe the OLD path (same
+    // hazard Bucketed.register guards).
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    def norm(u: java.net.URI) =
+      java.nio.file.Paths.get(u.getPath).normalize.toString.replaceAll("/+$", "")
+    val (catLoc, argLoc) = (norm(meta.location), norm(new java.io.File(path).getAbsoluteFile.toURI))
+    require(catLoc == argLoc,
+      s"table `$tableName` already registered at $catLoc, not $argLoc — DROP TABLE " +
+        "(or use a per-run table name) before re-registering a moved dataset")
     spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS")
     if (analyzeColumns.nonEmpty)
       spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS FOR COLUMNS " +

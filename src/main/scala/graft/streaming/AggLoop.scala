@@ -55,6 +55,16 @@ object AggLoop {
     * fewer = a coarser rollup). */
   def merge(tables: Seq[DataFrame], keepCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     require(tables.nonEmpty, "nothing to merge")
+    // Migration: state persisted before cnt_<v> existed divided avg by n,
+    // i.e. assumed non-null values — backfill cnt_<v> = n for those rows
+    // only, so an upgraded loop resumes an old state dir instead of
+    // failing the union (and keeps exactly the old avg semantics for the
+    // pre-upgrade history).
+    val tables2 = tables.map { t =>
+      valueCols.foldLeft(t) { (df, v) =>
+        if (df.columns.contains(cntCol(v))) df else df.withColumn(cntCol(v), col("n"))
+      }
+    }
     val aggs: Seq[Column] =
       sum(col("n")).as("n") +:
       valueCols.flatMap(v => Seq(
@@ -62,7 +72,7 @@ object AggLoop {
         min(col(minCol(v))).as(minCol(v)),
         max(col(maxCol(v))).as(maxCol(v)),
         sum(col(cntCol(v))).as(cntCol(v))))
-    tables.reduce(_.unionByName(_))
+    tables2.reduce(_.unionByName(_))
       .groupBy(keepCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -54,9 +54,15 @@ private[streaming] object VersionedState {
   def write(df: DataFrame, stateDir: String, v: Long): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(versionPath(stateDir, v))
 
-  /** Seed `v0` with batch-era state; refuses to clobber an existing seed. */
-  def seed(df: DataFrame, stateDir: String): Unit =
-    df.write.mode(SaveMode.ErrorIfExists).parquet(versionPath(stateDir, 0L))
+  /** Seed `v0` with batch-era state; refuses to clobber an existing VALID
+    * seed, but overwrites a `_SUCCESS`-less partial (a crash mid-seed
+    * must not wedge the state dir until someone hand-deletes it). */
+  def seed(df: DataFrame, stateDir: String): Unit = {
+    val p = Paths.get(versionPath(stateDir, 0L))
+    val partial = Files.exists(p) && !Files.exists(p.resolve("_SUCCESS"))
+    df.write.mode(if (partial) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(versionPath(stateDir, 0L))
+  }
 
   /** The latest valid version as a frame, if any state exists. */
   def latest(spark: SparkSession, stateDir: String,

@@ -96,6 +96,21 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS `ev_stats__files`")
   }
 
+  test("registerAnalyzed refuses a reused name whose catalog entry points elsewhere") {
+    try {
+      graft.sources.Catalog.registerAnalyzed(spark, "stale_an",
+        s"${TestSpark.sfDir}/customer.parquet")
+      // Same args: idempotent re-register (re-ANALYZE) succeeds.
+      graft.sources.Catalog.registerAnalyzed(spark, "stale_an",
+        s"${TestSpark.sfDir}/customer.parquet")
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.Catalog.registerAnalyzed(spark, "stale_an",
+          s"${TestSpark.sfDir}/orders.parquet")
+      }
+      assert(e.getMessage.contains("already registered"))
+    } finally spark.sql("DROP TABLE IF EXISTS `stale_an`")
+  }
+
   test("json round-trip preserves NTZ timestamps and nested-ish values") {
     val dir = tmp("events_json")
     val src = TestSpark.table("events").select("event_id", "event_type", "ts", "props")

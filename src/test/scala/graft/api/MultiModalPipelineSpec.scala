@@ -124,13 +124,29 @@ class MultiModalPipelineSpec extends AnyFunSuite {
       Row(12L, png((_, _) => 0x00ff00), Row("image/png", 16, 16, null)),
       Row(13L, Array[Byte](1, 2, 3), Row("application/octet-stream", null, null, null)),
       Row(14L, webpFixture(320, 200), Row("image/webp", null, null, null)),
-      Row(15L, flacFixture, Row("audio/flac", null, null, null)))
+      Row(15L, flacFixture, Row("audio/flac", null, null, null)),
+      // Adversarial RIFF: chunk size 0xFFFFFFF8 would stall or reverse an
+      // Int-arithmetic walk — must be absent, not hang the job.
+      Row(16L, "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+        "WEBP".getBytes("ISO-8859-1") ++ "JUNK".getBytes("ISO-8859-1") ++
+        Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+        new Array[Byte](64), Row("image/webp", null, null, null)),
+      // MP4 with the ISO-BMFF unknown-duration sentinel: duration null,
+      // not ~49 days summed into the coverage report.
+      Row(17L, box("ftyp", java.nio.ByteBuffer.allocate(8)
+          .put("isom".getBytes("ISO-8859-1")).putInt(0x200).array()) ++
+        box("moov", mvhd0(java.nio.ByteBuffer.allocate(20)
+          .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(-1).array())),
+        Row("video/mp4", null, null, null)))
     val table = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), MultiModal.assetSchema)
     val meta = graft.ops.MediaCodecs.containerMeta(table).collect()
       .map(r => r.getLong(0) -> r).toMap
-    // Only the container formats probe; png/junk are absent.
-    assert(meta.keySet == Set(10L, 11L, 14L, 15L))
+    // Only the parseable container formats probe; png/junk/malformed-RIFF
+    // are absent (and the malformed chunk walk terminates).
+    assert(meta.keySet == Set(10L, 11L, 14L, 15L, 17L))
+    assert(meta(17L).getString(1) == "mp4" && meta(17L).isNullAt(3),
+      "unknown-duration sentinel must surface as null")
     val wp = meta(14L)
     assert(wp.getString(1) == "webp" && wp.getInt(4) == 320 && wp.getInt(5) == 200)
     assert(wp.isNullAt(3) && wp.isNullAt(6))

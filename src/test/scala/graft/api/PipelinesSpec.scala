@@ -230,7 +230,9 @@ class PipelinesSpec extends AnyFunSuite {
     live1.write.mode("append").parquet(src)
     runOnce(seed = Some(hist)) // STOP — mid-stream restart
     live2.write.mode("append").parquet(src)
-    runOnce(seed = None)
+    // A supervisor re-invokes the IDENTICAL call (seed included): the
+    // live state wins and the seed is skipped, not re-applied/thrown.
+    runOnce(seed = Some(hist))
 
     val board = Pipelines.currentLeaderboard(spark, state).get
     val oneShot = graft.streaming.TopKLoop.topK(
@@ -256,7 +258,7 @@ class PipelinesSpec extends AnyFunSuite {
     live1.write.mode("append").parquet(src)
     runOnce(seed = Some(hist)) // STOP — mid-stream restart
     live2.write.mode("append").parquet(src)
-    runOnce(seed = None)
+    runOnce(seed = Some(hist)) // identical re-invocation must resume, not re-seed
 
     val rollup = Pipelines.currentRollup(spark, state, Seq("event_type"), Seq("value")).get
       .select("event_type", "n", "sum_value", "avg_value")

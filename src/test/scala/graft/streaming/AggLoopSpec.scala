@@ -100,6 +100,20 @@ class AggLoopSpec extends AnyFunSuite {
       && col("cnt_value") === 0 && col("n") > 0).count() == 1)
   }
 
+  test("pre-cnt state dirs resume after the upgrade (cnt backfilled as n)") {
+    // Simulate a state table persisted before cnt_<v> existed.
+    val old = AggLoop.aggTable(events, Seq("event_type"), Seq("value")).drop("cnt_value")
+    val fresh = AggLoop.aggTable(events, Seq("event_type"), Seq("value"))
+    val merged = AggLoop.merge(Seq(old, fresh), Seq("event_type"), Seq("value"))
+    assert(merged.columns.contains("cnt_value"))
+    // Old rows backfill cnt = n (their avg semantics), so the fold is 2×
+    // the single-era aggregate on this all-non-null column.
+    val n2 = merged.agg(sum("n"), sum("cnt_value")).head()
+    assert(n2.getLong(0) == 2 * events.count() && n2.getLong(1) == n2.getLong(0))
+    val rep = AggLoop.report(merged, Seq("event_type"), Seq("value"))
+    assert(rep.where(col("avg_value").isNull).count() == 0)
+  }
+
   test("replay overwrites from the same base: state unchanged") {
     val root = Files.createTempDirectory("graft-aggloop-rp").toString
     val state = s"$root/state"
