@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ops.{Ann, Bpe, DedupOps, MediaCodecs, MultiModal, SketchOps, TextOps}
-import graft.streaming.{AggLoop, TopKLoop}
+import graft.streaming.{AggLoop, DistinctLoop, TopKLoop}
 
 /** Task-level entry points composing the ops layer — what a data-pipeline
   * user calls without learning each operator's plumbing. These are lazy
@@ -386,4 +386,27 @@ object Pipelines {
                     keepCols: Seq[String], valueCols: Seq[String]): Option[DataFrame] =
     AggLoop.latestState(spark, stateDir)
       .map(AggLoop.report(_, keepCols, valueCols))
+
+  /** Continuously-maintained EXACT distinct counts over a stream — the
+    * one-call form of [[graft.streaming.DistinctLoop]] (state = the
+    * distinct pair set; exact at every coarser rollup level). Seed with
+    * batch history via `seed` (restart-safe, as [[leaderboard]]); read
+    * with [[currentDistinct]]. */
+  def distinctCensus(stream: DataFrame, groupCols: Seq[String], valueCol: String,
+                     stateDir: String, checkpointDir: String,
+                     seed: Option[DataFrame] = None,
+                     trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = stream.sparkSession
+    if (DistinctLoop.latestState(spark, stateDir).isEmpty)
+      seed.foreach(h => DistinctLoop.seedState(
+        DistinctLoop.pairTable(h, groupCols, valueCol), stateDir))
+    DistinctLoop.run(stream, groupCols, valueCol, stateDir, checkpointDir, trigger)
+  }
+
+  /** The live exact distinct count at `keepCols` granularity (⊆ the
+    * maintained grouping). */
+  def currentDistinct(spark: SparkSession, stateDir: String,
+                      keepCols: Seq[String], valueCol: String): Option[DataFrame] =
+    DistinctLoop.latestState(spark, stateDir)
+      .map(DistinctLoop.report(_, keepCols, valueCol))
 }

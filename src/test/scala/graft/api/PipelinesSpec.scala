@@ -240,6 +240,32 @@ class PipelinesSpec extends AnyFunSuite {
     assert(canonRows(board) == canonRows(oneShot) && board.count() > 0)
   }
 
+  test("distinctCensus: seeded history + stream with restart ≡ direct count(distinct)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-pipe-dc").toString
+    val (src, state, ckpt) = (s"$root/src", s"$root/state", s"$root/ckpt")
+    val hist = events.where(col("event_id") % 3 === 0)
+    val live1 = events.where(col("event_id") % 3 === 1)
+    val live2 = events.where(col("event_id") % 3 === 2)
+
+    def runOnce(seed: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      val q = Pipelines.distinctCensus(
+        spark.readStream.schema(events.schema).parquet(src),
+        Seq("event_type"), "user_id", state, ckpt,
+        seed = seed, trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(120000); q.stop()
+    }
+    live1.write.mode("append").parquet(src)
+    runOnce(seed = Some(hist)) // STOP — mid-stream restart
+    live2.write.mode("append").parquet(src)
+    runOnce(seed = Some(hist)) // identical re-invocation resumes, not re-seeds
+
+    val census = Pipelines.currentDistinct(spark, state, Seq("event_type"), "user_id").get
+    val direct = events.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_distinct_user_id"))
+    assert(canonRows(census) == canonRows(direct) && census.count() > 0)
+  }
+
   test("rollupTable: seeded history + stream with restart ≡ direct aggregate (incl. avg)") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft-pipe-ru").toString
