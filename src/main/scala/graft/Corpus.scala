@@ -1662,6 +1662,24 @@ from j order by event_id limit 300"""),
       """select o_orderstatus, o_orderpriority, cast(count(*) as bigint) c,
  round(cast(sum(cast(o_totalprice as decimal(18,4))) as double), 4) s
  from orders group by all order by o_orderstatus, o_orderpriority"""),
+
+    // Arrays-of-structs explode (round 6): the conversation-turns /
+    // key-value-pairs shape — zip two arrays into structs, explode, and
+    // project the fields flat (structs NEVER reach the output: H16's
+    // render discipline). Spark spells it inline(arrays_zip(..)) under
+    // LATERAL VIEW with field aliases; DuckDB unnests the list_zip and
+    // extracts by NUMERIC index (its zip structs are unnamed). The zip
+    // null-PADS to the longer side (q129's convention), observable here
+    // as the (null, 3) row every 2-word name produces.
+    q2("q145_inline_structs",
+      """select p_partkey, t.a, cast(t.b as bigint) b
+ from (select p_partkey, arrays_zip(split(p_name, ' '), array(1, 2, 3)) zs from part) s
+ lateral view inline(zs) t as a, b
+ order by p_partkey, b limit 300""",
+      """select s.p_partkey, u.z[1] a, cast(u.z[2] as bigint) b
+ from (select p_partkey, list_zip(string_split(p_name, ' '), [1, 2, 3]) zs from part) s,
+ lateral (select unnest(s.zs) z) u
+ order by p_partkey, b limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1009,6 +1009,18 @@ object DfQueries {
         .orderBy("o_orderstatus", "o_orderpriority")
     },
 
+    "q145_inline_structs" -> { (s, _) =>
+      // inline() explodes the struct array and the select flattens the
+      // fields — structs never reach the output (H16 render discipline).
+      t(s, "part")
+        .select(col("p_partkey"),
+          arrays_zip(split(col("p_name"), " "), array(lit(1), lit(2), lit(3))).as("zs"))
+        .select(col("p_partkey"), inline(col("zs")))
+        .toDF("p_partkey", "a", "b")
+        .select(col("p_partkey"), col("a"), col("b").cast("long").as("b"))
+        .orderBy("p_partkey", "b").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
