@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.sources.{ColumnBounds, FileStats}
-import graft.streaming.TopKLoop
+import graft.streaming.{DistinctLoop, TopKLoop}
 
 /** Diagnosis probe (like StateProbe — not driver contract): scale
   * behavior of the round-5 lake/stream additions at a given SF dir.
@@ -82,6 +82,19 @@ object LakeProbe {
       TopKLoop.merge(Seq(state, TopKLoop.topK(batch, Seq("event_type"), "value", "event_id", 10)),
         Seq("event_type"), "value", "event_id", 10).collect())
     p("topk_fold_10pct", tFold, s"state_rows=${folded.length}")
+
+    // --- DistinctLoop fold: same 90/10 split; the fold must cost one
+    // shuffle of the BATCH's distinct pairs plus a union-distinct over
+    // state (state-sized reads, not history re-reads) ---
+    val dlState = base.resolve("distinct_state").toString
+    DistinctLoop.seedState(
+      DistinctLoop.pairTable(events.where(col("event_id") <= cut),
+        Seq("event_type"), "user_id"), dlState)
+    val dlPrior = DistinctLoop.latestState(spark, dlState).get
+    val (tDlFold, dlRows) = timed(() =>
+      DistinctLoop.merge(Seq(dlPrior,
+        DistinctLoop.pairTable(batch, Seq("event_type"), "user_id"))).count())
+    p("distinct_fold_10pct", tDlFold, s"pair_rows=$dlRows")
 
     spark.stop()
   }
