@@ -91,8 +91,9 @@ object Pipelines {
   /** Span-level exact dedup decisions (q92 semantics): boilerplate shared
     * INSIDE otherwise-distinct documents, at `spanWords` granularity. */
   def spanDuplicates(docs: DataFrame, id: Column, text: Column,
-                     spanWords: Int = 20): DataFrame =
-    DedupOps.spanDedup(docs, id, text, spanWords)
+                     spanWords: Int = 20, salts: Int = 0,
+                     hotSpans: Seq[String] = Nil): DataFrame =
+    DedupOps.spanDedup(docs, id, text, spanWords, salts, hotSpans)
 
   /** REAL image decode → pooled-RGB feature vectors (JDK ImageIO — no
     * external codec libraries). Undecodable assets are row-absent; audit
