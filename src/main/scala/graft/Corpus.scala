@@ -1675,11 +1675,11 @@ from j order by event_id limit 300"""),
       """select p_partkey, t.a, cast(t.b as bigint) b
  from (select p_partkey, arrays_zip(split(p_name, ' '), array(1, 2, 3)) zs from part) s
  lateral view inline(zs) t as a, b
- order by p_partkey, b limit 300""",
+ order by p_partkey, b asc nulls first limit 300""",
       """select s.p_partkey, u.z[1] a, cast(u.z[2] as bigint) b
  from (select p_partkey, list_zip(string_split(p_name, ' '), [1, 2, 3]) zs from part) s,
  lateral (select unnest(s.zs) z) u
- order by p_partkey, b limit 300"""),
+ order by p_partkey, b asc nulls first limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

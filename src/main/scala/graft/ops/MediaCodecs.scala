@@ -462,10 +462,10 @@ object MediaCodecs {
         case _ =>
       }
       // Long arithmetic: a malformed/adversarial 32-bit chunk size must
-      // not wrap Int and stall or reverse the walk (probe posture: give
-      // up on nonsense, never loop or throw).
+      // not wrap Int and stall or reverse the walk. sz is unsigned here,
+      // so every iteration advances by at least the 8-byte header — a
+      // legal zero-size chunk (encoder padding) just walks on.
       off = p.toLong + sz + (sz & 1L)
-      if (off <= p) return None
     }
     None
   }

@@ -89,8 +89,23 @@ object SkewOps {
                     hotKeys: Seq[Any], saltBy: Seq[Column] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(hotKeys.nonEmpty, "no hot keys — use a plain join")
-    val isHot = col(key).isin(hotKeys: _*)
-    saltedJoin(fact.where(isHot), dim.where(isHot), key, salts, saltBy)
-      .unionByName(fact.where(!isHot).join(dim.where(!isHot), key))
+    // Single-pass form, NOT filter-split-union: a split would evaluate
+    // each input's whole upstream twice (and the differing filters defeat
+    // ReuseExchange — in spanDedup that upstream is the corpus-wide
+    // explode). Cold rows ride salt bucket 0; hot fact rows spread by
+    // content, hot dim rows alone explode all buckets.
+    val salted = fact.withColumn(saltCol,
+      when(fact(key).isin(hotKeys: _*), saltExpr(fact, saltBy, salts))
+        .otherwise(lit(0)))
+    val exploded = dim
+      .withColumn(saltCol, explode(
+        when(dim(key).isin(hotKeys: _*), sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))))
+      .withColumnRenamed(key, s"${key}__dim")
+    salted
+      .join(exploded,
+        salted(key) === exploded(s"${key}__dim") &&
+          salted(saltCol) === exploded(saltCol))
+      .drop(saltCol).drop(s"${key}__dim")
   }
 }

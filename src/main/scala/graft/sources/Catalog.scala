@@ -108,15 +108,11 @@ object Catalog {
     // CREATE IF NOT EXISTS is a silent no-op over a pre-existing entry —
     // verify the catalog location matches the argument or the stats (and
     // the returned frame) would silently describe the OLD path (same
-    // hazard Bucketed.register guards).
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-    def norm(u: java.net.URI) =
-      java.nio.file.Paths.get(u.getPath).normalize.toString.replaceAll("/+$", "")
-    val (catLoc, argLoc) = (norm(meta.location), norm(new java.io.File(path).getAbsoluteFile.toURI))
-    require(catLoc == argLoc,
-      s"table `$tableName` already registered at $catLoc, not $argLoc — DROP TABLE " +
-        "(or use a per-run table name) before re-registering a moved dataset")
+    // hazard Bucketed.register guards; shared scheme-aware comparison in
+    // CatalogGuard so s3://...-style cluster URIs work too).
+    CatalogGuard.requireLocation(spark, tableName, path)
+    require(analyzeColumns.forall(!_.contains("`")),
+      s"illegal column name in analyzeColumns: ${analyzeColumns.mkString(", ")}")
     spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS")
     if (analyzeColumns.nonEmpty)
       spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS FOR COLUMNS " +

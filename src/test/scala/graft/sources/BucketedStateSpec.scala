@@ -109,7 +109,7 @@ class BucketedStateSpec extends AnyFunSuite {
       val e1 = intercept[IllegalArgumentException] {
         Bucketed.register(spark, "reg_guard", dirB, "sigkey", 4)
       }
-      assert(e1.getMessage.contains("swapped"))
+      assert(e1.getMessage.contains("already registered"))
       // Different bucket spec under the same name must throw too.
       val e2 = intercept[IllegalArgumentException] {
         Bucketed.register(spark, "reg_guard", dirA, "sigkey", 8)
