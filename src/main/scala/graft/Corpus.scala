@@ -1680,6 +1680,33 @@ from j order by event_id limit 300"""),
  from (select p_partkey, list_zip(string_split(p_name, ' '), [1, 2, 3]) zs from part) s,
  lateral (select unnest(s.zs) z) u
  order by p_partkey, b asc nulls first limit 300"""),
+
+    // Calendar-distance conventions (round 6): month/year distances have
+    // TWO conventions and the engines' builtins picked OPPOSITE ones —
+    // measured: Spark timestampdiff(MONTH, Jan31, Feb1) = 0 (FULL
+    // intervals elapsed) while DuckDB date_diff('month', ...) = 1
+    // (BOUNDARY crossings); same split at YEAR. Neither builtin can be
+    // translated to the other blindly. The declared form pins the
+    // BOUNDARY convention via explicit shared arithmetic (year/month
+    // extraction), exercised in both directions; day-level distance
+    // (where the engines agree) is q25/q38's datediff family.
+    q2("q146_calendar_distance",
+      """select o_orderkey,
+ cast((year(df) - year(o_orderdate)) * 12 + (month(df) - month(o_orderdate)) as bigint) bm_fwd,
+ cast(year(df) - year(o_orderdate) as bigint) by_fwd,
+ cast((year(o_orderdate) - year(db)) * 12 + (month(o_orderdate) - month(db)) as bigint) bm_back
+ from (select o_orderkey, cast(o_orderdate as date) o_orderdate,
+   date_add(cast(o_orderdate as date), 45) df,
+   date_add(cast(o_orderdate as date), -100) db from orders) s
+ order by o_orderkey limit 300""",
+      """select o_orderkey,
+ cast((year(df) - year(o_orderdate)) * 12 + (month(df) - month(o_orderdate)) as bigint) bm_fwd,
+ cast(year(df) - year(o_orderdate) as bigint) by_fwd,
+ cast((year(o_orderdate) - year(db)) * 12 + (month(o_orderdate) - month(db)) as bigint) bm_back
+ from (select o_orderkey, cast(o_orderdate as date) o_orderdate,
+   cast(o_orderdate as date) + 45 df,
+   cast(o_orderdate as date) - 100 db from orders) s
+ order by o_orderkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1025,6 +1025,23 @@ object DfQueries {
         .orderBy(col("p_partkey"), col("b").asc_nulls_first).limit(300)
     },
 
+    "q146_calendar_distance" -> { (s, _) =>
+      // Boundary-convention month/year distances via explicit extraction
+      // arithmetic — the builtins disagree (corpus note), the arithmetic
+      // cannot.
+      val base = t(s, "orders").select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        date_add(col("o_orderdate").cast("date"), 45).as("df"),
+        date_add(col("o_orderdate").cast("date"), -100).as("db"))
+      base.select(col("o_orderkey"),
+          ((year(col("df")) - year(col("o_orderdate"))) * 12 +
+            (month(col("df")) - month(col("o_orderdate")))).cast("long").as("bm_fwd"),
+          (year(col("df")) - year(col("o_orderdate"))).cast("long").as("by_fwd"),
+          ((year(col("o_orderdate")) - year(col("db"))) * 12 +
+            (month(col("o_orderdate")) - month(col("db")))).cast("long").as("bm_back"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
