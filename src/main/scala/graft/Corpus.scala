@@ -1707,6 +1707,20 @@ from j order by event_id limit 300"""),
    cast(o_orderdate as date) + 45 df,
    cast(o_orderdate as date) - 100 db from orders) s
  order by o_orderkey limit 300"""),
+
+    // DISCRETE percentiles (round 6): percentile_disc picks an ACTUAL
+    // element (the first whose cumulative distribution reaches the
+    // fraction) where q46/q107's percentile_cont interpolates a value
+    // that may exist in no row — the distribution-summary convention
+    // split, under the shared ANSI WITHIN GROUP spelling (measured
+    // value-identical both engines). Rounding is inert here (elements
+    // are exact fixture values) but kept per the H2/H3 house render.
+    q("q147_percentile_disc",
+      """select o_orderstatus,
+ round(cast(percentile_disc(0.25) within group (order by o_totalprice) as double), 2) p25,
+ round(cast(percentile_disc(0.5) within group (order by o_totalprice) as double), 2) p50,
+ round(cast(percentile_disc(0.9) within group (order by o_totalprice) as double), 2) p90
+ from orders group by o_orderstatus order by o_orderstatus"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

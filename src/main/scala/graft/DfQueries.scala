@@ -1042,6 +1042,17 @@ object DfQueries {
         .orderBy("o_orderkey").limit(300)
     },
 
+    "q147_percentile_disc" -> { (s, _) =>
+      // WITHIN GROUP is SQL-only syntax — expr() like q107; disc picks an
+      // actual element where cont interpolates.
+      t(s, "orders").groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile_disc(0.25) within group (order by o_totalprice)").cast("double"), 2).as("p25"),
+          round(expr("percentile_disc(0.5) within group (order by o_totalprice)").cast("double"), 2).as("p50"),
+          round(expr("percentile_disc(0.9) within group (order by o_totalprice)").cast("double"), 2).as("p90"))
+        .orderBy("o_orderstatus")
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
