@@ -1721,6 +1721,20 @@ from j order by event_id limit 300"""),
  round(cast(percentile_disc(0.5) within group (order by o_totalprice) as double), 2) p50,
  round(cast(percentile_disc(0.9) within group (order by o_totalprice) as double), 2) p90
  from orders group by o_orderstatus order by o_orderstatus"""),
+
+    // Concatenation NULL conventions (round 6) — measured three ways:
+    // `||` null-POISONS in both engines (ANSI), concat_ws SKIPS nulls in
+    // both, but bare concat() SPLITS — Spark poisons, DuckDB skips
+    // ('a'||NULL||'b' is NULL everywhere; concat('a',NULL,'b') is NULL in
+    // Spark and 'ab' in DuckDB) — so portable SQL uses || or concat_ws
+    // and NEVER bare concat over nullables. The declared forms are the
+    // two agreeing spellings over a real nullable; same text both
+    // engines.
+    q("q148_concat_null",
+      """select p_partkey,
+ p_name || '-' || nullif(p_type, 'PROMO') pipe,
+ concat_ws('/', p_name, nullif(p_type, 'PROMO'), p_type) ws
+ from part order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

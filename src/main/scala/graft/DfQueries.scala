@@ -1053,6 +1053,16 @@ object DfQueries {
         .orderBy("o_orderstatus")
     },
 
+    "q148_concat_null" -> { (s, _) =>
+      // concat() null-poisons in Spark (so it IS the || twin here) but
+      // skips nulls in DuckDB — the corpus declares only the two
+      // spellings whose conventions agree (corpus note).
+      t(s, "part").select(col("p_partkey"),
+          concat(col("p_name"), lit("-"), nullif(col("p_type"), lit("PROMO"))).as("pipe"),
+          concat_ws("/", col("p_name"), nullif(col("p_type"), lit("PROMO")), col("p_type")).as("ws"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
