@@ -1735,6 +1735,24 @@ from j order by event_id limit 300"""),
  p_name || '-' || nullif(p_type, 'PROMO') pipe,
  concat_ws('/', p_name, nullif(p_type, 'PROMO'), p_type) ws
  from part order by p_partkey limit 300"""),
+
+    // LIKE ESCAPE + safe element access (round 6). The ANSI escape
+    // clause is textually shared (measured: '!'-escaped literal %
+    // matches agree). Element access: Spark's try_element_at ≡ DuckDB's
+    // brackets — BOTH return NULL out-of-bounds and index from the END
+    // on negatives (measured) — while Spark's bare element_at THROWS
+    // out-of-bounds under ANSI: the safe spelling is the portable one.
+    q2("q149_like_escape_element",
+      """select p_partkey,
+ concat_ws('%', p_name, p_type) like '%!%PROMO' escape '!' m,
+ try_element_at(split(p_name, ' '), -1) lastw,
+ try_element_at(split(p_name, ' '), 5) oob
+ from part order by p_partkey limit 300""",
+      """select p_partkey,
+ concat_ws('%', p_name, p_type) like '%!%PROMO' escape '!' m,
+ (string_split(p_name, ' '))[-1] lastw,
+ (string_split(p_name, ' '))[5] oob
+ from part order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1063,6 +1063,17 @@ object DfQueries {
         .orderBy("p_partkey").limit(300)
     },
 
+    "q149_like_escape_element" -> { (s, _) =>
+      // ANSI LIKE ... ESCAPE has no Column-API form — expr() carries the
+      // clause; try_element_at is the ANSI-safe access (bare element_at
+      // throws out-of-bounds under ANSI).
+      t(s, "part").select(col("p_partkey"),
+          expr("concat_ws('%', p_name, p_type) like '%!%PROMO' escape '!'").as("m"),
+          try_element_at(split(col("p_name"), " "), lit(-1)).as("lastw"),
+          try_element_at(split(col("p_name"), " "), lit(5)).as("oob"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
