@@ -1753,6 +1753,22 @@ from j order by event_id limit 300"""),
  (string_split(p_name, ' '))[-1] lastw,
  (string_split(p_name, ' '))[5] oob
  from part order by p_partkey limit 300"""),
+
+    // Array quantifier HOFs (round 6): ∃/∀ over token arrays — the
+    // any-flagged-token / all-tokens-valid gate every curation filter
+    // runs. Spark has native exists/forall; DuckDB lowers them to
+    // list_filter cardinality (∀ via the de-Morgan complement count —
+    // NOT p matching nothing). Empty-array conventions agree through the
+    // lowering: ∃ false, ∀ true.
+    q2("q150_array_quantifiers",
+      """select doc_id,
+ exists(split(text, ' '), w -> length(w) > 8) has_long,
+ forall(split(text, ' '), w -> length(w) > 2) all_gt2
+ from documents order by doc_id limit 300""",
+      """select doc_id,
+ len(list_filter(string_split(text, ' '), w -> length(w) > 8)) > 0 has_long,
+ len(list_filter(string_split(text, ' '), w -> not (length(w) > 2))) = 0 all_gt2
+ from documents order by doc_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1074,6 +1074,15 @@ object DfQueries {
         .orderBy("p_partkey").limit(300)
     },
 
+    "q150_array_quantifiers" -> { (s, _) =>
+      // Native ∃/∀ HOFs — pure projection, no shuffle; the curation
+      // gate shape (any flagged token / all tokens valid).
+      t(s, "documents").select(col("doc_id"),
+          exists(split(col("text"), " "), w => length(w) > 8).as("has_long"),
+          forall(split(col("text"), " "), w => length(w) > 2).as("all_gt2"))
+        .orderBy("doc_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
