@@ -1758,16 +1758,24 @@ from j order by event_id limit 300"""),
     // any-flagged-token / all-tokens-valid gate every curation filter
     // runs. Spark has native exists/forall; DuckDB lowers them to
     // list_filter cardinality (∀ via the de-Morgan complement count —
-    // NOT p matching nothing). Empty-array conventions agree through the
-    // lowering: ∃ false, ∀ true.
+    // NOT p matching nothing). Thresholds chosen so BOTH branches fire
+    // in the hashed window (fixture token lengths reach exactly 8 — a
+    // > 8 predicate would be constant-false and pin nothing). The
+    // empty-array conventions (∃ false, ∀ true) are declared explicitly
+    // over a slice-built [] — constant BY DESIGN, like q139's
+    // empty-input aggregation row.
     q2("q150_array_quantifiers",
       """select doc_id,
- exists(split(text, ' '), w -> length(w) > 8) has_long,
- forall(split(text, ' '), w -> length(w) > 2) all_gt2
+ exists(split(text, ' '), w -> length(w) > 7) has_long,
+ forall(split(text, ' '), w -> length(w) > 2) all_gt2,
+ exists(slice(split(text, ' '), 2, 0), w -> length(w) > 0) ex_empty,
+ forall(slice(split(text, ' '), 2, 0), w -> length(w) > 0) fa_empty
  from documents order by doc_id limit 300""",
       """select doc_id,
- len(list_filter(string_split(text, ' '), w -> length(w) > 8)) > 0 has_long,
- len(list_filter(string_split(text, ' '), w -> not (length(w) > 2))) = 0 all_gt2
+ len(list_filter(string_split(text, ' '), w -> length(w) > 7)) > 0 has_long,
+ len(list_filter(string_split(text, ' '), w -> not (length(w) > 2))) = 0 all_gt2,
+ len(list_filter((string_split(text, ' '))[2:1], w -> length(w) > 0)) > 0 ex_empty,
+ len(list_filter((string_split(text, ' '))[2:1], w -> not (length(w) > 0))) = 0 fa_empty
  from documents order by doc_id limit 300"""),
   )
 

@@ -1076,10 +1076,16 @@ object DfQueries {
 
     "q150_array_quantifiers" -> { (s, _) =>
       // Native ∃/∀ HOFs — pure projection, no shuffle; the curation
-      // gate shape (any flagged token / all tokens valid).
+      // gate shape (any flagged token / all tokens valid) with both
+      // branches live in the window, plus the empty-array conventions
+      // over a slice-built [] (corpus note).
+      val ws = split(col("text"), " ")
+      val empty = slice(ws, 2, 0)
       t(s, "documents").select(col("doc_id"),
-          exists(split(col("text"), " "), w => length(w) > 8).as("has_long"),
-          forall(split(col("text"), " "), w => length(w) > 2).as("all_gt2"))
+          exists(ws, w => length(w) > 7).as("has_long"),
+          forall(ws, w => length(w) > 2).as("all_gt2"),
+          exists(empty, w => length(w) > 0).as("ex_empty"),
+          forall(empty, w => length(w) > 0).as("fa_empty"))
         .orderBy("doc_id").limit(300)
     },
 
