@@ -1,9 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
-
-import scala.util.Using
-
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,12 +40,18 @@ final case class ColumnPoints(column: String, values: Seq[Any]) extends FilePred
   * `min > hi`; missing/all-null stats keep the file), and [[prunedRead]]
   * re-applies the row-level predicate to the survivors.
   *
-  * LOCAL-FILESYSTEM staleness guard, like [[Maintenance]]: a manifest
-  * describes one immutable snapshot of the directory; [[prunedRead]]
-  * refuses to plan from a manifest whose file set no longer matches the
-  * directory (a file added or compacted away after [[collect]] would
-  * otherwise be silently skipped — the failure mode transaction logs
-  * exist to prevent). Note an UN-persisted manifest is lazily
+  * Staleness guard, like [[Maintenance]] (both walk through the Hadoop
+  * `FileSystem` API via [[LakeFs]], so `file:`/`hdfs://`/`s3a://`
+  * locations all work): a manifest describes one immutable snapshot of
+  * the directory; [[prunedRead]] refuses to plan from a manifest whose
+  * file set no longer matches the directory (a file added or compacted
+  * away after [[collect]] would otherwise be silently skipped — the
+  * failure mode transaction logs exist to prevent). File identity is the
+  * NORMALIZED FULL PATH ([[LakeFs.normPath]]), never the basename: one
+  * dynamic-partition write emits identical `part-NNNNN-<uuid>` basenames
+  * into every partition subdirectory, so basename joins silently
+  * cross-multiply manifest rows on `batch=N/...` layouts. Note an
+  * UN-persisted manifest is lazily
   * re-evaluated by Spark and so re-lists the directory at use time —
   * always fresh, never stale; [[writeManifest]] is what turns it into
   * the durable snapshot the guard protects.
@@ -89,22 +91,29 @@ object FileStats {
 
   /** Full-outer-join `stats` against the file listing so files the
     * aggregation never saw (zero rows) still get a manifest row. The
-    * join is on basename: `input_file_name` yields `file:` URIs while
-    * the walk yields plain paths, but part-file names carry a UUID. */
+    * join is on the NORMALIZED FULL PATH (`input_file_name` yields
+    * `file:///x`-style URIs while the Hadoop walk yields `file:/x` —
+    * [[LakeFs.normPath]] reconciles the spellings): basenames are NOT
+    * unique across partition subdirectories, so a basename join would
+    * cross-multiply manifest rows on a partitioned layout. */
   private def withAllFiles(spark: SparkSession, stats: DataFrame,
                            paths: Seq[String], cols: Seq[String]): DataFrame = {
     import spark.implicits._
     val listed = paths.toDF("__disk_file")
-    val base = (c: Column) => substring_index(c, "/", -1)
     val outCols: Seq[Column] =
       coalesce(col("file"), col("__disk_file")).as("file") +:
       coalesce(col("n_rows"), lit(0L)).as("n_rows") +:
       cols.flatMap(c => Seq(
         col(minCol(c)), col(maxCol(c)),
         coalesce(col(nullCol(c)), lit(0L)).as(nullCol(c))))
-    stats.join(listed, base(col("file")) === base(col("__disk_file")), "full_outer")
+    stats.join(listed,
+        normPathCol(col("file")) === normPathCol(col("__disk_file")), "full_outer")
       .select(outCols: _*)
   }
+
+  /** Column twin of [[LakeFs.normPath]] — keep the two rules identical. */
+  private def normPathCol(c: Column): Column =
+    regexp_replace(regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:", ""), "^/+", "/")
 
   /** Incrementally extend a manifest after files were APPENDED to `dir`:
     * stat ONLY the files the manifest doesn't cover and union them in —
@@ -117,12 +126,13 @@ object FileStats {
   def update(spark: SparkSession, dir: String, manifest: DataFrame,
              cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one stats column required")
-    val known = manifest.select("file").collect().map(r => basename(r.getString(0))).toSet
-    val gone = known -- diskBasenames(dir)
+    val known = manifest.select("file").collect()
+      .map(r => LakeFs.normPath(r.getString(0))).toSet
+    val gone = known -- diskPaths(dir)
     require(gone.isEmpty,
       s"${gone.size} manifest file(s) no longer on disk — the directory was " +
         "rewritten, not appended; re-run FileStats.collect")
-    val newPaths = walkParquet(dir).filterNot(p => known.contains(basename(p)))
+    val newPaths = walkParquet(dir).filterNot(p => known.contains(LakeFs.normPath(p)))
     if (newPaths.isEmpty) manifest
     else manifest.unionByName(withAllFiles(spark,
       statsOf(spark.read.parquet(newPaths: _*), cols), newPaths, cols))
@@ -167,35 +177,20 @@ object FileStats {
     manifest.where(survives(preds)).select("file")
       .collect().map(_.getString(0)).toSeq.sorted
 
-  /** The parquet data files under `dir`, full paths, via one walk. Files
-    * under underscore/dot-prefixed directories are skipped — Spark's
-    * reader hides those (e.g. a sibling `_stats` manifest dir), so
-    * neither the manifest nor the staleness comparison may see them. */
-  private def walkParquet(dir: String): Seq[String] = {
-    val root = Paths.get(dir)
-    Using.resource(Files.walk(root)) { walk =>
-      val it = walk.filter(Files.isRegularFile(_: Path)).iterator()
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val p = it.next()
-        val rel = root.relativize(p)
-        val hidden = (0 until rel.getNameCount - 1).exists { i =>
-          val seg = rel.getName(i).toString
-          seg.startsWith("_") || seg.startsWith(".")
-        }
-        val n = p.getFileName.toString
-        if (!hidden && n.endsWith(".parquet")) b += p.toString
-      }
-      b.result()
-    }
-  }
+  /** The parquet data files under `dir` — fully-qualified scheme-carrying
+    * paths via ONE Hadoop [[LakeFs.listFiles]] walk, so `file:`, `hdfs://`
+    * and `s3a://` locations all work. Files under underscore/dot-prefixed
+    * directories are skipped — Spark's reader hides those (e.g. a sibling
+    * `_stats` manifest dir), so neither the manifest nor the staleness
+    * comparison may see them. */
+  private def walkParquet(dir: String): Seq[String] =
+    LakeFs.listFiles(dir, skipHiddenDirs = true)
+      .collect { case (p, _) if p.endsWith(".parquet") => p }
 
-  /** File basenames currently on disk (part-file names carry a UUID, so
-    * basenames identify files across `file:` URI spellings). */
-  private def diskBasenames(dir: String): Set[String] =
-    walkParquet(dir).map(basename).toSet
-
-  private def basename(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+  /** Normalized full paths currently on disk ([[LakeFs.normPath]]
+    * reconciles `file:///x` vs `file:/x` vs bare `/x` spellings). */
+  private def diskPaths(dir: String): Set[String] =
+    walkParquet(dir).map(LakeFs.normPath).toSet
 
   /** Read `dir` scheduling ONLY files whose stats admit `bounds`, with the
     * residual row predicate applied. Refuses a stale manifest. The
@@ -213,15 +208,16 @@ object FileStats {
     // three counters, not the whole manifest. (The disk listing itself is
     // driver-side O(files), but that is exactly what Spark's own file
     // index materializes for any scan, so it adds no new posture.)
-    val onDisk = diskBasenames(dir)
-    val diskDf = broadcast(onDisk.toSeq.toDF("__base")
+    val onDisk = diskPaths(dir)
+    val diskDf = broadcast(onDisk.toSeq.toDF("__norm")
       .withColumn("__on_disk", lit(true)))
-    val base = substring_index(col("file"), "/", -1).as("__base")
-    val row = manifest.select(col("file"), survives(bounds).as("keep"), base)
-      .join(diskDf, Seq("__base"), "left")
+    val row = manifest
+      .select(col("file"), survives(bounds).as("keep"),
+        normPathCol(col("file")).as("__norm"))
+      .join(diskDf, Seq("__norm"), "left")
       .agg(
-        countDistinct(col("__base")).as("m_distinct"),
-        countDistinct(when(col("__on_disk"), col("__base"))).as("m_matched"),
+        countDistinct(col("__norm")).as("m_distinct"),
+        countDistinct(when(col("__on_disk"), col("__norm"))).as("m_matched"),
         sort_array(collect_list(when(col("keep"), col("file")))).as("files"))
       .head()
     val (mDistinct, mMatched) = (row.getLong(0), row.getLong(1))

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-`FileSystem` access for the lake tooling ([[FileStats]],
+  * [[Maintenance]], [[graft.streaming.VersionedState]]). The 100 TB
+  * regime those features exist for lives on object storage, so every
+  * walk/list/size goes through `org.apache.hadoop.fs.FileSystem` — the
+  * same abstraction Spark's own scans use — never `java.nio`: a bare
+  * local path, a `file:` URI, and an `s3a://`/`hdfs://` URI all resolve
+  * to the filesystem their scheme names, with the active session's
+  * Hadoop configuration (credentials, endpoints) applied.
+  */
+private[graft] object LakeFs {
+
+  /** The active session's Hadoop conf (S3 credentials, endpoints, ...);
+    * a bare default when no session exists yet (pure-path helpers). */
+  def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** Resolve a path or URI to its filesystem and fully-qualified path. */
+  def resolve(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hadoopConf)
+    (fs, fs.makeQualified(p))
+  }
+
+  /** All regular files under `dir` (recursive), optionally skipping files
+    * under underscore/dot-prefixed SUBdirectories — Spark's reader hides
+    * those (`_stats`, `.checkpoint`), so listings that feed staleness
+    * comparisons must hide them too. Returns fully-qualified
+    * scheme-carrying paths. */
+  def listFiles(dir: String, skipHiddenDirs: Boolean): Seq[(String, Long)] = {
+    val (fs, root) = resolve(dir)
+    if (!fs.exists(root)) return Nil
+    val rootPrefix = root.toString.stripSuffix("/") + "/"
+    val it = fs.listFiles(root, true)
+    val b = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toString
+      val hidden = skipHiddenDirs && {
+        val rel = full.stripPrefix(rootPrefix)
+        val segs = rel.split('/')
+        segs.dropRight(1).exists(s => s.startsWith("_") || s.startsWith("."))
+      }
+      if (!hidden) b += ((full, st.getLen))
+    }
+    b.result()
+  }
+
+  /** Normalize a file path/URI string for identity comparison across the
+    * spellings the same file takes on: `input_file_name()` renders
+    * `file:///x`, a Hadoop walk renders `file:/x`, a caller may pass a
+    * bare `/x`. Rule: drop the scheme, collapse leading slashes — applied
+    * identically to both sides of any comparison, so `s3a://bucket/k`
+    * (→ `/bucket/k`) still cannot collide with a DIFFERENT bucket or
+    * key. Percent-escaped paths (a space in a directory name) are NOT
+    * decoded; a mismatch surfaces as a loud staleness error, never as a
+    * silent wrong join. */
+  def normPath(s: String): String =
+    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:", "").replaceFirst("^/+", "/")
+}
