@@ -75,6 +75,11 @@ object Bucketed {
     * layout) THROWS instead of silently serving the stale table. */
   def register(spark: SparkSession, table: String, path: String,
                bucketCol: String, buckets: Int): DataFrame = {
+    // The DDL below interpolates both names inside backtick quoting —
+    // reject embedded backticks so neither can break out of its
+    // identifier (same guard Catalog.registerAnalyzed applies).
+    require(!table.contains("`"), s"illegal table name: $table")
+    require(!bucketCol.contains("`"), s"illegal bucket column name: $bucketCol")
     val schema = spark.read.parquet(path).schema.toDDL
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS `$table` ($schema)
@@ -84,9 +89,11 @@ object Bucketed {
     CatalogGuard.requireLocation(spark, table, path)
     val spec = CatalogGuard.metadata(spark, table).bucketSpec
     require(spec.exists(s => s.numBuckets == buckets &&
-        s.bucketColumnNames == Seq(bucketCol)),
+        s.bucketColumnNames == Seq(bucketCol) &&
+        s.sortColumnNames == Seq(bucketCol)),
       s"table `$table` already registered with bucket spec ${spec.orNull}, " +
-        s"not ($buckets buckets on `$bucketCol`) — DROP TABLE first")
+        s"not ($buckets buckets on `$bucketCol` sorted by `$bucketCol`) — " +
+        "DROP TABLE first")
     spark.table(table)
   }
 }

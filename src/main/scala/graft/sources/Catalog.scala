@@ -92,13 +92,17 @@ object Catalog {
     * the stats-bearing table is registered as `<name>__files` and `name`
     * becomes a temp view applying the ingest rewrite — scans under the
     * view still carry the catalog stats (a view is just a plan alias).
-    * Stats are a SNAPSHOT: re-run after appends/rewrites (Spark does not
-    * auto-refresh them). */
+    * Stats are a SNAPSHOT: Spark does not auto-refresh them, and a stale
+    * "small" estimate broadcasts a no-longer-small side — call
+    * [[refreshStats]] after every append/rewrite of the location. */
   def registerAnalyzed(spark: SparkSession, name: String, path: String,
                        format: String = "parquet",
                        analyzeColumns: Seq[String] = Nil): DataFrame = {
     Graft.configure(spark)
     require(!name.contains("`"), s"illegal table name: $name")
+    // `format` is interpolated raw into the DDL (USING $format) — pin it
+    // to identifier shape so it cannot smuggle SQL into the statement.
+    require(format.matches("[A-Za-z0-9_.]+"), s"illegal format: $format")
     val observed = spark.read.format(format).load(path)
     val needsH1 = observed.schema.find(_.name == "ts").exists(_.dataType == LongType)
     val tableName = if (needsH1) s"${name}__files" else name
@@ -121,6 +125,38 @@ object Catalog {
       h1(spark.table(tableName)).createOrReplaceTempView(name)
       spark.table(name)
     } else spark.table(tableName)
+  }
+
+  /** Re-compute the catalog statistics of a [[registerAnalyzed]] table
+    * after its location grew (ManifestLoop/append-style folds) or was
+    * rewritten. Stats are a SNAPSHOT of one directory state: after an
+    * append the planner still sees the OLD row counts, and a stale
+    * "small" estimate broadcasts a no-longer-small side — at scale that
+    * is a driver/executor OOM, not a slowdown, which is WORSE than never
+    * having stats. So any loop that appends to an analyzed location must
+    * call this at its fold boundary (cheap relative to the fold: ANALYZE
+    * without column stats is a count-shaped scan of the new snapshot;
+    * pass the join/filter keys as `analyzeColumns` only when NDV/min/max
+    * staleness is also load-bearing).
+    *
+    * `REFRESH TABLE` first: Spark caches the file listing per table, so
+    * ANALYZE over the un-refreshed entry would re-scan the OLD file set
+    * and "refresh" the stats to the same stale numbers. Resolves the H1
+    * `<name>__files` indirection registerAnalyzed may have created. */
+  def refreshStats(spark: SparkSession, name: String,
+                   analyzeColumns: Seq[String] = Nil): Unit = {
+    require(!name.contains("`"), s"illegal table name: $name")
+    val tableName =
+      if (spark.catalog.tableExists(s"${name}__files")) s"${name}__files" else name
+    require(spark.catalog.tableExists(tableName),
+      s"no catalog table `$name` — registerAnalyzed it first")
+    spark.sql(s"REFRESH TABLE `$tableName`")
+    spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS")
+    require(analyzeColumns.forall(!_.contains("`")),
+      s"illegal column name in analyzeColumns: ${analyzeColumns.mkString(", ")}")
+    if (analyzeColumns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS FOR COLUMNS " +
+        analyzeColumns.map(c => s"`$c`").mkString(", "))
   }
 
   private val registeredKey = "spark.graft.catalog.dir"

@@ -53,6 +53,26 @@ private[graft] object LakeFs {
     b.result()
   }
 
+  /** Canonical fully-qualified form of `dir` for same-location guards
+    * (compact/zorder's never-in-place rule): resolve through the scheme's
+    * filesystem — `fs.resolvePath` when the path exists (symlinks
+    * resolved, the strongest identity the filesystem offers), otherwise
+    * qualification of a dot-segment-collapsed path, so `x/../t` and
+    * symlinked aliases of the same directory compare equal whether they
+    * live on `file:`, `hdfs://`, or `s3a://`. */
+  def canonical(dir: String): Path = {
+    val (fs, q) = resolve(dir)
+    try fs.resolvePath(q)
+    catch { case _: java.io.IOException =>
+      val segs = q.toUri.getPath.split('/').foldLeft(List.empty[String]) {
+        case (acc, "" | ".")     => acc
+        case (_ :: tail, "..")   => tail
+        case (acc, s)            => s :: acc
+      }.reverse
+      fs.makeQualified(new Path(segs.mkString("/", "/", "")))
+    }
+  }
+
   /** Normalize a file path/URI string for identity comparison across the
     * spellings the same file takes on: `input_file_name()` renders
     * `file:///x`, a Hadoop walk renders `file:/x`, a caller may pass a

@@ -1,9 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
-
-import scala.util.Using
-
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,13 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** Bytes of all regular files under `dir` (non-recursive data files +
-    * nested partition dirs; parquet layouts are at most a few levels). */
+  /** Bytes of all data files under `dir` (recursive — partition dirs
+    * included), listed through the Hadoop `FileSystem` API
+    * ([[LakeFs.listFiles]]) so local paths, `file:` URIs, and
+    * `hdfs://`/`s3a://` locations all size correctly. Files under
+    * underscore/dot-prefixed directories are skipped — Spark's reader
+    * would not scan them, so they must not inflate the sizing either. */
   private def dirBytes(dir: String): Long =
-    Using.resource(Files.walk(Paths.get(dir))) { walk =>
-      walk.filter(Files.isRegularFile(_: Path))
-        .mapToLong(Files.size(_: Path)).sum()
-    }
+    LakeFs.listFiles(dir, skipHiddenDirs = true).map(_._2).sum
 
   /** Number of output files [[compact]] would write for `dir`. */
   def plannedFiles(dir: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
@@ -29,19 +26,7 @@ object Maintenance {
     math.max(1, math.ceil(dirBytes(dir).toDouble / targetBytes).toInt)
   }
 
-  /** Resolve to a canonical absolute path for the in-place guard: real
-    * path (symlinks resolved) when the file exists, normalized absolute
-    * path (`x/../y` collapsed) otherwise. */
-  private def canonical(p: String): Path = {
-    val abs = Paths.get(p).toAbsolutePath.normalize
-    if (Files.exists(abs)) abs.toRealPath() else abs
-  }
-
   /** Compact a parquet directory into ~`targetBytes` files at `outDir`.
-    *
-    * LOCAL-FILESYSTEM ONLY: sizing walks `java.nio` paths, so `dir` must
-    * be a local directory (not an `hdfs://`/`s3://` URI — those fail the
-    * walk up front rather than mis-sizing).
     *
     * Sizing reads the CURRENT on-disk bytes (compressed), so the output
     * count is computed from real data, not row-count guesses. The rewrite
@@ -56,7 +41,7 @@ object Maintenance {
   def compact(spark: SparkSession, dir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024,
               shuffle: Boolean = true): DataFrame = {
-    require(canonical(outDir) != canonical(dir),
+    require(LakeFs.canonical(outDir) != LakeFs.canonical(dir),
       "compact never rewrites in place — write to a new directory and swap")
     val n = plannedFiles(dir, targetBytes)
     val df = spark.read.parquet(dir)
@@ -127,7 +112,7 @@ object Maintenance {
   def zorder(spark: SparkSession, dir: String, outDir: String,
              cols: Seq[String], files: Int,
              bitsPerCol: Int = 8): DataFrame = {
-    require(canonical(outDir) != canonical(dir),
+    require(LakeFs.canonical(outDir) != LakeFs.canonical(dir),
       "zorder never rewrites in place — write to a new directory and swap")
     require(cols.nonEmpty && files > 0, "need at least one column and one file")
     require(cols.size * bitsPerCol <= 63,

@@ -1,12 +1,11 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-import scala.util.Using
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
+
+import graft.sources.LakeFs
 
 /** The versioned-directory state store shared by the streaming state
   * loops ([[DedupLoop]], [[SketchLoop]]): `stateDir/v<N>` holds the state
@@ -15,25 +14,24 @@ import org.apache.spark.sql.types.StructType
   * batch N reads the latest valid version ≤ N, overwrites `v<N+1>`
   * (replay of an uncommitted batch rewrites it), and garbage-collects
   * versions older than the one it read — which no replay can need, since
-  * a replayed batch id is never below the current one. Local filesystem,
-  * like [[graft.sources.Maintenance]]. */
+  * a replayed batch id is never below the current one. All listing and
+  * deletion goes through the Hadoop `FileSystem` API ([[LakeFs]]), so the
+  * state dir may live on the local filesystem, `hdfs://`, or `s3a://` —
+  * the same stores the streams themselves checkpoint to. */
 private[streaming] object VersionedState {
 
   def versionPath(stateDir: String, v: Long): String = s"$stateDir/v$v"
 
   /** Versions with a `_SUCCESS` marker — complete, readable state. */
   def validVersions(stateDir: String): Seq[Long] = {
-    val root = Paths.get(stateDir)
-    if (!Files.isDirectory(root)) Nil
-    else Using.resource(Files.list(root)) { s =>
-      s.iterator().asScala
-        .flatMap { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
-              Files.exists(p.resolve("_SUCCESS"))) Some(n.drop(1).toLong)
-          else None
-        }
-        .toSeq
+    val (fs, root) = LakeFs.resolve(stateDir)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) Nil
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory &&
+          n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
+          fs.exists(new Path(st.getPath, "_SUCCESS"))) Some(n.drop(1).toLong)
+      else None
     }
   }
 
@@ -58,8 +56,8 @@ private[streaming] object VersionedState {
     * seed, but overwrites a `_SUCCESS`-less partial (a crash mid-seed
     * must not wedge the state dir until someone hand-deletes it). */
   def seed(df: DataFrame, stateDir: String): Unit = {
-    val p = Paths.get(versionPath(stateDir, 0L))
-    val partial = Files.exists(p) && !Files.exists(p.resolve("_SUCCESS"))
+    val (fs, p) = LakeFs.resolve(versionPath(stateDir, 0L))
+    val partial = fs.exists(p) && !fs.exists(new Path(p, "_SUCCESS"))
     df.write.mode(if (partial) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .parquet(versionPath(stateDir, 0L))
   }
@@ -72,10 +70,7 @@ private[streaming] object VersionedState {
   /** Delete valid versions strictly below `keepFrom`. */
   def gcBelow(stateDir: String, keepFrom: Long): Unit =
     validVersions(stateDir).filter(_ < keepFrom).foreach { v =>
-      val dir = Paths.get(versionPath(stateDir, v))
-      Using.resource(Files.walk(dir)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-      }
+      val (fs, p) = LakeFs.resolve(versionPath(stateDir, v))
+      fs.delete(p, true)
     }
 }
