@@ -89,11 +89,15 @@ object Pipelines {
     Ann.topKQuantizedIvf(probes, gallery, centroids, k)
 
   /** Span-level exact dedup decisions (q92 semantics): boilerplate shared
-    * INSIDE otherwise-distinct documents, at `spanWords` granularity. */
+    * INSIDE otherwise-distinct documents, at `spanWords` granularity.
+    * With `salts` and `autoHotMinCount`, corpus-wide boilerplate spans are
+    * auto-detected (count-min heavy hitters) and hot-key-salted — the
+    * measured skew mitigation with no caller-supplied hot list. */
   def spanDuplicates(docs: DataFrame, id: Column, text: Column,
                      spanWords: Int = 20, salts: Int = 0,
-                     hotSpans: Seq[String] = Nil): DataFrame =
-    DedupOps.spanDedup(docs, id, text, spanWords, salts, hotSpans)
+                     hotSpans: Seq[String] = Nil,
+                     autoHotMinCount: Long = 0L): DataFrame =
+    DedupOps.spanDedup(docs, id, text, spanWords, salts, hotSpans, autoHotMinCount)
 
   /** REAL image decode → pooled-RGB feature vectors (JDK ImageIO — no
     * external codec libraries). Undecodable assets are row-absent; audit

@@ -74,13 +74,25 @@ object DedupOps {
     * majority joins plain: `graft.SkewProbe` measured that full salting
     * replicates the whole keeper and loses 5× exactly in the
     * huge-keeper regime that needs salting at all — feed the hot list
-    * from [[SketchOps]]' count-min heavy hitters over the span relation. */
+    * from [[SketchOps]]' count-min heavy hitters over the span relation,
+    * or set `autoHotMinCount` and this does exactly that itself: spans
+    * occurring ≥ that many times corpus-wide are detected via the
+    * count-min pass (two extra narrow recomputes of the explode; the
+    * sketch pass ships only sketch bytes, the exact-count pass shuffles
+    * only candidate rows, and the driver holds at most
+    * |corpus spans| / autoHotMinCount hot texts) and salted — no caller
+    * clairvoyance required. */
   def spanDedup(docs: DataFrame, id: Column, text: Column,
                 spanWords: Int = 20, salts: Int = 0,
-                hotSpans: Seq[String] = Nil): DataFrame = {
+                hotSpans: Seq[String] = Nil,
+                autoHotMinCount: Long = 0L): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
     require(hotSpans.isEmpty || salts > 0,
       "hotSpans given but salts = 0 — the skew mitigation would silently not run")
+    require(autoHotMinCount == 0L || salts > 0,
+      "autoHotMinCount given but salts = 0 — the skew mitigation would silently not run")
+    require(hotSpans.isEmpty || autoHotMinCount == 0L,
+      "pass a known hotSpans list OR autoHotMinCount, not both")
     val l = split(text, " ")
     // Null id/text rows are excluded (the H13 degenerate-row posture: a
     // null would poison the keeper key / vanish via posexplode anyway);
@@ -94,10 +106,19 @@ object DedupOps {
     val keyed = spans.select(col("doc_id"), col("span_no"), col("span"),
       (col("doc_id") * 1000 + col("span_no")).as("k"))
     val keeper = keyed.groupBy("span").agg(min("k").as("kk"))
+    val hot: Seq[String] =
+      if (autoHotMinCount > 0L)
+        SketchOps.heavyHitters(spans.select("span"), "span", autoHotMinCount)
+          .select("span").collect().map(_.getString(0)).toSeq
+      else hotSpans
     val joined =
-      if (salts > 0 && hotSpans.nonEmpty)
-        SkewOps.saltedJoinHot(keyed, keeper, "span", salts, hotSpans)
-      else if (salts > 0) SkewOps.saltedJoin(keyed, keeper, "span", salts)
+      if (salts > 0 && hot.nonEmpty)
+        SkewOps.saltedJoinHot(keyed, keeper, "span", salts, hot)
+      else if (salts > 0 && autoHotMinCount == 0L)
+        SkewOps.saltedJoin(keyed, keeper, "span", salts)
+      // Auto mode that found nothing hot joins PLAIN: falling through to
+      // full salting would replicate the whole keeper — the measured 5×
+      // loss the hot-only path exists to avoid.
       else keyed.join(keeper, "span")
     joined
       .select(col("doc_id"), col("span_no"),

@@ -209,6 +209,25 @@ class PlanSpec extends AnyFunSuite {
       val hotOnly = graft.ops.DedupOps.spanDedup(docs, col("doc_id"), col("text"),
         salts = 8, hotSpans = Seq(hot))
       assert(canon(hotOnly) == canon(plain))
+
+      // Auto-detection: the count-min heavy-hitter pass finds the 4000×
+      // boilerplate span itself and routes through the hot-only salted
+      // join — same decisions, and the detected span text is visible in
+      // the salted plan's isin predicate (proof the route was taken).
+      val auto = graft.ops.DedupOps.spanDedup(docs, col("doc_id"), col("text"),
+        salts = 8, autoHotMinCount = 1000L)
+      assert(canon(auto) == canon(plain))
+      val pAuto = executed(auto).toString
+      assert(pAuto.contains("__graft_salt") && pAuto.contains(hot),
+        s"auto mode did not route through the hot-only salted join:\n$pAuto")
+
+      // Auto mode that detects nothing hot joins PLAIN (full salting is
+      // the measured 5× loss in exactly this huge-keeper regime).
+      val autoCold = graft.ops.DedupOps.spanDedup(docs, col("doc_id"), col("text"),
+        salts = 8, autoHotMinCount = 100000L)
+      assert(canon(autoCold) == canon(plain))
+      assert(!executed(autoCold).toString.contains("__graft_salt"),
+        "nothing-hot auto mode must not salt at all")
     } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 

@@ -124,6 +124,14 @@ class OpsSpec extends AnyFunSuite {
     // Unique tails never dup.
     val tails = out.where(col("doc_id") % 2 === 0 && col("span_no") === 1)
     assert(tails.where(col("is_dup")).count() == 0)
+    // Auto hot-span detection (count-min heavy hitters → hot-only salted
+    // join) reaches identical decisions with no caller-supplied hot list.
+    val auto = DedupOps.spanDedup(docs, col("doc_id"), col("text"), 20,
+      salts = 4, autoHotMinCount = 500L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(auto) == canon(out))
   }
 
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
