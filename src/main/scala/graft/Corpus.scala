@@ -1777,6 +1777,38 @@ from j order by event_id limit 300"""),
  len(list_filter((string_split(text, ' '))[2:1], w -> length(w) > 0)) > 0 ex_empty,
  len(list_filter((string_split(text, ' '))[2:1], w -> not (length(w) > 0))) = 0 fa_empty
  from documents order by doc_id limit 300"""),
+
+    // to_json struct render (round 7): q140's inverse — typed struct /
+    // array / nested struct → canonical JSON text, the manifest/metadata
+    // emission every pipeline does daily. Both engines render compact
+    // (no spaces), keys in struct declaration order, standard "/\
+    // escaping (probed on DuckDB 1.0.0; the `esc` field pins it via
+    // chr() so the SQL literal dialects can't diverge). NULL fields:
+    // Spark DROPS them by default — ignoreNullFields=false declared
+    // explicitly to match DuckDB's "opt":null, with both branches of
+    // the CASE live in the hashed window. Ints only inside the document
+    // (float rendering differs; the q140 discipline). `rt` closes the
+    // loop: render → path-extract returns the original value.
+    q2("q151_to_json_render",
+      """select event_id,
+ to_json(named_struct(
+   'id', user_id,
+   'tags', array(event_type, 'x'),
+   'meta', named_struct('d', event_id % 7),
+   'opt', case when event_id % 5 = 0 then cast(null as bigint) else event_id end,
+   'esc', concat(event_type, chr(34), chr(92))),
+   map('ignoreNullFields', 'false')) js,
+ get_json_object(to_json(named_struct('id', user_id, 'tags', array(event_type))), '$.tags[0]') rt
+ from events order by event_id limit 300""",
+      """select event_id,
+ cast(to_json(struct_pack(
+   id := user_id,
+   tags := [event_type, 'x'],
+   meta := struct_pack(d := event_id % 7),
+   opt := case when event_id % 5 = 0 then cast(null as bigint) else event_id end,
+   esc := concat(event_type, chr(34), chr(92)))) as varchar) js,
+ json_extract_string(to_json(struct_pack(id := user_id, tags := [event_type])), '$.tags[0]') rt
+ from events order by event_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

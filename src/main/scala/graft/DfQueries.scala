@@ -1089,6 +1089,30 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q151_to_json_render" -> { (s, _) =>
+      // Struct → canonical JSON text (q140's inverse): pure projection,
+      // codegen'd JacksonGenerator — no shuffle. ignoreNullFields=false
+      // declared so the null convention matches the oracle ("opt":null);
+      // ints only inside the document (corpus note). `rt` proves the
+      // render → parse round trip inside one engine.
+      val opt = when(col("event_id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("event_id"))
+      val esc = concat(col("event_type"), lit("\""), lit("\\"))
+      t(s, "events").select(col("event_id"),
+          to_json(struct(
+            col("user_id").as("id"),
+            array(col("event_type"), lit("x")).as("tags"),
+            struct((col("event_id") % 7).as("d")).as("meta"),
+            opt.as("opt"),
+            esc.as("esc")),
+            Map("ignoreNullFields" -> "false")).as("js"),
+          get_json_object(
+            to_json(struct(col("user_id").as("id"),
+              array(col("event_type")).as("tags"))),
+            "$.tags[0]").as("rt"))
+        .orderBy("event_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
