@@ -168,6 +168,26 @@ object Bench {
     )
   }
 
+  /** Round-6 adjudicated medians for the extras (judge re-run where the
+    * driver sample was host noise, driver median otherwise) — the extras
+    * have no BASELINE.md row, and twice (r5 x_embed_neardup_lsh 8.07 s,
+    * r6 x_minhash_lsh_pairs_1k 5.50 s) a noisy sample needed a manual
+    * judge re-run to clear. Any extra whose median exceeds its reference
+    * by >1.5× is listed in the JSON's `flagged` field (reported, never
+    * fatal): a flagged entry with samples spread wide is host noise, a
+    * flagged entry with three tight samples is a real plan regression. */
+  val extraReference: Map[String, Double] = Map(
+    "x_minhash_dedup_keep" -> 0.47,
+    "x_simhash16"          -> 0.27,
+    "x_minhash_lsh_pairs_1k" -> 2.70,
+    "x_embed_neardup_lsh"  -> 1.55,
+    "x_ann_ivf_int8"       -> 2.92,
+    "x_span_dedup"         -> 0.62,
+    "x_image_decode"       -> 0.41,
+    "x_manifest_prune"     -> 0.34,
+    "x_bloom_semijoin"     -> 2.47,
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = graft.engine.Graft.session("graft-bench")
@@ -211,7 +231,17 @@ object Bench {
       case c => c.toString
     }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"samples":${jsamples(sampled ++ extraSampled)},"sf":"$sfJson"}""")
+    val extraByName = extraResults.toMap
+    val flagged = extraResults.collect {
+      case (n, v) if extraReference.get(n).exists(ref => v > 1.5 * ref) => n
+    }
+    flagged.foreach { n =>
+      System.err.println(s"BENCH FLAG: $n median ${extraByName(n)}s > " +
+        s"1.5x reference ${extraReference(n)}s — check the samples spread " +
+        "(wide = host noise, tight = plan regression)")
+    }
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"reference":${jmap(extraReference.toSeq.sortBy(_._1))},"flagged":$flaggedJson,"samples":${jsamples(sampled ++ extraSampled)},"sf":"$sfJson"}""")
     spark.stop()
   }
 }

@@ -63,28 +63,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaOrc == shape(src) && viaOrc.nonEmpty)
   }
 
+  // The round-7 driver fixture ships `events.ts` as plain timestamp[us]
+  // (earlier rounds shipped nanos-as-long, SURVEY H1). The conditional
+  // ingest rewrite must keep working for nanos-long lakes regardless of
+  // what the current fixture carries, so these tests SYNTHESIZE the raw
+  // nanos epoch from the post-ingest NTZ values (session tz is UTC, so
+  // unix_micros over the TZ-cast is exact) instead of assuming it on disk.
+  private def nanosEvents =
+    TestSpark.table("events").select(col("event_id"),
+      (expr("unix_micros(cast(ts as timestamp_ltz))") * 1000).as("ts"),
+      col("user_id"))
+
   test("catalog CSV/JSON events get the H1 nanos rewrite, same as parquet") {
     // A csv/json lake delivering the raw nanos epoch as a LONG column must
     // come out as the same timestamp_ntz the parquet path produces.
-    val parquetEvents = TestSpark.table("events")
-    val raw = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-    assume(raw.schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType, "fixture carries nanos longs")
+    val raw = nanosEvents.select("event_id", "ts")
+    assert(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
     val dir = tmp("events_csv")
-    raw.select("event_id", "ts").write.option("header", "true").csv(dir)
+    raw.write.option("header", "true").csv(dir)
     val back = graft.sources.Catalog.registerTable(spark, "events_csv_t", dir, "csv",
-      Some(StructType(raw.select("event_id", "ts").schema.fields)))
+      Some(StructType(raw.schema.fields)))
     assert(back.schema("ts").dataType == TimestampNTZType, "H1 rewrite must fire")
-    val expect = parquetEvents.select("event_id", "ts").orderBy("event_id")
+    val expect = TestSpark.table("events").select("event_id", "ts").orderBy("event_id")
       .limit(50).collect().map(_.toSeq).toSeq
     val got = back.orderBy("event_id").limit(50).collect().map(_.toSeq).toSeq
     assert(got == expect)
   }
 
   test("registerAnalyzed on nanos events: H1 rewrite view over a stats-bearing table") {
+    val dir = tmp("events_nanos_pq")
+    nanosEvents.write.parquet(dir)
     try {
       val ev = graft.sources.Catalog.registerAnalyzed(spark, "ev_stats",
-        s"${TestSpark.sfDir}/events.parquet", analyzeColumns = Seq("user_id"))
+        dir, analyzeColumns = Seq("user_id"))
       // The user-facing name applies the ingest rewrite...
       assert(ev.schema("ts").dataType == TimestampNTZType)
       assert(ev.count() == TestSpark.table("events").count())
