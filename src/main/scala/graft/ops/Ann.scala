@@ -312,6 +312,66 @@ object Ann {
                    path: String, buckets: Int = 32): DataFrame =
     graft.sources.Bucketed.register(spark, table, path, "cid", buckets)
 
+  /** O(new-vectors) maintenance for a persisted bucketed [[ivfIndex]]:
+    * assign `newVectors` under the FROZEN `centroids` (the exact
+    * [[ivfIndex]] assignment, so appended ≡ fresh-build over the union
+    * gallery by construction), append the new rows into the bucketed
+    * table ([[graft.sources.Bucketed.append]] — layout validated, probe
+    * joins stay Exchange-free), and return a per-cluster drift report:
+    *
+    * `(cid, prior_n, appended_n, growth, mean_assign_sim)` — `growth` =
+    * appended/(prior+appended); `mean_assign_sim` = mean cosine of each
+    * appended vector to its centroid. The caller's retrain signal: frozen
+    * centroids stay exact for SEARCH (candidates are still generated by
+    * equi join on cid) but drift degrades RECALL — when growth is large
+    * or mean_assign_sim falls well below the build-time assignment
+    * similarity, retrain ([[kmeans]]) and rebuild to a fresh path.
+    *
+    * Cost: one narrow pass over `newVectors` (broadcast centroids), plus
+    * two metadata-scale reads of the EXISTING index — a g_id-column scan
+    * for the duplicate-id guard (a silent duplicate would double a
+    * vector's rows, breaking the ≡-fresh-build contract) and a
+    * cid-column count for `prior_n` — both column-pruned, never touching
+    * the int8 payload; nothing rereads the gallery vectors. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                     path: String, newVectors: DataFrame, centroids: DataFrame,
+                     buckets: Int = 32,
+                     id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val existing = loadIvfIndex(spark, table, path, buckets)
+    val clash = existing.select("g_id")
+      .join(newVectors.select(col(id).as("g_id")), "g_id").limit(1).count()
+    require(clash == 0L,
+      s"appendIvfIndex: some new $id values already exist in `$table` — " +
+        "appending would silently duplicate vectors; dedup the batch first")
+    // prior_n materialized BEFORE the append (k rows): the table scan is
+    // lazy, so an un-materialized count read after the write would see
+    // the post-append file set.
+    val prior = existing.groupBy("cid").agg(count(lit(1)).as("prior_n"))
+      .localCheckpoint()
+    val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
+    val gal = newVectors.select(col(id).as("g_id"), col(vec).as("g_emb"))
+    // Same arg-min key as ivfAssign/ivfIndex — identical cid per vector —
+    // with the winning similarity kept for the drift report.
+    val best = gal.crossJoin(broadcast(c))
+      .withColumn("sim", cosine6(col("g_emb"), col("c_emb")))
+      .groupBy("g_id")
+      .agg(min_by(struct(col("cid"), col("sim")), argminKey(col("sim"), col("cid"))).as("b"))
+      .select(col("g_id"), col("b.cid").as("cid"), col("b.sim").as("sim"))
+    val newIdx = gal.join(best, "g_id")
+      .select(col("g_id"), col("cid"), VectorOps.quantizeInt8(col("g_emb")).as("g_q"))
+    graft.sources.Bucketed.append(newIdx, table, path, "cid", buckets)
+    best.groupBy("cid")
+      .agg(count(lit(1)).as("appended_n"), avg(col("sim")).as("mean_assign_sim"))
+      .join(prior, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("prior_n"), lit(0L)).as("prior_n"),
+        coalesce(col("appended_n"), lit(0L)).as("appended_n"),
+        (coalesce(col("appended_n"), lit(0L)) /
+          (coalesce(col("prior_n"), lit(0L)) + coalesce(col("appended_n"), lit(0L))))
+          .as("growth"),
+        col("mean_assign_sim"))
+  }
+
   /** Probe-side/gallery-side LSH bucket keys: `tables` hash tables of
     * `nBits` sign bits over disjoint hyperplane ranges. */
   private def lshBucketCols(vec: Column, nBits: Int, tables: Int): Seq[Column] = {

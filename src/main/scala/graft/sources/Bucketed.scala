@@ -62,6 +62,35 @@ object Bucketed {
       .saveAsTable(table)
   }
 
+  /** APPEND rows to an existing bucketed state table under the SAME
+    * bucket layout — the O(new-rows) maintenance path for append-mostly
+    * state (an IVF index growing with its gallery) where the rewrite-to-
+    * a-new-path rule ([[write]] + swap) would pay O(total) per batch.
+    *
+    * The catalog entry is (re-)attached and validated against the
+    * declared layout first ([[register]] throws on a location or
+    * bucket-spec mismatch), so an append can never silently interleave
+    * two different layouts. Each append adds one file per bucket: hash
+    * placement still matches the bucket assignment, so scans keep
+    * reporting `HashPartitioning(bucketCol, buckets)` and bucket-side
+    * joins stay Exchange-free — but multi-file buckets forfeit the
+    * reported SORT order (a downstream sort-merge join re-sorts per
+    * bucket). When files-per-bucket grows past a handful, compact by
+    * rewriting with [[write]] to a fresh path and swapping. */
+  def append(df: DataFrame, table: String, path: String, bucketCol: String,
+             buckets: Int): Unit = {
+    register(df.sparkSession, table, path, bucketCol, buckets)
+    df.repartition(buckets, df(bucketCol))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+    // The table's cached file listing predates the append — refresh, or
+    // the very next read serves the pre-append snapshot.
+    df.sparkSession.sql(s"REFRESH TABLE `$table`")
+  }
+
   /** Attach an EXISTING bucketed state directory (written by [[write]],
     * possibly in a previous session/run) to this session's catalog and
     * return it. `bucketCol`/`buckets` must match what the directory was

@@ -275,4 +275,39 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(2).isNaN)
     assert(math.abs(rows(1).getDouble(2) - 1.0) < 1e-9)
   }
+
+  test("appendIvfIndex: appended index ≡ fresh build; drift report arithmetic; dup-id guard") {
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val centroids = emb.where(col("vec_id") < 8)
+    val galA = emb.where(col("vec_id") >= 8 && col("vec_id") <= maxId - 50)
+    val galB = emb.where(col("vec_id") > maxId - 50)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString + "/idx"
+    Ann.persistIvfIndex(Ann.ivfIndex(galA, centroids), "ivf_app_w", dir, buckets = 4)
+    try {
+      val drift = Ann.appendIvfIndex(spark, "ivf_app_w", dir, galB, centroids,
+        buckets = 4).collect()
+      // The report accounts for every prior and appended row, growth is a
+      // proper fraction, and assignment similarity is a valid cosine.
+      assert(drift.map(_.getLong(1)).sum == galA.count())
+      assert(drift.map(_.getLong(2)).sum == galB.count())
+      assert(drift.filter(_.getLong(2) > 0).forall { r =>
+        val g = r.getDouble(3); g > 0 && g <= 1.0 &&
+          math.abs(r.getDouble(4)) <= 1.0
+      })
+      // Appended table content equals a one-shot build over the union
+      // gallery under the same frozen centroids.
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2).toSeq))
+        .sortBy(_._1).toSeq
+      val appended = canon(spark.table("ivf_app_w"))
+      val fresh = canon(Ann.ivfIndex(galA.unionByName(galB), centroids))
+      assert(appended == fresh && appended.nonEmpty)
+      // Re-appending the same ids must refuse (silent duplicates would
+      // break the ≡-fresh-build contract).
+      intercept[IllegalArgumentException] {
+        Ann.appendIvfIndex(spark, "ivf_app_w", dir, galB, centroids, buckets = 4)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS `ivf_app_w`")
+  }
 }

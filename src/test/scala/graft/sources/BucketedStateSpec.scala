@@ -237,4 +237,35 @@ class BucketedStateSpec extends AnyFunSuite {
       }
     } finally spark.sql("DROP TABLE IF EXISTS `ivf_plan_w`")
   }
+
+  test("IVF append: probe against the grown index stays Exchange-free, results ≡ fresh index") {
+    val emb = TestSpark.table("embeddings")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val centroids = emb.where(col("vec_id") < 8)
+    val galA = emb.where(col("vec_id") >= 8 && col("vec_id") <= maxId - 60)
+    val galB = emb.where(col("vec_id") > maxId - 60 && col("vec_id") <= maxId - 20)
+    val probes = emb.where(col("vec_id") > maxId - 20)
+    val dir = tmp("ivf_grow")
+    Ann.persistIvfIndex(Ann.ivfIndex(galA, centroids), "ivf_grow_w", dir, buckets = 4)
+    try {
+      Ann.appendIvfIndex(spark, "ivf_grow_w", dir, galB, centroids, buckets = 4)
+        .collect() // materialize the append + drift report
+      val gallery = galA.unionByName(galB)
+      smjRegime {
+        val viaGrown = Ann.topKQuantizedIvfWithIndex(
+          probes, spark.table("ivf_grow_w"), gallery, centroids, k = 5)
+        val plan = viaGrown.queryExecution.executedPlan
+        // The appended files keep the bucket layout: the index side of the
+        // cid-keyed probe join must still scan without its own Exchange.
+        assert(segmentExchanges(plan, "ivf_grow", Set("cid")).isEmpty,
+          s"append broke the bucket layout — index side shuffles:\n$plan")
+        def canon(df: DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+            .sortBy(t => (t._1, t._4)).toSeq
+        val viaFresh = Ann.topKQuantizedIvfWithIndex(
+          probes, Ann.ivfIndex(gallery, centroids), gallery, centroids, k = 5)
+        assert(canon(viaGrown) == canon(viaFresh) && canon(viaGrown).nonEmpty)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS `ivf_grow_w`")
+  }
 }
