@@ -29,6 +29,50 @@ class MrJobSpec extends AnyFunSuite {
     assert(mr.toSeq == sql.toSeq)
   }
 
+  test("bigram counting via CHAINED jobs (R8) hash-matches declared q32") {
+    // The classic two-job MR chain: job 1 is a wordcount over bigrams
+    // (flatMap emit + combiner-backed reduce), job 2 re-keys by
+    // (count desc, bigram) for the global ordering — with an explicit
+    // materialize() barrier between them, the R8 idiom.
+    val counted = texts
+      .flatMap(_.split(" ").toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq)
+      .map(bg => (bg, 1L))
+      .pairs[String, Long]
+      .reduceByKey(_ + _)
+      .toDS.toDF("bg", "c")
+    val top = graft.mr.Job.of(counted.as[(String, Long)])
+      .materialize()
+      .map { case (bg, c) => ((-c, bg), c) }
+      .pairs[(Long, String), Long]
+      .sortByKey()
+      .map { case ((_, bg), c) => (bg, c) }
+      .toDS.limit(50).toDF("bg", "c")
+    assert(graft.verify.Canon.hashOf(top) ==
+      graft.verify.Canon.hashOf(TestSpark.corpus("q32_bigrams")))
+  }
+
+  test("length histogram with an associative combine (R3) hash-matches declared q64") {
+    // One MR pass: map each doc to (bucket, (count, min, max)); the
+    // associative merge runs MAP-SIDE first (the automatic combiner), so
+    // the shuffle carries one triple per (partition, bucket), not one
+    // per document.
+    val hist = texts
+      // Code-POINT length: SQL length() counts code points (UTF8String
+      // numChars) while String.length counts UTF-16 units — the fixture
+      // contains astral characters, so the two disagree.
+      .map { t => val len = t.codePointCount(0, t.length); (len / 100L, (1L, len, len)) }
+      .pairs[Long, (Long, Int, Int)]
+      .reduceByKey { case ((c1, mn1, mx1), (c2, mn2, mx2)) =>
+        (c1 + c2, math.min(mn1, mn2), math.max(mx1, mx2)) }
+      .sortByKey() // hashOf is order-sensitive; q64 orders by bucket (R6)
+      .toDS
+      .map { case (b, (c, mn, mx)) => (b, c, mn, mx) }
+      .toDF("bucket", "c", "mn", "mx")
+    assert(graft.verify.Canon.hashOf(hist) ==
+      graft.verify.Canon.hashOf(TestSpark.corpus("q64_length_histogram")))
+  }
+
   test("map fusion law: job.map(f).map(g) == job.map(g compose f)") {
     val f = (s: String) => s.length
     val g = (n: Int) => n * 2
