@@ -115,6 +115,22 @@ object FileStats {
   private def normPathCol(c: Column): Column =
     regexp_replace(regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:", ""), "^/+", "/")
 
+  /** 60-bit md5-prefix hash of a normalized path — the XOR-foldable
+    * set fingerprint [[prunedRead]]'s staleness check compares. The
+    * driver twin ([[pathHash]]) and this column MUST stay identical:
+    * both take the first 15 hex chars of md5(UTF-8 path). 15 digits
+    * keep the value under 2^60, inside Long for both sides' parsers. */
+  private def pathHashCol(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Driver twin of [[pathHashCol]] over a normalized path string. */
+  private def pathHash(p: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
   /** Incrementally extend a manifest after files were APPENDED to `dir`:
     * stat ONLY the files the manifest doesn't cover and union them in —
     * history is never re-scanned, so keeping the manifest current costs
@@ -201,31 +217,42 @@ object FileStats {
   def prunedRead(spark: SparkSession, dir: String, manifest: DataFrame,
                  bounds: Seq[FilePredicate]): DataFrame = {
     require(bounds.nonEmpty, "no bounds — use spark.read.parquet directly")
-    import spark.implicits._
-    // ONE distributed aggregation serves both the staleness check and the
-    // surviving-file list, and the driver receives only O(survivors) —
-    // at ~1M files a selective probe collects a handful of paths plus
-    // three counters, not the whole manifest. (The disk listing itself is
-    // driver-side O(files), but that is exactly what Spark's own file
-    // index materializes for any scan, so it adds no new posture.)
+    // ONE distributed aggregation over the manifest ALONE serves both the
+    // staleness check and the surviving-file list; the driver receives
+    // only O(survivors) paths plus three counters — at ~1M files a
+    // selective probe collects a handful of paths, not the whole
+    // manifest, and nothing is broadcast per probe (an earlier join-based
+    // check shipped the full disk listing to the executors each call —
+    // ~100 MB per probe at a million files, and a measured +60% on the
+    // bench probe at 32). Set equality is compared by cardinality plus an
+    // order-independent XOR of a 60-bit md5 prefix over the normalized
+    // paths, computed identically driver-side over the Hadoop listing and
+    // executor-side over the manifest — a false "fresh" verdict needs an
+    // md5-prefix XOR collision between the two file sets (~2^-60, and
+    // this guards operational drift, not an adversary). (The disk listing
+    // itself is driver-side O(files), but that is exactly what Spark's
+    // own file index materializes for any scan, so it adds no new
+    // posture.)
     val onDisk = diskPaths(dir)
-    val diskDf = broadcast(onDisk.toSeq.toDF("__norm")
-      .withColumn("__on_disk", lit(true)))
+    val diskXor = onDisk.foldLeft(0L)(_ ^ pathHash(_))
     val row = manifest
       .select(col("file"), survives(bounds).as("keep"),
         normPathCol(col("file")).as("__norm"))
-      .join(diskDf, Seq("__norm"), "left")
       .agg(
+        count(lit(1)).as("m_rows"),
         countDistinct(col("__norm")).as("m_distinct"),
-        countDistinct(when(col("__on_disk"), col("__norm"))).as("m_matched"),
+        coalesce(bit_xor(pathHashCol(col("__norm"))), lit(0L)).as("m_xor"),
         sort_array(collect_list(when(col("keep"), col("file")))).as("files"))
       .head()
-    val (mDistinct, mMatched) = (row.getLong(0), row.getLong(1))
-    require(mMatched == mDistinct && mMatched == onDisk.size,
-      s"stale manifest for $dir: ${onDisk.size - mMatched} file(s) on disk " +
-        s"missing from manifest, ${mDistinct - mMatched} manifest file(s) gone " +
-        "— re-run FileStats.collect after any rewrite")
-    val files = row.getSeq[String](2)
+    val (mRows, mDistinct, mXor) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    require(mRows == mDistinct,
+      s"corrupt manifest for $dir: ${mRows - mDistinct} duplicate file row(s) " +
+        "— re-run FileStats.collect")
+    require(mDistinct == onDisk.size && mXor == diskXor,
+      s"stale manifest for $dir: manifest covers $mDistinct file(s), disk has " +
+        s"${onDisk.size}, path-set fingerprints ${if (mXor == diskXor) "match"
+          else "differ"} — re-run FileStats.collect after any rewrite")
+    val files = row.getSeq[String](3)
     if (files.isEmpty)
       // Provably-empty result; keep the schema without scheduling a scan.
       spark.read.parquet(dir).where(lit(false))
