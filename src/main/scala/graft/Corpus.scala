@@ -1809,6 +1809,76 @@ from j order by event_id limit 300"""),
    esc := concat(event_type, chr(34), chr(92)))) as varchar) js,
  json_extract_string(to_json(struct_pack(id := user_id, tags := [event_type])), '$.tags[0]') rt
  from events order by event_id limit 300"""),
+
+    // Binary <-> text transport (round 7): the manifest/JSON-embedding
+    // problem — binary payloads (digests, small blobs) must cross text
+    // boundaries losslessly. base64 and hex round trips declared over
+    // md5 digests and utf-8 encoded strings; hex renders UPPERCASE in
+    // both engines (md5() itself renders lowercase — both, q134).
+    // Spark base64/unbase64/encode/decode vs DuckDB
+    // to_base64/from_base64/encode/decode; `dec` is a DuckDB reserved
+    // word — alias dtxt.
+    q2("q152_binary_text",
+      """select p_partkey,
+ base64(unhex(md5(p_name))) b64,
+ hex(unbase64(base64(unhex(md5(p_name))))) rt,
+ hex(encode(p_brand, 'utf-8')) henc,
+ decode(unhex(hex(encode(p_brand, 'utf-8'))), 'utf-8') dtxt
+ from part order by p_partkey limit 300""",
+      """select p_partkey,
+ to_base64(unhex(md5(p_name))) b64,
+ hex(from_base64(to_base64(unhex(md5(p_name))))) rt,
+ hex(encode(p_brand)) henc,
+ decode(unhex(hex(encode(p_brand)))) dtxt
+ from part order by p_partkey limit 300"""),
+
+    // width_bucket histogram binning (round 7): equal-width bucket
+    // assignment — the histogram primitive under every distribution
+    // report. DuckDB 1.0 has no width_bucket; its oracle is the exact
+    // floor-arithmetic definition Spark's builtin computes
+    // ((v-lo)/((hi-lo)/n), floored, +1), with the under/overflow
+    // conventions declared: v < lo -> 0, v >= hi -> n+1. Bounds chosen
+    // inside the price range so all three regimes fire (min ~1k < lo,
+    // max ~500k >= hi), with an exactly-representable bucket width
+    // (320000/10) so the floor boundary cannot split on float rounding.
+    q2("q153_width_bucket",
+      """select cast(width_bucket(cast(o_totalprice as double), 100000, 420000, 10) as bigint) bucket,
+ count(*) c,
+ round(cast(min(o_totalprice) as double), 2) mn,
+ round(cast(max(o_totalprice) as double), 2) mx
+ from orders group by width_bucket(cast(o_totalprice as double), 100000, 420000, 10)
+ order by bucket""",
+      """with v as (select cast(o_totalprice as double) v from orders),
+ b as (select case when v < 100000 then 0 when v >= 420000 then 11
+   else cast(floor((v - 100000) / ((420000 - 100000) / 10)) as bigint) + 1 end bucket, v from v)
+ select cast(bucket as bigint) bucket, count(*) c,
+ round(min(v), 2) mn, round(max(v), 2) mx
+ from b group by bucket order by bucket"""),
+
+    // Array surgery (round 7): position / remove / null-compact /
+    // repeat — the token-list editing toolkit. Conventions declared:
+    // Spark array_position returns 0 when absent, DuckDB list_position
+    // NULL (coalesced to 0 — the agreeing form); array_remove lowers to
+    // list_filter (null-free arrays by construction — list_filter's
+    // <> drops nulls where array_remove keeps them); array_compact =
+    // filter-not-null; array_repeat = transform over range; and the
+    // EMPTY-ARRAY RENDER SPLIT: Spark array_join([]) = '' but DuckDB
+    // array_to_string([]) = NULL, so the portable spelling coalesces.
+    q2("q154_array_surgery",
+      """with s as (select p_partkey, split(p_name, ' ') ws from part)
+ select p_partkey,
+ cast(array_position(ws, 'red') as bigint) pos_red,
+ array_join(array_remove(ws, 'red'), ',') no_red,
+ coalesce(array_join(array_compact(transform(ws, w -> case when length(w) > 5 then w end)), ','), '') longs,
+ array_join(array_repeat(element_at(ws, 1), 3), ',') rep3
+ from s order by p_partkey limit 300""",
+      """with s as (select p_partkey, string_split(p_name, ' ') ws from part)
+ select p_partkey,
+ cast(coalesce(list_position(ws, 'red'), 0) as bigint) pos_red,
+ array_to_string(list_filter(ws, w -> w <> 'red'), ',') no_red,
+ coalesce(array_to_string(list_filter(list_transform(ws, w -> case when length(w) > 5 then w end), x -> x is not null), ','), '') longs,
+ array_to_string(list_transform(range(3), x -> ws[1]), ',') rep3
+ from s order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1113,6 +1113,48 @@ object DfQueries {
         .orderBy("event_id").limit(300)
     },
 
+    "q152_binary_text" -> { (s, _) =>
+      // Binary↔text transport: all codegen'd unary expressions — pure
+      // projection, no shuffle. The round trips (hex∘unbase64∘base64,
+      // decode∘unhex∘hex∘encode) pin losslessness, not just rendering.
+      val dig = unhex(md5(col("p_name")))
+      val enc = encode(col("p_brand"), "utf-8")
+      t(s, "part").select(col("p_partkey"),
+          base64(dig).as("b64"),
+          hex(unbase64(base64(dig))).as("rt"),
+          hex(enc).as("henc"),
+          decode(unhex(hex(enc)), "utf-8").as("dtxt"))
+        .orderBy("p_partkey").limit(300)
+    },
+
+    "q153_width_bucket" -> { (s, _) =>
+      // Equal-width histogram binning with declared under/overflow
+      // buckets (0 and n+1): one hash agg on the bucket id — the
+      // distribution-report shape, partial+final combined.
+      val b = width_bucket(col("o_totalprice").cast("double"),
+        lit(100000), lit(420000), lit(10)).as("bucket")
+      t(s, "orders").groupBy(b)
+        .agg(count(lit(1)).as("c"),
+          round(min(col("o_totalprice")).cast("double"), 2).as("mn"),
+          round(max(col("o_totalprice")).cast("double"), 2).as("mx"))
+        .orderBy("bucket")
+    },
+
+    "q154_array_surgery" -> { (s, _) =>
+      // Token-list editing HOFs — pure projection. The corpus note
+      // carries the declared convention splits (absent position 0 vs
+      // NULL, empty-array render '' vs NULL).
+      val ws = split(col("p_name"), " ")
+      t(s, "part").select(col("p_partkey"),
+          array_position(ws, "red").cast("long").as("pos_red"),
+          array_join(array_remove(ws, "red"), ",").as("no_red"),
+          coalesce(array_join(array_compact(
+            transform(ws, w => when(length(w) > 5, w))), ","), lit(""))
+            .as("longs"),
+          array_join(array_repeat(element_at(ws, 1), 3), ",").as("rep3"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
