@@ -115,6 +115,13 @@ object Catalog {
     // hazard Bucketed.register guards; shared scheme-aware comparison in
     // CatalogGuard so s3://...-style cluster URIs work too).
     CatalogGuard.requireLocation(spark, tableName, path)
+    // Partitioned layouts (`batch=N/...` — every loop-landed lake):
+    // schema inference sees the partition column, but the catalog entry
+    // starts with ZERO registered partitions, so ANALYZE would honestly
+    // report an empty table. Recover them — and again on every
+    // refreshStats, since loop folds ADD partition directories.
+    if (CatalogGuard.metadata(spark, tableName).partitionColumnNames.nonEmpty)
+      spark.sql(s"ALTER TABLE `$tableName` RECOVER PARTITIONS")
     require(analyzeColumns.forall(!_.contains("`")),
       s"illegal column name in analyzeColumns: ${analyzeColumns.mkString(", ")}")
     spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS")
@@ -150,6 +157,10 @@ object Catalog {
       if (spark.catalog.tableExists(s"${name}__files")) s"${name}__files" else name
     require(spark.catalog.tableExists(tableName),
       s"no catalog table `$name` — registerAnalyzed it first")
+    // New partition directories since the last refresh (loop folds)
+    // are invisible until recovered; then refresh the cached listing.
+    if (CatalogGuard.metadata(spark, tableName).partitionColumnNames.nonEmpty)
+      spark.sql(s"ALTER TABLE `$tableName` RECOVER PARTITIONS")
     spark.sql(s"REFRESH TABLE `$tableName`")
     spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS")
     require(analyzeColumns.forall(!_.contains("`")),

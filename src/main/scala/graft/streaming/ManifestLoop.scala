@@ -44,10 +44,11 @@ object ManifestLoop {
                                       batchId: Long, statsCols: Seq[String],
                                       stateDir: String): Unit = {
     val batchDir = s"$outDir/batch=$batchId"
-    val hasFiles = {
-      val d = new java.io.File(batchDir)
-      d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
-    }
+    // Hadoop listing, not java.io: the lake this loop lands may live on
+    // object storage (same posture as the rest of the lake tooling).
+    val hasFiles = graft.sources.LakeFs
+      .listFiles(batchDir, skipHiddenDirs = true)
+      .exists(_._1.endsWith(".parquet"))
     val priorV = VersionedState.priorVersion(stateDir, batchId)
     val prior = priorV.map(v =>
       VersionedState.read(spark, stateDir, v)
@@ -67,19 +68,31 @@ object ManifestLoop {
   /** One micro-batch fold — exposed for direct replay tests. */
   private[streaming] def foldBatch(batch: DataFrame, batchId: Long,
                                    outDir: String, statsCols: Seq[String],
-                                   stateDir: String): Unit = {
+                                   stateDir: String,
+                                   refreshTable: Option[String] = None): Unit = {
     batch.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
     foldDirStats(batch.sparkSession, outDir, batchId, statsCols, stateDir)
+    // CBO stats are a snapshot of one directory state: every batch this
+    // loop lands invalidates them, and a stale "small" estimate
+    // broadcasts a no-longer-small side. Refresh at the fold boundary so
+    // the planner's view tracks the lake the loop is growing.
+    refreshTable.foreach(t =>
+      graft.sources.Catalog.refreshStats(batch.sparkSession, t))
   }
 
-  /** Start the manifest-maintaining ingestion loop over `stream`. */
+  /** Start the manifest-maintaining ingestion loop over `stream`. With
+    * `refreshTable` (a [[graft.sources.Catalog.registerAnalyzed]] name
+    * over `outDir`), catalog statistics are re-ANALYZEd after every
+    * batch fold — the staleness discipline refreshStats documents, wired
+    * into the loop that does the appending. */
   def run(stream: DataFrame, outDir: String, statsCols: Seq[String],
           stateDir: String, checkpointDir: String,
-          trigger: Option[Trigger] = None): StreamingQuery = {
+          trigger: Option[Trigger] = None,
+          refreshTable: Option[String] = None): StreamingQuery = {
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, outDir, statsCols, stateDir)
+        foldBatch(batch, batchId, outDir, statsCols, stateDir, refreshTable)
       }
     trigger.foreach(w.trigger)
     w.start()

@@ -69,4 +69,29 @@ class ManifestLoopSpec extends AnyFunSuite {
     // the invariant).
     assert(canon(manifest) == canon(FileStats.collect(spark, out, Seq("o_orderkey"))))
   }
+
+  test("refreshTable hook: catalog stats track the growing lake at each fold") {
+    val root = Files.createTempDirectory("graft-manifestloop-an").toString
+    val (out, state) = (s"$root/out", s"$root/state")
+    val cboKeep = spark.conf.get("spark.sql.cbo.enabled")
+    def rowCount = spark.table("ml_lake")
+      .queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val b0 = orders.where(col("o_orderkey") < 500)
+      ManifestLoop.foldBatch(b0, 0L, out, Seq("o_orderkey"), state)
+      graft.sources.Catalog.registerAnalyzed(spark, "ml_lake", out)
+      assert(rowCount.contains(b0.count()))
+      // The next fold appends a new batch dir; with the hook wired the
+      // planner's row count tracks it without any caller intervention.
+      val b1 = orders.where(col("o_orderkey") >= 500 && col("o_orderkey") < 900)
+      ManifestLoop.foldBatch(b1, 1L, out, Seq("o_orderkey"), state,
+        refreshTable = Some("ml_lake"))
+      assert(rowCount.contains(b0.count() + b1.count()),
+        s"stats did not track the fold: $rowCount")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cboKeep)
+      spark.sql("DROP TABLE IF EXISTS `ml_lake`")
+    }
+  }
 }
