@@ -88,6 +88,32 @@ object Pipelines {
                           centroids: DataFrame, k: Int): DataFrame =
     Ann.topKQuantizedIvf(probes, gallery, centroids, k)
 
+  /** Build the persisted, bucketed IVF index once (the steady-state
+    * artifact: probe batches against it join Exchange-free on the
+    * cluster id — only the probe side shuffles). */
+  def buildSimilarityIndex(gallery: DataFrame, centroids: DataFrame,
+                           table: String, path: String,
+                           buckets: Int = 32): Unit =
+    Ann.persistIvfIndex(Ann.ivfIndex(gallery, centroids), table, path, buckets)
+
+  /** Extend a persisted index with newly-arrived vectors at O(new) cost
+    * (assignment under frozen centroids — appended ≡ fresh build).
+    * Returns the per-cluster drift report; retrain (+[[trainCentroids]],
+    * rebuild to a fresh path) when growth or assignment-similarity drift
+    * says recall is at risk. */
+  def extendSimilarityIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String, path: String,
+                            newVectors: DataFrame, centroids: DataFrame,
+                            buckets: Int = 32): DataFrame =
+    Ann.appendIvfIndex(spark, table, path, newVectors, centroids, buckets)
+
+  /** Probe a persisted index ([[buildSimilarityIndex]] /
+    * [[extendSimilarityIndex]]) — the per-batch steady-state search. */
+  def similaritySearchIndexed(probes: DataFrame, index: DataFrame,
+                              gallery: DataFrame, centroids: DataFrame,
+                              k: Int): DataFrame =
+    Ann.topKQuantizedIvfWithIndex(probes, index, gallery, centroids, k)
+
   /** Span-level exact dedup decisions (q92 semantics): boilerplate shared
     * INSIDE otherwise-distinct documents, at `spanWords` granularity.
     * With `salts` and `autoHotMinCount`, corpus-wide boilerplate spans are

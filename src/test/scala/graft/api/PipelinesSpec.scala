@@ -104,6 +104,32 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("index lifecycle facade: build + extend + indexed search ≡ one-shot IVF search") {
+    val emb = TestSpark.table("embeddings")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val centroids = Pipelines.trainCentroids(
+      emb.where(col("vec_id") < 200), k = 8, iters = 2)
+    val galA = emb.where(col("vec_id") <= maxId - 40)
+    val galB = emb.where(col("vec_id") > maxId - 40 && col("vec_id") <= maxId - 20)
+    val probes = emb.where(col("vec_id") > maxId - 20)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pipe-idx").toString + "/idx"
+    try {
+      Pipelines.buildSimilarityIndex(galA, centroids, "pipe_idx_w", dir)
+      val drift = Pipelines.extendSimilarityIndex(
+        spark, "pipe_idx_w", dir, galB, centroids).collect()
+      assert(drift.map(_.getLong(2)).sum == galB.count())
+      val gallery = galA.unionByName(galB)
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val viaIndex = Pipelines.similaritySearchIndexed(
+        probes, spark.table("pipe_idx_w"), gallery, centroids, k = 5)
+      val oneShot = Pipelines.similaritySearchIvf(probes, gallery, centroids, k = 5)
+      assert(canon(viaIndex) == canon(oneShot) && canon(viaIndex).nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS `pipe_idx_w`")
+  }
+
   test("canonicalDocs: one best representative per near-dup cluster, singletons pass") {
     val docs = TestSpark.table("documents")
     val kept = Pipelines.canonicalDocs(docs, col("doc_id"), col("text"))
