@@ -1879,6 +1879,34 @@ from j order by event_id limit 300"""),
  coalesce(array_to_string(list_filter(list_transform(ws, w -> case when length(w) > 5 then w end), x -> x is not null), ','), '') longs,
  array_to_string(list_transform(range(3), x -> ws[1]), ',') rep3
  from s order by p_partkey limit 300"""),
+
+    // Rounding and logarithm dialect traps (round 7). Bare `log(x)` is
+    // UNTRANSLATABLE: Spark log(x) = ln, DuckDB log(x) = log10 — a
+    // silent wrong-answer generator; the declared forms are the explicit
+    // ln/log10/log2 names (shared semantics) and the two-arg
+    // explicit-base log (argument order agrees). Rounding conventions
+    // measured: round() is HALF-UP (away from zero) in BOTH engines;
+    // banker's (half-to-even) exists under different names — Spark
+    // bround ≡ DuckDB round_even (which REQUIRES the scale argument).
+    // l_quantity is integral, so +0.5 makes exact .5 boundaries where
+    // the two conventions visibly diverge on odd integers.
+    q2("q155_rounding_log",
+      """select l_orderkey, l_linenumber,
+ cast(round(l_quantity + 0.5) as double) r_half,
+ cast(bround(l_quantity + 0.5) as double) r_even,
+ round(ln(l_extendedprice), 6) lnv,
+ round(log10(l_extendedprice), 6) l10,
+ round(log2(l_quantity + 1), 6) l2,
+ round(log(3.0, l_quantity + 1), 6) lb
+ from lineitem order by l_orderkey, l_linenumber limit 300""",
+      """select l_orderkey, l_linenumber,
+ cast(round(l_quantity + 0.5) as double) r_half,
+ cast(round_even(l_quantity + 0.5, 0) as double) r_even,
+ round(ln(l_extendedprice), 6) lnv,
+ round(log10(l_extendedprice), 6) l10,
+ round(log2(l_quantity + 1), 6) l2,
+ round(log(3, l_quantity + 1), 6) lb
+ from lineitem order by l_orderkey, l_linenumber limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

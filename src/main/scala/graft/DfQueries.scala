@@ -1155,6 +1155,22 @@ object DfQueries {
         .orderBy("p_partkey").limit(300)
     },
 
+    "q155_rounding_log" -> { (s, _) =>
+      // Explicit-name logarithms (bare log() is the Spark-ln vs
+      // DuckDB-log10 trap) and the two rounding conventions: round =
+      // half-up in both engines, bround ≡ round_even = banker's. Pure
+      // projection, codegen'd.
+      val qty = col("l_quantity")
+      t(s, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          round(qty + 0.5).cast("double").as("r_half"),
+          bround(qty + 0.5).cast("double").as("r_even"),
+          round(log(col("l_extendedprice")), 6).as("lnv"),
+          round(log10(col("l_extendedprice")), 6).as("l10"),
+          round(log2(qty + 1), 6).as("l2"),
+          round(log(3.0, qty + 1), 6).as("lb"))
+        .orderBy("l_orderkey", "l_linenumber").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
