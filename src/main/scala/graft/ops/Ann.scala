@@ -338,16 +338,22 @@ object Ann {
                      buckets: Int = 32,
                      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val existing = loadIvfIndex(spark, table, path, buckets)
-    val clash = existing.select("g_id")
-      .join(newVectors.select(col(id).as("g_id")), "g_id").limit(1).count()
-    require(clash == 0L,
-      s"appendIvfIndex: some new $id values already exist in `$table` — " +
-        "appending would silently duplicate vectors; dedup the batch first")
-    // prior_n materialized BEFORE the append (k rows): the table scan is
-    // lazy, so an un-materialized count read after the write would see
-    // the post-append file set.
-    val prior = existing.groupBy("cid").agg(count(lit(1)).as("prior_n"))
+    // ONE pass over the (column-pruned) existing index serves both the
+    // duplicate-id guard and the per-cluster prior counts, materialized
+    // BEFORE the append (the table scan is lazy — an un-materialized
+    // read after the write would see the post-append file set). The new
+    // batch's id set rides the join's small side (typically broadcast).
+    val prior = existing.select(col("cid"), col("g_id"))
+      .join(newVectors.select(col(id).as("g_id")).withColumn("__new", lit(true)),
+        Seq("g_id"), "left")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("prior_n"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("__clashes"))
       .localCheckpoint()
+    val clash = prior.agg(sum(col("__clashes"))).head().getLong(0)
+    require(clash == 0L,
+      s"appendIvfIndex: $clash new $id value(s) already exist in `$table` — " +
+        "appending would silently duplicate vectors; dedup the batch first")
     val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
     val gal = newVectors.select(col(id).as("g_id"), col(vec).as("g_emb"))
     // Same arg-min key as ivfAssign/ivfIndex — identical cid per vector —
@@ -359,10 +365,12 @@ object Ann {
       .select(col("g_id"), col("b.cid").as("cid"), col("b.sim").as("sim"))
     val newIdx = gal.join(best, "g_id")
       .select(col("g_id"), col("cid"), VectorOps.quantizeInt8(col("g_emb")).as("g_q"))
-    graft.sources.Bucketed.append(newIdx, table, path, "cid", buckets)
+    // loadIvfIndex above already register-validated the attachment; the
+    // registered-append path skips re-validating per batch.
+    graft.sources.Bucketed.appendRegistered(newIdx, table, "cid", buckets)
     best.groupBy("cid")
       .agg(count(lit(1)).as("appended_n"), avg(col("sim")).as("mean_assign_sim"))
-      .join(prior, Seq("cid"), "full_outer")
+      .join(prior.drop("__clashes"), Seq("cid"), "full_outer")
       .select(col("cid"),
         coalesce(col("prior_n"), lit(0L)).as("prior_n"),
         coalesce(col("appended_n"), lit(0L)).as("appended_n"),

@@ -80,6 +80,15 @@ object Bucketed {
   def append(df: DataFrame, table: String, path: String, bucketCol: String,
              buckets: Int): Unit = {
     register(df.sparkSession, table, path, bucketCol, buckets)
+    appendRegistered(df, table, bucketCol, buckets)
+  }
+
+  /** The write half of [[append]], for callers that already hold a
+    * [[register]]-validated attachment of `table` (skips re-validating —
+    * one schema-inference read and one catalog round-trip saved per
+    * batch, which matters for per-batch maintenance loops). */
+  private[graft] def appendRegistered(df: DataFrame, table: String,
+                                      bucketCol: String, buckets: Int): Unit = {
     df.repartition(buckets, df(bucketCol))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, bucketCol)
