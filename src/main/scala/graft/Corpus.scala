@@ -1907,6 +1907,25 @@ from j order by event_id limit 300"""),
  round(log2(l_quantity + 1), 6) l2,
  round(log(3, l_quantity + 1), 6) lb
  from lineitem order by l_orderkey, l_linenumber limit 300"""),
+
+    // Named string predicates (round 7): the everyday curation-filter
+    // trio as FUNCTIONS (q02 declares the LIKE forms) — boolean columns,
+    // both values live in the window (52/44/39 of 300 true). Spark
+    // spells them startswith/endswith, DuckDB starts_with/ends_with;
+    // contains is shared. LIKE-metacharacter inputs need no escaping
+    // here — that hazard is q149's ESCAPE clause; these are pure
+    // substring tests.
+    q2("q156_string_predicates",
+      """select p_partkey,
+ contains(p_name, 'red') has_red,
+ startswith(p_name, 'small') sw,
+ endswith(p_name, 'bolt') ew
+ from part order by p_partkey limit 300""",
+      """select p_partkey,
+ contains(p_name, 'red') has_red,
+ starts_with(p_name, 'small') sw,
+ ends_with(p_name, 'bolt') ew
+ from part order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1171,6 +1171,16 @@ object DfQueries {
         .orderBy("l_orderkey", "l_linenumber").limit(300)
     },
 
+    "q156_string_predicates" -> { (s, _) =>
+      // The named curation-filter trio (q02 declares the LIKE twins) —
+      // pure codegen'd projection.
+      t(s, "part").select(col("p_partkey"),
+          col("p_name").contains("red").as("has_red"),
+          col("p_name").startsWith("small").as("sw"),
+          col("p_name").endsWith("bolt").as("ew"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
