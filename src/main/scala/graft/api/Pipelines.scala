@@ -273,6 +273,19 @@ object Pipelines {
     docs.where(TextOps.qualityVerdict(text) === "keep" &&
       TextOps.langGuess(text) === "en")
 
+  /** CCNet/Gopher-style LM quality scores in one call: train the char
+    * n-gram model over `reference` (usually a trusted slice of the
+    * corpus) and score every `docs` row under it — (doc_id, score,
+    * oov_rate, n_grams), higher score = more in-distribution. Gibberish
+    * and wrong-charset text fall to the OOV floor. Train the model once
+    * and reuse via [[graft.ops.TextOps.ngramScore]] when scoring many
+    * batches. */
+  def lmQualityScores(docs: DataFrame, id: Column, text: Column,
+                      reference: DataFrame, refText: Column,
+                      n: Int = 3): DataFrame =
+    TextOps.ngramScore(docs, id, text,
+      TextOps.ngramModel(reference, refText, n), n)
+
   /** Corpus docs sharing any word 3-gram with a held-out eval set — EXACT
     * (Bloom prefilter + exact semi join; see SketchOps.bloomSemiJoin). The
     * streaming/approximate twin is

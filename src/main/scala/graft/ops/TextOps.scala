@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for training-data pipelines: tokenization,
@@ -105,4 +105,66 @@ object TextOps {
   /** Single-pass k-permutation MinHash signature (native expression). */
   def minhashSig(text: Column, k: Int): Column =
     call_function("minhash_sig", tokens(text), lit(k))
+
+  /** Train a character n-gram language model over a corpus: one row per
+    * observed gram with its corpus log-probability `logp` = ln(count /
+    * total). The CCNet/Gopher-style LM quality filter's model half —
+    * gibberish scores far below in-distribution text under it
+    * ([[ngramScore]]).
+    *
+    * Scale shape: ONE hash aggregation over the exploded grams (map-side
+    * combined — the gram vocabulary, not the corpus, crosses the
+    * shuffle) plus a single-row total broadcast back over it. The
+    * vocabulary is bounded by charset^n (char trigrams of web text:
+    * tens of thousands), so the model table broadcasts at score time
+    * regardless of corpus size. `minCount` drops the long tail of
+    * hapax grams — noise for scoring, and it keeps the broadcast lean. */
+  def ngramModel(docs: DataFrame, text: Column, n: Int = 3,
+                 minCount: Long = 2L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val grams = docs.where(text.isNotNull)
+      .select(explode(charShingles(text, n)).as("gram"))
+      .where(length(col("gram")) === n)
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+    val total = grams.agg(sum(col("c")).as("__total"))
+    grams.crossJoin(broadcast(total))
+      .select(col("gram"), col("c"),
+        log(col("c").cast("double") / col("__total")).as("logp"),
+        col("__total").as("total"))
+  }
+
+  /** Score each document under an [[ngramModel]]: `score` = mean log
+    * probability of the document's grams (higher = more
+    * in-distribution), `oov_rate` = fraction of grams absent from the
+    * model. Out-of-vocabulary grams take the Laplace-style floor
+    * ln(0.5 / total) — below every observed gram, so OOV-heavy
+    * gibberish is pushed down rather than silently ignored. Documents
+    * shorter than one full gram score NULL (no evidence either way).
+    *
+    * Scale shape: narrow explode, broadcast hash join against the
+    * bounded-vocabulary model, one hash aggregation back to documents —
+    * no corpus-sized shuffle anywhere. */
+  def ngramScore(docs: DataFrame, id: Column, text: Column,
+                 model: DataFrame, n: Int = 3): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    // The floor is a scalar of the MODEL (an artifact table of bounded
+    // vocabulary) — one tiny driver action on it, never on the corpus.
+    val floorLogp = {
+      val t = model.agg(max(col("total"))).head()
+      val tot = if (t.isNullAt(0)) 1L else math.max(t.getLong(0), 1L)
+      math.log(0.5 / tot.toDouble)
+    }
+    docs.where(id.isNotNull && text.isNotNull)
+      .select(id.as("doc_id"), explode(charShingles(text, n)).as("gram"))
+      .where(length(col("gram")) === n)
+      .join(broadcast(model.select(col("gram"), col("logp"))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        avg(coalesce(col("logp"), lit(floorLogp))).as("score"),
+        (sum(when(col("logp").isNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("oov_rate"))
+      .select(col("doc_id"), col("score"), col("oov_rate"), col("n_grams"))
+  }
 }

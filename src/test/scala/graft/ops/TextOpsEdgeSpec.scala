@@ -62,4 +62,36 @@ class TextOpsEdgeSpec extends AnyFunSuite {
     val fps = d.select(TextOps.docFingerprint(col("text")).as("fp")).collect().map(_.getString(0))
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
+
+  test("ngram LM: in-distribution text outscores gibberish; probabilities and OOV sane") {
+    val docs = graft.TestSpark.table("documents")
+    val model = TextOps.ngramModel(docs, col("text"), n = 3).cache()
+    // A proper distribution over the kept vocabulary: probabilities sum
+    // to <= 1 (strictly < 1 exactly when minCount trimmed a tail).
+    val pSum = model.agg(sum(exp(col("logp")))).head().getDouble(0)
+    assert(pSum > 0.5 && pSum <= 1.0 + 1e-9, s"sum p = $pSum")
+    // Score a real corpus document against md5-hex gibberish (charset
+    // alone overlaps; the trigram DISTRIBUTION does not).
+    val spark2 = spark
+    import spark2.implicits._
+    val realText = docs.orderBy("doc_id").select("text").head().getString(0)
+    val junk = (1 to 20).map(i =>
+      graft.verify.Canon.hashOf(docs.limit(i))._1).mkString(" ")
+    val probe = Seq((1L, realText), (2L, junk)).toDF("doc_id", "text")
+    val scored = TextOps.ngramScore(probe, col("doc_id"), col("text"), model)
+      .orderBy("doc_id").collect()
+    val (realScore, junkScore) = (scored(0).getDouble(1), scored(1).getDouble(1))
+    assert(realScore > junkScore,
+      s"LM failed to separate: real $realScore vs junk $junkScore")
+    // OOV: the real doc's grams are all in-model (it trained on them);
+    // gibberish has a high OOV rate, and rates stay within [0, 1].
+    val (realOov, junkOov) = (scored(0).getDouble(2), scored(1).getDouble(2))
+    assert(realOov >= 0 && realOov <= 1 && junkOov > realOov)
+    // Degenerate rows: null text row-absent, sub-gram text scores too
+    // (charShingles pads short docs with one short gram, filtered here —
+    // a 2-char doc has no trigram evidence, so it is row-absent).
+    val edge = Seq((1L, Option("ab")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    assert(TextOps.ngramScore(edge, col("doc_id"), col("text"), model).count() == 0)
+  }
 }
