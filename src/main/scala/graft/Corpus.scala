@@ -1926,6 +1926,65 @@ from j order by event_id limit 300"""),
  starts_with(p_name, 'small') sw,
  ends_with(p_name, 'bolt') ew
  from part order by p_partkey limit 300"""),
+
+    // Char-trigram LM quality scoring (round 7): the CCNet/Gopher-style
+    // language-model filter END-TO-END in declared SQL — train gram
+    // log-probabilities over the real docs, score an interleaved probe
+    // of real docs and md5-hex gibberish twins (pid parity; both halves
+    // in the hashed window, so score ordering AND the OOV column have
+    // discriminating power — real ≈ -5.37 / oov 0, gibberish ≈ -12.6 /
+    // oov ≥ 0.97 at sf0.01). OOV grams take the Laplace-style floor
+    // ln(0.5/total), below every observed gram; probed 0.397 from the
+    // 4-digit rounding boundary, so the engines' last-ulp ln difference
+    // cannot flip the round (H2 discipline). `txt`, not `text`, inside
+    // the probe CTE — DuckDB rejects the bare alias (a type name).
+    // The operator form is TextOps.ngramModel/ngramScore (broadcast
+    // join against the bounded vocabulary; no corpus-sized shuffle).
+    q2("q157_ngram_lm",
+      """with probe as (
+  select doc_id * 2 pid, text txt from documents where doc_id < 500
+  union all
+  select doc_id * 2 + 1 pid, concat(md5(text), ' ', md5(reverse(text))) as txt from documents where doc_id < 500),
+ cg as (
+  select g gram from documents
+  lateral view explode(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substr(text, i, 3))) tt as g
+  where length(g) = 3),
+ dg as (
+  select pid, g gram from probe
+  lateral view explode(transform(sequence(1, greatest(length(txt) - 2, 1)), i -> substr(txt, i, 3))) tt as g
+  where length(g) = 3),
+ m0 as (select gram, count(*) c from cg group by gram having count(*) >= 2),
+ t as (select sum(c) total from m0),
+ m as (select gram, ln(c / (select total from t)) logp from m0)
+select d.pid,
+ cast(count(*) as bigint) n_grams,
+ round(avg(coalesce(m.logp, ln(0.5 / (select total from t)))), 4) score,
+ round(sum(case when m.logp is null then 1 else 0 end) / cast(count(*) as double), 4) oov
+ from dg d left join m on d.gram = m.gram group by d.pid
+ order by d.pid limit 300""",
+      """with probe as (
+  select doc_id * 2 pid, text txt from documents where doc_id < 500
+  union all
+  select doc_id * 2 + 1 pid, concat(md5(text), ' ', md5(reverse(text))) as txt from documents where doc_id < 500),
+ cg as (
+  select g gram from (
+    select unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substr(text, i, 3))) g
+    from documents) y
+  where length(g) = 3),
+ dg as (
+  select pid, g gram from (
+    select pid, unnest(list_transform(range(1, greatest(length(txt) - 2, 1) + 1), i -> substr(txt, i, 3))) g
+    from probe) x
+  where length(g) = 3),
+ m0 as (select gram, count(*) c from cg group by gram having count(*) >= 2),
+ t as (select sum(c) total from m0),
+ m as (select gram, ln(c / (select total from t)) logp from m0)
+select d.pid,
+ cast(count(*) as bigint) n_grams,
+ round(avg(coalesce(m.logp, ln(0.5 / (select total from t)))), 4) score,
+ round(sum(case when m.logp is null then 1 else 0 end) / cast(count(*) as double), 4) oov
+ from dg d left join m on d.gram = m.gram group by d.pid
+ order by d.pid limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

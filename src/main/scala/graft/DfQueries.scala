@@ -1181,6 +1181,37 @@ object DfQueries {
         .orderBy("p_partkey").limit(300)
     },
 
+    "q157_ngram_lm" -> { (s, _) =>
+      // Declared twin of TextOps.ngramModel/ngramScore: train on real
+      // docs, score real + md5-gibberish twins interleaved by pid
+      // parity. Model vocabulary is bounded (charset³), so it rides a
+      // broadcast join; the corpus never shuffles whole.
+      val docs = t(s, "documents")
+      val sub = docs.where(col("doc_id") < 500)
+      val probe = sub.select((col("doc_id") * 2).as("pid"), col("text").as("txt"))
+        .unionByName(sub.select((col("doc_id") * 2 + 1).as("pid"),
+          concat(md5(col("text")), lit(" "), md5(reverse(col("text")))).as("txt")))
+      val dg = probe.select(col("pid"),
+          explode(graft.ops.TextOps.charShingles(col("txt"), 3)).as("gram"))
+        .where(length(col("gram")) === 3)
+      // Model trains on the WHOLE corpus; only the scored probe is capped.
+      val m0 = docs.select(explode(
+            graft.ops.TextOps.charShingles(col("text"), 3)).as("gram"))
+        .where(length(col("gram")) === 3)
+        .groupBy("gram").agg(count(lit(1)).as("c")).where(col("c") >= 2)
+      val total = m0.agg(sum(col("c")).as("total"))
+      val m = m0.crossJoin(broadcast(total))
+        .select(col("gram"), log(col("c") / col("total")).as("logp"))
+      dg.join(broadcast(m), Seq("gram"), "left")
+        .crossJoin(broadcast(total))
+        .groupBy("pid")
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          round(avg(coalesce(col("logp"), log(lit(0.5) / col("total")))), 4).as("score"),
+          round(sum(when(col("logp").isNull, 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 4).as("oov"))
+        .orderBy("pid").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
