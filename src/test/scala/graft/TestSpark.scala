@@ -11,7 +11,11 @@ object TestSpark {
   val sfDir = "/root/testdata/sf0.001"
 
   lazy val spark: SparkSession = {
-    val s = Graft.session("graft-test", master = "local[4]")
+    // local[4, 2]: 4 threads, maxFailures = 2 — task RETRY enabled, so
+    // the R9 fault-tolerance spec can inject a transient failure and
+    // watch the framework recover. Inert for every other suite (retries
+    // only engage when a task actually fails).
+    val s = Graft.session("graft-test", master = "local[4, 2]")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     Catalog.register(s, sfDir)
     s
