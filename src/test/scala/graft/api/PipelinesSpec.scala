@@ -160,7 +160,7 @@ class PipelinesSpec extends AnyFunSuite {
     val audit = res.audit.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     assert(audit.map(_._2).toSeq ==
-      Seq("input", "quality_lang", "canonical", "decontaminated", "capped"))
+      Seq("input", "quality_lang", "lm_gate", "canonical", "decontaminated", "capped"))
     // Monotone non-increasing funnel, each stage genuinely active.
     val ns = audit.map(_._3).toSeq
     assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, s"not monotone: $ns")
@@ -175,6 +175,37 @@ class PipelinesSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(bySource.forall(_ <= 20))
     assert(res.curated.schema == docs.schema)
+  }
+
+  test("curate lm gate: gibberish falls below the floor, real docs survive it") {
+    val spark2 = spark
+    import spark2.implicits._
+    val real = TestSpark.table("documents").limit(200)
+    // Gibberish rows that PASS the scalar quality/lang gate (long
+    // enough, word-shaped, stopwords sprinkled so langGuess says "en")
+    // but are out-of-distribution at the trigram level.
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val junk = TestSpark.table("documents").limit(40)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", (1 to 35).flatMap(i => Seq(
+          lit(stop(i % stop.size)),
+          substring(md5(concat(col("text"), lit(i))), 1, 7))): _*).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val mixed = real.unionByName(junk)
+    val gated = Pipelines.curate(mixed, lmScoreFloor = Some(-8.0))
+    val kept = gated.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.exists(_ >= 1000000L), "lm gate let gibberish through")
+    assert(kept.nonEmpty, "lm gate dropped everything — floor miscalibrated")
+    // The audit shows the gate doing the work (junk survives stage 1).
+    val audit = gated.audit.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(audit("quality_lang") > audit("lm_gate"),
+      s"lm stage removed nothing: $audit")
+    // Without the floor the same gibberish flows through to dedup.
+    val ungated = Pipelines.curate(mixed)
+    val keptUngated = ungated.curated.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(keptUngated.exists(_ >= 1000000L),
+      "fixture failed: junk should pass the scalar quality gate")
   }
 
   test("sampleExactK: exact size per stratum, deterministic across layouts") {
