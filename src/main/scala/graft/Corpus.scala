@@ -1985,6 +1985,28 @@ select d.pid,
  round(sum(case when m.logp is null then 1 else 0 end) / cast(count(*) as double), 4) oov
  from dg d left join m on d.gram = m.gram group by d.pid
  order by d.pid limit 300"""),
+
+    // Day-of-week numbering conventions (round 7): every engine pair
+    // disagrees here and the bug is silent. Measured: Spark dayofweek =
+    // 1..7 SUNDAY-first; DuckDB dayofweek/dow = 0..6 Sunday-first
+    // (shared NAME, off-by-one values — the trap); the portable
+    // spelling is ISO Monday=1..Sunday=7, which Spark writes
+    // weekday()+1 and DuckDB isodow(). dayofyear and weekofyear (ISO
+    // week — Jan 1 can be week 52/53 of the PREVIOUS ISO year; both
+    // engines agree because both are ISO) share names and semantics.
+    q2("q158_dow_conventions",
+      """select o_orderkey,
+ cast(dayofweek(o_orderdate) as bigint) dw,
+ cast(weekday(o_orderdate) + 1 as bigint) iso,
+ cast(dayofyear(o_orderdate) as bigint) doy,
+ cast(weekofyear(o_orderdate) as bigint) wk
+ from orders order by o_orderkey limit 300""",
+      """select o_orderkey,
+ cast(dayofweek(o_orderdate) + 1 as bigint) dw,
+ cast(isodow(o_orderdate) as bigint) iso,
+ cast(dayofyear(o_orderdate) as bigint) doy,
+ cast(weekofyear(o_orderdate) as bigint) wk
+ from orders order by o_orderkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1212,6 +1212,18 @@ object DfQueries {
         .orderBy("pid").limit(300)
     },
 
+    "q158_dow_conventions" -> { (s, _) =>
+      // Sunday-first dayofweek (the shared-name trap vs DuckDB's
+      // 0-based dow), ISO day number via weekday()+1, ISO doy/week —
+      // pure projection.
+      t(s, "orders").select(col("o_orderkey"),
+          dayofweek(col("o_orderdate")).cast("long").as("dw"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          weekofyear(col("o_orderdate")).cast("long").as("wk"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
