@@ -2007,6 +2007,26 @@ select d.pid,
  cast(dayofyear(o_orderdate) as bigint) doy,
  cast(weekofyear(o_orderdate) as bigint) wk
  from orders order by o_orderkey limit 300"""),
+
+    // Division-by-zero conventions (round 7): bare x/0 is UNTRANSLATABLE
+    // — Spark (ANSI, the engine default) THROWS DIVIDE_BY_ZERO where
+    // DuckDB silently returns NULL; a query ported either direction
+    // changes behavior without warning. Declared pairings: Spark
+    // try_divide/try_mod ≡ DuckDB's native silent-NULL bare operators,
+    // and the engine-portable spelling x / nullif(y, 0) (shared text,
+    // NULL in both). Every third/fifth row divides by zero, so the NULL
+    // convention is live in the hashed window.
+    q2("q159_div_zero",
+      """select o_orderkey,
+ round(try_divide(o_totalprice, o_orderkey % 3), 4) safe_div,
+ try_mod(o_orderkey, o_orderkey % 5) safe_mod,
+ round(o_totalprice / nullif(o_orderkey % 3, 0), 4) portable_div
+ from orders order by o_orderkey limit 300""",
+      """select o_orderkey,
+ round(o_totalprice / (o_orderkey % 3), 4) safe_div,
+ o_orderkey % (o_orderkey % 5) safe_mod,
+ round(o_totalprice / nullif(o_orderkey % 3, 0), 4) portable_div
+ from orders order by o_orderkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1224,6 +1224,17 @@ object DfQueries {
         .orderBy("o_orderkey").limit(300)
     },
 
+    "q159_div_zero" -> { (s, _) =>
+      // try_divide/try_mod: the ANSI-safe spellings (bare /0 throws
+      // under Spark's ANSI default); NULL rows live in the window.
+      val den3 = col("o_orderkey") % 3
+      t(s, "orders").select(col("o_orderkey"),
+          round(try_divide(col("o_totalprice"), den3), 4).as("safe_div"),
+          try_mod(col("o_orderkey"), col("o_orderkey") % 5).as("safe_mod"),
+          round(col("o_totalprice") / nullif(den3, lit(0)), 4).as("portable_div"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
