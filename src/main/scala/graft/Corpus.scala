@@ -948,8 +948,11 @@ select s.user_id, cast(s.d as timestamp) AS dday, coalesce(a.c, 0) c
 
     // C4-style span-level exact dedup: cut every document into fixed-width
     // 20-word spans and keep only the lexicographically-first occurrence of
-    // each distinct span text across the corpus (keeper key = doc_id·1000 +
-    // span_no; span counts stay < 1000 for any document under 20k words).
+    // each distinct span text across the corpus. The DECLARED keeper key is
+    // the doc_id·1000 + span_no encoding — exactly lexicographic
+    // (doc_id, span_no) order while span counts stay < 1000 (documents
+    // under 20k words, which the fixture satisfies); the LIBRARY operator
+    // (DedupOps.spanDedup) keeps min(struct(doc_id, span_no)) with no cap.
     // Finer-grained than q33's whole-document dedup: shared boilerplate
     // inside otherwise-distinct documents is caught at the span level.
     q2("q92_span_dedup",

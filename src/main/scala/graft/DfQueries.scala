@@ -551,8 +551,11 @@ object DfQueries {
 
     "q92_span_dedup" -> { (s, _) =>
       // C4-style span-level exact dedup: the operator's agg/join shape is
-      // DedupOps.spanDedup; the declared keeper encoding (doc_id·1000 +
-      // span_no) is the contract's first-occurrence order.
+      // DedupOps.spanDedup. The declared SQL contract writes the keeper as
+      // doc_id·1000 + span_no; the library operator keeps a
+      // min(struct(doc_id, span_no)) instead — identical order while
+      // span_no < 1000 (base-1000 encoding IS lexicographic there), which
+      // the fixture satisfies, and uncapped beyond it.
       DedupOps.spanDedup(t(s, "documents"), col("doc_id"), col("text"), 20)
         .orderBy("doc_id", "span_no").limit(500)
     },

@@ -53,9 +53,14 @@ object DedupOps {
     * of each distinct span text corpus-wide — boilerplate shared INSIDE
     * otherwise-distinct documents is caught where whole-document dedup
     * ([[exactDupGroups]]) cannot see it. Keeper = lexicographically-first
-    * (doc, span) occurrence, encoded as doc_id·1000 + span_no — valid while
-    * every document stays under spanWords·1000 words (20k at the default),
-    * the declared q92 contract; pre-split longer documents first.
+    * (doc, span) occurrence as a `min(struct(doc_id, span_no))` — a
+    * lexicographic struct min, so there is NO per-document span-count cap
+    * (an earlier doc_id·1000 + span_no encoding silently collided above
+    * 1000 spans/doc; a 25k-word web document is real at corpus scale). The
+    * DECLARED q92 keeps the numeric encoding in its SQL contract — the
+    * two keepers agree exactly while span_no < 1000, which the fixture
+    * satisfies by construction (base-1000 encoding IS lexicographic
+    * order in that regime); the library operator is the uncapped form.
     *
     * Scale shape: one explode (narrow), one hash agg on the span text
     * (partial min per partition — a boilerplate span repeated across the
@@ -104,7 +109,7 @@ object DedupOps {
           i => concat_ws(" ", slice(l, i * spanWords + 1, lit(spanWords))))))
       .select(col("doc_id"), col("pos").cast("long").as("span_no"), col("col").as("span"))
     val keyed = spans.select(col("doc_id"), col("span_no"), col("span"),
-      (col("doc_id") * 1000 + col("span_no")).as("k"))
+      struct(col("doc_id"), col("span_no")).as("k"))
     val keeper = keyed.groupBy("span").agg(min("k").as("kk"))
     val hot: Seq[String] =
       if (autoHotMinCount > 0L)
@@ -122,8 +127,8 @@ object DedupOps {
       else keyed.join(keeper, "span")
     joined
       .select(col("doc_id"), col("span_no"),
-        floor(col("kk") / 1000.0).cast("long").as("keep_doc"),
-        (col("kk") % 1000).as("keep_span"),
+        col("kk.doc_id").as("keep_doc"),
+        col("kk.span_no").as("keep_span"),
         (col("k") =!= col("kk")).as("is_dup"))
   }
 

@@ -134,6 +134,28 @@ class OpsSpec extends AnyFunSuite {
     assert(canon(auto) == canon(out))
   }
 
+  test("spanDedup: documents beyond 1000 spans keep correct keepers (struct min, no encoding cap)") {
+    import spark.implicits._
+    // spanWords=1 → every word is a span; doc 0 has 1001 spans. Its span
+    // number 1000 ("w1000") also opens doc 1. The retired numeric keeper
+    // (doc_id·1000 + span_no) assigned BOTH occurrences key 1000 —
+    // 0·1000+1000 == 1·1000+0 — so each compared equal to the group min and
+    // neither was marked a dup (and keep_doc decoded to 1, not 0). The
+    // lexicographic struct keeper has no such collision: (0,1000) < (1,0).
+    val docs = Seq(
+      0L -> (0 to 1000).map(i => s"w$i").mkString(" "),
+      1L -> "w1000"
+    ).toDF("doc_id", "text")
+    val out = DedupOps.spanDedup(docs, col("doc_id"), col("text"), spanWords = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.size == 1002)
+    assert(out((0L, 1000L)) == ((0L, 1000L, false)), "first occurrence keeps itself")
+    assert(out((1L, 0L)) == ((0L, 1000L, true)),
+      "doc 1's copy must point at doc 0's span 1000 — the old encoding called it a keeper")
+    assert(out.count(_._2._3) == 1)
+  }
+
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
