@@ -11,6 +11,28 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// FaultToleranceSpec needs task retry, which local mode bakes into the
+// master string at context creation (local[4, 2]) — one context per JVM,
+// so that suite gets its OWN forked JVM while every other suite shares
+// the strict maxFailures=1 session. Distinct derby/warehouse dirs keep
+// the two JVMs from fighting over the metastore lock.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val retryOpts = opts.filterNot(o =>
+    o.startsWith("-Dspark.sql.warehouse.dir=") || o.startsWith("-Dderby.system.home=")) ++
+    Vector("-Dspark.sql.warehouse.dir=/tmp/graft-warehouse-retry",
+           "-Dderby.system.home=/tmp/graft-derby-retry")
+  val (retry, rest) = tests.partition(_.name.endsWith("FaultToleranceSpec"))
+  Seq(
+    Tests.Group("retry", retry,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(retryOpts))),
+    Tests.Group("main", rest,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))))
+}
+// One forked test JVM at a time: both groups read the same fixture dirs
+// and the host's 32 cores are already sized for a single 4-thread session.
+Test / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 1))
 // Pass forked-run output straight through (no [info]/[error] log prefixes):
 // the bench/verify harness parses raw JSON lines from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -354,6 +354,16 @@ object Ann {
     require(clash == 0L,
       s"appendIvfIndex: $clash new $id value(s) already exist in `$table` — " +
         "appending would silently duplicate vectors; dedup the batch first")
+    // The guard above only sees new-vs-existing clashes; a duplicate id
+    // WITHIN the batch would also append duplicate rows (the arg-min
+    // groupBy collapses it in `best`, but the join back against `gal`
+    // re-expands both copies). One batch-scale agg closes that hole.
+    val Array(batchN, batchDistinct) = newVectors
+      .agg(count(col(id)), countDistinct(col(id))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(batchN == batchDistinct,
+      s"appendIvfIndex: newVectors carries ${batchN - batchDistinct} " +
+        s"duplicate $id value(s) within the batch — dedup the batch first")
     val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
     val gal = newVectors.select(col(id).as("g_id"), col(vec).as("g_emb"))
     // Same arg-min key as ivfAssign/ivfIndex — identical cid per vector —

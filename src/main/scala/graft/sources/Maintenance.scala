@@ -17,8 +17,15 @@ object Maintenance {
     * `hdfs://`/`s3a://` locations all size correctly. Files under
     * underscore/dot-prefixed directories are skipped — Spark's reader
     * would not scan them, so they must not inflate the sizing either. */
-  private def dirBytes(dir: String): Long =
-    LakeFs.listFiles(dir, skipHiddenDirs = true).map(_._2).sum
+  private def dirBytes(dir: String): Long = {
+    val files = LakeFs.listFiles(dir, skipHiddenDirs = true)
+    // Fail fast on a typo'd path: listFiles returns Nil for a missing
+    // directory, and "plan 1 file over empty data" would silently turn a
+    // mistyped compact into an empty-output write.
+    require(files.nonEmpty,
+      s"no data files under `$dir` — nonexistent or empty directory")
+    files.map(_._2).sum
+  }
 
   /** Number of output files [[compact]] would write for `dir`. */
   def plannedFiles(dir: String, targetBytes: Long = 128L * 1024 * 1024): Int = {

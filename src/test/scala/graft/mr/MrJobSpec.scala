@@ -73,27 +73,8 @@ class MrJobSpec extends AnyFunSuite {
       graft.verify.Canon.hashOf(TestSpark.corpus("q64_length_histogram")))
   }
 
-  test("R9: a transiently-failing task is retried by the framework; results exact") {
-    // The MR contract's fault-tolerance half (R9): the framework, not
-    // the user, re-runs failed tasks. Inject a failure on the FIRST
-    // attempt of partition 0 only (TaskContext.attemptNumber) — the
-    // session runs with maxFailures = 2, so the retry succeeds and the
-    // job's result must equal the failure-free run exactly.
-    def wordcount(src: Job[String]) = src
-      .flatMap(_.split(" ").toSeq)
-      .map(w => (w, 1L))
-      .pairs[String, Long]
-      .reduceByKey(_ + _)
-      .collect().sortBy(_._1).toSeq
-    val expect = wordcount(texts)
-    val flaky = texts.mapPartitions { it =>
-      val tc = org.apache.spark.TaskContext.get()
-      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
-        throw new RuntimeException("transient failure (spec-injected, retried)")
-      it
-    }
-    assert(wordcount(flaky) == expect && expect.nonEmpty)
-  }
+  // R9 (fault tolerance) lives in FaultToleranceSpec: task retry needs a
+  // local[4, 2] master, which this shared strict-mode session must not use.
 
   test("map fusion law: job.map(f).map(g) == job.map(g compose f)") {
     val f = (s: String) => s.length
