@@ -2030,6 +2030,31 @@ select d.pid,
  o_orderkey % (o_orderkey % 5) safe_mod,
  round(o_totalprice / nullif(o_orderkey % 3, 0), 4) portable_div
  from orders order by o_orderkey limit 300"""),
+
+    // Weighted multi-source mixture sampling (round 8): the data-mixing
+    // step between curation and training. Accept iff the seeded md5
+    // uniform of the doc id falls under the source's declared rate —
+    // threshold = floor(rate·16^8) as zero-padded lowercase hex, a pure
+    // string comparison both engines evaluate identically (rate 1.0 →
+    // 'g', above every hex digit → whole source kept; sources outside
+    // the spec get '00000000' → dropped). Exact membership is hashed
+    // (the sampled rows themselves, not just counts), so any drift in
+    // the acceptance rule or hash keying fails loudly.
+    q2("q160_mix_sources",
+      """select source, doc_id
+ from documents
+ where substr(md5(concat('mix:', cast(doc_id as string))), 1, 8) <
+   case source when 'src0' then 'g' when 'src1' then '80000000'
+     when 'src2' then '40000000' when 'src3' then '0ccccccc'
+     else '00000000' end
+ order by source, doc_id""",
+      """select source, doc_id
+ from documents
+ where substr(md5(concat('mix:', cast(doc_id as varchar))), 1, 8) <
+   case source when 'src0' then 'g' when 'src1' then '80000000'
+     when 'src2' then '40000000' when 'src3' then '0ccccccc'
+     else '00000000' end
+ order by source, doc_id"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

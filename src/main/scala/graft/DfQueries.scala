@@ -1238,6 +1238,16 @@ object DfQueries {
         .orderBy("o_orderkey").limit(300)
     },
 
+    "q160_mix_sources" -> { (s, _) =>
+      // The Pipelines.mixSources op under its declared mixture spec —
+      // the DF impl verifies the threshold encoding (rate → hex) and
+      // seeded-hash acceptance cross-engine. One narrow filter.
+      graft.api.Pipelines.mixSources(
+          t(s, "documents").select("source", "doc_id"), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.05))
+        .orderBy("source", "doc_id")
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

@@ -227,6 +227,40 @@ object Pipelines {
     df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
   }
 
+  /** WEIGHTED MULTI-SOURCE MIXTURE sampling — the data-mixing step
+    * between curation and training (weight web crawl down, books up,
+    * drop a source entirely): each row is accepted iff its seeded
+    * CONTENT-hash uniform falls under its source's declared rate. The
+    * acceptance test is `substr(md5(seed:id), 1, 8) < threshold(rate)`
+    * with `threshold = floor(rate · 16^8)` as zero-padded lowercase hex —
+    * a pure string comparison both engines (and any engine with md5)
+    * evaluate identically, exact to 2^-32. Sources absent from `rates`
+    * are DROPPED (a mixture spec is exhaustive, same contract as
+    * [[stratifiedSample]]); `rate >= 1` accepts the whole source (the
+    * threshold becomes "g", above every hex digit).
+    *
+    * Determinism contract (q69/q105 discipline): no RNG state — the
+    * SAME rows are chosen across runs, partitionings, and task retries,
+    * and changing `seed` draws an independent mixture. Cost: ONE narrow
+    * codegen'd filter — no shuffle, no join; at 100 TB this is a
+    * map-only pass. (The rate map is a human-written mixture spec — tens
+    * of entries — so it compiles into the filter as a when-chain, never
+    * a join.) Declared as q160. */
+  def mixSources(df: DataFrame, sourceCol: String, idCol: String,
+                 rates: Map[String, Double], seed: String = "mix"): DataFrame = {
+    require(rates.nonEmpty, "empty mixture spec drops everything — say so explicitly")
+    rates.foreach { case (s, r) =>
+      require(r >= 0.0 && r <= 1.0, s"rate for '$s' must be in [0,1], got $r") }
+    val thresholds = rates.toSeq.map { case (s, r) =>
+      s -> (if (r >= 1.0) "g" else f"${math.floor(r * 4294967296.0).toLong}%08x")
+    }
+    val thr = thresholds.foldLeft(lit(null).cast("string")) {
+      case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
+    }
+    df.where(
+      substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8) < thr)
+  }
+
   /** End-to-end corpus canonicalization — the curation composition a
     * training pipeline runs as one step: near-dup pairs (auto-sized
     * banded LSH) → transitive closure (pointer-jumping connected

@@ -214,17 +214,72 @@ object FileStats {
     * (`batch=N/...` layouts) survive the explicit-file read exactly as
     * they would a full directory scan; on an unpartitioned layout the
     * option is inert. */
+  /** Disk-side set fingerprint: (file count, order-independent XOR of the
+    * 60-bit md5 path prefixes). One Hadoop listing — driver-side
+    * O(files), exactly what Spark's own file index materializes for any
+    * scan. Exposed for [[graft.ManifestProbe]]. */
+  private[graft] def probeDiskFingerprint(dir: String): (Int, Long) = {
+    val onDisk = diskPaths(dir)
+    (onDisk.size, onDisk.foldLeft(0L)(_ ^ pathHash(_)))
+  }
+
+  /** Steady-state memo #1 — manifest-side fingerprint, used ONLY for a
+    * currently-PERSISTED manifest (persisted ⇒ its rows are frozen, so
+    * re-running the aggregation per probe could never return anything
+    * else — the memo is semantically invisible; an un-persisted manifest
+    * re-lists the directory at every use and keeps the full per-probe
+    * aggregation). Keyed by the Dataset INSTANCE (reference equality —
+    * Dataset doesn't override equals) under weak keys, so a re-collected
+    * manifest is a new key and a dropped one frees its entry. Worst case
+    * after a cache-evict-and-recompute over a changed directory the memo
+    * is stale-conservative: the disk fingerprint differs and the probe
+    * errors, never silently plans from wrong stats. */
+  private val fingerprintMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, (Long, Long, Long)]())
+
+  /** Steady-state memo #2 — the full-directory read schema per
+    * (normalized dir, disk fingerprint): per-probe `spark.read.parquet`
+    * schema inference is a footer read + file-index build (~0.1 s of
+    * every probe, measured by [[graft.ManifestProbe]]); the schema is a
+    * pure function of the file set, so the disk XOR in the key
+    * invalidates it on any append/rewrite. Inference uses the FULL
+    * directory (not the survivors), so partition-column TYPES are
+    * inferred from all partition values — bit-identical to what the
+    * unpruned scan would produce. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      org.apache.spark.sql.types.StructType]()
+
+  private def schemaFor(spark: SparkSession, dir: String, diskXor: Long) =
+    schemaCache.computeIfAbsent((LakeFs.normPath(dir), diskXor),
+      _ => spark.read.parquet(dir).schema)
+
+  /** Manifest-side half of the probe: ONE aggregation returning
+    * (rows, distinct paths, path-set XOR, sorted surviving files).
+    * Exposed for [[graft.ManifestProbe]]. */
+  private[graft] def probeManifestAgg(manifest: DataFrame,
+      preds: Seq[FilePredicate]): (Long, Long, Long, Seq[String]) = {
+    val row = manifest
+      .select(col("file"), survives(preds).as("keep"),
+        normPathCol(col("file")).as("__norm"))
+      .agg(
+        count(lit(1)).as("m_rows"),
+        countDistinct(col("__norm")).as("m_distinct"),
+        coalesce(bit_xor(pathHashCol(col("__norm"))), lit(0L)).as("m_xor"),
+        sort_array(collect_list(when(col("keep"), col("file")))).as("files"))
+      .head()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getSeq[String](3))
+  }
+
   def prunedRead(spark: SparkSession, dir: String, manifest: DataFrame,
                  bounds: Seq[FilePredicate]): DataFrame = {
     require(bounds.nonEmpty, "no bounds — use spark.read.parquet directly")
-    // ONE distributed aggregation over the manifest ALONE serves both the
-    // staleness check and the surviving-file list; the driver receives
-    // only O(survivors) paths plus three counters — at ~1M files a
-    // selective probe collects a handful of paths, not the whole
-    // manifest, and nothing is broadcast per probe (an earlier join-based
-    // check shipped the full disk listing to the executors each call —
-    // ~100 MB per probe at a million files, and a measured +60% on the
-    // bench probe at 32). Set equality is compared by cardinality plus an
+    // The manifest side of the staleness check never ships the disk
+    // listing to executors (an earlier join-based check broadcast ~100 MB
+    // per probe at a million files; the round-6 bench tripwire caught
+    // it), and the driver receives only O(survivors) paths plus three
+    // counters. Set equality is compared by cardinality plus an
     // order-independent XOR of a 60-bit md5 prefix over the normalized
     // paths, computed identically driver-side over the Hadoop listing and
     // executor-side over the manifest — a false "fresh" verdict needs an
@@ -233,30 +288,35 @@ object FileStats {
     // itself is driver-side O(files), but that is exactly what Spark's
     // own file index materializes for any scan, so it adds no new
     // posture.)
-    val onDisk = diskPaths(dir)
-    val diskXor = onDisk.foldLeft(0L)(_ ^ pathHash(_))
-    val row = manifest
-      .select(col("file"), survives(bounds).as("keep"),
-        normPathCol(col("file")).as("__norm"))
-      .agg(
-        count(lit(1)).as("m_rows"),
-        countDistinct(col("__norm")).as("m_distinct"),
-        coalesce(bit_xor(pathHashCol(col("__norm"))), lit(0L)).as("m_xor"),
-        sort_array(collect_list(when(col("keep"), col("file")))).as("files"))
-      .head()
-    val (mRows, mDistinct, mXor) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (nDisk, diskXor) = probeDiskFingerprint(dir)
+    // Persisted manifest: fingerprint from the memo (one aggregation per
+    // manifest instance, ever) + a NARROW single-stage survivor filter
+    // per probe. Un-persisted: the combined one-job aggregation (its
+    // full stats pass re-runs per use anyway — never add a second).
+    val (mRows, mDistinct, mXor, files) =
+      if (manifest.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+        val (r, d, x) = fingerprintMemo.computeIfAbsent(manifest, m =>
+          m.select(normPathCol(col("file")).as("__norm"))
+            .agg(count(lit(1)), countDistinct(col("__norm")),
+              coalesce(bit_xor(pathHashCol(col("__norm"))), lit(0L)))
+            .head() match { case r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2)) })
+        val fs = manifest.where(survives(bounds)).select("file")
+          .collect().map(_.getString(0)).toSeq.sorted
+        (r, d, x, fs)
+      } else probeManifestAgg(manifest, bounds)
     require(mRows == mDistinct,
       s"corrupt manifest for $dir: ${mRows - mDistinct} duplicate file row(s) " +
         "— re-run FileStats.collect")
-    require(mDistinct == onDisk.size && mXor == diskXor,
+    require(mDistinct == nDisk && mXor == diskXor,
       s"stale manifest for $dir: manifest covers $mDistinct file(s), disk has " +
-        s"${onDisk.size}, path-set fingerprints ${if (mXor == diskXor) "match"
+        s"$nDisk, path-set fingerprints ${if (mXor == diskXor) "match"
           else "differ"} — re-run FileStats.collect after any rewrite")
-    val files = row.getSeq[String](3)
+    val schema = schemaFor(spark, dir, diskXor)
     if (files.isEmpty)
       // Provably-empty result; keep the schema without scheduling a scan.
-      spark.read.parquet(dir).where(lit(false))
+      spark.read.schema(schema).option("basePath", dir).parquet(dir).where(lit(false))
     else
-      spark.read.option("basePath", dir).parquet(files: _*).where(residual(bounds))
+      spark.read.schema(schema).option("basePath", dir).parquet(files: _*)
+        .where(residual(bounds))
   }
 }

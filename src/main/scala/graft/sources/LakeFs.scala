@@ -33,24 +33,45 @@ private[graft] object LakeFs {
     * under underscore/dot-prefixed SUBdirectories — Spark's reader hides
     * those (`_stats`, `.checkpoint`), so listings that feed staleness
     * comparisons must hide them too. Returns fully-qualified
-    * scheme-carrying paths. */
+    * scheme-carrying paths.
+    *
+    * Two walk strategies by scheme: object stores and HDFS use
+    * `fs.listFiles(recursive)` — one flat LIST prefix scan on S3A,
+    * batched located-status RPCs on HDFS. The LOCAL filesystem gets a
+    * plain `listStatus` walk instead: `listFiles`' per-file
+    * block-location materialization costs ~4 ms/file there (measured
+    * 134 ms vs 1.2 ms for a 32-file directory — it dominated every
+    * [[FileStats.prunedRead]] probe), while a directory-recursive
+    * `listStatus` is a handful of stat syscalls. */
   def listFiles(dir: String, skipHiddenDirs: Boolean): Seq[(String, Long)] = {
     val (fs, root) = resolve(dir)
     if (!fs.exists(root)) return Nil
-    val rootPrefix = root.toString.stripSuffix("/") + "/"
-    val it = fs.listFiles(root, true)
-    val b = Seq.newBuilder[(String, Long)]
-    while (it.hasNext) {
-      val st = it.next()
-      val full = st.getPath.toString
-      val hidden = skipHiddenDirs && {
-        val rel = full.stripPrefix(rootPrefix)
-        val segs = rel.split('/')
-        segs.dropRight(1).exists(s => s.startsWith("_") || s.startsWith("."))
+    def keepDir(name: String): Boolean =
+      !skipHiddenDirs || !(name.startsWith("_") || name.startsWith("."))
+    if (fs.getScheme == "file") {
+      val b = Seq.newBuilder[(String, Long)]
+      def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) { if (keepDir(st.getPath.getName)) walk(st.getPath) }
+        else b += ((st.getPath.toString, st.getLen))
       }
-      if (!hidden) b += ((full, st.getLen))
+      walk(root)
+      b.result()
+    } else {
+      val rootPrefix = root.toString.stripSuffix("/") + "/"
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val full = st.getPath.toString
+        val hidden = skipHiddenDirs && {
+          val rel = full.stripPrefix(rootPrefix)
+          val segs = rel.split('/')
+          segs.dropRight(1).exists(s => s.startsWith("_") || s.startsWith("."))
+        }
+        if (!hidden) b += ((full, st.getLen))
+      }
+      b.result()
     }
-    b.result()
   }
 
   /** Canonical fully-qualified form of `dir` for same-location guards

@@ -246,6 +246,45 @@ class PipelinesSpec extends AnyFunSuite {
     assert(r1 > 0.2 && r1 < 0.8, s"src1 sampled fraction $r1 far from 0.5")
   }
 
+  test("mixSources: exact proportions at scale, deterministic, layout-independent") {
+    import spark.implicits._
+    // Synthetic mixture large enough that the 2^-32-exact thresholds must
+    // land within tight binomial bounds (n = 10k/source, 3σ ≈ 1.5%).
+    val n = 10000
+    val mixed = spark.range(3L * n)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    val rates = Map("s0" -> 0.8, "s1" -> 0.25, "s2" -> 0.0)
+    def accepted(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Pipelines.mixSources(df, "source", "doc_id", rates)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val a = accepted(mixed)
+    assert(a("s2") == 0L, "rate 0 must drop the whole source")
+    assert(math.abs(a("s0").toDouble / n - 0.8) < 0.02, s"s0 rate ${a("s0").toDouble / n}")
+    assert(math.abs(a("s1").toDouble / n - 0.25) < 0.02, s"s1 rate ${a("s1").toDouble / n}")
+    // Determinism across layouts: a repartitioned input accepts the SAME
+    // id set (content hash, not RNG state).
+    val ids = Pipelines.mixSources(mixed, "source", "doc_id", rates)
+      .select("doc_id").as[Long].collect().toSet
+    val ids2 = Pipelines.mixSources(mixed.repartition(13), "source", "doc_id", rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == ids2, "acceptance must not depend on partitioning")
+    // Unlisted sources are dropped; rate 1.0 keeps every row; a changed
+    // seed draws a DIFFERENT (independent) sample.
+    val whole = Pipelines.mixSources(mixed, "source", "doc_id", Map("s1" -> 1.0))
+    assert(whole.agg(count(lit(1))).head().getLong(0) == n.toLong)
+    val reseeded = Pipelines.mixSources(mixed, "source", "doc_id", rates, seed = "mix2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(reseeded != ids, "a new seed must draw an independent sample")
+    intercept[IllegalArgumentException] {
+      Pipelines.mixSources(mixed, "source", "doc_id", Map("s0" -> 1.2))
+    }
+    intercept[IllegalArgumentException] {
+      Pipelines.mixSources(mixed, "source", "doc_id", Map.empty)
+    }
+  }
+
   test("tokenize facade: exact token budget over a trained merge table") {
     val docs = TestSpark.table("documents").where(col("doc_id") < 30)
     val merges = Pipelines.trainTokenizer(docs, col("text"), numMerges = 10)
