@@ -2055,6 +2055,49 @@ select d.pid,
      when 'src2' then '40000000' when 'src3' then '0ccccccc'
      else '00000000' end
  order by source, doc_id"""),
+
+    // PII redaction classes (round 8): email/IPv4/phone on top of q63's
+    // numeric runs. The fixture text carries no PII, so each row is
+    // AUGMENTED with deterministic doc_id-derived PII of every class —
+    // the counts and the redacted text then exercise each regex on every
+    // row. Dialect traps pinned: Spark regexp_replace is global while
+    // DuckDB needs the 'g' flag (q63's catalogued split), Spark SQL
+    // string literals escape backslashes while DuckDB's are raw (q108's
+    // split), and the regexes stay inside the Java-regex ∩ RE2 subset
+    // (no lookaround/backrefs) so leftmost matching agrees. Application
+    // order is semantic: email before ipv4 before phone (digit runs
+    // inside the longer classes), mirrored by TextOps.piiPatterns.
+    q2("q161_pii_redaction",
+      """with a as (select doc_id,
+   concat(text, ' contact u', cast(doc_id as string),
+     '@mail.example.org or +1-555-', lpad(cast(doc_id % 1000 as string), 3, '0'),
+     '-', lpad(cast((doc_id * 7) % 10000 as string), 4, '0'),
+     ' at 192.168.', cast(doc_id % 256 as string), '.', cast((doc_id * 3) % 256 as string)) aug
+  from documents)
+ select doc_id,
+ regexp_count(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') n_email,
+ regexp_count(aug, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b') n_ip,
+ regexp_count(aug, '(\\+[0-9]{1,2}[ -])?[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}') n_phone,
+ regexp_replace(regexp_replace(regexp_replace(aug,
+   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+   '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>'),
+   '(\\+[0-9]{1,2}[ -])?[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>') redacted
+ from a order by doc_id limit 200""",
+      """with a as (select doc_id,
+   concat(text, ' contact u', cast(doc_id as varchar),
+     '@mail.example.org or +1-555-', lpad(cast(doc_id % 1000 as varchar), 3, '0'),
+     '-', lpad(cast((doc_id * 7) % 10000 as varchar), 4, '0'),
+     ' at 192.168.', cast(doc_id % 256 as varchar), '.', cast((doc_id * 3) % 256 as varchar)) aug
+  from documents)
+ select doc_id,
+ len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) n_email,
+ len(regexp_extract_all(aug, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) n_ip,
+ len(regexp_extract_all(aug, '(\+[0-9]{1,2}[ -])?[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) n_phone,
+ regexp_replace(regexp_replace(regexp_replace(aug,
+   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+   '(\+[0-9]{1,2}[ -])?[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') redacted
+ from a order by doc_id limit 200"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1248,6 +1248,27 @@ object DfQueries {
         .orderBy("source", "doc_id")
     },
 
+    "q161_pii_redaction" -> { (s, _) =>
+      // TextOps.redactPii under its declared augmentation: every row
+      // carries deterministic doc_id-derived PII of each class, counts
+      // per class, then the chained canonical-order redaction.
+      val aug = concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.org or +1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        lit(" at 192.168."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 3) % 256).cast("string"))
+      val pat = graft.ops.TextOps.piiPatterns.map(p => p._1 -> p._2).toMap
+      t(s, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(pat("email"))).as("n_email"),
+          regexp_count(col("aug"), lit(pat("ipv4"))).as("n_ip"),
+          regexp_count(col("aug"), lit(pat("phone"))).as("n_phone"),
+          graft.ops.TextOps.redactPii(col("aug")).as("redacted"))
+        .orderBy("doc_id").limit(200)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

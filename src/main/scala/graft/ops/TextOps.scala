@@ -89,6 +89,38 @@ object TextOps {
   def bpeIshTokenCount(text: Column): Column =
     regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
 
+  /** PII redaction classes: (name, regex, replacement token), in the
+    * CANONICAL application order — email before ipv4 before phone before
+    * bare number runs. The order is semantic, not cosmetic: an email's
+    * local part and an IP's octets contain digit runs, so a number-first
+    * pass would shred the longer classes into un-matchable fragments.
+    * The regexes use only the syntax Java regex and RE2 share (no
+    * lookaround, no backrefs), so a DuckDB/Trino twin of the redaction
+    * computes the identical result — q161 pins that cross-engine. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "(\\+[0-9]{1,2}[ -])?[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    ("number", "[0-9]+", "<NUM>"))
+
+  /** Redact the requested PII `classes` (default: the structured three —
+    * bare `number` runs stay, they are q63's separate class) by chained
+    * global regex replacement in canonical [[piiPatterns]] order,
+    * whatever order the caller lists them in. Pure per-row projection —
+    * no shuffle, safe at any scale; null text stays null, empty stays
+    * empty. */
+  def redactPii(text: Column,
+                classes: Seq[String] = Seq("email", "ipv4", "phone")): Column = {
+    val known = piiPatterns.map(_._1)
+    val bad = classes.filterNot(known.contains)
+    require(bad.isEmpty, s"unknown PII class(es) ${bad.mkString(", ")} — " +
+      s"known: ${known.mkString(", ")}")
+    require(classes.nonEmpty, "no classes — redaction would be the identity")
+    piiPatterns.filter(p => classes.contains(p._1)).foldLeft(text) {
+      case (acc, (_, pat, tok)) => regexp_replace(acc, pat, tok)
+    }
+  }
+
   /** Whole-document fingerprint. */
   def docFingerprint(text: Column): Column = md5(text)
 

@@ -16,6 +16,38 @@ class TextOpsEdgeSpec extends AnyFunSuite {
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
   }
 
+  test("redactPii: classes hit, order is canonical, degenerate inputs safe") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "mail me at alice.smith+x@sub.example.co.uk today"),
+      (1L, "server 10.0.255.3 and backup 192.168.1.1"),
+      (2L, "call +1-555-123-4567 or 555.987.6543"),
+      (3L, "mixed: bob@x.io at 8.8.8.8 tel 555-000-1111 order 1234567"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        graft.ops.TextOps.redactPii(col("text")).as("red"),
+        graft.ops.TextOps.redactPii(col("text"),
+          Seq("email", "ipv4", "phone", "number")).as("redAll"))
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getString(2))).toMap
+    assert(r(0)._1 == "mail me at <EMAIL> today")
+    assert(r(1)._1 == "server <IP> and backup <IP>")
+    assert(r(2)._1 == "call <PHONE> or <PHONE>")
+    // Canonical order: the email's digits and the IP's octets are NOT
+    // shredded by the phone/number classes; leftover digit runs only
+    // fall to <NUM> when that class is requested.
+    assert(r(3)._1 == "mixed: <EMAIL> at <IP> tel <PHONE> order 1234567")
+    assert(r(3)._2 == "mixed: <EMAIL> at <IP> tel <PHONE> order <NUM>")
+    assert(r(4)._1 == "")
+    assert(r(5)._1 == null)
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.redactPii(col("text"), Seq("ssn"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.redactPii(col("text"), Nil)
+    }
+  }
+
   test("tokens/shingles on degenerate inputs never error and stay non-empty") {
     val d = df("", "one", "two words", "a b c d")
     val r = d.select(
