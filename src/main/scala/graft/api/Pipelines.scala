@@ -377,11 +377,12 @@ object Pipelines {
       lang.map(l => TextOps.langGuess(text) === l).getOrElse(lit(true)))
     val lmKept = lmScoreFloor match {
       case Some(floor) =>
+        // One-pass lm_score gate (bitwise-equal to the ngramScore
+        // explode+join+agg lowering it replaced — StreamLmSpec): the
+        // frozen model folds into the filter as a literal, so the gate
+        // is a projection, not a corpus-wide join.
         val model = TextOps.ngramModel(quality, text)
-        quality.join(
-          TextOps.ngramScore(quality, id, text, model)
-            .where(col("score") >= floor).select(col("doc_id").as("__lm")),
-          id === col("__lm"), "left_semi")
+        graft.streaming.StreamOps.lmFilter(quality, "text", model, floor)
       case None => quality
     }
     val canon = lmKept.join(

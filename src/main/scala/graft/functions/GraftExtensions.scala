@@ -59,6 +59,10 @@ object GraftFunctions {
       info(classOf[CmsEstimateCount], "cms_estimate",
         "cms_estimate(sketch, key) - count-min frequency upper bound for a key"),
       (e: Seq[Expression]) => { checkArity("cms_estimate", 2, e); CmsEstimateCount(e.head, e(1)) }),
+    (FunctionIdentifier("lm_score"),
+      info(classOf[NgramLmScore], "lm_score",
+        "lm_score(model, text) - struct(score, oov_rate, n_grams) under a frozen char-n-gram LM, one pass per row"),
+      (e: Seq[Expression]) => { checkArity("lm_score", 2, e); NgramLmScore(e.head, e(1)) }),
   )
 
   def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)

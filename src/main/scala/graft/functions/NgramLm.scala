@@ -1,0 +1,156 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scan-speed scoring under a FROZEN char-n-gram LM
+  * (`graft.ops.TextOps.ngramModel`): `lm_score(model_bytes, text)` returns
+  * `struct(score, oov_rate, n_grams)` — the same numbers as the
+  * explode+broadcast-join+agg lowering (`TextOps.ngramScore`), computed in
+  * ONE pass per row with no join and no aggregation, or NULL when the text
+  * is null or shorter than one full gram (no evidence — the relational
+  * form omits such docs for the same reason).
+  *
+  * Why an expression: the streaming LM gate must be STATELESS (a streaming
+  * aggregation is a state-store operator; per-batch re-aggregation breaks
+  * the zero-state contract), and a map-literal lookup is a linear scan per
+  * gram (`GetMapValue` has no index). The model arrives as a foldable
+  * BINARY literal ([[LmModelCodec.serialize]], built driver-side from the
+  * bounded-vocabulary model artifact — the same plan-time fold as the
+  * Bloom contamination filter), ships once per stage through the broadcast
+  * task binary, and deserializes once per task ([[LmModelCache]], the
+  * SketchCache discipline).
+  *
+  * Numeric parity with `ngramScore` is by construction: a document's
+  * exploded grams stay contiguous in one map partition, so the batch avg
+  * accumulates them as one sequential partial in gram order — exactly this
+  * expression's left-to-right fold (StreamLmSpec pins bitwise equality).
+  */
+case class NgramLmScore(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, left.foldable, right.dataType) match {
+      case (BinaryType, true, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, f, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (foldable binary model, string text), " +
+          s"got (${l.catalogString}, foldable=$f, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = NgramLmScore.outputType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(model: Any, text: Any): Any =
+    NgramLmUtil.score(model.asInstanceOf[Array[Byte]], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, t) => s"""
+      ${ev.value} = graft.functions.NgramLmUtil.score($m, $t);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NgramLmScore =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "lm_score"
+}
+
+object NgramLmScore {
+  val outputType: StructType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("oov_rate", DoubleType, nullable = false),
+    StructField("n_grams", LongType, nullable = false)))
+}
+
+/** A deserialized frozen LM: gram width, OOV floor log-prob, and the
+  * vocabulary's log-probs in an O(1) hash map. */
+final class LmModel(val n: Int, val floorLogp: Double,
+                    val logp: java.util.HashMap[String, java.lang.Double])
+  extends Serializable
+
+/** Byte image of an [[LmModel]] — a versioned little format of our own
+  * (magic, n, floor, vocab) so the literal is self-contained and the
+  * reader can fail loud on foreign bytes. */
+object LmModelCodec {
+  private val Magic = 0x4c4d3147 // "LM1G"
+
+  def serialize(n: Int, floorLogp: Double, vocab: Seq[(String, Double)]): Array[Byte] = {
+    require(n > 0, s"gram width must be positive, got $n")
+    require(vocab.size < (1 << 24),
+      s"vocabulary of ${vocab.size} grams is not a bounded model artifact — " +
+        "raise ngramModel's minCount")
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(Magic); out.writeInt(n); out.writeDouble(floorLogp)
+    out.writeInt(vocab.size)
+    vocab.foreach { case (g, lp) => out.writeUTF(g); out.writeDouble(lp) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): LmModel = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "not an lm_score model image")
+    val n = in.readInt(); val floor = in.readDouble(); val size = in.readInt()
+    val m = new java.util.HashMap[String, java.lang.Double](size * 2)
+    var i = 0
+    while (i < size) { m.put(in.readUTF(), in.readDouble()); i += 1 }
+    new LmModel(n, floor, m)
+  }
+}
+
+/** Per-JVM model cache + the row-side scorer (shared by eval and codegen
+  * so the two paths cannot diverge). Same two-level scheme as SketchCache:
+  * a ThreadLocal last-hit memo (the hot path — one model per stage, two
+  * identity reads, no lock) over a synchronized weak identity map. */
+object NgramLmUtil {
+
+  private val models =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Byte], LmModel]())
+
+  private val last = new ThreadLocal[(Array[Byte], LmModel)]
+
+  private def model(bytes: Array[Byte]): LmModel = {
+    val hit = last.get()
+    if (hit != null && (hit._1 eq bytes)) return hit._2
+    var m = models.get(bytes)
+    if (m == null) { m = LmModelCodec.deserialize(bytes); models.put(bytes, m) }
+    last.set((bytes, m))
+    m
+  }
+
+  /** One pass over the text's CODE-POINT n-gram windows (the same grams as
+    * `substr`-based charShingles — SQL substring counts code points):
+    * mean log-prob with the OOV floor, OOV fraction, gram count. Null when
+    * the text holds fewer than n code points. */
+  def score(modelBytes: Array[Byte], text: UTF8String): InternalRow = {
+    val m = model(modelBytes)
+    val s = text.toString
+    val n = m.n
+    val chars = s.length
+    // Code-point start offsets (UTF-16 indices); cpCount = #code points.
+    val offs = new Array[Int](chars + 1)
+    var cp = 0; var i = 0
+    while (i < chars) { offs(cp) = i; i += Character.charCount(s.codePointAt(i)); cp += 1 }
+    offs(cp) = chars
+    if (cp < n) return null
+    val grams = cp - n + 1
+    var sum = 0.0; var oov = 0L; var g = 0
+    while (g < grams) {
+      val lp = m.logp.get(s.substring(offs(g), offs(g + n)))
+      if (lp == null) { sum += m.floorLogp; oov += 1L }
+      else sum += lp.doubleValue()
+      g += 1
+    }
+    new GenericInternalRow(Array[Any](
+      sum / grams.toDouble, oov.toDouble / grams.toDouble, grams.toLong))
+  }
+}

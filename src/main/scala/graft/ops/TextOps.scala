@@ -178,6 +178,30 @@ object TextOps {
     * Scale shape: narrow explode, broadcast hash join against the
     * bounded-vocabulary model, one hash aggregation back to documents —
     * no corpus-sized shuffle anywhere. */
+  /** Freeze an [[ngramModel]] artifact into the byte image the
+    * `lm_score` expression reads (graft.functions.LmModelCodec): the
+    * bounded-vocabulary (gram → logp) table plus the SAME OOV floor
+    * [[ngramScore]] uses, collected driver-side — the plan-time fold the
+    * Bloom contamination filter already established for artifact tables.
+    * `n` must be the width the model was trained with (the model rows
+    * carry the grams, not the width). */
+  def ngramModelBytes(model: DataFrame, n: Int = 3): Array[Byte] = {
+    val t = model.agg(max(col("total"))).head()
+    val tot = if (t.isNullAt(0)) 1L else math.max(t.getLong(0), 1L)
+    val vocab = model.select(col("gram"), col("logp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    graft.functions.LmModelCodec.serialize(n, math.log(0.5 / tot.toDouble), vocab)
+  }
+
+  /** Column form of the one-pass scorer: `struct(score, oov_rate,
+    * n_grams)` per row under a frozen model image, NULL for null/too-short
+    * text. Bitwise-equal to [[ngramScore]]'s relational lowering
+    * (StreamLmSpec) with no join and no aggregation — the shape the
+    * streaming gate needs (zero state) and the cheaper batch path when
+    * the model is already frozen. */
+  def lmScore(text: Column, modelBytes: Array[Byte]): Column =
+    call_function("lm_score", lit(modelBytes), text)
+
   def ngramScore(docs: DataFrame, id: Column, text: Column,
                  model: DataFrame, n: Int = 3): DataFrame = {
     require(n > 0, s"n must be positive, got $n")

@@ -172,4 +172,30 @@ object StreamOps {
       sh => SketchOps.bloomProbe(sketch, sh))
     docs.where(if (keepContaminated) hit else !hit)
   }
+
+  /** Streaming LM-quality gate — the stream twin of the batch funnel's
+    * `lmScoreFloor` stage (Pipelines.curate): keep documents whose mean
+    * log-prob under a FROZEN char-n-gram model clears `scoreFloor`. The
+    * model folds into a binary literal at plan time
+    * (TextOps.ngramModelBytes — the contamination filter's discipline for
+    * artifact tables), so each streamed document is ONE pure projection:
+    * no join, no aggregation, ZERO state operators — it runs at scan
+    * speed on an unbounded stream and composes freely with the other
+    * loops (e.g. ahead of DedupLoop's fold). Scores are bitwise-identical
+    * to the batch `ngramScore` lowering (StreamLmSpec), so the gate's
+    * keep set replays exactly. Documents with NULL text or fewer than n
+    * code points score NULL and are DROPPED (no evidence — the batch
+    * funnel's semi join drops them for the same reason);
+    * `keepBelow = true` inverts the gate into an audit stream of the
+    * rejects (null-scored docs still drop: they fail the gate, but not
+    * for being below the floor). Works identically on batch frames. */
+  def lmFilter(docs: DataFrame, textCol: String, model: DataFrame,
+               scoreFloor: Double, n: Int = 3,
+               keepBelow: Boolean = false): DataFrame = {
+    import graft.ops.TextOps
+    val s = TextOps.lmScore(col(textCol), TextOps.ngramModelBytes(model, n))
+    val pass = coalesce(s.getField("score") >= scoreFloor, lit(false))
+    val fail = coalesce(s.getField("score") < scoreFloor, lit(false))
+    docs.where(if (keepBelow) fail else pass)
+  }
 }
