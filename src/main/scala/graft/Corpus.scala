@@ -2098,6 +2098,36 @@ select d.pid,
    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
    '(\+[0-9]{1,2}[ -])?[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') redacted
  from a order by doc_id limit 200"""),
+
+    // Variable-width span dedup at NATURAL boundaries (round 8): segments
+    // between ' the ' occurrences (the fixture carries no newlines; a
+    // stopword boundary plays the paragraph separator's role), trimmed,
+    // with a 10-char min-length floor — offset-invariant where q92's
+    // fixed windows misalign. Same encoding-based keeper contract as q92
+    // (identical to the library's struct min while span_no < 1000;
+    // fixture max span_no = 7). 2 dup decisions live inside the hashed
+    // window (probed), so the keeper arithmetic is exercised, not just
+    // carried.
+    q2("q162_boundary_span_dedup",
+      """with segs as (select doc_id,
+   filter(transform(split(text, ' the '), s -> trim(s)), s -> length(s) >= 10) l
+ from documents),
+ spans as (select doc_id, cast(pos as bigint) span_no, s span
+   from segs lateral view posexplode(l) t as pos, s),
+ keeper as (select span, min(doc_id*1000+span_no) kk from spans group by span)
+ select s.doc_id, s.span_no, cast(floor(kk/1000.0) as bigint) keep_doc, cast(kk % 1000 as bigint) keep_span,
+  (s.doc_id*1000+s.span_no) <> kk is_dup
+ from spans s join keeper k on s.span = k.span
+ order by s.doc_id, s.span_no limit 500""",
+      """with segs as (select doc_id,
+   list_filter(list_transform(string_split(text, ' the '), s -> trim(s)), s -> length(s) >= 10) l
+ from documents),
+ spans as (select doc_id, cast(generate_subscripts(l, 1) - 1 as bigint) span_no, unnest(l) span from segs),
+ keeper as (select span, min(doc_id*1000+span_no) kk from spans group by span)
+ select s.doc_id, s.span_no, cast(floor(kk/1000.0) as bigint) keep_doc, cast(kk % 1000 as bigint) keep_span,
+  (s.doc_id*1000+s.span_no) <> kk is_dup
+ from spans s join keeper k on s.span = k.span
+ order by s.doc_id, s.span_no limit 500"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1269,6 +1269,16 @@ object DfQueries {
         .orderBy("doc_id").limit(200)
     },
 
+    "q162_boundary_span_dedup" -> { (s, _) =>
+      // The library operator under the declared boundary spec (' the '
+      // separator, 10-char floor). Struct-min keeper ≡ the SQL's numeric
+      // encoding while span_no < 1000 (fixture max: 7).
+      graft.ops.DedupOps.boundarySpanDedup(
+          t(s, "documents"), col("doc_id"), col("text"),
+          separator = " the ", minChars = 10)
+        .orderBy("doc_id", "span_no").limit(500)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

@@ -92,12 +92,6 @@ object DedupOps {
                 hotSpans: Seq[String] = Nil,
                 autoHotMinCount: Long = 0L): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
-    require(hotSpans.isEmpty || salts > 0,
-      "hotSpans given but salts = 0 — the skew mitigation would silently not run")
-    require(autoHotMinCount == 0L || salts > 0,
-      "autoHotMinCount given but salts = 0 — the skew mitigation would silently not run")
-    require(hotSpans.isEmpty || autoHotMinCount == 0L,
-      "pass a known hotSpans list OR autoHotMinCount, not both")
     val l = split(text, " ")
     // Null id/text rows are excluded (the H13 degenerate-row posture: a
     // null would poison the keeper key / vanish via posexplode anyway);
@@ -108,6 +102,52 @@ object DedupOps {
           sequence(lit(0), floor((size(l) - 1) / lit(spanWords.toDouble)).cast("int")),
           i => concat_ws(" ", slice(l, i * spanWords + 1, lit(spanWords))))))
       .select(col("doc_id"), col("pos").cast("long").as("span_no"), col("col").as("span"))
+    dedupSpans(spans, salts, hotSpans, autoHotMinCount)
+  }
+
+  /** VARIABLE-WIDTH span dedup at NATURAL boundaries: cut each document on
+    * `separator` (a Java regex — "\\n{2,}" for paragraphs, "(?<=[.!?]) "
+    * for sentences; the fixture corpus carries no newlines, so specs use
+    * an explicit marker), trim each segment, drop segments under
+    * `minChars` (boundary splitting produces empty/near-empty fragments
+    * around consecutive separators — noise, not boilerplate), and keep
+    * only the first (doc, span) occurrence of each distinct segment
+    * corpus-wide. The fixed-width form ([[spanDedup]]) misses real
+    * boilerplate whenever the shared text sits at different word OFFSETS
+    * in different documents (the windows misalign and no window pair is
+    * equal — OpsSpec constructs exactly that case); C4-style natural-
+    * boundary spans are offset-invariant because the boundary travels
+    * with the text. `span_no` numbers the KEPT segments in order; docs
+    * with no qualifying segment contribute no rows. Same keeper, salting,
+    * and auto-hot-span machinery as the fixed form ([[dedupSpans]]). */
+  def boundarySpanDedup(docs: DataFrame, id: Column, text: Column,
+                        separator: String = "\\n{2,}", minChars: Int = 1,
+                        salts: Int = 0, hotSpans: Seq[String] = Nil,
+                        autoHotMinCount: Long = 0L): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    require(separator.nonEmpty, "empty separator — use spanDedup for windowing")
+    val segs = filter(transform(split(text, separator), s => trim(s)),
+      s => length(s) >= minChars)
+    val spans = docs.where(id.isNotNull && text.isNotNull)
+      .select(id.as("doc_id"), posexplode(segs))
+      .select(col("doc_id"), col("pos").cast("long").as("span_no"), col("col").as("span"))
+    dedupSpans(spans, salts, hotSpans, autoHotMinCount)
+  }
+
+  /** Shared back half of the span-dedup family: keeper = lexicographic
+    * `min(struct(doc_id, span_no))` per span text (no per-document span
+    * cap), optional content-salted skew join with a known or count-min
+    * auto-detected hot-span list. See [[spanDedup]] for the full scale
+    * discussion. */
+  private def dedupSpans(spans: DataFrame, salts: Int,
+                         hotSpans: Seq[String],
+                         autoHotMinCount: Long): DataFrame = {
+    require(hotSpans.isEmpty || salts > 0,
+      "hotSpans given but salts = 0 — the skew mitigation would silently not run")
+    require(autoHotMinCount == 0L || salts > 0,
+      "autoHotMinCount given but salts = 0 — the skew mitigation would silently not run")
+    require(hotSpans.isEmpty || autoHotMinCount == 0L,
+      "pass a known hotSpans list OR autoHotMinCount, not both")
     val keyed = spans.select(col("doc_id"), col("span_no"), col("span"),
       struct(col("doc_id"), col("span_no")).as("k"))
     val keeper = keyed.groupBy("span").agg(min("k").as("kk"))

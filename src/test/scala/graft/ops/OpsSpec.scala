@@ -156,6 +156,45 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count(_._2._3) == 1)
   }
 
+  test("boundarySpanDedup: offset-shifted boilerplate is caught where fixed windows miss it") {
+    import spark.implicits._
+    // The SAME paragraph sits at word offset 4 in doc 0 and offset 7 in
+    // doc 1: every fixed-width window pair misaligns (offsets differ
+    // mod spanWords), so spanDedup sees nothing — the natural-boundary
+    // segments travel with the text and must match exactly.
+    val para = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      0L -> (s"intro one two three | $para | tail a b c"),
+      1L -> (s"other opening words four five six seven | $para | closing words"),
+      // doc 2: no shared segment anywhere.
+      2L -> "completely unrelated | content here | nothing shared",
+      // doc 3: consecutive separators produce empty fragments (dropped by
+      // the min-length floor), and sub-minChars fragments are dropped too.
+      3L -> (s"|| x || $para || y |")
+    ).toDF("doc_id", "text")
+    val fixed = DedupOps.spanDedup(docs, col("doc_id"), col("text"), 4)
+    assert(fixed.where(col("is_dup")).count() == 0,
+      "fixed windows must MISS the offset-shifted paragraph (the case this op exists for)")
+    val out = DedupOps.boundarySpanDedup(docs, col("doc_id"), col("text"),
+        separator = "\\|", minChars = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // doc 3: "x" and "y" fall under minChars; only the paragraph remains,
+    // numbered as its ONLY kept segment (span_no 0).
+    assert(out.keySet.filter(_._1 == 3L) == Set((3L, 0L)))
+    // The paragraph: doc 0 keeps, docs 1 and 3 are dups pointing at it.
+    assert(out((0L, 1L)) == ((0L, 1L, false)))
+    assert(out((1L, 1L)) == ((0L, 1L, true)))
+    assert(out((3L, 0L)) == ((0L, 1L, true)))
+    assert(out.count(_._2._3) == 2, s"exactly the two paragraph copies are dups: $out")
+    // Salted path reaches identical decisions.
+    val salted = DedupOps.boundarySpanDedup(docs, col("doc_id"), col("text"),
+        separator = "\\|", minChars = 2, salts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(salted == out)
+  }
+
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
