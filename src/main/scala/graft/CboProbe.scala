@@ -138,6 +138,41 @@ object CboProbe {
 
     Seq("lineitem", "orders", "customer", "nation", "region")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+    // Regime 4: the HISTOGRAM tier — the case plain column stats cannot
+    // price. A filter on a SKEWED column (99.5% zeros, max ~1e6) under
+    // uniform NDV/min/max costing estimates ~all rows, so CBO keeps a
+    // sort-merge join; the equi-height histogram prices `k > 0` at ~0.5%
+    // and the filtered side broadcasts AT PLAN TIME (PlanSpec pins the
+    // flip; this records what it buys in seconds at probe scale). Both
+    // aggregates touch every column so pruning cannot shrink either
+    // side's estimate — the histogram is the only variable.
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_cbo_histo")
+    val n = 2000000L
+    spark.range(n).select(col("id"),
+        when(col("id") % 200 === 0, col("id") * 5 + 1).otherwise(0L).as("k"),
+        lpad(col("id").cast("string"), 100, "x").as("payload"))
+      .write.parquet(s"$base/fact")
+    spark.range(n).select(col("id"),
+        lpad(col("id").cast("string"), 100, "y").as("p2"))
+      .write.parquet(s"$base/big")
+    Catalog.registerAnalyzed(spark, "histo_fact", s"$base/fact",
+      analyzeColumns = Seq("id", "k", "payload"))
+    Catalog.registerAnalyzed(spark, "histo_big", s"$base/big",
+      analyzeColumns = Seq("id", "p2"))
+    val skewSql =
+      """select cast(count(*) as bigint) c,
+        | cast(sum(length(f.payload)) as bigint) s1, cast(sum(length(b.p2)) as bigint) s2
+        |from histo_fact f join histo_big b on f.id = b.id
+        |where f.k > 0""".stripMargin
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    run("stats_nohisto_skewfilter", skewSql)
+    Catalog.refreshStats(spark, "histo_fact", histogramColumns = Seq("k"))
+    run("stats_histogram_skewfilter", skewSql)
+    Seq("histo_fact", "histo_big").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
     spark.stop()
   }
 }

@@ -95,9 +95,40 @@ object Catalog {
     * Stats are a SNAPSHOT: Spark does not auto-refresh them, and a stale
     * "small" estimate broadcasts a no-longer-small side — call
     * [[refreshStats]] after every append/rewrite of the location. */
+  /** ANALYZE the given columns; those in `histogramColumns` additionally
+    * get an EQUI-HEIGHT HISTOGRAM (254 buckets of ~equal row count).
+    * Plain NDV/min/max costing assumes a UNIFORM value distribution —
+    * on a skewed column, a range/equality filter's selectivity estimate
+    * can be off by the skew factor (a `k > 0` filter over a column that
+    * is 99% zeros estimates ~100% of rows without a histogram, <1% with
+    * one), and that mis-estimate is exactly what flips a
+    * broadcast-vs-shuffle join decision (PlanSpec pins the flip). The
+    * histogram costs one extra percentile pass per column at ANALYZE
+    * time, so it is opt-in per column — spend it on the skewed
+    * join/filter keys, not every column. The conf flag is only read by
+    * ANALYZE itself; it is set for the statement and restored. */
+  private def analyzeCols(spark: SparkSession, tableName: String,
+                          cols: Seq[String], histogram: Boolean): Unit = {
+    require(cols.forall(!_.contains("`")),
+      s"illegal column name: ${cols.mkString(", ")}")
+    if (cols.nonEmpty) {
+      val key = "spark.sql.statistics.histogram.enabled"
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key, histogram.toString)
+        spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS FOR COLUMNS " +
+          cols.map(c => s"`$c`").mkString(", "))
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   def registerAnalyzed(spark: SparkSession, name: String, path: String,
                        format: String = "parquet",
-                       analyzeColumns: Seq[String] = Nil): DataFrame = {
+                       analyzeColumns: Seq[String] = Nil,
+                       histogramColumns: Seq[String] = Nil): DataFrame = {
     Graft.configure(spark)
     require(!name.contains("`"), s"illegal table name: $name")
     // `format` is interpolated raw into the DDL (USING $format) — pin it
@@ -122,12 +153,10 @@ object Catalog {
     // refreshStats, since loop folds ADD partition directories.
     if (CatalogGuard.metadata(spark, tableName).partitionColumnNames.nonEmpty)
       spark.sql(s"ALTER TABLE `$tableName` RECOVER PARTITIONS")
-    require(analyzeColumns.forall(!_.contains("`")),
-      s"illegal column name in analyzeColumns: ${analyzeColumns.mkString(", ")}")
     spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS")
-    if (analyzeColumns.nonEmpty)
-      spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS FOR COLUMNS " +
-        analyzeColumns.map(c => s"`$c`").mkString(", "))
+    analyzeCols(spark, tableName,
+      analyzeColumns.filterNot(histogramColumns.contains), histogram = false)
+    analyzeCols(spark, tableName, histogramColumns, histogram = true)
     if (needsH1) {
       h1(spark.table(tableName)).createOrReplaceTempView(name)
       spark.table(name)
@@ -151,7 +180,8 @@ object Catalog {
     * and "refresh" the stats to the same stale numbers. Resolves the H1
     * `<name>__files` indirection registerAnalyzed may have created. */
   def refreshStats(spark: SparkSession, name: String,
-                   analyzeColumns: Seq[String] = Nil): Unit = {
+                   analyzeColumns: Seq[String] = Nil,
+                   histogramColumns: Seq[String] = Nil): Unit = {
     require(!name.contains("`"), s"illegal table name: $name")
     val tableName =
       if (spark.catalog.tableExists(s"${name}__files")) s"${name}__files" else name
@@ -163,11 +193,9 @@ object Catalog {
       spark.sql(s"ALTER TABLE `$tableName` RECOVER PARTITIONS")
     spark.sql(s"REFRESH TABLE `$tableName`")
     spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS")
-    require(analyzeColumns.forall(!_.contains("`")),
-      s"illegal column name in analyzeColumns: ${analyzeColumns.mkString(", ")}")
-    if (analyzeColumns.nonEmpty)
-      spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS FOR COLUMNS " +
-        analyzeColumns.map(c => s"`$c`").mkString(", "))
+    analyzeCols(spark, tableName,
+      analyzeColumns.filterNot(histogramColumns.contains), histogram = false)
+    analyzeCols(spark, tableName, histogramColumns, histogram = true)
   }
 
   private val registeredKey = "spark.graft.catalog.dir"

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.{col, count, length, lit, lpad, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions — the 100 TB posture is about plan SHAPE, not
@@ -60,6 +61,52 @@ class PlanSpec extends AnyFunSuite {
     } finally {
       keep.foreach { case (k, v) => spark.conf.set(k, v) }
       Seq("cust_stats", "ord_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("histogram column stats flip a skew-blind join decision plain stats cannot") {
+    // Plain NDV/min/max costing assumes a UNIFORM distribution: `k > 0`
+    // over a column that is 99.5% zeros (min 0, max ~1e6) estimates ~ALL
+    // rows — both sides look ~24 MB wide, so CBO plans a sort-merge
+    // join. The equi-height histogram knows the mass sits at 0, prices
+    // the filter at ~0.5%, and the filtered side becomes provably
+    // broadcastable AT PLAN TIME. Both aggregates touch every column so
+    // pruning cannot shrink either estimate (the CboProbe wideSql
+    // discipline) — the histogram is the ONLY thing that changes.
+    val keep = Seq("spark.sql.adaptive.enabled", "spark.sql.cbo.enabled")
+      .map(k => k -> spark.conf.get(k))
+    val dir = java.nio.file.Files.createTempDirectory("graft_histo")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val n = 200000L
+      spark.range(n).select(col("id"),
+          when(col("id") % 200 === 0, col("id") * 5 + 1).otherwise(0L).as("k"),
+          lpad(col("id").cast("string"), 100, "x").as("payload"))
+        .write.parquet(s"$dir/fact")
+      spark.range(n).select(col("id"),
+          lpad(col("id").cast("string"), 100, "y").as("p2"))
+        .write.parquet(s"$dir/big")
+      graft.sources.Catalog.registerAnalyzed(spark, "histo_fact", s"$dir/fact",
+        analyzeColumns = Seq("id", "k", "payload"))
+      graft.sources.Catalog.registerAnalyzed(spark, "histo_big", s"$dir/big",
+        analyzeColumns = Seq("id", "p2"))
+      def plan: String = spark.table("histo_fact").where(col("k") > 0)
+        .join(spark.table("histo_big"), "id")
+        .agg(count(lit(1)), sum(length(col("payload"))), sum(length(col("p2"))))
+        .queryExecution.executedPlan.toString
+      val before = plan
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"without a histogram the uniform estimate must keep both sides big:\n$before")
+      // Same table, same query — only the k histogram is added.
+      graft.sources.Catalog.refreshStats(spark, "histo_fact",
+        histogramColumns = Seq("k"))
+      val after = plan
+      assert(after.contains("BroadcastHashJoin"),
+        s"the histogram must price k > 0 at ~0.5% and broadcast the filtered side:\n$after")
+    } finally {
+      keep.foreach { case (k, v) => spark.conf.set(k, v) }
+      Seq("histo_fact", "histo_big").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
 
@@ -153,8 +200,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("q92: span keeper is a partial+final agg joined back — no window, no cartesian") {
     val p = planString(TestSpark.corpus("q92_span_dedup"))
-    assert("HashAggregate".r.findAllIn(p).length >= 2,
+    // The struct-min keeper lowers to SortAggregate (a struct is not a
+    // mutable hash-agg buffer type); the load-bearing property is the
+    // MAP-SIDE PARTIAL below the exchange — a hot span still ships one
+    // row per partition, not one per occurrence.
+    assert(p.contains("partial_min"),
       s"span keeper min must combine map-side:\n$p")
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).length >= 2,
+      s"span keeper must be a partial+final aggregate pair:\n$p")
     assert(!p.contains("Window"), s"keeper must not be a per-span window sort:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"span join must be equi on the span text:\n$p")
