@@ -2128,6 +2128,69 @@ select d.pid,
   (s.doc_id*1000+s.span_no) <> kk is_dup
  from spans s join keeper k on s.span = k.span
  order by s.doc_id, s.span_no limit 500"""),
+
+    // Training-sequence packing (round 8): the concatenate-and-chunk step
+    // that turns curated documents into fixed-token-budget training
+    // sequences. Per-source streams (a global pack order would be an
+    // un-partitioned window — the posture the corpus bans), deterministic
+    // doc_id order, budget 256: pack_id = which chunk the document STARTS
+    // in (floor of the pre-document cumulative token offset / budget),
+    // pack_off = offset within it, crosses = spans a chunk boundary.
+    // The window frame is the portable cumsum-BEFORE spelling (rows
+    // unbounded preceding → 1 preceding, first row NULL → coalesce 0).
+    // 58 boundary-crossers and packs up to 5 live in the window (probed).
+    q2("q163_sequence_packing",
+      """with t as (select doc_id, source, cast(size(split(text, ' ')) as bigint) n_tok from documents),
+ c as (select doc_id, source, n_tok,
+   coalesce(sum(n_tok) over (partition by source order by doc_id rows between unbounded preceding and 1 preceding), 0) start_off
+  from t)
+ select doc_id, source, n_tok, cast(floor(start_off / 256.0) as bigint) pack_id,
+  cast(start_off % 256 as bigint) pack_off,
+  (start_off % 256) + n_tok > 256 crosses
+ from c order by source, doc_id limit 300""",
+      """with t as (select doc_id, source, cast(len(string_split(text, ' ')) as bigint) n_tok from documents),
+ c as (select doc_id, source, n_tok,
+   coalesce(sum(n_tok) over (partition by source order by doc_id rows between unbounded preceding and 1 preceding), 0) start_off
+  from t)
+ select doc_id, source, n_tok, cast(floor(start_off / 256.0) as bigint) pack_id,
+  cast(start_off % 256 as bigint) pack_off,
+  (start_off % 256) + n_tok > 256 crosses
+ from c order by source, doc_id limit 300"""),
+
+    // URL parsing conventions (round 8): host/path/query extraction — the
+    // per-domain curation primitives (domain caps, source attribution,
+    // boilerplate-by-site). Spark has the builtin `parse_url` (java.net
+    // semantics: PROTOCOL/HOST lowercase-preserved, PATH keeps the
+    // leading '/', QUERY drops the '?'); DuckDB 1.0 has no URL parser —
+    // its oracle is the regexp definition of exactly those conventions,
+    // which doubles as the portable spelling. The apex (registrable-ish)
+    // domain is the last two host labels via a shared regexp on the
+    // extracted host — the key a per-domain cap actually groups by.
+    // URLs are doc_id-derived (two protocols, 5 subdomains × 3 apex
+    // domains), so every convention fires on every row.
+    q2("q164_url_parse",
+      """with u as (select doc_id,
+   concat(case when doc_id % 2 = 0 then 'https' else 'http' end, '://sub', cast(doc_id % 5 as string),
+     '.example', cast(doc_id % 3 as string), '.org/p/', cast(doc_id as string), '/doc?q=', cast(doc_id % 7 as string), '&lang=en') url
+  from documents)
+ select doc_id, url,
+  parse_url(url, 'PROTOCOL') proto,
+  parse_url(url, 'HOST') host,
+  parse_url(url, 'PATH') path,
+  parse_url(url, 'QUERY') qs,
+  regexp_extract(parse_url(url, 'HOST'), '([^.]+\\.[^.]+)$', 1) apex
+ from u order by doc_id limit 300""",
+      """with u as (select doc_id,
+   concat(case when doc_id % 2 = 0 then 'https' else 'http' end, '://sub', cast(doc_id % 5 as varchar),
+     '.example', cast(doc_id % 3 as varchar), '.org/p/', cast(doc_id as varchar), '/doc?q=', cast(doc_id % 7 as varchar), '&lang=en') url
+  from documents)
+ select doc_id, url,
+  regexp_extract(url, '^([a-z]+)://', 1) proto,
+  regexp_extract(url, '^[a-z]+://([^/]+)', 1) host,
+  regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) path,
+  regexp_extract(url, '\?(.*)$', 1) qs,
+  regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '([^.]+\.[^.]+)$', 1) apex
+ from u order by doc_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

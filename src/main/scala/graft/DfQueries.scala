@@ -1279,6 +1279,34 @@ object DfQueries {
         .orderBy("doc_id", "span_no").limit(500)
     },
 
+    "q163_sequence_packing" -> { (s, _) =>
+      // Pipelines.packSequences under the declared spec (per-source
+      // streams, doc_id order, budget 256).
+      graft.api.Pipelines.packSequences(
+          t(s, "documents").select("doc_id", "source", "text"),
+          "source", "doc_id", size(split(col("text"), " ")).cast("bigint"), 256)
+        .select("doc_id", "source", "n_tok", "pack_id", "pack_off", "crosses")
+        .orderBy("source", "doc_id").limit(300)
+    },
+
+    "q164_url_parse" -> { (s, _) =>
+      // parse_url conventions (java.net semantics) + the shared apex-
+      // domain regexp — the per-domain curation key. Pure projection.
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise("http"),
+        lit("://sub"), (col("doc_id") % 5).cast("string"),
+        lit(".example"), (col("doc_id") % 3).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit("/doc?q="), (col("doc_id") % 7).cast("string"), lit("&lang=en"))
+      def part(p: String) = call_function("parse_url", col("url"), lit(p))
+      t(s, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          part("PROTOCOL").as("proto"), part("HOST").as("host"),
+          part("PATH").as("path"), part("QUERY").as("qs"),
+          regexp_extract(part("HOST"), "([^.]+\\.[^.]+)$", 1).as("apex"))
+        .orderBy("doc_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

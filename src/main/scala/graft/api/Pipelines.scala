@@ -261,6 +261,37 @@ object Pipelines {
       substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8) < thr)
   }
 
+  /** TRAINING-SEQUENCE PACKING — the concatenate-and-chunk step between
+    * curation and training: documents are (conceptually) concatenated in
+    * `orderCol` order within each `streamCol` stream and split at
+    * `budget`-token boundaries; each document is assigned the chunk it
+    * STARTS in. Adds `n_tok` (the caller's token expression), `pack_id`
+    * (= floor(pre-document cumulative tokens / budget)), `pack_off`
+    * (offset within the chunk) and `crosses` (spans a boundary — the
+    * rows a loader must carry into the next sequence). Deterministic:
+    * pure function of (stream, order, token counts) — identical across
+    * runs, partitionings, and retries.
+    *
+    * Scale shape: ONE window per stream partition (never a global
+    * un-partitioned window — the corpus-wide ban); streams parallelize
+    * across the cluster, and a skewed stream bounds a partition the way
+    * any per-key window does — pre-shard giant streams into
+    * (stream, coarse-order-bucket) keys if one source dominates.
+    * Declared as q163. */
+  def packSequences(docs: DataFrame, streamCol: String, orderCol: String,
+                    nTok: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.withColumn("n_tok", nTok.cast("bigint"))
+      .withColumn("__start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("__start") / budget.toDouble).cast("bigint"))
+      .withColumn("pack_off", (col("__start") % budget).cast("bigint"))
+      .withColumn("crosses", col("pack_off") + col("n_tok") > budget)
+      .drop("__start")
+  }
+
   /** End-to-end corpus canonicalization — the curation composition a
     * training pipeline runs as one step: near-dup pairs (auto-sized
     * banded LSH) → transitive closure (pointer-jumping connected

@@ -285,6 +285,32 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: hand-computed chunk assignment, layout-independent") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
+      ("b", 1L, 300L), ("b", 2L, 10L)).toDF("src", "ord", "toks")
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      Pipelines.packSequences(df, "src", "ord", col("toks"), 128)
+        .select("src", "ord", "pack_id", "pack_off", "crosses")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val p = packed(d)
+    // Stream a, budget 128: starts 0/100/200 → packs 0/0/1, offsets
+    // 0/100/72; the second and third cross a boundary (off + 100 > 128).
+    assert(p(("a", 1L)) == ((0L, 0L, false)))
+    assert(p(("a", 2L)) == ((0L, 100L, true)))
+    assert(p(("a", 3L)) == ((1L, 72L, true)))
+    // Stream b is independent: a 300-token doc starts pack 0 and crosses;
+    // the next starts at 300 → pack 2, offset 44.
+    assert(p(("b", 1L)) == ((0L, 0L, true)))
+    assert(p(("b", 2L)) == ((2L, 44L, false)))
+    assert(packed(d.repartition(7)) == p, "assignment must not depend on partitioning")
+    intercept[IllegalArgumentException] {
+      Pipelines.packSequences(d, "src", "ord", col("toks"), 0)
+    }
+  }
+
   test("tokenize facade: exact token budget over a trained merge table") {
     val docs = TestSpark.table("documents").where(col("doc_id") < 30)
     val merges = Pipelines.trainTokenizer(docs, col("text"), numMerges = 10)
