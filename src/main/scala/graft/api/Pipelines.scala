@@ -261,6 +261,49 @@ object Pipelines {
       substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8) < thr)
   }
 
+  /** CCNet-style PERPLEXITY-BUCKETED sampling: score every document
+    * under a char-n-gram LM trained on `refCorpus` (the high-quality
+    * reference — e.g. an editorial subset), split the corpus into
+    * head / middle / tail quality buckets at score quantiles (head =
+    * top `headFrac` by mean log-prob, i.e. lowest perplexity), and
+    * sample each bucket at its declared rate via the [[mixSources]]
+    * md5-threshold acceptance (so the draw is deterministic across
+    * runs, layouts, and retries). The canonical training-data recipe:
+    * keep the head whole, thin the middle, drop or trickle the tail.
+    * Null-scored documents (null/too-short text) land in `tail` — no
+    * evidence is not high quality. Output adds `lm_score` and
+    * `lm_bucket`.
+    *
+    * Scale shape: model = one map-side-combined agg over the reference
+    * (vocabulary crosses the shuffle, not the corpus); scoring = the
+    * one-pass `lm_score` projection; breakpoints = one approxQuantile
+    * pass; acceptance = a map-only filter. No corpus-sized shuffle
+    * anywhere. */
+  def lmBucketedSample(docs: DataFrame, idCol: String, textCol: String,
+                       refCorpus: DataFrame, rates: Map[String, Double],
+                       headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
+                       seed: String = "lmmix", n: Int = 3): DataFrame = {
+    require(headFrac > 0 && midFrac >= 0 && headFrac + midFrac < 1,
+      s"bucket fractions must satisfy 0 < headFrac, 0 <= midFrac, head+mid < 1; " +
+        s"got head=$headFrac mid=$midFrac")
+    require(rates.keySet.subsetOf(Set("head", "middle", "tail")),
+      s"rates must be keyed by head/middle/tail, got ${rates.keySet.mkString(", ")}")
+    val model = TextOps.ngramModel(refCorpus, col(textCol), n)
+    val bytes = TextOps.ngramModelBytes(model, n)
+    val scored = docs.withColumn("lm_score",
+      TextOps.lmScore(col(textCol), bytes).getField("score"))
+    val cuts = scored.stat.approxQuantile("lm_score",
+      Array(1 - headFrac - midFrac, 1 - headFrac), 0.001)
+    require(cuts.length == 2, "no scorable documents — every text is null or shorter than one gram")
+    val (midCut, headCut) = (cuts(0), cuts(1))
+    val bucketed = scored.withColumn("lm_bucket",
+      when(col("lm_score").isNull, "tail")
+        .when(col("lm_score") >= headCut, "head")
+        .when(col("lm_score") >= midCut, "middle")
+        .otherwise("tail"))
+    mixSources(bucketed, "lm_bucket", idCol, rates, seed)
+  }
+
   /** TRAINING-SEQUENCE PACKING — the concatenate-and-chunk step between
     * curation and training: documents are (conceptually) concatenated in
     * `orderCol` order within each `streamCol` stream and split at

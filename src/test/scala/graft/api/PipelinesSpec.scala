@@ -285,6 +285,40 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("lmBucketedSample: head kept whole, tail dropped, middle thinned, deterministic") {
+    import spark.implicits._
+    // 40 in-distribution fixture docs + 20 OOV-heavy gibberish docs; the
+    // reference model is the full fixture corpus. Gibberish scores far
+    // below real text (StreamLmSpec pins the separation), so with 1/3
+    // buckets the tail is exactly the gibberish.
+    val ref = docs.select("doc_id", "text")
+    val real = ref.where(col("doc_id") < 40)
+    val junk = spark.range(1000, 1020).select(col("id").as("doc_id"),
+      concat_ws(" ", md5(col("id").cast("string")),
+        md5((col("id") + 7).cast("string"))).as("text"))
+    val corpus = real.unionByName(junk)
+    val rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.0)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Pipelines.lmBucketedSample(df, "doc_id", "text", ref, rates)
+    val out = sample(corpus).select("doc_id", "lm_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet.forall(_ < 1000), s"no gibberish may survive a tail rate of 0: $out")
+    val buckets = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(buckets.getOrElse("head", 0) == 20, s"head (top third) kept whole: $buckets")
+    val mid = buckets.getOrElse("middle", 0)
+    assert(mid >= 4 && mid <= 16, s"middle thinned at ~0.5: $buckets")
+    assert(!out.values.exists(_ == "tail"))
+    // Deterministic across layouts.
+    val out2 = sample(corpus.repartition(11)).select("doc_id").as[Long].collect().toSet
+    assert(out2 == out.keySet, "the draw must not depend on partitioning")
+    intercept[IllegalArgumentException] {
+      Pipelines.lmBucketedSample(corpus, "doc_id", "text", ref, Map("best" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Pipelines.lmBucketedSample(corpus, "doc_id", "text", ref, rates, headFrac = 0.8, midFrac = 0.5)
+    }
+  }
+
   test("packSequences: hand-computed chunk assignment, layout-independent") {
     import spark.implicits._
     val d = Seq(
