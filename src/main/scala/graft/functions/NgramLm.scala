@@ -70,10 +70,57 @@ object NgramLmScore {
 }
 
 /** A deserialized frozen LM: gram width, OOV floor log-prob, and the
-  * vocabulary's log-probs in an O(1) hash map. */
+  * vocabulary in an ALLOCATION-FREE open-addressing table. The scorer
+  * probes with the text window's position + polynomial hash (the
+  * `String.hashCode` polynomial, so stored grams pre-hash via their own
+  * hashCode) and verifies chars in place on a hit — per-gram lookup
+  * allocates NOTHING (a HashMap<String> forced one substring per gram;
+  * at ~10M grams/pass the allocation+GC cost dominated the scan). Exact
+  * by construction: a hash hit is confirmed char-by-char, never
+  * trusted. */
 final class LmModel(val n: Int, val floorLogp: Double,
-                    val logp: java.util.HashMap[String, java.lang.Double])
-  extends Serializable
+                    vocab: Seq[(String, Double)]) extends Serializable {
+  private val mask = {
+    var cap = 4
+    while (cap < vocab.size * 2 + 1) cap <<= 1
+    cap - 1
+  }
+  private val grams = new Array[String](vocab.size)
+  private val logps = new Array[Double](vocab.size)
+  private val hashes = new Array[Int](vocab.size)
+  // table holds gram-index + 1; 0 = empty slot. Load factor <= 0.5.
+  private val table = new Array[Int](mask + 1)
+  vocab.zipWithIndex.foreach { case ((g, lp), idx) =>
+    grams(idx) = g; logps(idx) = lp; hashes(idx) = g.hashCode
+    var i = g.hashCode & mask
+    while (table(i) != 0) {
+      require(grams(table(i) - 1) != g, s"duplicate gram in model: $g")
+      i = (i + 1) & mask
+    }
+    table(i) = idx + 1
+  }
+
+  /** Log-prob of the text window [st, en) or NaN when out-of-vocabulary
+    * (log-probs are finite negatives, so NaN is a safe miss sentinel). */
+  def lookup(s: String, st: Int, en: Int, h: Int): Double = {
+    var i = h & mask
+    var e = table(i)
+    while (e != 0) {
+      val g = e - 1
+      if (hashes(g) == h) {
+        val gs = grams(g)
+        if (gs.length == en - st) {
+          var k = 0
+          while (k < gs.length && gs.charAt(k) == s.charAt(st + k)) k += 1
+          if (k == gs.length) return logps(g)
+        }
+      }
+      i = (i + 1) & mask
+      e = table(i)
+    }
+    Double.NaN
+  }
+}
 
 /** Byte image of an [[LmModel]] — a versioned little format of our own
   * (magic, n, floor, vocab) so the literal is self-contained and the
@@ -99,10 +146,10 @@ object LmModelCodec {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     require(in.readInt() == Magic, "not an lm_score model image")
     val n = in.readInt(); val floor = in.readDouble(); val size = in.readInt()
-    val m = new java.util.HashMap[String, java.lang.Double](size * 2)
+    val vocab = Seq.newBuilder[(String, Double)]
     var i = 0
-    while (i < size) { m.put(in.readUTF(), in.readDouble()); i += 1 }
-    new LmModel(n, floor, m)
+    while (i < size) { vocab += ((in.readUTF(), in.readDouble())); i += 1 }
+    new LmModel(n, floor, vocab.result())
   }
 }
 
@@ -145,9 +192,14 @@ object NgramLmUtil {
     val grams = cp - n + 1
     var sum = 0.0; var oov = 0L; var g = 0
     while (g < grams) {
-      val lp = m.logp.get(s.substring(offs(g), offs(g + n)))
-      if (lp == null) { sum += m.floorLogp; oov += 1L }
-      else sum += lp.doubleValue()
+      val st = offs(g); val en = offs(g + n)
+      // String.hashCode polynomial over the window — no substring
+      // allocation; the model's stored grams pre-hash identically.
+      var h = 0; var j = st
+      while (j < en) { h = 31 * h + s.charAt(j); j += 1 }
+      val lp = m.lookup(s, st, en, h)
+      if (java.lang.Double.isNaN(lp)) { sum += m.floorLogp; oov += 1L }
+      else sum += lp
       g += 1
     }
     new GenericInternalRow(Array[Any](
