@@ -433,7 +433,12 @@ object Pipelines {
     *   4. optional eval-set decontamination (Bloom-prefiltered exact
     *      3-gram overlap, contaminated docs dropped);
     *   5. optional deterministic per-source cap ([[sampleExactK]] —
-    *      reproducible across runs and retries).
+    *      reproducible across runs and retries);
+    *   6. optional weighted source MIXTURE (`mixtureRates` —
+    *      [[mixSources]]): the data-mixing step, applied LAST so the
+    *      declared rates act on the clean deduplicated pool (mixing
+    *      before dedup would let duplicate-heavy sources claw back
+    *      share through their removed copies).
     *
     * `audit` is the funnel report — (stage, n_docs), one row per stage in
     * order — so a curation run documents what each stage removed instead
@@ -445,7 +450,8 @@ object Pipelines {
              lang: Option[String] = Some("en"),
              evalSet: Option[DataFrame] = None,
              perSourceCap: Option[Int] = None,
-             lmScoreFloor: Option[Double] = None): CurationResult = {
+             lmScoreFloor: Option[Double] = None,
+             mixtureRates: Option[Map[String, Double]] = None): CurationResult = {
     val id = col("doc_id"); val text = col("text")
     val quality = docs.where(TextOps.qualityVerdict(text) === "keep" &&
       lang.map(l => TextOps.langGuess(text) === l).getOrElse(lit(true)))
@@ -474,14 +480,19 @@ object Pipelines {
       case Some(k) => sampleExactK(clean, "source", "doc_id", k)
       case None => clean
     }
+    val mixed = mixtureRates match {
+      case Some(rates) => mixSources(capped, "source", "doc_id", rates)
+      case None => capped
+    }
     val stages = Seq("input" -> docs, "quality_lang" -> quality,
       "lm_gate" -> lmKept,
-      "canonical" -> canon, "decontaminated" -> clean, "capped" -> capped)
+      "canonical" -> canon, "decontaminated" -> clean, "capped" -> capped,
+      "mixed" -> mixed)
     val audit = stages.zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(i).as("stage_no"), lit(name).as("stage"), col("n_docs"))
     }.reduce(_.unionByName(_)).orderBy("stage_no")
-    CurationResult(capped, audit)
+    CurationResult(mixed, audit)
   }
 
   /** Vocabulary census: n-grams occurring at least `minCount` times, with

@@ -160,7 +160,8 @@ class PipelinesSpec extends AnyFunSuite {
     val audit = res.audit.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     assert(audit.map(_._2).toSeq ==
-      Seq("input", "quality_lang", "lm_gate", "canonical", "decontaminated", "capped"))
+      Seq("input", "quality_lang", "lm_gate", "canonical", "decontaminated",
+        "capped", "mixed"))
     // Monotone non-increasing funnel, each stage genuinely active.
     val ns = audit.map(_._3).toSeq
     assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, s"not monotone: $ns")
@@ -175,6 +176,21 @@ class PipelinesSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(bySource.forall(_ <= 20))
     assert(res.curated.schema == docs.schema)
+    // Mixture stage: declared rates act on the CLEAN pool — unlisted
+    // sources drop entirely, a rate-1.0 source keeps every clean doc it
+    // had at the capped stage, and the audit grows a "mixed" row.
+    val mixRes = Pipelines.curate(docs, evalSet = Some(eval), perSourceCap = Some(20),
+      mixtureRates = Some(Map("src0" -> 1.0, "src1" -> 0.5)))
+    val mixedBySource = mixRes.curated.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixedBySource.keySet.subsetOf(Set("src0", "src1")),
+      s"unlisted sources must drop: $mixedBySource")
+    val cappedBySource = res.curated.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixedBySource.get("src0") == cappedBySource.get("src0"),
+      "rate 1.0 keeps the whole clean source")
+    val mixAudit = mixRes.audit.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(mixAudit("mixed") < mixAudit("capped"), s"mixture removed nothing: $mixAudit")
   }
 
   test("curate lm gate: gibberish falls below the floor, real docs survive it") {

@@ -11,6 +11,8 @@ import graft.ops.TextOps
   * model must be BITWISE equal to the batch ngramScore lowering, the
   * stream replay must emit exactly the batch gate's survivors, and the
   * streaming plan must hold zero state operators. */
+final case class SrcDoc(doc_id: Long, text: String, source: String)
+
 class StreamLmSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -80,6 +82,32 @@ class StreamLmSpec extends AnyFunSuite {
       val streamed = spark.table("t_lm")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(streamed == batchKept, "stream replay must emit the batch survivors")
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty,
+        s"expected no state operators, got ${ops.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("mixSources is stream-ready: replay emits the batch draw, zero state") {
+    // The mixture filter is a pure projection (content-hash acceptance),
+    // so the SAME Pipelines.mixSources call runs on an unbounded stream
+    // with no state — the data-mixing step composes with the loops.
+    val docs = TestSpark.table("documents").select("doc_id", "text", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+    val batchKept = graft.api.Pipelines.mixSources(docs, "source", "doc_id", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty)
+    val rows = docs.as[SrcDoc].collect().toSeq.sortBy(_.doc_id)
+    val mem = MemoryStream[SrcDoc]
+    val q = graft.api.Pipelines.mixSources(mem.toDF(), "source", "doc_id", rates)
+      .writeStream.format("memory").queryName("t_mix").outputMode("append").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("t_mix")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept, "stream replay must emit the batch draw")
       val ops = q.lastProgress.stateOperators
       assert(ops == null || ops.isEmpty,
         s"expected no state operators, got ${ops.mkString(",")}")
