@@ -2191,6 +2191,40 @@ select d.pid,
   regexp_extract(url, '\?(.*)$', 1) qs,
   regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '([^.]+\.[^.]+)$', 1) apex
  from u order by doc_id limit 300"""),
+
+    // String indexing conventions (round 8), measured: `split_part`
+    // agrees fully (1-based, NEGATIVE counts from the end, out-of-range
+    // → '' — same in both engines); `position(x in y)`/`instr` agree;
+    // the find-absent=0 convention agrees but the NAME splits (Spark
+    // `locate(sub, s)` ≡ DuckDB `strpos(s, sub)` — argument order swaps
+    // too); `left`/`right` agree on positive n but split SILENTLY on
+    // negative (Spark returns '', DuckDB returns all-but-last/first n) —
+    // the declared all-but-last form is the portable
+    // `left(s, length(s) - n)` spelling, which is also what DuckDB's
+    // negative left means; `translate` agrees.
+    q2("q165_string_indexing",
+      """select p_partkey,
+ split_part(p_name, ' ', 2) sp2,
+ split_part(p_name, ' ', -1) spneg,
+ split_part(p_name, ' ', 50) spoor,
+ cast(position('o' in p_name) as bigint) pos,
+ cast(instr(p_name, 'al') as bigint) ins,
+ cast(locate('zz', p_name) as bigint) loc,
+ left(p_name, 4) l4, right(p_name, 4) r4,
+ left(p_name, length(p_name) - 4) butlast,
+ translate(p_name, 'aeiou', '01234') trans
+ from part order by p_partkey limit 300""",
+      """select p_partkey,
+ split_part(p_name, ' ', 2) sp2,
+ split_part(p_name, ' ', -1) spneg,
+ split_part(p_name, ' ', 50) spoor,
+ cast(position('o' in p_name) as bigint) pos,
+ cast(instr(p_name, 'al') as bigint) ins,
+ cast(strpos(p_name, 'zz') as bigint) loc,
+ left(p_name, 4) l4, right(p_name, 4) r4,
+ left(p_name, -4) butlast,
+ translate(p_name, 'aeiou', '01234') trans
+ from part order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1307,6 +1307,25 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q165_string_indexing" -> { (s, _) =>
+      // The measured conventions of the string-indexing family; pure
+      // projection (see Corpus for the locate/strpos and negative
+      // left/right dialect splits).
+      val p = col("p_name")
+      t(s, "part").select(col("p_partkey"),
+          split_part(p, lit(" "), lit(2)).as("sp2"),
+          split_part(p, lit(" "), lit(-1)).as("spneg"),
+          split_part(p, lit(" "), lit(50)).as("spoor"),
+          locate("o", p).cast("bigint").as("pos"),
+          instr(p, "al").cast("bigint").as("ins"),
+          locate("zz", p).cast("bigint").as("loc"),
+          call_function("left", p, lit(4)).as("l4"),
+          call_function("right", p, lit(4)).as("r4"),
+          call_function("left", p, length(p) - 4).as("butlast"),
+          translate(p, "aeiou", "01234").as("trans"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
