@@ -10,7 +10,7 @@ import graft.sources.Catalog
   * registered in [[impls]] take precedence (they must lower to the same
   * verified semantics — the local hash gate in [[LocalVerify]] enforces it);
   * any query without one falls back to the Spark-dialect SQL from [[Corpus]].
-  * All 159 declared queries currently have DF impls, so the SQL surface is
+  * Every declared query currently has a DF impl, so the SQL surface is
   * verified separately: CorpusSqlSpec executes every sparkSql string and
   * asserts its canonical hash equals the DF impl's (one documented
   * exception: q72's recursive CTE, unsupported by Spark 4.1).

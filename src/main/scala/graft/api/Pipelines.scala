@@ -257,7 +257,11 @@ object Pipelines {
     val thr = thresholds.foldLeft(lit(null).cast("string")) {
       case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
     }
-    df.where(
+    // NULL ids are dropped EXPLICITLY (a content-hash draw needs an id;
+    // the declared q160 SQL drops them too via concat's null poisoning).
+    // Without the filter, concat_ws would silently SKIP the null and
+    // collapse every null-id row in a source onto one shared draw.
+    df.where(col(idCol).isNotNull &&
       substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8) < thr)
   }
 
@@ -267,12 +271,21 @@ object Pipelines {
     * head / middle / tail quality buckets at score quantiles (head =
     * top `headFrac` by mean log-prob, i.e. lowest perplexity), and
     * sample each bucket at its declared rate via the [[mixSources]]
-    * md5-threshold acceptance (so the draw is deterministic across
-    * runs, layouts, and retries). The canonical training-data recipe:
+    * md5-threshold acceptance. The canonical training-data recipe:
     * keep the head whole, thin the middle, drop or trickle the tail.
     * Null-scored documents (null/too-short text) land in `tail` — no
     * evidence is not high quality. Output adds `lm_score` and
     * `lm_bucket`.
+    *
+    * Determinism: GIVEN the bucket cuts, the draw is deterministic
+    * across runs, layouts, and retries (content-hash acceptance). The
+    * cuts themselves default to one `approxQuantile` pass, whose
+    * summaries compress per-partition — at corpus scale the cut values
+    * can shift slightly with layout, flipping near-cut documents. For
+    * strict end-to-end reproducibility compute the cuts ONCE and pin
+    * them via `cuts = Some((midCut, headCut))` — the artifact-table
+    * discipline: breakpoints are a training-run artifact, not a
+    * per-run recomputation.
     *
     * Scale shape: model = one map-side-combined agg over the reference
     * (vocabulary crosses the shuffle, not the corpus); scoring = the
@@ -282,7 +295,8 @@ object Pipelines {
   def lmBucketedSample(docs: DataFrame, idCol: String, textCol: String,
                        refCorpus: DataFrame, rates: Map[String, Double],
                        headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
-                       seed: String = "lmmix", n: Int = 3): DataFrame = {
+                       seed: String = "lmmix", n: Int = 3,
+                       cuts: Option[(Double, Double)] = None): DataFrame = {
     require(headFrac > 0 && midFrac >= 0 && headFrac + midFrac < 1,
       s"bucket fractions must satisfy 0 < headFrac, 0 <= midFrac, head+mid < 1; " +
         s"got head=$headFrac mid=$midFrac")
@@ -292,10 +306,13 @@ object Pipelines {
     val bytes = TextOps.ngramModelBytes(model, n)
     val scored = docs.withColumn("lm_score",
       TextOps.lmScore(col(textCol), bytes).getField("score"))
-    val cuts = scored.stat.approxQuantile("lm_score",
-      Array(1 - headFrac - midFrac, 1 - headFrac), 0.001)
-    require(cuts.length == 2, "no scorable documents — every text is null or shorter than one gram")
-    val (midCut, headCut) = (cuts(0), cuts(1))
+    val (midCut, headCut) = cuts.getOrElse {
+      val qs = scored.stat.approxQuantile("lm_score",
+        Array(1 - headFrac - midFrac, 1 - headFrac), 0.001)
+      require(qs.length == 2,
+        "no scorable documents — every text is null or shorter than one gram")
+      (qs(0), qs(1))
+    }
     val bucketed = scored.withColumn("lm_bucket",
       when(col("lm_score").isNull, "tail")
         .when(col("lm_score") >= headCut, "head")

@@ -357,10 +357,15 @@ object Ann {
     // The guard above only sees new-vs-existing clashes; a duplicate id
     // WITHIN the batch would also append duplicate rows (the arg-min
     // groupBy collapses it in `best`, but the join back against `gal`
-    // re-expands both copies). One batch-scale agg closes that hole.
-    val Array(batchN, batchDistinct) = newVectors
-      .agg(count(col(id)), countDistinct(col(id))).head()
+    // re-expands both copies). NULL ids slip both guards (count/
+    // countDistinct skip them, null never equi-joins), so they are
+    // rejected explicitly. One batch-scale agg closes both holes.
+    val Array(batchRows, batchN, batchDistinct) = newVectors
+      .agg(count(lit(1)), count(col(id)), countDistinct(col(id))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(batchRows == batchN,
+      s"appendIvfIndex: newVectors carries ${batchRows - batchN} NULL $id " +
+        "row(s) — every vector needs an id")
     require(batchN == batchDistinct,
       s"appendIvfIndex: newVectors carries ${batchN - batchDistinct} " +
         s"duplicate $id value(s) within the batch — dedup the batch first")

@@ -121,12 +121,19 @@ object DedupOps {
     * with no qualifying segment contribute no rows. Same keeper, salting,
     * and auto-hot-span machinery as the fixed form ([[dedupSpans]]). */
   def boundarySpanDedup(docs: DataFrame, id: Column, text: Column,
-                        separator: String = "\\n{2,}", minChars: Int = 1,
+                        separator: String = "\\R{2,}", minChars: Int = 1,
                         salts: Int = 0, hotSpans: Seq[String] = Nil,
                         autoHotMinCount: Long = 0L): DataFrame = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
     require(separator.nonEmpty, "empty separator — use spanDedup for windowing")
-    val segs = filter(transform(split(text, separator), s => trim(s)),
+    // Default separator: Java-regex \R (ANY line break — \n, \r\n, \r,
+    // U+2028...), so CRLF web text paragraph-splits too (a bare \n{2,}
+    // never fires on \r\n\r\n and silently degrades to whole-doc dedup).
+    // Trim is a WHITESPACE regex trim, not `trim()` (which strips only
+    // 0x20): segments differing by stray \r/\t edges must still dedup.
+    val segs = filter(
+      transform(split(text, separator),
+        s => regexp_replace(regexp_replace(s, "^\\s+", ""), "\\s+$", "")),
       s => length(s) >= minChars)
     val spans = docs.where(id.isNotNull && text.isNotNull)
       .select(id.as("doc_id"), posexplode(segs))

@@ -186,10 +186,12 @@ object TextOps {
     * `n` must be the width the model was trained with (the model rows
     * carry the grams, not the width). */
   def ngramModelBytes(model: DataFrame, n: Int = 3): Array[Byte] = {
-    val t = model.agg(max(col("total"))).head()
-    val tot = if (t.isNullAt(0)) 1L else math.max(t.getLong(0), 1L)
-    val vocab = model.select(col("gram"), col("logp")).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    // ONE collect serves both the vocabulary and the floor: `total` is a
+    // column of every model row, and a second action over the
+    // un-persisted model would re-run the corpus-wide gram aggregation.
+    val rows = model.select(col("gram"), col("logp"), col("total")).collect()
+    val tot = math.max(rows.headOption.map(_.getLong(2)).getOrElse(1L), 1L)
+    val vocab = rows.map(r => r.getString(0) -> r.getDouble(1)).toSeq
     graft.functions.LmModelCodec.serialize(n, math.log(0.5 / tot.toDouble), vocab)
   }
 

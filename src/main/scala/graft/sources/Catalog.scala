@@ -115,7 +115,10 @@ object Catalog {
       val key = "spark.sql.statistics.histogram.enabled"
       val prev = spark.conf.getOption(key)
       try {
-        spark.conf.set(key, histogram.toString)
+        // Only FORCE the flag ON for histogramColumns; plain columns run
+        // under the AMBIENT conf — a user who opted in session-wide must
+        // not silently lose histograms on their analyzeColumns.
+        if (histogram) spark.conf.set(key, "true")
         spark.sql(s"ANALYZE TABLE `$tableName` COMPUTE STATISTICS FOR COLUMNS " +
           cols.map(c => s"`$c`").mkString(", "))
       } finally prev match {

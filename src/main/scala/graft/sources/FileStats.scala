@@ -248,12 +248,22 @@ object FileStats {
     * inferred from all partition values — bit-identical to what the
     * unpruned scan would produce. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
-      org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, org.apache.spark.sql.types.StructType)]()
 
-  private def schemaFor(spark: SparkSession, dir: String, diskXor: Long) =
-    schemaCache.computeIfAbsent((LakeFs.normPath(dir), diskXor),
-      _ => spark.read.parquet(dir).schema)
+  private def schemaFor(spark: SparkSession, dir: String, diskXor: Long) = {
+    // One entry PER DIRECTORY (the current generation replaces the old
+    // one) — keying by (dir, xor) would retain an entry per append
+    // forever, a slow leak under loop-fold ingest.
+    val key = LakeFs.normPath(dir)
+    val cur = schemaCache.get(key)
+    if (cur != null && cur._1 == diskXor) cur._2
+    else {
+      val s = spark.read.parquet(dir).schema
+      schemaCache.put(key, (diskXor, s))
+      s
+    }
+  }
 
   /** Manifest-side half of the probe: ONE aggregation returning
     * (rows, distinct paths, path-set XOR, sorted surviving files).
@@ -295,14 +305,21 @@ object FileStats {
     // full stats pass re-runs per use anyway — never add a second).
     val (mRows, mDistinct, mXor, files) =
       if (manifest.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
-        val (r, d, x) = fingerprintMemo.computeIfAbsent(manifest, m =>
-          m.select(normPathCol(col("file")).as("__norm"))
+        // get-then-putIfAbsent, NOT computeIfAbsent: the synchronized
+        // map's computeIfAbsent would run the aggregation job under the
+        // global map mutex, serializing concurrent probes of DIFFERENT
+        // manifests. The race is benign — both threads compute the same
+        // frozen value.
+        var fp = fingerprintMemo.get(manifest)
+        if (fp == null) {
+          val r0 = manifest.select(normPathCol(col("file")).as("__norm"))
             .agg(count(lit(1)), countDistinct(col("__norm")),
               coalesce(bit_xor(pathHashCol(col("__norm"))), lit(0L)))
-            .head() match { case r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2)) })
-        val fs = manifest.where(survives(bounds)).select("file")
-          .collect().map(_.getString(0)).toSeq.sorted
-        (r, d, x, fs)
+            .head()
+          fp = (r0.getLong(0), r0.getLong(1), r0.getLong(2))
+          fingerprintMemo.put(manifest, fp)
+        }
+        (fp._1, fp._2, fp._3, prunedFiles(manifest, bounds))
       } else probeManifestAgg(manifest, bounds)
     require(mRows == mDistinct,
       s"corrupt manifest for $dir: ${mRows - mDistinct} duplicate file row(s) " +

@@ -195,6 +195,23 @@ class OpsSpec extends AnyFunSuite {
     assert(salted == out)
   }
 
+  test("boundarySpanDedup default separator: CRLF paragraphs split, ragged whitespace trims") {
+    import spark.implicits._
+    val para = "shared boilerplate paragraph text"
+    val docs = Seq(
+      // Unix doc: LF paragraph breaks, clean edges.
+      0L -> s"unique intro alpha\n\n$para\n\ntail one",
+      // Windows doc: CRLF breaks AND a stray trailing \r + tab indent —
+      // \R{2,} must still split and the whitespace trim must still match.
+      1L -> s"different opening beta\r\n\r\n\t$para\r\r\n\r\nother tail"
+    ).toDF("doc_id", "text")
+    val out = DedupOps.boundarySpanDedup(docs, col("doc_id"), col("text"), minChars = 2)
+      .where(col("is_dup")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L, 1L)),
+      s"the CRLF doc's paragraph must dup the LF doc's (keeper 0,1): ${out.toSeq}")
+  }
+
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
