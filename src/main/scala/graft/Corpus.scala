@@ -2225,6 +2225,55 @@ select d.pid,
  left(p_name, -4) butlast,
  translate(p_name, 'aeiou', '01234') trans
  from part order by p_partkey limit 300"""),
+
+    // Multi-way weighted deterministic split (round 8): train/val/test at
+    // 0.8/0.1/0.1 — the q69 binary split generalized to cumulative
+    // hex-threshold intervals over the same seeded md5 draw (q160's
+    // exact-to-2^-32 string comparison; thresholds floor(Σw·16^8):
+    // 0.8 → cccccccc, 0.9 → e6666666; the last bucket is the
+    // unconditional else so float cumulative error cannot orphan draws).
+    // Exact membership hashed per row.
+    q2("q166_split_weighted",
+      """select doc_id,
+ case when substr(md5(concat('sp:', cast(doc_id as string))), 1, 8) < 'cccccccc' then 'train'
+      when substr(md5(concat('sp:', cast(doc_id as string))), 1, 8) < 'e6666666' then 'val'
+      else 'test' end split
+ from documents order by doc_id limit 500""",
+      """select doc_id,
+ case when substr(md5(concat('sp:', cast(doc_id as varchar))), 1, 8) < 'cccccccc' then 'train'
+      when substr(md5(concat('sp:', cast(doc_id as varchar))), 1, 8) < 'e6666666' then 'val'
+      else 'test' end split
+ from documents order by doc_id limit 500"""),
+
+    // BM25 ranking (round 8): the retrieval scorer (Okapi, +1-idf
+    // variant so idf stays positive for common terms) over a fixed term
+    // set — corpus search / relevance sampling as declared SQL. Shared
+    // ANSI text modulo the explode/unnest split and ln (natural log in
+    // both — the q155 bare-log trap does NOT apply to `ln`). Scores
+    // rounded at 4dp; ties broken by doc_id.
+    q2("q167_bm25",
+      """with tok as (select doc_id, explode(split(text, ' ')) w from documents),
+ dl as (select doc_id, count(*) dl from tok group by doc_id),
+ stats as (select count(*) n_docs, avg(dl) avgdl from dl),
+ tf as (select doc_id, w, count(*) tf from tok where w in ('data','stream','sort') group by doc_id, w),
+ df as (select w, count(distinct doc_id) df from tok where w in ('data','stream','sort') group by w),
+ sc as (select t.doc_id,
+   sum( ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) *
+        (t.tf * 2.2) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) ) score
+  from tf t join df d on t.w = d.w join dl l on l.doc_id = t.doc_id cross join stats s
+  group by t.doc_id)
+ select doc_id, round(score, 4) score from sc order by score desc, doc_id limit 100""",
+      """with tok as (select doc_id, unnest(string_split(text, ' ')) w from documents),
+ dl as (select doc_id, count(*) dl from tok group by doc_id),
+ stats as (select count(*) n_docs, avg(dl) avgdl from dl),
+ tf as (select doc_id, w, count(*) tf from tok where w in ('data','stream','sort') group by doc_id, w),
+ df as (select w, count(distinct doc_id) df from tok where w in ('data','stream','sort') group by w),
+ sc as (select t.doc_id,
+   sum( ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) *
+        (t.tf * 2.2) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) ) score
+  from tf t join df d on t.w = d.w join dl l on l.doc_id = t.doc_id cross join stats s
+  group by t.doc_id)
+ select doc_id, round(score, 4) score from sc order by score desc, doc_id limit 100"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1326,6 +1326,23 @@ object DfQueries {
         .orderBy("p_partkey").limit(300)
     },
 
+    "q166_split_weighted" -> { (s, _) =>
+      // Pipelines.splitWeighted under the declared 0.8/0.1/0.1 spec.
+      t(s, "documents").select(col("doc_id"),
+          graft.api.Pipelines.splitWeighted("doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id").limit(500)
+    },
+
+    "q167_bm25" -> { (s, _) =>
+      // Pipelines.bm25Rank under the declared term set / constants.
+      graft.api.Pipelines.bm25Rank(
+          t(s, "documents"), col("doc_id"), col("text"),
+          Seq("data", "stream", "sort"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

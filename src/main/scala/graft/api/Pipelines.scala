@@ -265,6 +265,71 @@ object Pipelines {
       substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8) < thr)
   }
 
+  /** BM25 term-match ranking — the retrieval scorer a corpus search /
+    * relevance-sampling step needs (Okapi BM25 with the +1 idf variant,
+    * so idf stays positive even for terms in most documents):
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * over the query `terms`, with `dl` the document token count and
+    * `avgdl` the corpus mean. Documents matching no term are absent
+    * (score 0 — a ranker, not a gate).
+    *
+    * Scale shape: corpus-wide work is ONE narrow tokenize + one hash agg
+    * (per-doc lengths); everything term-specific filters to the query
+    * terms FIRST, so tf/df aggregations and the scoring join carry only
+    * matching rows; df and the (n_docs, avgdl) scalars broadcast.
+    * No corpus-sized shuffle beyond the length aggregation. Declared
+    * as q167. */
+  def bm25Rank(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "no query terms")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, 0 <= b <= 1; got k1=$k1 b=$b")
+    val tok = docs.where(id.isNotNull && text.isNotNull)
+      .select(id.as("doc_id"), explode(TextOps.tokens(text)).as("w"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val hits = tok.where(col("w").isin(terms: _*))
+    val tf = hits.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfT = hits.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    tf.join(broadcast(dfT), "w").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(idf * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .as("score"))
+  }
+
+  /** Multi-way WEIGHTED deterministic split — the train/val/test
+    * generalization of the q69 binary split: each row lands in the
+    * bucket whose cumulative-weight hex interval contains its seeded
+    * content-hash draw (`substr(md5(seed:id),1,8)` against cumulative
+    * `floor(Σw·16^8)` thresholds, in the DECLARED ORDER of `weights` —
+    * the same exact-to-2^-32 string comparison as [[mixSources]]).
+    * Weights must sum to 1 (±1e-9): a split partitions, it does not
+    * sample. Deterministic across runs/layouts/retries; null ids get a
+    * NULL split (no draw without an id). One narrow projection.
+    * Declared as q166. */
+  def splitWeighted(idCol: String,
+                    weights: Seq[(String, Double)],
+                    seed: String = "sp"): Column = {
+    require(weights.nonEmpty, "no buckets")
+    weights.foreach { case (nm, w) =>
+      require(w > 0, s"bucket '$nm' weight must be positive, got $w") }
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    val h = substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8)
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    // The LAST bucket is the unconditional otherwise — its threshold is
+    // exactly 1.0 and floating-point cumulative error must not leave a
+    // sliver of draws unassigned.
+    val cases = weights.init.zip(cum.init).foldLeft(when(lit(false), "")) {
+      case (acc, ((nm, _), c)) =>
+        val thr = f"${math.floor(c * 4294967296.0).toLong}%08x"
+        acc.when(h < lit(thr), nm)
+    }
+    when(col(idCol).isNotNull, cases.otherwise(weights.last._1))
+  }
+
   /** CCNet-style PERPLEXITY-BUCKETED sampling: score every document
     * under a char-n-gram LM trained on `refCorpus` (the high-quality
     * reference — e.g. an editorial subset), split the corpus into

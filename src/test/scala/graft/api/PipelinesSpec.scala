@@ -335,6 +335,52 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("splitWeighted: partitions at declared proportions, deterministic, null-safe") {
+    import spark.implicits._
+    val n = 30000L
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Pipelines.splitWeighted("doc_id", w).as("split"))
+    val by = assign(ids).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.keySet == Set("train", "val", "test"), s"every bucket hit: $by")
+    assert(by.values.sum == n, "a split PARTITIONS — nothing dropped")
+    assert(math.abs(by("train").toDouble / n - 0.8) < 0.01, s"train ${by("train")}")
+    assert(math.abs(by("val").toDouble / n - 0.1) < 0.01, s"val ${by("val")}")
+    // Layout-independent, and a null id gets a NULL split, never a draw.
+    val a = assign(ids).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = assign(ids.repartition(17)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    val got = assign(withNull).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(got(-1L) == null && got(1L) != null)
+    intercept[IllegalArgumentException] {
+      Pipelines.splitWeighted("doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("bm25Rank: only term-matching docs score, scores positive, params validated") {
+    val scored = Pipelines.bm25Rank(docs, col("doc_id"), col("text"),
+      Seq("data", "stream"))
+    val rows = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty && rows.values.forall(_ > 0), "BM25 +1-idf scores are positive")
+    // Exactly the docs containing at least one query term are scored.
+    val matching = docs
+      .where(array_contains(split(col("text"), " "), "data") ||
+        array_contains(split(col("text"), " "), "stream"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.keySet == matching, "ranker scores exactly the matching docs")
+    intercept[IllegalArgumentException] {
+      Pipelines.bm25Rank(docs, col("doc_id"), col("text"), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Pipelines.bm25Rank(docs, col("doc_id"), col("text"), Seq("x"), b = 1.5)
+    }
+  }
+
   test("packSequences: hand-computed chunk assignment, layout-independent") {
     import spark.implicits._
     val d = Seq(
