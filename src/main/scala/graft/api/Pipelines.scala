@@ -265,6 +265,25 @@ object Pipelines {
       substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8) < thr)
   }
 
+  /** Per-DOMAIN cap — the web-crawl balance step: keep at most `k`
+    * documents per APEX domain (last two host labels of `urlCol`, the
+    * q164 key — subdomains share their site's budget, which is the
+    * point: one heavily-crawled site must not dominate the corpus).
+    * The draw is [[sampleExactK]]'s seeded content-hash ranking, so it
+    * is reproducible across runs, layouts, and retries. Rows whose URL
+    * fails to parse share one null-domain stratum and are capped
+    * together rather than passed through uncapped — `try_parse_url`,
+    * not `parse_url`: crawl URLs are dirty and a malformed one must
+    * degrade the row, never kill the job (ANSI parse_url THROWS). */
+  def capPerDomain(docs: DataFrame, urlCol: String, idCol: String, k: Int,
+                   seed: String = "dom"): DataFrame = {
+    val apex = regexp_extract(
+      call_function("try_parse_url", col(urlCol), lit("HOST")),
+      "([^.]+\\.[^.]+)$", 1)
+    sampleExactK(docs.withColumn("__apex", apex), "__apex", idCol, k, seed)
+      .drop("__apex")
+  }
+
   /** BM25 term-match ranking — the retrieval scorer a corpus search /
     * relevance-sampling step needs (Okapi BM25 with the +1 idf variant,
     * so idf stays positive even for terms in most documents):

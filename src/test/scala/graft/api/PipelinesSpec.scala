@@ -362,6 +362,22 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerDomain: subdomains share the apex budget, draw deterministic") {
+    import spark.implicits._
+    // 10 docs on sub*.heavy.org, 2 on light.net, 1 unparseable.
+    val d = ((0L until 10L).map(i => (i, s"https://sub$i.heavy.org/p/$i")) ++
+      Seq((20L, "https://www.light.net/a"), (21L, "https://light.net/b"),
+        (30L, "not a url"))).toDF("doc_id", "url")
+    def cap(df: org.apache.spark.sql.DataFrame) =
+      Pipelines.capPerDomain(df, "url", "doc_id", 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = cap(d)
+    assert(kept.count(_ < 10L) == 3, s"heavy.org capped at 3 ACROSS subdomains: $kept")
+    assert(kept.count(id => id >= 20L && id < 30L) == 2, "under-cap domain passes whole")
+    assert(kept.contains(30L), "sole unparseable row fits the null-domain cap")
+    assert(cap(d.repartition(5)) == kept, "draw must not depend on layout")
+  }
+
   test("bm25Rank: only term-matching docs score, scores positive, params validated") {
     val scored = Pipelines.bm25Rank(docs, col("doc_id"), col("text"),
       Seq("data", "stream"))
