@@ -2274,6 +2274,35 @@ select d.pid,
   from tf t join df d on t.w = d.w join dl l on l.doc_id = t.doc_id cross join stats s
   group by t.doc_id)
  select doc_id, round(score, 4) score from sc order by score desc, doc_id limit 100"""),
+
+    // Malformed-URL conventions (round 8, the q164 dirty-input half):
+    // crawl URLs fail to parse, and the engines' degrade paths DIFFER —
+    // Spark's ANSI parse_url THROWS (try_parse_url is the row-degrade
+    // spelling, → NULL; measured: space-bearing text and missing-scheme
+    // '://x' both NULL, any scheme parses), while the regexp definition
+    // returns '' on no-match — the agreeing form wraps it in
+    // nullif(·, ''). Every third row is well-formed, the rest malformed
+    // two ways; the coalesced '<unparseable>' bucket is the grouping
+    // key a crawl-balance cap actually uses.
+    q2("q168_url_malformed",
+      """with u as (select doc_id,
+   case when doc_id % 3 = 0 then concat('https://h', cast(doc_id % 7 as string), '.example.org/p/', cast(doc_id as string))
+        when doc_id % 3 = 1 then concat('not a url ', cast(doc_id as string))
+        else concat('://missing-scheme/', cast(doc_id as string)) end url
+  from documents)
+ select doc_id, url,
+  try_parse_url(url, 'HOST') host,
+  coalesce(try_parse_url(url, 'HOST'), '<unparseable>') host_or
+ from u order by doc_id limit 300""",
+      """with u as (select doc_id,
+   case when doc_id % 3 = 0 then concat('https://h', cast(doc_id % 7 as varchar), '.example.org/p/', cast(doc_id as varchar))
+        when doc_id % 3 = 1 then concat('not a url ', cast(doc_id as varchar))
+        else concat('://missing-scheme/', cast(doc_id as varchar)) end url
+  from documents)
+ select doc_id, url,
+  nullif(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1), '') host,
+  coalesce(nullif(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1), ''), '<unparseable>') host_or
+ from u order by doc_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1343,6 +1343,21 @@ object DfQueries {
         .orderBy(col("score").desc, col("doc_id")).limit(100)
     },
 
+    "q168_url_malformed" -> { (s, _) =>
+      // try_parse_url's row-degrade convention on dirty crawl URLs.
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("not a url "), col("doc_id").cast("string")))
+        .otherwise(concat(lit("://missing-scheme/"), col("doc_id").cast("string")))
+      val host = call_function("try_parse_url", col("url"), lit("HOST"))
+      t(s, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"), host.as("host"),
+          coalesce(host, lit("<unparseable>")).as("host_or"))
+        .orderBy("doc_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
