@@ -293,6 +293,11 @@ class PipelinesSpec extends AnyFunSuite {
     val reseeded = Pipelines.mixSources(mixed, "source", "doc_id", rates, seed = "mix2")
       .select("doc_id").as[Long].collect().toSet
     assert(reseeded != ids, "a new seed must draw an independent sample")
+    // NULL ids are dropped — never collapsed onto one shared draw.
+    val withNulls = Seq((Some(1L), "s0"), (None, "s0"), (None, "s0"))
+      .toDF("doc_id", "source")
+    assert(Pipelines.mixSources(withNulls, "source", "doc_id", Map("s0" -> 1.0))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
     intercept[IllegalArgumentException] {
       Pipelines.mixSources(mixed, "source", "doc_id", Map("s0" -> 1.2))
     }
