@@ -202,6 +202,34 @@ object Corpus {
     "date_diff('day', date '1970-01-01', cast(last_o as date))")
 
 
+  /** q169: 3-iteration PageRank in EXACT INTEGER micro-rank units over
+    * the symmetric part↔supplier bipartite graph. Integer state is what
+    * makes an iterative float recurrence HASHABLE cross-engine: bigint
+    * sums are order-independent, the per-edge `round(r/outd)` quotient
+    * is deterministic (correctly-rounded IEEE division; quotient
+    * rationals sit ≥ 1/(2·outd) from .5 boundaries, far beyond ulp),
+    * and `(1 - 0.85)` is SPELLED as the subtraction both engines
+    * evaluate to the same double (the literal `0.15` differs in the
+    * last ulp). Symmetric edges ⇒ no dangling nodes ⇒ the mass term
+    * drops from the unrolled text; DuckDB's sum(bigint) widens to
+    * HUGEINT, consumed only via the double product, so schemas agree. */
+  private def q169Sql(cast: String): String = {
+    def iter(i: Int): String =
+      s""" c$i as (select ed.dst node, sum(cast(round(r${i - 1}.r / d.outd) as bigint)) m
+ from ed join r${i - 1} on r${i - 1}.node = ed.src join deg d on d.src = ed.src group by ed.dst),
+ r$i as (select c$i.node, cast(round((1 - 0.85) * 1000000000.0 / n + 0.85 * c$i.m) as bigint) r from c$i cross join nn),"""
+    s"""with ed as (select distinct src, dst from (
+   select concat('p', cast(l_partkey as $cast)) src, concat('s', cast(l_suppkey as $cast)) dst from lineitem
+   union all
+   select concat('s', cast(l_suppkey as $cast)) src, concat('p', cast(l_partkey as $cast)) dst from lineitem) t),
+ nodes as (select distinct src node from ed),
+ nn as (select count(*) n from nodes),
+ deg as (select src, count(*) outd from ed group by src),
+ r0 as (select node, cast(round(1000000000.0 / n) as bigint) r from nodes cross join nn),
+${(iter(1) + iter(2) + iter(3)).stripSuffix(",")}
+ select node, r from r3 order by r desc, node limit 100"""
+  }
+
   val all: Seq[CorpusQuery] = Seq(
     q("q01_scan_filter_project",
       """select l_orderkey, l_linenumber, round(l_extendedprice*(1-l_discount),2) net
@@ -2303,6 +2331,14 @@ select d.pid,
   nullif(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1), '') host,
   coalesce(nullif(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1), ''), '<unparseable>') host_or
  from u order by doc_id limit 300"""),
+
+    // PageRank (round 8): the canonical multi-job MapReduce chain, as a
+    // 3-iteration unrolled declared query — see q169Sql for the
+    // integer-micro-rank contract that makes an iterative recurrence
+    // hashable cross-engine. The library operator (GraphOps.pageRank)
+    // runs the same integer math to any depth with dangling-mass
+    // redistribution and checkpointed lineage.
+    q2("q169_pagerank", q169Sql("string"), q169Sql("varchar")),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1358,6 +1358,21 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q169_pagerank" -> { (s, _) =>
+      // GraphOps.pageRank (exact integer micro-ranks) over the symmetric
+      // part↔supplier graph at the declared depth/damping.
+      val li = t(s, "lineitem")
+      val edges = li.select(
+          concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .unionAll(li.select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")))
+      graft.ops.GraphOps.pageRank(edges, iterations = 3)
+        .select("node", "r")
+        .orderBy(col("r").desc, col("node")).limit(100)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

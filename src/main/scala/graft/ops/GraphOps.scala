@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators on edge tables — the OTHER classic MapReduce
+  * workload family (PageRank is the canonical multi-job MR chain the way
+  * wordcount is the canonical single job; [[DedupOps.connectedComponents]]
+  * covers the reachability side).
+  *
+  * Scale shape: each iteration is one equi join (ranks onto edges) + one
+  * hash aggregation (contributions per destination, partial-aggregated
+  * map-side) — the rank table (one row per NODE, not per edge) is the
+  * only state carried between rounds, and lineage is cut with
+  * `localCheckpoint` every few rounds (the connectedComponents
+  * discipline — without it the plan doubles per iteration).
+  */
+object GraphOps {
+
+  /** PageRank over a directed edge table (`src`, `dst` columns), computed
+    * in EXACT INTEGER micro-rank units: ranks live as `bigint` multiples
+    * of `1/scale` (default 1e-9). Why integers: a floating-point rank
+    * contract is order-of-summation-dependent — two engines (or two
+    * partitionings) summing the same per-edge contributions in different
+    * orders differ in the last ulp, and any rounding grid then flips
+    * near-boundary values. Integer sums are exact and order-independent,
+    * the per-edge division `round(r/outdeg)` is deterministic (IEEE
+    * division is correctly rounded and quotient rationals sit far from
+    * .5 boundaries relative to ulp), so the WHOLE iteration has one
+    * reproducible answer across engines, layouts, and retries — the
+    * declared q169 pins a 3-iteration unrolled SQL twin by hash, exact
+    * integers, no float tolerance anywhere.
+    *
+    * Per iteration:
+    * `r'(v) = round((1−d)·scale/N + d·(Σ_{u→v} round(r(u)/outdeg(u)) +
+    * danglingShare))` with `danglingShare = round(Σ_{no out-edge} r / N)`
+    * (the standard redistribution — without it rank mass leaks).
+    * Quantization error per step is ≤ N micro-units, invisible at
+    * ranking granularity.
+    *
+    * Returns (node, r, nrank): `r` the exact integer micro-rank,
+    * `nrank = r·N/scale` the relative-to-uniform score (1.0 = average —
+    * the O(1)-scaled human-readable form). */
+  def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
+               iterations: Int = 10, damping: Double = 0.85,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(scale >= 1000000L, s"scale under 1e6 loses ranking granularity, got $scale")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val nn = nodes.count()
+    require(nn > 0, "empty graph")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outd")).localCheckpoint()
+    // (1 − d) SPELLED AS A SUBTRACTION, matching the declared SQL text:
+    // the double `1 - 0.85` differs from the literal `0.15` in the last
+    // ulp, and the contract is bit-reproducibility.
+    val base = (lit(1.0) - lit(damping)) * lit(scale.toDouble) / lit(nn)
+    var rank = nodes.select(col("node"),
+      round(lit(scale.toDouble) / lit(nn)).cast("bigint").as("r"))
+    var i = 0
+    while (i < iterations) {
+      val dangling = rank.join(deg, rank("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val share = math.round(dangling.toDouble / nn)
+      val contrib = e.join(rank, rank("node") === e("src"))
+        .join(deg, "src")
+        .groupBy("dst")
+        .agg(sum(round(col("r") / col("outd")).cast("bigint")).as("m"))
+      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          round(base + lit(damping) * (coalesce(col("m"), lit(0L)) + lit(share)))
+            .cast("bigint").as("r"))
+      if ((i + 1) % 4 == 0) rank = rank.localCheckpoint()
+      i += 1
+    }
+    rank.select(col("node"), col("r"),
+      (col("r").cast("double") * nn / scale).as("nrank"))
+  }
+}

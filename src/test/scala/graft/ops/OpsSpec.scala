@@ -212,6 +212,37 @@ class OpsSpec extends AnyFunSuite {
       s"the CRLF doc's paragraph must dup the LF doc's (keeper 0,1): ${out.toSeq}")
   }
 
+  test("pageRank: mass conserved, sinks handled, authority ordering, layout-exact") {
+    import spark.implicits._
+    // Star + chain: hub receives from 5 spokes (authority), spoke0 also
+    // feeds a SINK (no out-edges — exercises dangling redistribution).
+    val e = (1 to 5).map(i => (s"spoke$i", "hub")) ++
+      Seq("hub" -> "spoke1", "spoke1" -> "sink")
+    val edges = e.toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iterations = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.size == 7)
+    // Quantized mass stays ~1e9 (error ≤ iterations·N micro-units).
+    assert(math.abs(pr.values.sum - 1000000000L) < 1000L, s"mass leaked: $pr")
+    // hub collects 4 whole spokes + half of spoke1; spoke1 collects the
+    // WHOLE hub (its only successor), so both far outrank a plain spoke,
+    // and the sink (half of spoke1) beats plain spokes too.
+    assert(pr("hub") > pr("spoke2") && pr("spoke1") > pr("spoke2") &&
+      pr("sink") > pr("spoke2"),
+      s"in-link authority ordering violated: $pr")
+    assert(pr("spoke2") == pr("spoke3"), "symmetric spokes tie exactly")
+    // Exact integers: a different layout yields IDENTICAL ranks.
+    val pr2 = GraphOps.pageRank(edges.repartition(7), iterations = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr2 == pr, "integer contract must be bit-reproducible across layouts")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, damping = 1.0)
+    }
+  }
+
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
