@@ -59,8 +59,15 @@ object GraphOps {
     // the double `1 - 0.85` differs from the literal `0.15` in the last
     // ulp, and the contract is bit-reproducibility.
     val base = (lit(1.0) - lit(damping)) * lit(scale.toDouble) / lit(nn)
+    // Checkpoint EVERY round, not every few: the dangling-mass term is a
+    // per-iteration ACTION, and over an un-checkpointed rank it would
+    // re-execute every round since the last cut — quadratic cost inside
+    // the window (GraphProbe measured 0.24 s/iter right after a cut
+    // rising to 1.5 s/iter late in a 4-round window). The checkpoint is
+    // node-scale, the cheapest table in the loop.
     var rank = nodes.select(col("node"),
       round(lit(scale.toDouble) / lit(nn)).cast("bigint").as("r"))
+      .localCheckpoint()
     var i = 0
     while (i < iterations) {
       val dangling = rank.join(deg, rank("node") === deg("src"), "left_anti")
@@ -74,7 +81,7 @@ object GraphOps {
         .select(nodes("node"),
           round(base + lit(damping) * (coalesce(col("m"), lit(0L)) + lit(share)))
             .cast("bigint").as("r"))
-      if ((i + 1) % 4 == 0) rank = rank.localCheckpoint()
+        .localCheckpoint()
       i += 1
     }
     rank.select(col("node"), col("r"),
