@@ -2263,12 +2263,14 @@ select d.pid,
     // Exact membership hashed per row.
     q2("q166_split_weighted",
       """select doc_id,
- case when substr(md5(concat('sp:', cast(doc_id as string))), 1, 8) < 'cccccccc' then 'train'
+ case when doc_id is null then null
+      when substr(md5(concat('sp:', cast(doc_id as string))), 1, 8) < 'cccccccc' then 'train'
       when substr(md5(concat('sp:', cast(doc_id as string))), 1, 8) < 'e6666666' then 'val'
       else 'test' end split
  from documents order by doc_id limit 500""",
       """select doc_id,
- case when substr(md5(concat('sp:', cast(doc_id as varchar))), 1, 8) < 'cccccccc' then 'train'
+ case when doc_id is null then null
+      when substr(md5(concat('sp:', cast(doc_id as varchar))), 1, 8) < 'cccccccc' then 'train'
       when substr(md5(concat('sp:', cast(doc_id as varchar))), 1, 8) < 'e6666666' then 'val'
       else 'test' end split
  from documents order by doc_id limit 500"""),
@@ -2280,7 +2282,7 @@ select d.pid,
     // both — the q155 bare-log trap does NOT apply to `ln`). Scores
     // rounded at 4dp; ties broken by doc_id.
     q2("q167_bm25",
-      """with tok as (select doc_id, explode(split(text, ' ')) w from documents),
+      """with tok as (select doc_id, explode(split(text, ' ')) w from documents where doc_id is not null and text is not null),
  dl as (select doc_id, count(*) dl from tok group by doc_id),
  stats as (select count(*) n_docs, avg(dl) avgdl from dl),
  tf as (select doc_id, w, count(*) tf from tok where w in ('data','stream','sort') group by doc_id, w),
@@ -2291,7 +2293,7 @@ select d.pid,
   from tf t join df d on t.w = d.w join dl l on l.doc_id = t.doc_id cross join stats s
   group by t.doc_id)
  select doc_id, round(score, 4) score from sc order by score desc, doc_id limit 100""",
-      """with tok as (select doc_id, unnest(string_split(text, ' ')) w from documents),
+      """with tok as (select doc_id, unnest(string_split(text, ' ')) w from documents where doc_id is not null and text is not null),
  dl as (select doc_id, count(*) dl from tok group by doc_id),
  stats as (select count(*) n_docs, avg(dl) avgdl from dl),
  tf as (select doc_id, w, count(*) tf from tok where w in ('data','stream','sort') group by doc_id, w),

@@ -246,23 +246,32 @@ object Pipelines {
     * map-only pass. (The rate map is a human-written mixture spec — tens
     * of entries — so it compiles into the filter as a when-chain, never
     * a join.) Declared as q160. */
+  /** The seeded content-hash draw shared by [[mixSources]] and
+    * [[splitWeighted]] — ONE spelling of the exact-to-2^-32 contract so
+    * the two declared queries (q160/q166) can never diverge. */
+  private def hashDraw(seed: String, idCol: String): Column =
+    substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8)
+
+  /** Hex threshold for a cumulative probability: floor(c·16^8) zero-padded
+    * lowercase, CLAMPED to "g" (above every hex digit) at c ≥ 1 — the
+    * unclamped 9-char "100000000" would compare lexicographically BELOW
+    * most 8-char hashes and silently misallocate. */
+  private def hexThreshold(c: Double): String =
+    if (c >= 1.0) "g" else f"${math.floor(c * 4294967296.0).toLong}%08x"
+
   def mixSources(df: DataFrame, sourceCol: String, idCol: String,
                  rates: Map[String, Double], seed: String = "mix"): DataFrame = {
     require(rates.nonEmpty, "empty mixture spec drops everything — say so explicitly")
     rates.foreach { case (s, r) =>
       require(r >= 0.0 && r <= 1.0, s"rate for '$s' must be in [0,1], got $r") }
-    val thresholds = rates.toSeq.map { case (s, r) =>
-      s -> (if (r >= 1.0) "g" else f"${math.floor(r * 4294967296.0).toLong}%08x")
-    }
-    val thr = thresholds.foldLeft(lit(null).cast("string")) {
-      case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
+    val thr = rates.toSeq.foldLeft(lit(null).cast("string")) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(hexThreshold(r))).otherwise(acc)
     }
     // NULL ids are dropped EXPLICITLY (a content-hash draw needs an id;
     // the declared q160 SQL drops them too via concat's null poisoning).
     // Without the filter, concat_ws would silently SKIP the null and
     // collapse every null-id row in a source onto one shared draw.
-    df.where(col(idCol).isNotNull &&
-      substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8) < thr)
+    df.where(col(idCol).isNotNull && hashDraw(seed, idCol) < thr)
   }
 
   /** Per-DOMAIN cap — the web-crawl balance step: keep at most `k`
@@ -270,16 +279,21 @@ object Pipelines {
     * q164 key — subdomains share their site's budget, which is the
     * point: one heavily-crawled site must not dominate the corpus).
     * The draw is [[sampleExactK]]'s seeded content-hash ranking, so it
-    * is reproducible across runs, layouts, and retries. Rows whose URL
-    * fails to parse share one null-domain stratum and are capped
-    * together rather than passed through uncapped — `try_parse_url`,
-    * not `parse_url`: crawl URLs are dirty and a malformed one must
-    * degrade the row, never kill the job (ANSI parse_url THROWS). */
+    * is reproducible across runs, layouts, and retries. A SINGLE-LABEL
+    * host (localhost, intranet names) has no two-label apex — it is its
+    * OWN stratum (the host itself), never lumped with other one-label
+    * hosts into a shared budget. Rows whose URL fails to parse share
+    * one null-domain stratum and are capped together rather than passed
+    * through uncapped — `try_parse_url`, not `parse_url`: crawl URLs
+    * are dirty and a malformed one must degrade the row, never kill the
+    * job (ANSI parse_url THROWS). */
   def capPerDomain(docs: DataFrame, urlCol: String, idCol: String, k: Int,
                    seed: String = "dom"): DataFrame = {
-    val apex = regexp_extract(
-      call_function("try_parse_url", col(urlCol), lit("HOST")),
-      "([^.]+\\.[^.]+)$", 1)
+    val host = call_function("try_parse_url", col(urlCol), lit("HOST"))
+    // regexp_extract returns '' (not NULL) on no-match — fall back to
+    // the whole host so distinct single-label hosts keep distinct caps.
+    val apex = coalesce(
+      nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit("")), host)
     sampleExactK(docs.withColumn("__apex", apex), "__apex", idCol, k, seed)
       .drop("__apex")
   }
@@ -336,15 +350,15 @@ object Pipelines {
       require(w > 0, s"bucket '$nm' weight must be positive, got $w") }
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"weights must sum to 1, got ${weights.map(_._2).sum}")
-    val h = substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8)
+    val h = hashDraw(seed, idCol)
     val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
     // The LAST bucket is the unconditional otherwise — its threshold is
     // exactly 1.0 and floating-point cumulative error must not leave a
-    // sliver of draws unassigned.
+    // sliver of draws unassigned. Earlier thresholds go through the
+    // CLAMPED hexThreshold (a degenerate spec like (a→1.0, b→ε) must
+    // not overflow to a 9-char string and invert the allocation).
     val cases = weights.init.zip(cum.init).foldLeft(when(lit(false), "")) {
-      case (acc, ((nm, _), c)) =>
-        val thr = f"${math.floor(c * 4294967296.0).toLong}%08x"
-        acc.when(h < lit(thr), nm)
+      case (acc, ((nm, _), c)) => acc.when(h < lit(hexThreshold(c)), nm)
     }
     when(col(idCol).isNotNull, cases.otherwise(weights.last._1))
   }

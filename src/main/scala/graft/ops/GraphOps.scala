@@ -55,6 +55,13 @@ object GraphOps {
     val nn = nodes.count()
     require(nn > 0, "empty graph")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outd")).localCheckpoint()
+    // The dangling node SET is iteration-invariant (only their RANKS
+    // change): compute it once, and skip the per-iteration mass action
+    // entirely on graphs without sinks (the declared q169 symmetric
+    // graph runs zero dangling jobs).
+    val danglingNodes = nodes.join(deg, nodes("node") === deg("src"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = danglingNodes.limit(1).count() > 0
     // (1 − d) SPELLED AS A SUBTRACTION, matching the declared SQL text:
     // the double `1 - 0.85` differs from the literal `0.15` in the last
     // ulp, and the contract is bit-reproducibility.
@@ -70,8 +77,11 @@ object GraphOps {
       .localCheckpoint()
     var i = 0
     while (i < iterations) {
-      val dangling = rank.join(deg, rank("node") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val dangling =
+        if (!hasDangling) 0L
+        else rank.join(danglingNodes.select(col("node").as("__dn")),
+            rank("node") === col("__dn"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
       val share = math.round(dangling.toDouble / nn)
       val contrib = e.join(rank, rank("node") === e("src"))
         .join(deg, "src")

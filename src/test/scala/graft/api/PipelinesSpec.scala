@@ -347,6 +347,10 @@ class PipelinesSpec extends AnyFunSuite {
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     def assign(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), Pipelines.splitWeighted("doc_id", w).as("split"))
+    def assign2(df: org.apache.spark.sql.DataFrame, ws: Seq[(String, Double)]) =
+      df.select(Pipelines.splitWeighted("doc_id", ws).as("split"))
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val by = assign(ids).groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(by.keySet == Set("train", "val", "test"), s"every bucket hit: $by")
@@ -365,6 +369,12 @@ class PipelinesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Pipelines.splitWeighted("doc_id", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // Degenerate spec (a -> ~1.0, b -> ε): the clamped threshold must
+    // send ~everything to 'a' — the unclamped 9-char hex string would
+    // lexicographically invert the allocation (~94% to 'b').
+    val degen = assign2(ids, Seq("a" -> (1.0 - 1e-10), "b" -> 1e-10))
+    assert(degen.getOrElse("b", 0L) == 0L && degen("a") == n,
+      s"clamped threshold must allocate the ~1.0 bucket everything: $degen")
   }
 
   test("capPerDomain: subdomains share the apex budget, draw deterministic") {
@@ -372,7 +382,10 @@ class PipelinesSpec extends AnyFunSuite {
     // 10 docs on sub*.heavy.org, 2 on light.net, 1 unparseable.
     val d = ((0L until 10L).map(i => (i, s"https://sub$i.heavy.org/p/$i")) ++
       Seq((20L, "https://www.light.net/a"), (21L, "https://light.net/b"),
-        (30L, "not a url"))).toDF("doc_id", "url")
+        (30L, "not a url"),
+        // Single-label hosts: DISTINCT strata (their own hosts), never a
+        // shared '' bucket.
+        (40L, "https://localhost/x"), (41L, "https://intranet/y"))).toDF("doc_id", "url")
     def cap(df: org.apache.spark.sql.DataFrame) =
       Pipelines.capPerDomain(df, "url", "doc_id", 3)
         .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -380,6 +393,8 @@ class PipelinesSpec extends AnyFunSuite {
     assert(kept.count(_ < 10L) == 3, s"heavy.org capped at 3 ACROSS subdomains: $kept")
     assert(kept.count(id => id >= 20L && id < 30L) == 2, "under-cap domain passes whole")
     assert(kept.contains(30L), "sole unparseable row fits the null-domain cap")
+    assert(kept.contains(40L) && kept.contains(41L),
+      "single-label hosts are their own strata, not one shared '' budget")
     assert(cap(d.repartition(5)) == kept, "draw must not depend on layout")
   }
 
