@@ -204,6 +204,27 @@ object TextOps {
   def lmScore(text: Column, modelBytes: Array[Byte]): Column =
     call_function("lm_score", lit(modelBytes), text)
 
+  /** MODEL-BASED language ID — the upgrade from [[langGuess]]'s stopword
+    * heuristic: score the text under one frozen char-n-gram model PER
+    * LANGUAGE ([[ngramModel]] over a per-language reference corpus,
+    * frozen via [[ngramModelBytes]]) and return the argmax language —
+    * the classic n-gram LM classifier, per-row, no shuffle, k one-pass
+    * `lm_score` scans. Ties break to the lexicographically larger
+    * language name (struct ordering — deterministic, not partition
+    * order); text too short to score under ANY model (all models share
+    * the gram width) classifies NULL. */
+  def langClassify(text: Column, models: Map[String, Array[Byte]]): Column = {
+    require(models.nonEmpty, "no language models")
+    val scored = models.toSeq.map { case (lang, bytes) =>
+      struct(lmScore(text, bytes).getField("score").as("s"), lit(lang).as("l"))
+    }
+    // greatest() over structs orders by (score, lang); null scores sort
+    // lowest, so a language that cannot score never wins over one that
+    // can. All-null (too-short text) yields a null-score winner → NULL.
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    when(best.getField("s").isNotNull, best.getField("l"))
+  }
+
   def ngramScore(docs: DataFrame, id: Column, text: Column,
                  model: DataFrame, n: Int = 3): DataFrame = {
     require(n > 0, s"n must be positive, got $n")

@@ -16,6 +16,41 @@ class TextOpsEdgeSpec extends AnyFunSuite {
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
   }
 
+  test("langClassify: per-language LM argmax separates held-out corpora") {
+    import spark.implicits._
+    val docs = graft.TestSpark.table("documents").select("doc_id", "text")
+    // Two "languages": fixture English-ish vs md5-hex gibberish. Train
+    // on one half, classify the held-out other half.
+    def hexDocs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", md5(col("id").cast("string")),
+          md5((col("id") + 3).cast("string")),
+          md5((col("id") + 9).cast("string"))).as("text"))
+    val models = Map(
+      "en" -> graft.ops.TextOps.ngramModelBytes(
+        graft.ops.TextOps.ngramModel(docs.where(col("doc_id") % 2 === 0), col("text"))),
+      "hx" -> graft.ops.TextOps.ngramModelBytes(
+        graft.ops.TextOps.ngramModel(hexDocs(0, 100), col("text"))))
+    val cls = graft.ops.TextOps.langClassify(col("text"), models)
+    val enHeld = docs.where(col("doc_id") % 2 === 1)
+      .select(cls.as("l")).groupBy("l").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enHeld.getOrElse("en", 0L) > 9 * enHeld.getOrElse("hx", 0L),
+      s"held-out English must classify en overwhelmingly: $enHeld")
+    val hxHeld = hexDocs(100, 150).select(cls.as("l")).groupBy("l").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hxHeld.getOrElse("hx", 0L) == 50L,
+      s"held-out gibberish must classify hx: $hxHeld")
+    // Degenerate text: NULL class, and one-model maps work.
+    val deg = Seq((1L, "ab"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(deg.select(cls.as("l")).collect().forall(_.isNullAt(0)))
+    assert(deg.select(graft.ops.TextOps.langClassify(col("text"),
+      models.view.filterKeys(_ == "en").toMap).as("l")).collect().forall(_.isNullAt(0)))
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.langClassify(col("text"), Map.empty)
+    }
+  }
+
   test("redactPii: classes hit, order is canonical, degenerate inputs safe") {
     import spark.implicits._
     val d = Seq(
