@@ -163,14 +163,23 @@ object NgramLmUtil {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[Array[Byte], LmModel]())
 
-  private val last = new ThreadLocal[(Array[Byte], LmModel)]
+  // Per-thread IDENTITY map, not a single last-hit pair: langClassify
+  // scores each row under k models in turn, and a one-entry memo would
+  // miss on every call and serialize the scan on the shared map's lock
+  // (the contention SketchCache's memo exists to avoid). Bounded by the
+  // distinct model literals a task ever sees (a handful).
+  private val local = new ThreadLocal[java.util.IdentityHashMap[Array[Byte], LmModel]] {
+    override def initialValue() = new java.util.IdentityHashMap[Array[Byte], LmModel]()
+  }
 
   private def model(bytes: Array[Byte]): LmModel = {
-    val hit = last.get()
-    if (hit != null && (hit._1 eq bytes)) return hit._2
-    var m = models.get(bytes)
-    if (m == null) { m = LmModelCodec.deserialize(bytes); models.put(bytes, m) }
-    last.set((bytes, m))
+    val mine = local.get()
+    var m = mine.get(bytes)
+    if (m == null) {
+      m = models.get(bytes)
+      if (m == null) { m = LmModelCodec.deserialize(bytes); models.put(bytes, m) }
+      mine.put(bytes, m)
+    }
     m
   }
 
