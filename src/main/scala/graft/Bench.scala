@@ -192,9 +192,15 @@ object Bench {
     * have no BASELINE.md row, and twice (r5 x_embed_neardup_lsh 8.07 s,
     * r6 x_minhash_lsh_pairs_1k 5.50 s) a noisy sample needed a manual
     * judge re-run to clear. Any extra whose median exceeds its reference
-    * by >1.5× is listed in the JSON's `flagged` field (reported, never
-    * fatal): a flagged entry with samples spread wide is host noise, a
-    * flagged entry with three tight samples is a real plan regression. */
+    * by >1.5× is RETRIED once after the whole suite completes (round 9 —
+    * the retry lands at a different host-load point, so an environmental
+    * flag clears itself instead of burning a judge re-run; round 8 spent
+    * its adjudication cycle on five flags of which four were
+    * environmental). Only extras still >1.5× on the RETRY median stay in
+    * `flagged`; both measurements plus per-sample 1-min loadavg are
+    * committed in the JSON so the artifact is self-adjudicating: a
+    * surviving flag with tight samples at low loadavg is a real plan
+    * regression, wide samples or high loadavg is a noisy host. */
   val extraReference: Map[String, Double] = Map(
     "x_minhash_dedup_keep" -> 0.47,
     "x_simhash16"          -> 0.27,
@@ -220,24 +226,55 @@ object Bench {
     // re-run, path unchanged) masquerade as a plan regression; the median
     // absorbs one bad sample per query while keeping the headline
     // comparable (a steady-state query's median ≈ its old single sample).
-    def timedSamples(thunk: () => DataFrame): Seq[Double] = {
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    // Each timed sample records the 1-min loadavg read IMMEDIATELY before
+    // it — the adjudication signal: an inflated sample at loadavg >> the
+    // quiet-host norm is environmental, at low loadavg it's the plan.
+    def timedSamples(thunk: () => DataFrame): (Seq[Double], Seq[Double]) = {
       thunk().collect() // warm: plan + shuffle + codegen paths hot
-      Seq.fill(3) {
+      val pairs = Seq.fill(3) {
+        val la = loadAvg()
         val t0 = System.nanoTime()
         thunk().collect()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, la)
       }
+      (pairs.map(_._1), pairs.map(_._2))
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
     val sampled = suite.map { case (name, sql) =>
       name -> timedSamples(() => spark.sql(sql))
     }
-    val extraSampled = extras(spark).map { case (name, thunk) =>
+    val extraThunks = extras(spark)
+    val extraSampled = extraThunks.map { case (name, thunk) =>
       name -> timedSamples(thunk)
     }
-    val results = sampled.map { case (n, xs) => n -> median(xs) }
-    val extraResults = extraSampled.map { case (n, xs) => n -> median(xs) }
+    val results = sampled.map { case (n, (xs, _)) => n -> median(xs) }
+    val extraResults = extraSampled.map { case (n, (xs, _)) => n -> median(xs) }
+    def over(n: String, v: Double): Boolean =
+      extraReference.get(n).exists(ref => v > 1.5 * ref)
+    // Self-adjudication: retry every first-pass flag once, AFTER the whole
+    // suite (the latest point in the run — a transient load spike that
+    // inflated the first pass has had the longest time to drain).
+    val firstFlagged = extraResults.collect { case (n, v) if over(n, v) => n }
+    val retried: Seq[(String, (Seq[Double], Seq[Double]))] =
+      firstFlagged.map { n =>
+        n -> timedSamples(extraThunks.find(_._1 == n).get._2)
+      }
+    val retryMedians = retried.map { case (n, (xs, _)) => n -> median(xs) }
+    val flagged = retryMedians.collect { case (n, v) if over(n, v) => n }
+    retryMedians.foreach { case (n, v) =>
+      val first = extraResults.toMap.apply(n)
+      if (over(n, v))
+        System.err.println(s"BENCH FLAG: $n first ${first}s, retry ${v}s — " +
+          s"both > 1.5x reference ${extraReference(n)}s; likely a real " +
+          "plan regression (check loadavg + samples spread in the JSON)")
+      else
+        System.err.println(s"BENCH FLAG CLEARED: $n first ${first}s retried " +
+          s"at ${v}s (reference ${extraReference(n)}s) — environmental")
+    }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jsamples(kvs: Seq[(String, Seq[Double])]): String =
@@ -252,17 +289,12 @@ object Bench {
       case c => c.toString
     }
     val total = results.map(_._2).sum
-    val extraByName = extraResults.toMap
-    val flagged = extraResults.collect {
-      case (n, v) if extraReference.get(n).exists(ref => v > 1.5 * ref) => n
-    }
-    flagged.foreach { n =>
-      System.err.println(s"BENCH FLAG: $n median ${extraByName(n)}s > " +
-        s"1.5x reference ${extraReference(n)}s — check the samples spread " +
-        "(wide = host noise, tight = plan regression)")
-    }
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"reference":${jmap(extraReference.toSeq.sortBy(_._1))},"flagged":$flaggedJson,"samples":${jsamples(sampled ++ extraSampled)},"sf":"$sfJson"}""")
+    val times = (sampled ++ extraSampled).map { case (n, (xs, _)) => n -> xs }
+    val loads = (sampled ++ extraSampled).map { case (n, (_, ls)) => n -> ls }
+    val retryTimes = retried.map { case (n, (xs, _)) => n -> xs }
+    val retryLoads = retried.map { case (n, (_, ls)) => n -> ls }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"reference":${jmap(extraReference.toSeq.sortBy(_._1))},"flagged":$flaggedJson,"retry":${jmap(retryMedians)},"retry_samples":${jsamples(retryTimes)},"retry_loadavg":${jsamples(retryLoads)},"samples":${jsamples(times)},"loadavg":${jsamples(loads)},"sf":"$sfJson"}""")
     spark.stop()
   }
 }

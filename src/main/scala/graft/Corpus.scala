@@ -206,12 +206,16 @@ object Corpus {
     * the symmetric part↔supplier bipartite graph. Integer state is what
     * makes an iterative float recurrence HASHABLE cross-engine: bigint
     * sums are order-independent, the per-edge `round(r/outd)` quotient
-    * is deterministic (correctly-rounded IEEE division; quotient
-    * rationals sit ≥ 1/(2·outd) from .5 boundaries, far beyond ulp),
-    * and `(1 - 0.85)` is SPELLED as the subtraction both engines
+    * is deterministic (correctly-rounded IEEE division; exact x.5
+    * quotients DO occur — r odd, outd = 2 — but both engines round
+    * positive halves away from zero, so the grid agrees), and
+    * `(1 - 0.85)` is SPELLED as the subtraction both engines
     * evaluate to the same double (the literal `0.15` differs in the
     * last ulp). Symmetric edges ⇒ no dangling nodes ⇒ the mass term
-    * drops from the unrolled text; DuckDB's sum(bigint) widens to
+    * drops from the unrolled text, and every node has an in-edge ⇒ the
+    * inner-join c_i CTEs lose no nodes (on a graph with in-degree-0
+    * nodes this unrolling would drop them where the library's left
+    * join keeps them); DuckDB's sum(bigint) widens to
     * HUGEINT, consumed only via the double product, so schemas agree. */
   private def q169Sql(cast: String): String = {
     def iter(i: Int): String =
@@ -226,6 +230,32 @@ object Corpus {
  nn as (select count(*) n from nodes),
  deg as (select src, count(*) outd from ed group by src),
  r0 as (select node, cast(round(1000000000.0 / n) as bigint) r from nodes cross join nn),
+${(iter(1) + iter(2) + iter(3)).stripSuffix(",")}
+ select node, r from r3 order by r desc, node limit 100"""
+  }
+
+  /** q170: 3-iteration PERSONALIZED PageRank — same graph, same exact
+    * integer micro-rank bit-contract as q169, but the (1−d) teleport mass
+    * lands only on the SEED set (the supplier nodes, `s%`): non-seed
+    * ranks start at 0 and receive only propagated mass, so rank decays
+    * with distance from the seeds. Same unrolling caveats as q169 (no
+    * dangling nodes and every node has an in-edge on the symmetric
+    * graph, so the inner-join c_i CTEs lose nothing); the per-node seed
+    * flag joins back in from the node table each round. */
+  private def q170Sql(cast: String): String = {
+    def iter(i: Int): String =
+      s""" c$i as (select ed.dst node, sum(cast(round(r${i - 1}.r / d.outd) as bigint)) m
+ from ed join r${i - 1} on r${i - 1}.node = ed.src join deg d on d.src = ed.src group by ed.dst),
+ r$i as (select c$i.node, cast(round(case when nd.is_seed then (1 - 0.85) * 1000000000.0 / n + 0.85 * c$i.m else 0.85 * c$i.m end) as bigint) r
+ from c$i join nd on nd.node = c$i.node cross join ns),"""
+    s"""with ed as (select distinct src, dst from (
+   select concat('p', cast(l_partkey as $cast)) src, concat('s', cast(l_suppkey as $cast)) dst from lineitem
+   union all
+   select concat('s', cast(l_suppkey as $cast)) src, concat('p', cast(l_partkey as $cast)) dst from lineitem) t),
+ nd as (select node, node like 's%' is_seed from (select distinct src node from ed) x),
+ ns as (select count(*) n from nd where is_seed),
+ deg as (select src, count(*) outd from ed group by src),
+ r0 as (select node, case when is_seed then cast(round(1000000000.0 / n) as bigint) else cast(0 as bigint) end r from nd cross join ns),
 ${(iter(1) + iter(2) + iter(3)).stripSuffix(",")}
  select node, r from r3 order by r desc, node limit 100"""
   }
@@ -2129,7 +2159,10 @@ select d.pid,
 
     // Variable-width span dedup at NATURAL boundaries (round 8): segments
     // between ' the ' occurrences (the fixture carries no newlines; a
-    // stopword boundary plays the paragraph separator's role), trimmed,
+    // stopword boundary plays the paragraph separator's role), trimmed
+    // with the SAME whitespace-regex trim the library uses (round 9 —
+    // trim() strips only 0x20 and silently diverged on \t/\r edges;
+    // DuckDB needs the 'g' flag for both anchors, Spark is global),
     // with a 10-char min-length floor — offset-invariant where q92's
     // fixed windows misalign. Same encoding-based keeper contract as q92
     // (identical to the library's struct min while span_no < 1000;
@@ -2138,7 +2171,7 @@ select d.pid,
     // carried.
     q2("q162_boundary_span_dedup",
       """with segs as (select doc_id,
-   filter(transform(split(text, ' the '), s -> trim(s)), s -> length(s) >= 10) l
+   filter(transform(split(text, ' the '), s -> regexp_replace(s, '^\\s+|\\s+$', '')), s -> length(s) >= 10) l
  from documents),
  spans as (select doc_id, cast(pos as bigint) span_no, s span
    from segs lateral view posexplode(l) t as pos, s),
@@ -2148,7 +2181,7 @@ select d.pid,
  from spans s join keeper k on s.span = k.span
  order by s.doc_id, s.span_no limit 500""",
       """with segs as (select doc_id,
-   list_filter(list_transform(string_split(text, ' the '), s -> trim(s)), s -> length(s) >= 10) l
+   list_filter(list_transform(string_split(text, ' the '), s -> regexp_replace(s, '^\s+|\s+$', '', 'g')), s -> length(s) >= 10) l
  from documents),
  spans as (select doc_id, cast(generate_subscripts(l, 1) - 1 as bigint) span_no, unnest(l) span from segs),
  keeper as (select span, min(doc_id*1000+span_no) kk from spans group by span)
@@ -2341,6 +2374,9 @@ select d.pid,
     // runs the same integer math to any depth with dangling-mass
     // redistribution and checkpointed lineage.
     q2("q169_pagerank", q169Sql("string"), q169Sql("varchar")),
+
+    // Personalized (teleport-set) PageRank — see q170Sql for the contract.
+    q2("q170_ppr", q170Sql("string"), q170Sql("varchar")),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1373,6 +1373,23 @@ object DfQueries {
         .orderBy(col("r").desc, col("node")).limit(100)
     },
 
+    "q170_ppr" -> { (s, _) =>
+      // GraphOps.personalizedPageRank seeded on the supplier side of the
+      // same symmetric graph — teleport mass lands on seeds only.
+      val li = t(s, "lineitem")
+      val edges = li.select(
+          concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .unionAll(li.select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")))
+      val seeds = li.select(
+        concat(lit("s"), col("l_suppkey").cast("string")).as("node")).distinct()
+      graft.ops.GraphOps.personalizedPageRank(edges, seeds, iterations = 3)
+        .select("node", "r")
+        .orderBy(col("r").desc, col("node")).limit(100)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

@@ -159,27 +159,65 @@ object LmModelCodec {
   * identity reads, no lock) over a synchronized weak identity map. */
 object NgramLmUtil {
 
-  private val models =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[Array[Byte], LmModel]())
+  /** Content key: value-equal byte-image wrapper, so at most ONE LmModel
+    * exists per distinct model regardless of how many literal copies the
+    * tasks deserialize (every task gets a fresh Array[Byte] identity from
+    * the broadcast task binary — an identity-keyed map grows O(tasks)). */
+  private final class ModelKey(val bytes: Array[Byte]) {
+    private val h = java.util.Arrays.hashCode(bytes)
+    override def hashCode: Int = h
+    override def equals(o: Any): Boolean = o match {
+      case k: ModelKey => (k eq this) || java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
 
-  // Per-thread IDENTITY map, not a single last-hit pair: langClassify
-  // scores each row under k models in turn, and a one-entry memo would
-  // miss on every call and serialize the scan on the shared map's lock
-  // (the contention SketchCache's memo exists to avoid). Bounded by the
-  // distinct model literals a task ever sees (a handful).
-  private val local = new ThreadLocal[java.util.IdentityHashMap[Array[Byte], LmModel]] {
-    override def initialValue() = new java.util.IdentityHashMap[Array[Byte], LmModel]()
+  // Hard cap on distinct cached models; crossing it clears the map (a
+  // degenerate workload re-deserializes rather than OOMs). Plain HashMap
+  // under its own lock — weak keys are pointless once the per-thread memo
+  // holds strong byte refs, and were the original leak's accomplice.
+  private val MaxSharedModels = 64
+  private val models = new java.util.HashMap[ModelKey, LmModel]()
+
+  // Per-thread FIXED-SLOT last-hit memo with round-robin replacement (a
+  // k-entry generalization of SketchCache's single pair): langClassify
+  // scores each row under k models in turn, so one slot would miss every
+  // call and serialize the scan on the shared lock, while an unbounded
+  // per-thread map pins one byte image + model per TASK on reused
+  // executor threads (threads outlive tasks; measured leak, round 9).
+  // Slots bounds per-thread pinning at MemoSlots strong refs, replaced
+  // as new literals arrive.
+  private val MemoSlots = 16
+  private final class Memo {
+    val keys = new Array[Array[Byte]](MemoSlots)
+    val vals = new Array[LmModel](MemoSlots)
+    var next = 0
+  }
+  private val local = new ThreadLocal[Memo] {
+    override def initialValue() = new Memo
   }
 
   private def model(bytes: Array[Byte]): LmModel = {
-    val mine = local.get()
-    var m = mine.get(bytes)
-    if (m == null) {
-      m = models.get(bytes)
-      if (m == null) { m = LmModelCodec.deserialize(bytes); models.put(bytes, m) }
-      mine.put(bytes, m)
+    val memo = local.get()
+    var i = 0
+    while (i < MemoSlots) {
+      if (memo.keys(i) eq bytes) return memo.vals(i)
+      i += 1
     }
+    val key = new ModelKey(bytes)
+    var m: LmModel = null
+    models.synchronized {
+      m = models.get(key)
+      if (m == null) {
+        m = LmModelCodec.deserialize(bytes)
+        if (models.size >= MaxSharedModels) models.clear()
+        models.put(key, m)
+      }
+    }
+    val slot = memo.next
+    memo.keys(slot) = bytes
+    memo.vals(slot) = m
+    memo.next = (slot + 1) % MemoSlots
     m
   }
 

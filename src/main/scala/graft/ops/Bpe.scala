@@ -47,6 +47,61 @@ object Bpe {
   private[ops] def toSymbols(w: String): IndexedSeq[String] =
     w.map(_.toString).toIndexedSeq :+ EndOfWord
 
+  // ---- byte-level arrangement (round 9) ------------------------------
+  //
+  // Char-level symbols have two robustness holes at encode time: an
+  // ASTRAL code point splits into two lone UTF-16 surrogates (each an
+  // unpaired half-character token), and any script unseen in training
+  // yields base symbols a downstream token→id vocabulary has never
+  // assigned (OOV). The GPT-2 arrangement closes both: decompose each
+  // word to UTF-8 BYTES and map every byte to a fixed printable unicode
+  // char — the base alphabet is exactly 256 known symbols, so arbitrary
+  // text always encodes, and the mapping is invertible so decode is
+  // lossless. Printable bytes map to themselves; the rest take
+  // consecutive code points from 256 up (the published GPT-2 table,
+  // reproduced from its definition, not its data file).
+
+  /** byte (0–255) → stand-in char: identity on the three printable
+    * ranges `!..~`, `¡..¬`, `®..ÿ`; remaining bytes get 256+n in byte
+    * order. */
+  private[ops] val byteToChar: Array[Char] = {
+    val printable =
+      (('!'.toInt to '~'.toInt) ++ ('¡'.toInt to '¬'.toInt) ++
+        ('®'.toInt to 'ÿ'.toInt)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private[ops] val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** Word → byte-level symbol sequence: one stand-in char per UTF-8
+    * byte, plus the end marker. Never OOV, never splits a surrogate. */
+  private[ops] def toByteSymbols(w: String): IndexedSeq[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => byteToChar(b & 0xff).toString).toIndexedSeq :+ EndOfWord
+
+  /** Invert a byte-level token stream back to text: concatenate symbol
+    * chars, cut words at the end markers, map stand-in chars back to
+    * bytes, decode UTF-8, rejoin with single spaces (the encoder's word
+    * split normalizes whitespace runs, so that is the fixed point). */
+  def decodeByteLevel(tokens: Seq[String]): String =
+    tokens.mkString("")
+      .split(java.util.regex.Pattern.quote(EndOfWord), -1)
+      .iterator.filter(_.nonEmpty)
+      .map { seg =>
+        new String(seg.map(c => charToByte(c).toByte).toArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      .mkString(" ")
+
   /** The batch of merges provably safe to apply in ONE round, given the
     * round's pair counts in `(count desc, a, b)` order: the maximal
     * pairwise SYMBOL-DISJOINT prefix, truncated to counts STRICTLY above
@@ -104,26 +159,32 @@ object Bpe {
     * uses. */
   def train(docs: DataFrame, text: Column, numMerges: Int,
             minWordCount: Long = 1L, minPairCount: Long = 2L,
-            cutEvery: Int = 20, batchK: Int = 8): Seq[(String, String)] =
+            cutEvery: Int = 20, batchK: Int = 8,
+            byteLevel: Boolean = false): Seq[(String, String)] =
     trainWithStats(docs, text, numMerges, minWordCount, minPairCount,
-      cutEvery, batchK)._1
+      cutEvery, batchK, byteLevel)._1
 
   /** [[train]] plus the number of Spark rounds it took (for batching
-    * diagnostics/specs). */
+    * diagnostics/specs). `byteLevel = true` trains over the byte
+    * arrangement ([[toByteSymbols]]) — pair it with the same flag at
+    * encode time. */
   def trainWithStats(docs: DataFrame, text: Column, numMerges: Int,
                      minWordCount: Long = 1L, minPairCount: Long = 2L,
-                     cutEvery: Int = 20, batchK: Int = 8): (Seq[(String, String)], Int) = {
+                     cutEvery: Int = 20, batchK: Int = 8,
+                     byteLevel: Boolean = false): (Seq[(String, String)], Int) = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(batchK > 0, s"batchK must be positive, got $batchK")
     val spark = docs.sparkSession
     import spark.implicits._
+    val symbolize: String => IndexedSeq[String] =
+      if (byteLevel) toByteSymbols else toSymbols
     var vocab: Dataset[(IndexedSeq[String], Long)] = docs
       .select(explode(TextOps.tokens(text)).as("w"))
       .where(col("w").isNotNull && col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .where(col("n") >= minWordCount)
       .as[(String, Long)]
-      .map { case (w, n) => (toSymbols(w), n) }
+      .map { case (w, n) => (symbolize(w), n) }
     vocab = vocab.localCheckpoint() // the expensive corpus agg runs ONCE
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var rounds = 0
@@ -164,8 +225,9 @@ object Bpe {
   /** Tokenize one word with a trained rank map: start from characters and
     * repeatedly apply the LOWEST-rank applicable merge until none applies
     * — the standard BPE encode loop. */
-  private[ops] def encodeWord(w: String, ranks: Map[(String, String), Int]): IndexedSeq[String] = {
-    var syms = toSymbols(w)
+  private[ops] def encodeWord(w: String, ranks: Map[(String, String), Int],
+                              byteLevel: Boolean = false): IndexedSeq[String] = {
+    var syms = if (byteLevel) toByteSymbols(w) else toSymbols(w)
     var done = w.isEmpty
     while (!done && syms.length >= 2) {
       var bestRank = Int.MaxValue
@@ -188,7 +250,8 @@ object Bpe {
     * token COUNTS (the budget signal q52 approximates) are now exact under
     * the learned vocabulary. Null/empty text yields zero tokens. */
   def encode(docs: DataFrame, id: Column, text: Column,
-             merges: Seq[(String, String)]): DataFrame = {
+             merges: Seq[(String, String)],
+             byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranksB = spark.sparkContext.broadcast(
@@ -201,7 +264,7 @@ object Bpe {
           val toks: Seq[String] =
             if (t == null || t.isEmpty) Nil
             else t.split(" ").iterator.filter(_.nonEmpty)
-              .flatMap(w => encodeWord(w, ranks)).toSeq
+              .flatMap(w => encodeWord(w, ranks, byteLevel)).toSeq
           (docId, toks, toks.length)
         }
       }

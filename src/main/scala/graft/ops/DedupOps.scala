@@ -131,9 +131,12 @@ object DedupOps {
     // never fires on \r\n\r\n and silently degrades to whole-doc dedup).
     // Trim is a WHITESPACE regex trim, not `trim()` (which strips only
     // 0x20): segments differing by stray \r/\t edges must still dedup.
+    // One alternation pass, not two chained regexp_replace calls — the
+    // chained form cost a second full regex scan per segment (measured
+    // ~1.3× on the bench extra, round 8 → 9).
     val segs = filter(
       transform(split(text, separator),
-        s => regexp_replace(regexp_replace(s, "^\\s+", ""), "\\s+$", "")),
+        s => regexp_replace(s, "^\\s+|\\s+$", "")),
       s => length(s) >= minChars)
     val spans = docs.where(id.isNotNull && text.isNotNull)
       .select(id.as("doc_id"), posexplode(segs))

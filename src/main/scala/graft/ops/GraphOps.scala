@@ -24,12 +24,17 @@ object GraphOps {
     * partitionings) summing the same per-edge contributions in different
     * orders differ in the last ulp, and any rounding grid then flips
     * near-boundary values. Integer sums are exact and order-independent,
-    * the per-edge division `round(r/outdeg)` is deterministic (IEEE
-    * division is correctly rounded and quotient rationals sit far from
-    * .5 boundaries relative to ulp), so the WHOLE iteration has one
-    * reproducible answer across engines, layouts, and retries — the
-    * declared q169 pins a 3-iteration unrolled SQL twin by hash, exact
-    * integers, no float tolerance anywhere.
+    * and the per-edge division `round(r/outdeg)` is deterministic: IEEE
+    * division is correctly rounded, and EXACT x.5 quotients DO occur
+    * (r odd, outd = 2) but both Spark and DuckDB round positive halves
+    * away from zero, so the grid agrees — the WHOLE iteration has one
+    * reproducible answer across engines, layouts, and retries. The
+    * declared q169 pins a 3-iteration unrolled SQL twin by hash (exact
+    * integers, no float tolerance anywhere); that twin's contribution
+    * CTEs inner-join ranks onto edges, dropping nodes with no in-edge,
+    * so it is equivalent to this left-join form only on graphs where
+    * every node has an in-edge — the declared symmetric construction
+    * guarantees it.
     *
     * Per iteration:
     * `r'(v) = round((1−d)·scale/N + d·(Σ_{u→v} round(r(u)/outdeg(u)) +
@@ -90,6 +95,82 @@ object GraphOps {
       rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(nodes("node"),
           round(base + lit(damping) * (coalesce(col("m"), lit(0L)) + lit(share)))
+            .cast("bigint").as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    rank.select(col("node"), col("r"),
+      (col("r").cast("double") * nn / scale).as("nrank"))
+  }
+
+  /** PERSONALIZED PageRank: teleport mass lands on a SEED set instead of
+    * uniformly on all nodes — the retrieval / graph-dedup form ("rank the
+    * graph from these documents' point of view"). Same exact integer
+    * micro-rank contract, machinery, and per-iteration cost shape as
+    * [[pageRank]] (one equi join + one partial-aggregated hash agg over
+    * node-scale state, lineage cut every round); the ONLY changes are
+    * where the (1−d) base and the dangling mass go:
+    *
+    * `r'(v) = round((1−d)·scale·p(v) + d·(Σ_{u→v} round(r(u)/outdeg(u))
+    * + dangling·p(v)))` with `p(v) = 1/|S|` for seeds, 0 otherwise —
+    * non-seed nodes receive ONLY propagated mass, so rank decays with
+    * distance from the seed set.
+    *
+    * `seeds` is a one-column node-id frame (extra columns ignored); seeds
+    * absent from the graph are dropped (they can neither receive nor
+    * forward mass), and at least one seed must be present. Initial rank
+    * is the teleport distribution itself (uniform over seeds), so
+    * iteration k covers exactly the ≤k-hop neighborhood. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           src: String = "src", dst: String = "dst",
+                           iterations: Int = 10, damping: Double = 0.85,
+                           scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(scale >= 1000000L, s"scale under 1e6 loses ranking granularity, got $scale")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val seedSet = seeds.select(col(seeds.columns.head).as("__seed"))
+      .where(col("__seed").isNotNull).distinct()
+    // Nodes carry their seed flag through every iteration's left join —
+    // one extra boolean on the node-scale table, no extra join in the loop.
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet, col("node") === col("__seed"), "left")
+      .select(col("node"), col("__seed").isNotNull.as("is_seed"))
+      .localCheckpoint()
+    val nn = nodes.count()
+    require(nn > 0, "empty graph")
+    val ns = nodes.where(col("is_seed")).count()
+    require(ns > 0, "no seed is present in the graph")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outd")).localCheckpoint()
+    val danglingNodes = nodes.join(deg, nodes("node") === deg("src"), "left_anti")
+      .select("node").localCheckpoint()
+    val hasDangling = danglingNodes.limit(1).count() > 0
+    // (1 − d) spelled as the subtraction — the q169/q170 bit-contract.
+    val base = (lit(1.0) - lit(damping)) * lit(scale.toDouble) / lit(ns)
+    var rank = nodes.select(col("node"),
+      when(col("is_seed"), round(lit(scale.toDouble) / lit(ns)).cast("bigint"))
+        .otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val dangling =
+        if (!hasDangling) 0L
+        else rank.join(danglingNodes.select(col("node").as("__dn")),
+            rank("node") === col("__dn"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val share = math.round(dangling.toDouble / ns)
+      val contrib = e.join(rank, rank("node") === e("src"))
+        .join(deg, "src")
+        .groupBy("dst")
+        .agg(sum(round(col("r") / col("outd")).cast("bigint")).as("m"))
+      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          when(nodes("is_seed"),
+              round(base + lit(damping) * (coalesce(col("m"), lit(0L)) + lit(share))))
+            .otherwise(round(lit(damping) * coalesce(col("m"), lit(0L))))
             .cast("bigint").as("r"))
         .localCheckpoint()
       i += 1

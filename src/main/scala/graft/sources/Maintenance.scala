@@ -18,13 +18,14 @@ object Maintenance {
     * underscore/dot-prefixed directories are skipped — Spark's reader
     * would not scan them, so they must not inflate the sizing either. */
   private def dirBytes(dir: String): Long = {
-    val files = LakeFs.listFiles(dir, skipHiddenDirs = true)
-    // Fail fast on a typo'd path: listFiles returns Nil for a missing
-    // directory, and "plan 1 file over empty data" would silently turn a
-    // mistyped compact into an empty-output write.
-    require(files.nonEmpty,
-      s"no data files under `$dir` — nonexistent or empty directory")
-    files.map(_._2).sum
+    // Fail fast ONLY on a path that does not exist (the typo'd-compact
+    // hazard). An existing-but-empty directory is a legitimate state — a
+    // table fully emptied by a dedup/filter rewrite — and sizes to 0, so
+    // compact/plannedFiles over it stay a 1-file no-op instead of a hard
+    // failure indistinguishable from a typo.
+    val (fs, path) = LakeFs.resolve(dir)
+    require(fs.exists(path), s"directory does not exist: `$dir`")
+    LakeFs.listFiles(dir, skipHiddenDirs = true).map(_._2).sum
   }
 
   /** Number of output files [[compact]] would write for `dir`. */

@@ -219,6 +219,18 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("plannedFiles: missing dir fails, existing empty dir sizes to 0") {
+    // A typo'd path must fail fast...
+    intercept[IllegalArgumentException] {
+      graft.sources.Maintenance.plannedFiles(tmp("no_such_dir_ever"))
+    }
+    // ...but a directory a rewrite legitimately EMPTIED is a 1-file no-op,
+    // not an error indistinguishable from the typo.
+    val empty = tmp("emptied_table")
+    assert(new java.io.File(empty).mkdirs())
+    assert(graft.sources.Maintenance.plannedFiles(empty) == 1)
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = tmp("orders_part")
     TestSpark.table("orders")

@@ -143,4 +143,46 @@ class BpeSpec extends AnyFunSuite {
     val total = a.map(_._2.toLong).sum
     assert(total <= chars + wordsN && total >= wordsN, s"total=$total")
   }
+
+  test("byte arrangement: 256-way bijection, GPT-2 anchor points") {
+    // Bijective: every byte maps to a distinct char and back.
+    assert(Bpe.byteToChar.distinct.length == 256)
+    (0 until 256).foreach(b => assert(Bpe.charToByte(Bpe.byteToChar(b)) == b))
+    // Published anchors: printable ASCII is identity; the first
+    // non-printable byte (0x00) takes code point 256, space (0x20) is
+    // non-printable and maps to 'Ġ' (0x120) — the familiar GPT-2 glyph.
+    assert(Bpe.byteToChar('A'.toInt) == 'A' && Bpe.byteToChar(0) == 256.toChar)
+    assert(Bpe.byteToChar(' '.toInt) == 'Ġ')
+  }
+
+  test("byte-level round-trip: astral + mixed-script text, no OOV, no shuffle") {
+    import spark.implicits._
+    // Train on plain English; encode text in scripts training NEVER saw —
+    // CJK, Cyrillic, an astral emoji (surrogate pair), combining marks.
+    val words = Seq.fill(6)("low") ++ Seq.fill(4)("lower") ++ Seq.fill(5)("newest")
+    val merges = Bpe.train(corpusDf(words), col("text"), 8, byteLevel = true)
+    val wild = "低い 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 низкий lów 🐫 newest"
+    val docs = Seq((1L, wild), (2L, "low lower")).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, col("doc_id"), col("text"), merges, byteLevel = true)
+    // Still a narrow map — the byte arrangement must not add an Exchange.
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
+    val out = enc.orderBy("doc_id").collect()
+    // LOSSLESS decode for arbitrary unicode — the base alphabet is the
+    // 256 byte stand-ins, so no symbol can fall outside the vocabulary.
+    assert(Bpe.decodeByteLevel(out(0).getSeq[String](1)) == wild)
+    assert(Bpe.decodeByteLevel(out(1).getSeq[String](1)) == "low lower")
+    // Every emitted base symbol is drawn from the known alphabet (strip
+    // the end marker, then check each char inverts).
+    out.flatMap(_.getSeq[String](1)).foreach { tok =>
+      tok.replace(Bpe.EndOfWord, "").foreach(c =>
+        assert(Bpe.charToByte.contains(c), s"unknown base symbol in $tok"))
+    }
+    // The char-level path would shatter the astral camel into lone
+    // surrogates; byte-level yields 4 valid UTF-8 byte symbols.
+    val camel = Bpe.encodeWord("🐫", Map.empty, byteLevel = true)
+    assert(camel.length == 5 && camel.last == Bpe.EndOfWord) // 4 bytes + marker
+    // Trained merges still bite on in-distribution words.
+    val lowTokens = Bpe.encodeWord("low", merges.zipWithIndex.toMap, byteLevel = true)
+    assert(lowTokens.length <= 2, s"'low' should be (nearly) fully merged: $lowTokens")
+  }
 }
