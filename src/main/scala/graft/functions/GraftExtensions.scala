@@ -63,6 +63,10 @@ object GraftFunctions {
       info(classOf[NgramLmScore], "lm_score",
         "lm_score(model, text) - struct(score, oov_rate, n_grams) under a frozen char-n-gram LM, one pass per row"),
       (e: Seq[Expression]) => { checkArity("lm_score", 2, e); NgramLmScore(e.head, e(1)) }),
+    (FunctionIdentifier("lang_classify"),
+      info(classOf[LangClassify], "lang_classify",
+        "lang_classify(pack, text) - argmax language under a pack of frozen char-n-gram LMs, one text walk per gram width"),
+      (e: Seq[Expression]) => { checkArity("lang_classify", 2, e); LangClassify(e.head, e(1)) }),
   )
 
   def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)

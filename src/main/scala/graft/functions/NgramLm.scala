@@ -69,6 +69,44 @@ object NgramLmScore {
     StructField("n_grams", LongType, nullable = false)))
 }
 
+/** Fused model-based language ID: `lang_classify(pack_bytes, text)` scores
+  * the text under every model in the pack ([[LmModelCodec.serializePack]])
+  * and returns the argmax language — ONE text walk per distinct gram width
+  * instead of the composed lowering's k independent `lm_score` scans
+  * (measured ~k× the single-gate cost at k models; the gram hashing and
+  * code-point offsets are all shared here). Exactly the composed
+  * `greatest(struct(lm_score(m_i).score, lang_i))` semantics
+  * (TextOpsEdgeSpec pins equality): null/too-short-for-every-model text
+  * classifies NULL, score ties break to the UTF8-binary-larger lang. */
+case class LangClassify(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, left.foldable, right.dataType) match {
+      case (BinaryType, true, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, f, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (foldable binary pack, string text), " +
+          s"got (${l.catalogString}, foldable=$f, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(pack: Any, text: Any): Any =
+    NgramLmUtil.classify(pack.asInstanceOf[Array[Byte]], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, t) => s"""
+      ${ev.value} = graft.functions.NgramLmUtil.classify($p, $t);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LangClassify =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "lang_classify"
+}
+
 /** A deserialized frozen LM: gram width, OOV floor log-prob, and the
   * vocabulary in an ALLOCATION-FREE open-addressing table. The scorer
   * probes with the text window's position + polynomial hash (the
@@ -151,6 +189,62 @@ object LmModelCodec {
     while (i < size) { vocab += ((in.readUTF(), in.readDouble())); i += 1 }
     new LmModel(n, floor, vocab.result())
   }
+
+  private val PackMagic = 0x4c4d504b // "LMPK"
+
+  /** Byte image of a LANGUAGE PACK: (lang, model image) entries in caller
+    * order. The pack is what `lang_classify` folds into its plan-time
+    * literal — one literal for k models, so the classifier walks the text
+    * ONCE instead of once per language. */
+  def serializePack(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    require(entries.nonEmpty, "empty language pack")
+    require(entries.map(_._1).distinct.size == entries.size,
+      "duplicate language in pack")
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(PackMagic); out.writeInt(entries.size)
+    entries.foreach { case (lang, model) =>
+      out.writeUTF(lang); out.writeInt(model.length); out.write(model)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserializePack(bytes: Array[Byte]): LangPack = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == PackMagic, "not a lang_classify pack image")
+    val k = in.readInt()
+    require(k > 0 && k < (1 << 16), s"implausible pack size $k")
+    val langs = new Array[String](k)
+    val models = new Array[LmModel](k)
+    var i = 0
+    while (i < k) {
+      langs(i) = in.readUTF()
+      val len = in.readInt()
+      val mb = new Array[Byte](len)
+      in.readFully(mb)
+      // Route through the shared content-keyed cache so the pack's models
+      // are the SAME instances a single-model lm_score over the same
+      // bytes would use (at most one LmModel per distinct model image).
+      models(i) = NgramLmUtil.sharedModel(mb)
+      i += 1
+    }
+    new LangPack(langs, models)
+  }
+}
+
+/** A resolved language pack: parallel lang/model arrays plus the models
+  * grouped by gram width so the classifier walks each distinct width's
+  * gram windows exactly once (models usually share one width — then the
+  * whole pack costs ONE text walk with k hash probes per gram). Lang
+  * comparison is UTF8String binary order — the exact tie-break the
+  * composed `greatest(struct(score, lang))` lowering applies. */
+final class LangPack(val langs: Array[String], val models: Array[LmModel]) {
+  val langsUtf8: Array[UTF8String] = langs.map(UTF8String.fromString)
+  // Distinct gram widths and, per width, the indices of its models.
+  val widths: Array[Int] = models.map(_.n).distinct.sorted
+  val byWidth: Array[Array[Int]] =
+    widths.map(n => models.indices.filter(i => models(i).n == n).toArray)
 }
 
 /** Per-JVM model cache + the row-side scorer (shared by eval and codegen
@@ -204,21 +298,68 @@ object NgramLmUtil {
       if (memo.keys(i) eq bytes) return memo.vals(i)
       i += 1
     }
-    val key = new ModelKey(bytes)
-    var m: LmModel = null
-    models.synchronized {
-      m = models.get(key)
-      if (m == null) {
-        m = LmModelCodec.deserialize(bytes)
-        if (models.size >= MaxSharedModels) models.clear()
-        models.put(key, m)
-      }
-    }
+    val m = sharedModel(bytes)
     val slot = memo.next
     memo.keys(slot) = bytes
     memo.vals(slot) = m
     memo.next = (slot + 1) % MemoSlots
     m
+  }
+
+  /** Content-keyed shared lookup (no per-thread memo) — the pack
+    * deserializer resolves its entries through this so a pack's models
+    * are shared with single-model `lm_score` literals of the same
+    * bytes. */
+  private[functions] def sharedModel(bytes: Array[Byte]): LmModel = {
+    val key = new ModelKey(bytes)
+    models.synchronized {
+      var m = models.get(key)
+      if (m == null) {
+        m = LmModelCodec.deserialize(bytes)
+        if (models.size >= MaxSharedModels) models.clear()
+        models.put(key, m)
+      }
+      m
+    }
+  }
+
+  // Pack cache: same two-level scheme as the model cache (per-thread
+  // identity memo over a content-keyed shared map). A classify scan sees
+  // ONE pack literal per stage, so the single-slot-per-entry memo hits on
+  // two identity reads; the shared map bounds distinct packs like
+  // MaxSharedModels bounds models.
+  private val packs = new java.util.HashMap[ModelKey, LangPack]()
+  private final class PackMemo {
+    val keys = new Array[Array[Byte]](MemoSlots)
+    val vals = new Array[LangPack](MemoSlots)
+    var next = 0
+  }
+  private val localPacks = new ThreadLocal[PackMemo] {
+    override def initialValue() = new PackMemo
+  }
+
+  private def pack(bytes: Array[Byte]): LangPack = {
+    val memo = localPacks.get()
+    var i = 0
+    while (i < MemoSlots) {
+      if (memo.keys(i) eq bytes) return memo.vals(i)
+      i += 1
+    }
+    val key = new ModelKey(bytes)
+    var p: LangPack = null
+    packs.synchronized {
+      p = packs.get(key)
+      if (p == null) {
+        p = LmModelCodec.deserializePack(bytes)
+        if (packs.size >= MaxSharedModels) packs.clear()
+        packs.put(key, p)
+      }
+    }
+    val slot = memo.next
+    memo.keys(slot) = bytes
+    memo.vals(slot) = p
+    memo.next = (slot + 1) % MemoSlots
+    p
   }
 
   /** One pass over the text's CODE-POINT n-gram windows (the same grams as
@@ -251,5 +392,62 @@ object NgramLmUtil {
     }
     new GenericInternalRow(Array[Any](
       sum / grams.toDouble, oov.toDouble / grams.toDouble, grams.toLong))
+  }
+
+  /** Fused argmax-language classifier: ONE pass over the text per distinct
+    * gram width in the pack (usually one), probing every model of that
+    * width per gram window — versus k full `lm_score` walks (k code-point
+    * scans, k gram hashings) in the composed
+    * `greatest(struct(lm_score(m_i), lang_i))` lowering. Result semantics
+    * are EXACTLY the composed form's: best (score, lang) wins with
+    * score-equal ties broken to the UTF8-binary-larger lang (struct
+    * ordering), models that cannot score (text shorter than their width)
+    * never win, and no scoreable model ⇒ NULL. */
+  def classify(packBytes: Array[Byte], text: UTF8String): UTF8String = {
+    val p = pack(packBytes)
+    val s = text.toString
+    val chars = s.length
+    val offs = new Array[Int](chars + 1)
+    var cp = 0; var i = 0
+    while (i < chars) { offs(cp) = i; i += Character.charCount(s.codePointAt(i)); cp += 1 }
+    offs(cp) = chars
+    var bestScore = 0.0
+    var bestLang: UTF8String = null
+    var w = 0
+    while (w < p.widths.length) {
+      val n = p.widths(w)
+      if (cp >= n) {
+        val idx = p.byWidth(w)
+        val k = idx.length
+        val sums = new Array[Double](k)
+        val grams = cp - n + 1
+        var g = 0
+        while (g < grams) {
+          val st = offs(g); val en = offs(g + n)
+          var h = 0; var j = st
+          while (j < en) { h = 31 * h + s.charAt(j); j += 1 }
+          var m = 0
+          while (m < k) {
+            val mod = p.models(idx(m))
+            val lp = mod.lookup(s, st, en, h)
+            sums(m) += (if (java.lang.Double.isNaN(lp)) mod.floorLogp else lp)
+            m += 1
+          }
+          g += 1
+        }
+        var m = 0
+        while (m < k) {
+          val score = sums(m) / grams.toDouble
+          val lang = p.langsUtf8(idx(m))
+          if (bestLang == null || score > bestScore ||
+              (score == bestScore && lang.compareTo(bestLang) > 0)) {
+            bestScore = score; bestLang = lang
+          }
+          m += 1
+        }
+      }
+      w += 1
+    }
+    bestLang
   }
 }

@@ -208,19 +208,32 @@ object TextOps {
     * heuristic: score the text under one frozen char-n-gram model PER
     * LANGUAGE ([[ngramModel]] over a per-language reference corpus,
     * frozen via [[ngramModelBytes]]) and return the argmax language —
-    * the classic n-gram LM classifier, per-row, no shuffle, k one-pass
-    * `lm_score` scans. Ties break to the lexicographically larger
-    * language name (struct ordering — deterministic, not partition
-    * order); text too short to score under ANY model (all models share
-    * the gram width) classifies NULL. */
+    * the classic n-gram LM classifier, per-row, no shuffle. Lowered to
+    * the FUSED `lang_classify` native expression: all k models fold into
+    * one pack literal and the text is walked ONCE per distinct gram
+    * width (the composed k-×-`lm_score` form re-scanned and re-hashed
+    * the text per model — measured ~k× the single-gate cost; the
+    * composed lowering survives as [[langClassifyComposed]] and
+    * TextOpsEdgeSpec pins exact equality). Ties break to the
+    * lexicographically larger language name; text too short to score
+    * under EVERY model classifies NULL. */
   def langClassify(text: Column, models: Map[String, Array[Byte]]): Column = {
+    require(models.nonEmpty, "no language models")
+    val pack = graft.functions.LmModelCodec.serializePack(models.toSeq.sortBy(_._1))
+    call_function("lang_classify", lit(pack), text)
+  }
+
+  /** The composed reference lowering of [[langClassify]] — k independent
+    * `lm_score` scans folded through `greatest(struct(score, lang))`.
+    * Kept as the semantic oracle for the fused expression (and for
+    * sessions where `lang_classify` failed to register): null scores
+    * sort lowest so a language that cannot score never wins over one
+    * that can; all-null (too-short text) yields NULL. */
+  def langClassifyComposed(text: Column, models: Map[String, Array[Byte]]): Column = {
     require(models.nonEmpty, "no language models")
     val scored = models.toSeq.map { case (lang, bytes) =>
       struct(lmScore(text, bytes).getField("score").as("s"), lit(lang).as("l"))
     }
-    // greatest() over structs orders by (score, lang); null scores sort
-    // lowest, so a language that cannot score never wins over one that
-    // can. All-null (too-short text) yields a null-score winner → NULL.
     val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     when(best.getField("s").isNotNull, best.getField("l"))
   }

@@ -51,6 +51,48 @@ class TextOpsEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("langClassify: fused expression ≡ composed greatest-of-lm_score lowering") {
+    import spark.implicits._
+    val docs = graft.TestSpark.table("documents").select("doc_id", "text")
+      .where(col("doc_id") < 200)
+    def slice(m: Int) = docs.where(col("doc_id") % 4 === m)
+    // Four models over disjoint corpus slices (near-identical
+    // distributions — the adversarial case for tie/ordering parity), one
+    // of them at a DIFFERENT gram width so the per-width walk is
+    // exercised, plus degenerate rows.
+    val models = (0 until 3).map { m =>
+      s"l$m" -> graft.ops.TextOps.ngramModelBytes(
+        graft.ops.TextOps.ngramModel(slice(m), col("text")))
+    }.toMap + ("w2" -> graft.ops.TextOps.ngramModelBytes(
+      graft.ops.TextOps.ngramModel(slice(3), col("text"), n = 2), n = 2))
+    val probe = docs.unionByName(
+      Seq((9001L, "ab"), (9002L, "x"), (9003L, ""),
+          (9004L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val both = probe.select(col("doc_id"),
+        graft.ops.TextOps.langClassify(col("text"), models).as("fused"),
+        graft.ops.TextOps.langClassifyComposed(col("text"), models).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[String]("fused") == r.getAs[String]("composed"),
+        s"doc ${r.getLong(0)}: fused ${r.getAs[String]("fused")} != " +
+          s"composed ${r.getAs[String]("composed")}")
+    }
+    // "ab" (2 code points) scores under the width-2 model ONLY — it must
+    // classify, not NULL (the per-width gate is per model, not global).
+    val ab = both.find(_.getLong(0) == 9001L).get
+    assert(ab.getAs[String]("fused") == "w2")
+    // Exact tie: the same model bytes under two lang names — the
+    // UTF8-binary-larger name wins (greatest struct ordering).
+    val tied = Map("aa" -> models("l0"), "ab" -> models("l0"))
+    val t = docs.limit(20).select(
+        graft.ops.TextOps.langClassify(col("text"), tied).as("f"),
+        graft.ops.TextOps.langClassifyComposed(col("text"), tied).as("c"))
+      .collect()
+    t.foreach { r =>
+      assert(r.getString(0) == "ab" && r.getString(1) == "ab") }
+  }
+
   test("redactPii: classes hit, order is canonical, degenerate inputs safe") {
     import spark.implicits._
     val d = Seq(
