@@ -168,11 +168,22 @@ object Pipelines {
     val ctr = MediaCodecs.containerMeta(assets)
       .select(col("asset_id"), lit(true).as("__ctr"),
         col("duration_ms").as("__dur"))
+    // Round 9: MP4 keyframe extraction is pure byte arithmetic, and an
+    // MJPEG track's samples are standalone JPEGs — a container whose
+    // first keyframe header-probes as an image is DECODABLE (the image
+    // path consumes its frames); H.264-style tracks extract but don't
+    // probe, so they stay undecodable-with-metadata, honestly.
+    val vid = MediaCodecs.imageMeta(
+        MediaCodecs.extractMp4Frames(assets, 1)
+          .select(col("asset_id"), col("frame").as("payload")))
+      .select(col("asset_id"), lit(true).as("__vid"))
     sniffed
       .join(img, Seq("asset_id"), "left")
       .join(aud, Seq("asset_id"), "left")
       .join(ctr, Seq("asset_id"), "left")
-      .withColumn("decodable", coalesce(col("__img"), col("__aud"), lit(false)))
+      .join(vid, Seq("asset_id"), "left")
+      .withColumn("decodable",
+        coalesce(col("__img"), col("__aud"), col("__vid"), lit(false)))
       .withColumn("probed", col("decodable") || coalesce(col("__ctr"), lit(false)))
       .groupBy("format")
       .agg(count(lit(1)).as("n_assets"),

@@ -631,4 +631,168 @@ object MediaCodecs {
       }
     }(enc)
   }
+
+  /** One parsed MP4 video track: sample-entry codec fourCC plus the
+    * KEYFRAME samples' absolute byte ranges in the container
+    * (sample_no 1-based, offset, size). */
+  final case class Mp4Frames(codec: String, frames: Vector[(Int, Long, Long)])
+
+  /** Parse the FIRST video track's sample table (`stbl`) into keyframe
+    * byte ranges — pure byte arithmetic over stsd/stsz/stsc/stco|co64/
+    * stss, no codec:
+    *  - `stsd`'s first sample entry names the codec (`jpeg` = MJPEG —
+    *    every sample is a standalone JPEG image the JDK CAN decode);
+    *  - per-sample offsets derive from the chunk map (`stsc` runs over
+    *    `stco`/`co64` chunk offsets) plus the cumulative `stsz` sizes
+    *    within each chunk;
+    *  - `stss` lists sync samples (keyframes); ABSENT means every sample
+    *    is a keyframe (ISO 14496-12 §8.6.2 — true for MJPEG).
+    * Salvage posture like [[mp4Meta]]: anything malformed or
+    * out-of-bounds yields None / drops the sample, never throws. */
+  def mp4FrameTable(b: Array[Byte]): Option[Mp4Frames] = {
+    if (b.length < 12 || fourCC(b, 4) != "ftyp") return None
+    var found: Option[Mp4Frames] = None
+    mp4Boxes(b, 0, b.length).foreach {
+      case ("moov", p, end) =>
+        mp4Boxes(b, p, end).foreach {
+          case ("trak", q, e) if found.isEmpty =>
+            found = trakFrames(b, q, e)
+          case _ =>
+        }
+      case _ =>
+    }
+    found
+  }
+
+  private def trakFrames(b: Array[Byte], from: Int, until: Int): Option[Mp4Frames] = {
+    var stbl: Option[(Int, Int)] = None
+    var isVideo = false
+    mp4Boxes(b, from, until).foreach {
+      case ("mdia", p, end) =>
+        mp4Boxes(b, p, end).foreach {
+          case ("hdlr", q, e) if q + 12 <= e =>
+            isVideo = fourCC(b, q + 8) == "vide"
+          case ("minf", q, e) =>
+            mp4Boxes(b, q, e).foreach {
+              case ("stbl", s, se) => stbl = Some((s, se))
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    if (!isVideo) return None
+    stbl.flatMap { case (s, se) =>
+      var codec: Option[String] = None
+      var sizes: Array[Long] = null
+      var chunkOffs: Array[Long] = null
+      var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+      var sync: Array[Int] = null               // 1-based sample numbers, or null = all
+      mp4Boxes(b, s, se).foreach {
+        case ("stsd", p, e) if p + 16 <= e =>
+          // v/f(4) entry_count(4), first entry: size(4) format(4)
+          codec = Some(fourCC(b, p + 12).trim)
+        case ("stsz", p, e) if p + 12 <= e =>
+          val uniform = be32(b, p + 4)
+          val n = be32(b, p + 8).toInt
+          if (n >= 0 && n < (1 << 22)) {
+            if (uniform != 0) sizes = Array.fill(n)(uniform)
+            else if (p + 12 + 4L * n <= e)
+              sizes = Array.tabulate(n)(i => be32(b, p + 12 + 4 * i))
+          }
+        case ("stsc", p, e) if p + 8 <= e =>
+          val n = be32(b, p + 4).toInt
+          if (n >= 0 && p + 8 + 12L * n <= e)
+            stscRuns = Array.tabulate(n) { i =>
+              (be32(b, p + 8 + 12 * i), be32(b, p + 8 + 12 * i + 4))
+            }
+        case ("stco", p, e) if p + 8 <= e =>
+          val n = be32(b, p + 4).toInt
+          if (n >= 0 && p + 8 + 4L * n <= e)
+            chunkOffs = Array.tabulate(n)(i => be32(b, p + 8 + 4 * i))
+        case ("co64", p, e) if p + 8 <= e =>
+          val n = be32(b, p + 4).toInt
+          if (n >= 0 && p + 8 + 8L * n <= e)
+            chunkOffs = Array.tabulate(n)(i => be64(b, p + 8 + 8 * i))
+        case ("stss", p, e) if p + 8 <= e =>
+          val n = be32(b, p + 4).toInt
+          if (n >= 0 && p + 8 + 4L * n <= e)
+            sync = Array.tabulate(n)(i => be32(b, p + 8 + 4 * i).toInt)
+        case _ =>
+      }
+      if (codec.isEmpty || sizes == null || chunkOffs == null || stscRuns == null
+          || sizes.isEmpty || chunkOffs.isEmpty || stscRuns.isEmpty) None
+      else {
+        // Walk chunks in order; an stsc run covers [first_chunk, next run's
+        // first_chunk). Accumulate each sample's absolute offset.
+        val offsets = new Array[Long](sizes.length)
+        var sample = 0
+        var run = 0
+        var chunk = 1L // 1-based
+        while (chunk <= chunkOffs.length && sample < sizes.length) {
+          while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk) run += 1
+          val perChunk = stscRuns(run)._2.toInt
+          var off = chunkOffs((chunk - 1).toInt)
+          var i = 0
+          while (i < perChunk && sample < sizes.length) {
+            offsets(sample) = off
+            off += sizes(sample)
+            sample += 1; i += 1
+          }
+          chunk += 1
+        }
+        val keyNos: Array[Int] =
+          if (sync != null) sync.filter(no => no >= 1 && no <= sample)
+          else Array.tabulate(sample)(_ + 1)
+        val frames = keyNos.iterator.map { no =>
+          (no, offsets(no - 1), sizes(no - 1))
+        }.filter { case (_, off, len) =>
+          off >= 0 && len > 0 && off + len <= b.length
+        }.toVector
+        if (frames.isEmpty) None else Some(Mp4Frames(codec.get, frames))
+      }
+    }
+  }
+
+  /** KEYFRAME extraction from MP4 containers — the video-side twin of
+    * [[sampleImageFrames]]: parse the sample table, pick `n` evenly-spaced
+    * keyframes, and slice their byte ranges out of the payload —
+    * (asset_id, frame_no, sample_no, codec, frame). NO codec runs here;
+    * for MJPEG tracks (`codec = 'jpeg'`) each frame IS a standalone JPEG,
+    * so the slices feed [[ImageCodec]] / [[imageMeta]] / the image
+    * near-dup path directly — real video-frame curation with zero
+    * cluster-side video codecs. H.264/H.265 tracks still extract (the
+    * byte ranges are exact) but their frames need an external decoder —
+    * they stay absent from image-decodability counts downstream. Narrow;
+    * malformed containers row-absent. */
+  def extractMp4Frames(assets: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("sample_no", IntegerType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val in: Dataset[Row] = assets
+      .where(col("asset_id").isNotNull && col("payload").isNotNull)
+      .select("asset_id", "payload")
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        mp4FrameTable(b).iterator.flatMap { t =>
+          val total = t.frames.length
+          val picks =
+            if (n == 1 || total == 1) Array(0)
+            else Array.tabulate(n)(i => (i.toLong * (total - 1) / (n - 1)).toInt).distinct
+          picks.iterator.zipWithIndex.map { case (idx, frameNo) =>
+            val (sampleNo, off, len) = t.frames(idx)
+            Row(id, frameNo, sampleNo, t.codec,
+              java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt))
+          }
+        }
+      }
+    }(enc)
+  }
 }

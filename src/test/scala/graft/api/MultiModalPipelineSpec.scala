@@ -6,6 +6,7 @@ import java.io.ByteArrayOutputStream
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -205,5 +206,106 @@ class MultiModalPipelineSpec extends AnyFunSuite {
     assert(rep("mp4") == ((1L, 0L, 1L)), s"mp4 row: ${rep.get("mp4")}")
     assert(rep("unknown") == ((1L, 0L, 1L)), s"unknown row: ${rep.get("unknown")}")
     assert(rep.keySet == Set("png", "mp4", "unknown"))
+  }
+
+  private def jpeg(rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** A REAL (minimal) MJPEG-in-MP4: ftyp + mdat holding the given JPEG
+    * samples back-to-back + moov(trak(tkhd, mdia(hdlr 'vide',
+    * minf(stbl(stsd 'jpeg', stsz per-sample, stsc one run, stco one
+    * chunk[, stss]))))) — exactly the sample-table boxes
+    * `mp4FrameTable` walks, with offsets that honestly point into
+    * mdat. */
+  private def mjpegFixture(samples: Seq[Array[Byte]],
+                           stss: Option[Seq[Int]]): Array[Byte] = {
+    def be(i: Int) = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
+      .put("isom".getBytes("ISO-8859-1")).putInt(0x200).array())
+    val mdatPayloadOff = ftyp.length + 8
+    val mdat = box("mdat", samples.reduce(_ ++ _))
+    val stsd = box("stsd", be(0) ++ be(1) ++
+      (be(16) ++ "jpeg".getBytes("ISO-8859-1") ++ new Array[Byte](8)))
+    val stsz = box("stsz", be(0) ++ be(0) ++ be(samples.size) ++
+      samples.flatMap(s => be(s.length)).toArray)
+    val stsc = box("stsc", be(0) ++ be(1) ++ (be(1) ++ be(samples.size) ++ be(1)))
+    val stco = box("stco", be(0) ++ be(1) ++ be(mdatPayloadOff))
+    val stssBox = stss.map(nos =>
+      box("stss", be(0) ++ be(nos.size) ++ nos.flatMap(be).toArray))
+      .getOrElse(Array.emptyByteArray)
+    val hdlr = box("hdlr", be(0) ++ be(0) ++
+      "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(8, 1); bb.putInt(76, 16 << 16); bb.putInt(80, 16 << 16)
+      bb.array()
+    }
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stssBox)
+    val trak = box("trak", box("tkhd", tkhd) ++
+      box("mdia", hdlr ++ box("minf", stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd0(java.nio.ByteBuffer.allocate(20)
+      .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(3000).array()) ++ trak)
+  }
+
+  test("extractMp4Frames: MJPEG keyframes slice out as decodable JPEGs") {
+    val reds = jpeg(0xff0000); val green = jpeg(0x00ff00); val blue = jpeg(0x0000ff)
+    val rows = Seq(
+      // stss marks samples 1 and 3 as keyframes → green (sample 2) is
+      // never extracted.
+      Row(30L, mjpegFixture(Seq(reds, green, blue), Some(Seq(1, 3))),
+        Row("video/mp4", null, null, null)),
+      // No stss → every sample is a keyframe (the MJPEG norm).
+      Row(31L, mjpegFixture(Seq(reds, green, blue), None),
+        Row("video/mp4", null, null, null)),
+      // Metadata-only mp4 (no sample table) and junk: row-absent.
+      Row(32L, mp4Fixture, Row("video/mp4", null, null, null)),
+      Row(33L, Array[Byte](1, 2, 3), Row("application/octet-stream", null, null, null)))
+    val table = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiModal.assetSchema)
+    val frames = graft.ops.MediaCodecs.extractMp4Frames(table, 3).collect()
+    val byAsset = frames.groupBy(_.getLong(0))
+    assert(byAsset.keySet == Set(30L, 31L))
+    // Asset 30: exactly the 2 sync samples, bytes EQUAL to the original
+    // JPEG payloads (slicing is exact, not approximate).
+    val f30 = byAsset(30L).sortBy(_.getInt(1))
+    assert(f30.map(_.getInt(2)).toSeq == Seq(1, 3))
+    assert(f30.forall(_.getString(3) == "jpeg"))
+    assert(java.util.Arrays.equals(f30(0).getAs[Array[Byte]](4), reds))
+    assert(java.util.Arrays.equals(f30(1).getAs[Array[Byte]](4), blue))
+    // Asset 31: all three samples are keyframes; n=3 picks all.
+    assert(byAsset(31L).map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+    // The extracted frames feed the REAL image path: decode + pool.
+    val feats = Pipelines.imageFeatures(
+      graft.ops.MediaCodecs.extractMp4Frames(table, 1)
+        .select((col("asset_id") * 10 + col("frame_no")).as("asset_id"),
+          col("frame").as("payload")), grid = 1).collect()
+    assert(feats.length == 2) // one first-keyframe per MJPEG asset
+    feats.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v(0) > 0.8f && v(1) < 0.2f && v(2) < 0.2f,
+        s"first keyframe must decode solid red, got $v")
+    }
+  }
+
+  test("coverageReport: MJPEG mp4 counts decodable, metadata-only mp4 does not") {
+    val rows = Seq(
+      Row(40L, mjpegFixture(Seq(jpeg(0xff0000), jpeg(0x0000ff)), None),
+        Row("video/mp4", null, null, null)),
+      Row(41L, mp4Fixture, Row("video/mp4", null, null, null)),
+      Row(42L, png((_, _) => 0x00ff00), Row("image/png", 16, 16, null)))
+    val table = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiModal.assetSchema)
+    val rep = Pipelines.coverageReport(table).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // n_assets=2, n_decodable=1 (the MJPEG one), both carry metadata.
+    assert(rep("mp4").getLong(1) == 2 && rep("mp4").getLong(2) == 1
+      && rep("mp4").getLong(3) == 1 && rep("mp4").getLong(4) == 2,
+      s"mp4 row: ${rep("mp4")}")
+    assert(rep("png").getLong(2) == 1)
   }
 }
