@@ -260,6 +260,29 @@ ${(iter(1) + iter(2) + iter(3)).stripSuffix(",")}
  select node, r from r3 order by r desc, node limit 100"""
   }
 
+  /** q171: 2-round synchronous LABEL PROPAGATION over the same symmetric
+    * part↔supplier graph as q169/q170 — community detection with the
+    * DETERMINISTIC tie-break (most-frequent neighbor label, ties to the
+    * smallest label): counts are integers and the per-node winner is a
+    * total-ordered row_number argmax, so the whole sweep is exactly
+    * hashable cross-engine with no float anywhere. Multi-edges collapse
+    * (distinct — one neighbor, one vote). The inner-join v_i CTEs drop
+    * nodes with no out-edge, equivalent to the library's
+    * keep-own-label left join only because the symmetric construction
+    * gives every node an out-edge (the q169 unrolling caveat). */
+  private def q171Sql(cast: String): String = {
+    def round(i: Int): String =
+      s""" v$i as (select ed.src node, l.lbl, count(*) c from ed join l${i - 1} l on l.node = ed.dst group by ed.src, l.lbl),
+ l$i as (select node, lbl from (select node, lbl, row_number() over (partition by node order by c desc, lbl) rn from v$i) t where rn = 1),"""
+    s"""with ed as (select distinct src, dst from (
+   select concat('p', cast(l_partkey as $cast)) src, concat('s', cast(l_suppkey as $cast)) dst from lineitem
+   union all
+   select concat('s', cast(l_suppkey as $cast)) src, concat('p', cast(l_partkey as $cast)) dst from lineitem) t),
+ l0 as (select distinct src node, src lbl from ed),
+${(round(1) + round(2)).stripSuffix(",")}
+ select node, lbl from l2 order by node limit 300"""
+  }
+
   val all: Seq[CorpusQuery] = Seq(
     q("q01_scan_filter_project",
       """select l_orderkey, l_linenumber, round(l_extendedprice*(1-l_discount),2) net
@@ -2377,6 +2400,11 @@ select d.pid,
 
     // Personalized (teleport-set) PageRank — see q170Sql for the contract.
     q2("q170_ppr", q170Sql("string"), q170Sql("varchar")),
+
+    // Label propagation (round 9) — see q171Sql for the determinism
+    // contract. The library operator (GraphOps.labelPropagation) runs
+    // the same sweep to any depth with isolated-node preservation.
+    q2("q171_label_prop", q171Sql("string"), q171Sql("varchar")),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

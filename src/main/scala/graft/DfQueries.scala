@@ -1390,6 +1390,20 @@ object DfQueries {
         .orderBy(col("r").desc, col("node")).limit(100)
     },
 
+    "q171_label_prop" -> { (s, _) =>
+      // GraphOps.labelPropagation (deterministic min-tie-break LPA) over
+      // the same symmetric part↔supplier graph, 2 synchronous rounds.
+      val li = t(s, "lineitem")
+      val edges = li.select(
+          concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .unionAll(li.select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")))
+      graft.ops.GraphOps.labelPropagation(edges, iterations = 2)
+        .orderBy("node").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

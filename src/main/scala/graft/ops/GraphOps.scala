@@ -178,4 +178,53 @@ object GraphOps {
     rank.select(col("node"), col("r"),
       (col("r").cast("double") * nn / scale).as("nrank"))
   }
+
+  /** SYNCHRONOUS label propagation (the classic community-detection
+    * sweep, and the third member of the graph family next to PageRank
+    * and connected components): every node starts labeled with its own
+    * id, and each round SIMULTANEOUSLY adopts the label most frequent
+    * among its out-neighbors' labels, ties broken to the SMALLEST label
+    * — the deterministic variant (plain LPA tie-breaks randomly, which
+    * is neither reproducible across engines nor across task retries).
+    * Unlike connected components this does NOT converge to one label
+    * per component; bounded rounds yield bounded-radius communities —
+    * the graph-dedup/cohort form real pipelines use.
+    *
+    * Per round: one equi join (labels onto edges) + one partial-agg'd
+    * hash count per (node, label) + one per-node top-1 (row_number
+    * lowers to WindowGroupLimit — pre-shuffle truncation), all over
+    * node/edge-scale state, lineage cut every round like [[pageRank]].
+    * Multi-edges are collapsed (`distinct` — one neighbor, one vote);
+    * nodes with no out-edge keep their current label (the declared q171
+    * SQL twin inner-joins and is equivalent on graphs where every node
+    * has an out-edge — the symmetric construction guarantees it).
+    *
+    * Returns (node, lbl). */
+  def labelPropagation(edges: DataFrame, src: String = "src", dst: String = "dst",
+                       iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("lbl"))
+    var i = 0
+    while (i < iterations) {
+      val votes = e.join(labels.select(col("node").as("__n"), col("lbl")),
+          col("__n") === e("dst"))
+        .groupBy(e("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val winner = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node").as("__wn"), col("lbl").as("__wl"))
+      labels = labels.join(winner, labels("node") === col("__wn"), "left")
+        .select(labels("node"), coalesce(col("__wl"), labels("lbl")).as("lbl"))
+        .localCheckpoint()
+      i += 1
+    }
+    labels
+  }
 }

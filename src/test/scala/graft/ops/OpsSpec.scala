@@ -285,6 +285,70 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: ≡ in-memory reference, communities, multi-edge, layout-exact") {
+    import spark.implicits._
+    // Semantic oracle (the BpeSpec discipline): a naive synchronous LPA
+    // with the SAME rules — out-neighbor votes over distinct edges,
+    // most-frequent label wins, ties to the smallest, voteless nodes
+    // keep theirs — run in memory and compared EXACTLY. Hand-tracing
+    // LPA equilibria is error-prone (min-tie-breaking lets a bridge
+    // label invade a community for a round before majorities correct
+    // it); the reference pins the whole trajectory instead.
+    def refLpa(edges: Seq[(String, String)], iters: Int): Map[String, String] = {
+      val e = edges.distinct
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      val out = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        val prev = lbl
+        lbl = nodes.map { n =>
+          out.getOrElse(n, Nil) match {
+            case Nil => n -> prev(n)
+            case ns =>
+              val counts = ns.map(prev).groupBy(identity).view.mapValues(_.size)
+              n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+          }
+        }.toMap
+      }
+      lbl
+    }
+    def sym(ps: (String, String)*): Seq[(String, String)] =
+      ps.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    // Two 4-cliques joined by one weak bridge, plus a vote-less sink.
+    val raw = sym("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d",
+      "c" -> "d", "x" -> "y", "x" -> "z", "x" -> "w", "y" -> "z", "y" -> "w",
+      "z" -> "w", "d" -> "x") ++ Seq("a" -> "sink0")
+    val edges = raw.toDF("src", "dst")
+    for (iters <- 1 to 3) {
+      val lp = GraphOps.labelPropagation(edges, iterations = iters)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(lp == refLpa(raw, iters),
+        s"iteration $iters diverges from the reference: $lp")
+    }
+    val lp3 = GraphOps.labelPropagation(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // Community shape: the seed-side clique floods to its min label ("a");
+    // the far clique is still churning at 3 rounds (the bridge label
+    // invades via min-tie-breaks before majorities correct it — the
+    // reference equality above pins that whole trajectory exactly). The
+    // voteless sink keeps its own label (the left-join preservation the
+    // declared SQL twin's inner join cannot express).
+    assert(Set("a", "b", "c", "d").map(lp3) == Set("a"),
+      s"left clique must flood to its min label: $lp3")
+    assert(lp3("sink0") == "sink0", s"voteless node must keep its label: $lp3")
+    // Multi-edges collapse (one neighbor, one vote) and the result is
+    // layout-independent (deterministic tie-break, not partition order).
+    val lp3d = GraphOps.labelPropagation(edges.unionAll(edges), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lp3d == lp3, "multi-edges must not double-vote")
+    val lp3r = GraphOps.labelPropagation(edges.repartition(7), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lp3r == lp3, "result must be layout-independent")
+    intercept[IllegalArgumentException] {
+      GraphOps.labelPropagation(edges, iterations = 0)
+    }
+  }
+
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
