@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ColumnBounds, FileStats, LakeFs, Maintenance}
+
+/** Diagnosis probe (not driver contract): the MANY-FILES lake regime.
+  * LakeProbe's regime map tops out at 1024 files; the design claim is
+  * "a scan over ~1M tiny files is scheduler-bound and manifest pruning
+  * drops them at planning time" — this probe extends the measurement a
+  * decade-plus: synthesize an n-file layout (n files × rowsPerFile rows,
+  * disjoint sorted key ranges — the honest shape range pruning exists
+  * for), then time, at that count:
+  *
+  *  - the raw Hadoop listing (every probe's staleness floor),
+  *  - one-time manifest collection (the distributed census),
+  *  - the steady-state pruned range probe (persisted manifest, memoized
+  *    fingerprint) vs the full scan of the same predicate,
+  *  - compaction planning (`Maintenance.plannedFiles`).
+  *
+  * Usage: runMain graft.LakeScaleProbe [nFiles] [rowsPerFile]
+  */
+object LakeScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 16384
+    val rpf = if (args.length > 1) args(1).toInt else 16
+    val spark = graft.engine.Graft.session("graft-lakescaleprobe")
+
+    def med(samples: Int)(f: () => Unit): Double = {
+      f()
+      val xs = Seq.fill(samples) {
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      xs.sorted.apply(xs.size / 2)
+    }
+    def p(name: String, sec: Double, note: String = ""): Unit =
+      println(f"== $name%-26s $sec%8.3f sec  $note")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-lakescale")
+      .toString + s"/lake_$n"
+    val t0 = System.nanoTime()
+    spark.range(0, n.toLong * rpf)
+      .select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))
+      .repartitionByRange(n, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir)
+    p("write_layout", (System.nanoTime() - t0) / 1e9, s"files=$n rows=${n.toLong * rpf}")
+
+    p("hadoop_listing", med(3)(() => LakeFs.listFiles(dir, skipHiddenDirs = true)))
+
+    val tc0 = System.nanoTime()
+    val manifest = FileStats.collect(spark, dir, Seq("k")).persist()
+    val mRows = manifest.count()
+    p("manifest_collect", (System.nanoTime() - tc0) / 1e9, s"manifest_rows=$mRows")
+
+    // Selective range probe: ~1/64 of the keyspace.
+    val hi = n.toLong * rpf
+    val bounds = Seq(ColumnBounds("k", Some(hi / 4), Some(hi / 4 + hi / 64)))
+    val survivors = FileStats.prunedFiles(manifest, bounds).size
+    p("range_probe_pruned", med(3)(() =>
+      FileStats.prunedRead(spark, dir, manifest, bounds)
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("s")).collect()),
+      s"files=$survivors/$n")
+    p("range_probe_trusted", med(3)(() =>
+      FileStats.prunedRead(spark, dir, manifest, bounds, trustManifest = true)
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("s")).collect()))
+    p("range_probe_full", med(3)(() =>
+      spark.read.parquet(dir).where(FileStats.residual(bounds))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("s")).collect()))
+
+    p("compact_planning", med(3)(() => { Maintenance.plannedFiles(dir); () }),
+      s"planned=${Maintenance.plannedFiles(dir)}")
+
+    spark.stop()
+  }
+}

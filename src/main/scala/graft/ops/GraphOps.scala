@@ -227,4 +227,72 @@ object GraphOps {
     }
     labels
   }
+
+  /** Per-node TRIANGLE COUNT over an undirected simple graph (edges in
+    * either or both directions; self-loops and duplicates dropped) — the
+    * local clustering signal (dense dup-cluster cores vs chain-like
+    * false-positive bridges look identical by degree, opposite by
+    * triangle count).
+    *
+    * Scale shape — the standard DEGREE-ORDERED orientation: each
+    * undirected edge is kept once, oriented from the (degree, id)-smaller
+    * endpoint to the larger; every triangle then has exactly ONE wedge
+    * whose two oriented edges leave its smallest vertex, so
+    * `wedges(a: b<c) ⋈ oriented(b→c)` counts each triangle exactly once.
+    * Wedge fan-out is Σ outd²  with outd bounded by √(2E) under this
+    * orientation — O(E^1.5) worst case versus the naive adjacency join's
+    * Σ deg² (quadratic in the max degree; a hub node alone explodes it).
+    * Two equi joins + one hash agg, no window, no driver loop.
+    *
+    * Returns (node, triangles) for every node of the graph, zeros
+    * included. */
+  def triangleCount(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
+    // Canonical undirected edge set: (lo, hi) by node id, once.
+    val und = edges.select(col(src).as("a"), col(dst).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("lo").as("node"))
+      .union(und.select(col("hi").as("node"))).distinct()
+    val deg = und.select(col("lo").as("node"))
+      .unionAll(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // Orient lo—hi from the (degree, id)-smaller endpoint.
+    val withDeg = und
+      .join(deg.select(col("node").as("lo"), col("d").as("dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("d").as("dhi")), "hi")
+    val oriented = withDeg.select(
+        when(col("dlo") < col("dhi") ||
+             (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          struct(col("lo").as("u"), col("hi").as("v")))
+          .otherwise(struct(col("hi").as("u"), col("lo").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
+    // Wedges at u: pairs (v, w) of u's out-neighbors; close with v→w.
+    // The closing join probes the canonical orientation of (v, w), which
+    // is exactly how the wedge pair is ordered iff (v, w) are emitted in
+    // (degree, id) order — so emit both (v, w) and (w, v) and let the
+    // equi join keep the one that exists. Cheaper: since oriented edges
+    // always point (degree,id)-upward, u's out-neighbors v, w close iff
+    // oriented contains v→w or w→v; emitting the wedge UNORDERED both
+    // ways doubles wedge rows — instead order the wedge pair by the same
+    // (degree, id) key the orientation uses, which requires carrying
+    // degrees. Simplest exact form: join both directions once via a
+    // canonicalized probe.
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
+    // Close the wedge: the third edge is oriented x→y or y→x.
+    val closed = wedges.join(oriented.as("e3"),
+        (col("e3.u") === col("x") && col("e3.v") === col("y")) ||
+        (col("e3.u") === col("y") && col("e3.v") === col("x")))
+      .select(col("apex"), col("x"), col("y"))
+      .localCheckpoint()
+    val perNode = closed.select(col("apex").as("node"))
+      .unionAll(closed.select(col("x").as("node")))
+      .unionAll(closed.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

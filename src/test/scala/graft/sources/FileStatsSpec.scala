@@ -167,6 +167,35 @@ class FileStatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale manifest"))
   }
 
+  test("trustManifest: verify-free probe ≡ verified probe; trust premise is the caller's") {
+    val d = sortedDir
+    val manifest = FileStats.collect(spark, d, Seq("o_orderkey")).persist()
+    manifest.count()
+    val bounds = Seq(ColumnBounds("o_orderkey", Some(100L), Some(200L)))
+    // On a fresh manifest the trusted probe is the SAME plan over the
+    // same survivors — results identical, just without the per-probe
+    // directory re-listing (the fixed cost that grows linearly with file
+    // count; LakeScaleProbe's regime table).
+    val verified = FileStats.prunedRead(spark, d, manifest, bounds)
+    val trusted = FileStats.prunedRead(spark, d, manifest, bounds,
+      trustManifest = true)
+    assert(canon(trusted) == canon(verified) && trusted.count() > 0)
+    // The trade stated by the API: trusting a STALE manifest silently
+    // misses out-of-band files (the verified path refuses instead) —
+    // staleness protection moved to the writer discipline.
+    TestSpark.table("orders").limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .write.mode("append").parquet(d)
+    intercept[IllegalArgumentException] {
+      FileStats.prunedRead(spark, d, manifest, bounds).collect()
+    }
+    val stale = FileStats.prunedRead(spark, d, manifest, bounds,
+      trustManifest = true)
+    assert(canon(stale) == canon(verified),
+      "trusted probe must plan from the manifest snapshot, not the directory")
+    manifest.unpersist()
+  }
+
   test("update stats only the appended files; result ≡ a fresh collect") {
     val d = tmp("update")
     val old = TestSpark.table("orders").where(col("o_orderkey") < 700)
