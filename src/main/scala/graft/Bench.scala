@@ -313,7 +313,18 @@ object Bench {
     val loads = (sampled ++ extraSampled).map { case (n, (_, ls)) => n -> ls }
     val retryTimes = retried.map { case (n, (xs, _)) => n -> xs }
     val retryLoads = retried.map { case (n, (_, ls)) => n -> ls }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"reference":${jmap(extraReference.toSeq.sortBy(_._1))},"flagged":$flaggedJson,"retry":${jmap(retryMedians)},"retry_samples":${jsamples(retryTimes)},"retry_loadavg":${jsamples(retryLoads)},"samples":${jsamples(times)},"loadavg":${jsamples(loads)},"sf":"$sfJson"}""")
+    // Two lines, bulky diagnostics FIRST, the compact contract line LAST:
+    // the harness stores only the trailing ~2000 chars of stdout and
+    // parses the `{"metric":…}` line it finds there — once per-sample
+    // arrays pushed that single line past the window (rounds 7–9), the
+    // committed artifact lost the headline medians and the flagged
+    // verdict entirely. The contract line now carries every
+    // verdict-relevant number (total, per-query medians, references,
+    // flagged, retry medians) in ~1.4 KB so a tail capture holds it
+    // whole; the `{"diag":…}` line keeps the raw samples/loadavg for
+    // adjudication when the full stdout is available.
+    println(s"""{"diag":"bench-samples","samples":${jsamples(times)},"loadavg":${jsamples(loads)},"retry_samples":${jsamples(retryTimes)},"retry_loadavg":${jsamples(retryLoads)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"extras":${jmap(extraResults)},"reference":${jmap(extraReference.toSeq.sortBy(_._1))},"flagged":$flaggedJson,"retry":${jmap(retryMedians)},"sf":"$sfJson"}""")
     spark.stop()
   }
 }

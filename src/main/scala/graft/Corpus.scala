@@ -283,6 +283,39 @@ ${(round(1) + round(2)).stripSuffix(",")}
  select node, lbl from l2 order by node limit 300"""
   }
 
+  /** q172: per-node TRIANGLE COUNT. The q169 bipartite graph has no
+    * triangles by construction, so this query derives a triangle-rich
+    * graph instead: each sampled lineitem row seeds the 3-cycle
+    * part↔supplier↔(orderkey mod 97) — shared parts/suppliers across
+    * rows then create organic extra triangles. Counts are exact
+    * integers (trivially hashable cross-engine, no float anywhere).
+    * The oracle closes ID-ORDERED wedges over the canonical (lo < hi)
+    * undirected edge set — each triangle a<b<c counted exactly once by
+    * three equi joins; the library operator (GraphOps.triangleCount)
+    * computes the same counts with the DEGREE-ordered orientation that
+    * bounds wedge fan-out by √(2E) at scale (a hub's id-ordered wedge
+    * set is quadratic in its degree; degree-ordered is not). */
+  private def q172Sql(cast: String): String = {
+    val li = "from lineitem where l_orderkey % 20 = 0"
+    s"""with raw as (
+   select concat('p', cast(l_partkey as $cast)) a, concat('s', cast(l_suppkey as $cast)) b $li
+   union all
+   select concat('s', cast(l_suppkey as $cast)) a, concat('k', cast(l_orderkey % 97 as $cast)) b $li
+   union all
+   select concat('k', cast(l_orderkey % 97 as $cast)) a, concat('p', cast(l_partkey as $cast)) b $li),
+ und as (select distinct least(a, b) lo, greatest(a, b) hi from raw where a <> b),
+ tri as (select e1.lo a, e1.hi b, e2.hi c from und e1
+   join und e2 on e2.lo = e1.hi
+   join und e3 on e3.lo = e1.lo and e3.hi = e2.hi),
+ pern as (select node, count(*) triangles from (
+   select a node from tri union all select b from tri union all select c from tri) t
+   group by node),
+ nodes as (select lo node from und union select hi from und)
+ select n.node, coalesce(p.triangles, cast(0 as bigint)) triangles
+ from nodes n left join pern p on p.node = n.node
+ order by n.node limit 300"""
+  }
+
   val all: Seq[CorpusQuery] = Seq(
     q("q01_scan_filter_project",
       """select l_orderkey, l_linenumber, round(l_extendedprice*(1-l_discount),2) net
@@ -2405,6 +2438,10 @@ select d.pid,
     // contract. The library operator (GraphOps.labelPropagation) runs
     // the same sweep to any depth with isolated-node preservation.
     q2("q171_label_prop", q171Sql("string"), q171Sql("varchar")),
+
+    // Triangle count (round 10) — see q172Sql for the graph construction
+    // and the id-ordered oracle vs degree-ordered library split.
+    q2("q172_triangles", q172Sql("string"), q172Sql("varchar")),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -173,8 +173,14 @@ object Pipelines {
     // first keyframe header-probes as an image is DECODABLE (the image
     // path consumes its frames); H.264-style tracks extract but don't
     // probe, so they stay undecodable-with-metadata, honestly.
+    // Only sniffed-mp4 payloads enter the frame-extraction pass: the
+    // extractor's own ftyp check would early-out on everything else, but
+    // scheduling it over ALL assets still ships every image/audio/junk
+    // payload through an extra mapPartitions — the filter keeps the
+    // extra pass proportional to the video slice.
     val vid = MediaCodecs.imageMeta(
-        MediaCodecs.extractMp4Frames(assets, 1)
+        MediaCodecs.extractMp4Frames(
+            assets.where(MediaCodecs.sniffFormat(col("payload")) === "mp4"), 1)
           .select(col("asset_id"), col("frame").as("payload")))
       .select(col("asset_id"), lit(true).as("__vid"))
     sniffed

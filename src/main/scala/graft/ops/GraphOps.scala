@@ -48,7 +48,40 @@ object GraphOps {
     * the O(1)-scaled human-readable form). */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
                iterations: Int = 10, damping: Double = 0.85,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L): DataFrame =
+    pageRankFrom(edges, None, src, dst, iterations, damping, scale)
+
+  /** WARM-START PageRank — the O(new-data) maintenance posture for edge
+    * APPENDS (the graph twin of [[graft.sources.FileStats.update]] /
+    * `Ann.appendIvfIndex`): instead of re-converging from uniform after
+    * every append, persist the converged `(node, r)` table and restart
+    * the SAME iteration from it. Soundness: for damping < 1 the
+    * iteration is a contraction with a unique fixpoint that does not
+    * depend on the starting vector — per round, total mass follows
+    * `total' = (1−d)·scale + d·total`, so any init imbalance (new nodes
+    * seeded uniform, stale mass on grown graphs) decays geometrically at
+    * rate d. A small append moves the fixpoint little, so the prior
+    * ranks start near it and re-convergence takes a fraction of the
+    * cold rounds (measured, `graft.PrIncProbe` at 1M edges + 1% append
+    * + a new hub: ONE warm round lands at L1 0.022 of total mass from
+    * the fixpoint — already past cold's EIGHT rounds at 0.051, with
+    * cold-1 at 0.68; per-round cost is identical, so warm maintenance
+    * is ≥8× cheaper than the cold rerun at equal accuracy). Nodes
+    * absent from `prior` (newly appeared) seed at the
+    * uniform `round(scale/N)`; prior rows for nodes no longer in the
+    * graph are ignored. `prior` must carry `(node, r)` — exactly what
+    * [[pageRank]] returns. Same exact-integer contract: a warm run and
+    * a cold run that have both reached the integer fixpoint are
+    * bit-identical. */
+  def pageRankWarm(edges: DataFrame, prior: DataFrame,
+                   src: String = "src", dst: String = "dst",
+                   iterations: Int = 10, damping: Double = 0.85,
+                   scale: Long = 1000000000L): DataFrame =
+    pageRankFrom(edges, Some(prior), src, dst, iterations, damping, scale)
+
+  private def pageRankFrom(edges: DataFrame, prior: Option[DataFrame],
+                           src: String, dst: String, iterations: Int,
+                           damping: Double, scale: Long): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     require(scale >= 1000000L, s"scale under 1e6 loses ranking granularity, got $scale")
@@ -77,9 +110,16 @@ object GraphOps {
     // the window (GraphProbe measured 0.24 s/iter right after a cut
     // rising to 1.5 s/iter late in a 4-round window). The checkpoint is
     // node-scale, the cheapest table in the loop.
-    var rank = nodes.select(col("node"),
-      round(lit(scale.toDouble) / lit(nn)).cast("bigint").as("r"))
-      .localCheckpoint()
+    val uniform = round(lit(scale.toDouble) / lit(nn)).cast("bigint")
+    var rank = (prior match {
+      case None => nodes.select(col("node"), uniform.as("r"))
+      case Some(p) =>
+        // Prior ranks onto the CURRENT node set: new nodes seed uniform,
+        // departed nodes' prior rows drop via the join.
+        val pr = p.select(col("node").as("__pn"), col("r").cast("bigint").as("__pr"))
+        nodes.join(pr, nodes("node") === col("__pn"), "left")
+          .select(nodes("node"), coalesce(col("__pr"), uniform).as("r"))
+    }).localCheckpoint()
     var i = 0
     while (i < iterations) {
       val dangling =
@@ -247,6 +287,24 @@ object GraphOps {
     * Returns (node, triangles) for every node of the graph, zeros
     * included. */
   def triangleCount(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
+    val (nodes, lazyClosed) = triangleParts(edges, src, dst)
+    val closed = lazyClosed.localCheckpoint()
+    val perNode = closed.select(col("apex").as("node"))
+      .unionAll(closed.select(col("x").as("node")))
+      .unionAll(closed.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** The (nodes, closed-wedges) pair behind [[triangleCount]], with the
+    * closed-wedge frame returned LAZILY (no lineage cut) so PlanSpec can
+    * assert the wedge and closing joins are equi joins — an internal
+    * `localCheckpoint` would execute and hide the plan. One row of
+    * `closed` per triangle: (apex, x, y) with apex→x, apex→y, x→y all
+    * oriented edges. */
+  private[graft] def triangleParts(edges: DataFrame, src: String,
+                                   dst: String): (DataFrame, DataFrame) = {
     // Canonical undirected edge set: (lo, hi) by node id, once.
     val und = edges.select(col(src).as("a"), col(dst).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
@@ -261,38 +319,35 @@ object GraphOps {
     val withDeg = und
       .join(deg.select(col("node").as("lo"), col("d").as("dlo")), "lo")
       .join(deg.select(col("node").as("hi"), col("d").as("dhi")), "hi")
+    // The oriented edge CARRIES its head's (degree, id) sort key (`dv`):
+    // the wedge self-join below orders each out-neighbor pair by that
+    // same key, so the closing edge — which by construction also points
+    // (degree, id)-upward — can only be oriented x→y. One EQUI probe;
+    // the OR-of-two-orientations form is a BroadcastNestedLoopJoin
+    // (CartesianProduct past the broadcast threshold) over O(E^1.5)
+    // wedges × E edges — the exact blow-up this orientation exists to
+    // avoid.
     val oriented = withDeg.select(
         when(col("dlo") < col("dhi") ||
              (col("dlo") === col("dhi") && col("lo") < col("hi")),
-          struct(col("lo").as("u"), col("hi").as("v")))
-          .otherwise(struct(col("hi").as("u"), col("lo").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+          struct(col("lo").as("u"), col("hi").as("v"), col("dhi").as("dv")))
+          .otherwise(struct(col("hi").as("u"), col("lo").as("v"), col("dlo").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
       .localCheckpoint()
-    // Wedges at u: pairs (v, w) of u's out-neighbors; close with v→w.
-    // The closing join probes the canonical orientation of (v, w), which
-    // is exactly how the wedge pair is ordered iff (v, w) are emitted in
-    // (degree, id) order — so emit both (v, w) and (w, v) and let the
-    // equi join keep the one that exists. Cheaper: since oriented edges
-    // always point (degree,id)-upward, u's out-neighbors v, w close iff
-    // oriented contains v→w or w→v; emitting the wedge UNORDERED both
-    // ways doubles wedge rows — instead order the wedge pair by the same
-    // (degree, id) key the orientation uses, which requires carrying
-    // degrees. Simplest exact form: join both directions once via a
-    // canonicalized probe.
+    // Wedges at u: each unordered pair (x, y) of u's out-neighbors once,
+    // ordered by the orientation key — x is the (degree, id)-smaller head.
+    // The non-equi tail of the condition rides as a post-filter on the
+    // u=u equi join; it does not change the join strategy.
     val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+         (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
       .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
-    // Close the wedge: the third edge is oriented x→y or y→x.
+    // Close the wedge: the third edge, if present, is oriented x→y.
     val closed = wedges.join(oriented.as("e3"),
-        (col("e3.u") === col("x") && col("e3.v") === col("y")) ||
-        (col("e3.u") === col("y") && col("e3.v") === col("x")))
+        col("e3.u") === col("x") && col("e3.v") === col("y"))
       .select(col("apex"), col("x"), col("y"))
-      .localCheckpoint()
-    val perNode = closed.select(col("apex").as("node"))
-      .unionAll(closed.select(col("x").as("node")))
-      .unionAll(closed.select(col("y").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
-    nodes.join(perNode, Seq("node"), "left")
-      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+    (nodes, closed)
   }
 }

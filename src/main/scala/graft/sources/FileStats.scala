@@ -265,6 +265,29 @@ object FileStats {
     }
   }
 
+  /** Trusted-probe schema: NEVER inferred from the live directory. The
+    * trust premise is precisely that the directory is not re-checked, so
+    * a memo-miss inference from it would bind a DRIFTED generation's
+    * schema under the MANIFEST's fingerprint key — and a later re-collect
+    * restoring that fingerprint would silently reuse the wrong schema.
+    * Inferred instead from the manifest's OWN file list (basePath-pinned
+    * so partition columns survive and their types are drawn from the full
+    * generation's partition values, as the directory inference would),
+    * memoized per (dir, manifest fingerprint) — the one-collect cost is
+    * paid once per manifest generation, not per probe. */
+  private def trustedSchemaFor(spark: SparkSession, dir: String, mXor: Long,
+                               manifest: DataFrame) = {
+    val key = LakeFs.normPath(dir)
+    val cur = schemaCache.get(key)
+    if (cur != null && cur._1 == mXor) cur._2
+    else {
+      val files = manifest.select("file").collect().map(_.getString(0)).toSeq
+      val s = spark.read.option("basePath", dir).parquet(files: _*).schema
+      schemaCache.put(key, (mXor, s))
+      s
+    }
+  }
+
   /** Manifest-side half of the probe: ONE aggregation returning
     * (rows, distinct paths, path-set XOR, sorted surviving files).
     * Exposed for [[graft.ManifestProbe]]. */
@@ -344,9 +367,12 @@ object FileStats {
         s"stale manifest for $dir: manifest covers $mDistinct file(s), disk has " +
           s"$nDisk, path-set fingerprints ${if (mXor == diskXor) "match"
             else "differ"} — re-run FileStats.collect after any rewrite")
-    // Trusted probes key the schema memo by the MANIFEST's fingerprint —
-    // the same value as the disk XOR whenever the trust premise holds.
-    val schema = schemaFor(spark, dir, if (trustManifest) mXor else diskXor)
+    // Trusted probes never touch the live directory — schema comes from
+    // the manifest's own file list, keyed by the manifest fingerprint
+    // (the same value as the disk XOR whenever the trust premise holds).
+    val schema =
+      if (trustManifest) trustedSchemaFor(spark, dir, mXor, manifest)
+      else schemaFor(spark, dir, diskXor)
     if (files.isEmpty)
       // Provably-empty result; keep the schema without scheduling a scan.
       spark.read.schema(schema).option("basePath", dir).parquet(dir).where(lit(false))

@@ -198,6 +198,26 @@ class PlanSpec extends AnyFunSuite {
       s"overfetch cut should push below the window:\n$p")
   }
 
+  test("triangleCount: wedge + closing joins are equi joins — no BNLJ, no cartesian") {
+    import spark.implicits._
+    // The scale hazard: an OR of two orientation conjunctions in the
+    // closing join has no extractable equi keys, so Catalyst plans a
+    // BroadcastNestedLoopJoin over O(E^1.5) wedges × E edges (a
+    // CartesianProduct past the broadcast threshold). Carrying the
+    // (degree, id) key through the wedge pair makes one equi probe
+    // suffice — this pins that plan shape.
+    val edges = (for { a <- 0 until 40; b <- 0 until 40
+                       if a < b && (b - a <= 2 || (a % 7 == 0 && b % 5 == 0)) }
+      yield (s"n$a", s"n$b")).toDF("src", "dst")
+    val (_, closed) = graft.ops.GraphOps.triangleParts(edges, "src", "dst")
+    val p = planString(closed)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle joins must be equi joins:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+        .findAllIn(p).length >= 2,
+      s"expected hash/merge wedge + closing joins:\n$p")
+  }
+
   test("q92: span keeper is a partial+final agg joined back — no window, no cartesian") {
     val p = planString(TestSpark.corpus("q92_span_dedup"))
     // The struct-min keeper lowers to SortAggregate (a struct is not a

@@ -243,6 +243,51 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankWarm: warm ≡ cold at the integer fixpoint; closer after fewer rounds") {
+    import spark.implicits._
+    // Ring + chords (strongly connected); the append adds chords AND a
+    // brand-new node the prior has never seen.
+    val n = 24
+    val base = (0 until n).map(i => (s"v$i", s"v${(i + 1) % n}")) ++
+      (0 until n by 3).map(i => (s"v$i", s"v${(i * 7) % n}"))
+    val appended = base ++ Seq(("v3", "v17"), ("v11", "v2"),
+      ("new0", "v5"), ("v20", "new0"))
+    val baseDf = base.toDF("src", "dst")
+    val appDf = appended.toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // damping 0.5 so the EXACT integer fixed point is reached within the
+    // test budget: the iteration contracts at rate d per round, so the
+    // init gap (~5e8 micro-units) needs ~d^k < 1e-9 — 30 rounds at 0.5,
+    // an impractical ~130 at the 0.85 default (the probe measures that
+    // regime; the fixpoint-identity CLAIM is damping-generic).
+    val d = 0.5
+    // Cold from uniform and warm from the BASE graph's converged ranks
+    // (new node seeded uniform) land on the SAME integer fixpoint,
+    // rank-for-rank — unique for damping < 1, init-independent.
+    val fix = m(GraphOps.pageRank(appDf, iterations = 40, damping = d))
+    val prior = GraphOps.pageRank(baseDf, iterations = 25, damping = d)
+      .select("node", "r")
+    assert(m(GraphOps.pageRankWarm(appDf, prior, iterations = 40, damping = d)) == fix,
+      "warm start must converge to the cold fixpoint")
+    // Warm-starting AT the fixpoint is stationary: one round keeps it.
+    val fixDf = fix.toSeq.toDF("node", "r")
+    assert(m(GraphOps.pageRankWarm(appDf, fixDf, iterations = 1, damping = d)) == fix,
+      "the fixpoint must be stationary under one warm round")
+    // The maintenance claim: after a small append, the prior starts NEAR
+    // the new fixpoint — strictly closer than uniform at every probe
+    // depth (rounds-to-tolerance is the probe's measured version).
+    def l1(got: Map[String, Long]): Long =
+      (fix.keySet ++ got.keySet).toSeq
+        .map(k => math.abs(got.getOrElse(k, 0L) - fix.getOrElse(k, 0L))).sum
+    for (k <- Seq(1, 3)) {
+      val warm = l1(m(GraphOps.pageRankWarm(appDf, prior, iterations = k, damping = d)))
+      val cold = l1(m(GraphOps.pageRank(appDf, iterations = k, damping = d)))
+      assert(warm < cold,
+        s"warm start not closer to fixpoint after $k round(s): warm=$warm cold=$cold")
+    }
+  }
+
   test("personalizedPageRank: mass, locality, seed degeneracy, layout-exact") {
     import spark.implicits._
     // Two MIRROR-IMAGE 3-cycles joined by a bidirectional bridge a<->x:
@@ -347,6 +392,53 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraphOps.labelPropagation(edges, iterations = 0)
     }
+  }
+
+  test("triangleCount: ≡ in-memory reference, hub graph, equal-degree ties, layout-exact") {
+    import spark.implicits._
+    // Semantic oracle (the labelPropagation discipline): brute-force
+    // triple enumeration over the canonical undirected simple graph.
+    def refTri(edges: Seq[(String, String)]): Map[String, Long] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct.toSet
+      val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      def adj(u: String, v: String) = und(if (u < v) (u, v) else (v, u))
+      val tris = for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        k <- (j + 1) until nodes.size
+        if adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(k)) &&
+           adj(nodes(i), nodes(k))
+      } yield Set(nodes(i), nodes(j), nodes(k))
+      nodes.map(n => n -> tris.count(_.contains(n)).toLong).toMap
+    }
+    def run(edges: Seq[(String, String)]): Map[String, Long] =
+      GraphOps.triangleCount(edges.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Hub/star graph: max-degree node, ZERO triangles — degree and
+    // triangle count must disagree (the operator's reason to exist).
+    val star = (1 to 8).map(i => "hub" -> s"spoke$i")
+    assert(run(star) == refTri(star))
+    assert(run(star)("hub") == 0L, "a star has no triangles")
+    // K5: every degree EQUAL (the orientation tie-breaks purely by id)
+    // — each node sits on C(4,2) = 6 triangles.
+    val k5 = for { a <- 'a' to 'e'; b <- 'a' to 'e' if a < b }
+      yield a.toString -> b.toString
+    assert(run(k5) == refTri(k5))
+    assert(run(k5).values.toSet == Set(6L))
+    // Mixed: two 4-cliques + a bridge + a hub star hanging off one side,
+    // with reversed duplicates, a self-loop, and both-direction edges —
+    // the canonicalization must collapse them all.
+    val mixed = Seq("a" -> "b", "b" -> "a", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d", "d" -> "d",
+      "x" -> "y", "x" -> "z", "x" -> "w", "y" -> "z", "y" -> "w",
+      "z" -> "w", "d" -> "x") ++ (1 to 5).map(i => "x" -> s"s$i")
+    val got = run(mixed)
+    assert(got == refTri(mixed), s"mixed graph diverges: $got")
+    assert(got("a") == 3L && got("d") == 3L && got("s1") == 0L)
+    // Layout-independent: exact integer counts, any partitioning.
+    val rep = GraphOps.triangleCount(mixed.toDF("src", "dst").repartition(7))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == got, "triangle counts must be layout-independent")
   }
 
   test("minhashDedupKeep: linear keep/drop decision is consistent") {

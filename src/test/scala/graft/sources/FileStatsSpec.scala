@@ -196,6 +196,33 @@ class FileStatsSpec extends AnyFunSuite {
     manifest.unpersist()
   }
 
+  test("trustManifest memo miss: schema binds to the MANIFEST generation, never the live directory") {
+    val d = tmp("trust-schema")
+    TestSpark.table("orders").limit(50).select("o_orderkey", "o_custkey")
+      .write.parquet(d)
+    val mPath = tmp("trust-schema-m")
+    FileStats.writeManifest(FileStats.collect(spark, d, Seq("o_orderkey")), mPath)
+    val manifest = FileStats.readManifest(spark, mPath).persist()
+    manifest.count()
+    // Out-of-band drift that CHANGES the directory's inferred schema: a
+    // partitioned append adds a partition column a live-dir inference
+    // would deterministically pick up. The first trusted probe against
+    // this dir is a schema-memo MISS; inferring from the live directory
+    // here would bind the drifted generation's schema to the MANIFEST's
+    // fingerprint key — a later re-collect restoring that fingerprint
+    // would silently reuse it. The fix infers from the manifest's own
+    // file list instead.
+    TestSpark.table("orders").limit(5).select("o_orderkey", "o_custkey")
+      .write.parquet(s"$d/drift=1")
+    val trusted = FileStats.prunedRead(spark, d, manifest,
+      Seq(ColumnBounds("o_orderkey", Some(0L), None)), trustManifest = true)
+    assert(!trusted.columns.contains("drift"),
+      s"trusted schema leaked the drifted directory generation: ${trusted.columns.toSeq}")
+    assert(trusted.count() == TestSpark.table("orders").limit(50)
+      .where(col("o_orderkey") >= 0L).count())
+    manifest.unpersist()
+  }
+
   test("update stats only the appended files; result ≡ a fresh collect") {
     val d = tmp("update")
     val old = TestSpark.table("orders").where(col("o_orderkey") < 700)

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.GraphOps
+
+/** The streaming label maintainer must produce EXACTLY the batch
+  * [[GraphOps.labelPropagation]] labels over the union of all edges
+  * seen so far — after every micro-batch, across a mid-stream restart,
+  * and under crash replay — while recomputing only the k-hop cone of
+  * each append. */
+class LabelLoopSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def sym(ps: (String, String)*): Seq[(String, String)] =
+    ps.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+
+  private val k = 2
+
+  // Stage 1: a triangle community feeding a chain. Stage 2: a second
+  // community bridged onto the chain's END (labels near the bridge move;
+  // the triangle sits beyond k hops and must ride its persisted
+  // trajectory). Stage 3: a single directed edge to a brand-new node —
+  // the minimal cascade.
+  private val stage1 = sym("a" -> "b", "a" -> "c", "b" -> "c",
+    "c" -> "d", "d" -> "e", "e" -> "f")
+  private val stage2 = sym("x" -> "y", "x" -> "z", "y" -> "z", "f" -> "x")
+  private val stage3 = Seq("q" -> "e", "e" -> "q")
+
+  private def df(es: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  private def canon(d: DataFrame): Set[(String, String)] =
+    d.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("per-batch fold ≡ batch labelPropagation over the union of all edges") {
+    val root = Files.createTempDirectory("graft-labelloop").toString
+    val (state, edges, out) = (s"$root/state", s"$root/edges", s"$root/out")
+    var acc = Seq.empty[(String, String)]
+    for ((stage, i) <- Seq(stage1, stage2, stage3).zipWithIndex) {
+      acc = acc ++ stage
+      LabelLoop.foldBatch(df(stage), i.toLong, "src", "dst", k, state, edges, out)
+      val want = canon(GraphOps.labelPropagation(df(acc), iterations = k))
+      assert(canon(LabelLoop.latestLabels(spark, state, k)) == want,
+        s"state labels diverge from the batch sweep after batch $i")
+      assert(canon(spark.read.parquet(s"$out/batch=$i")) == want,
+        s"emitted labels diverge from the batch sweep after batch $i")
+    }
+  }
+
+  test("replaying a batch (crash before checkpoint commit) is idempotent") {
+    val root = Files.createTempDirectory("graft-labelloop-rp").toString
+    val (state, edges, out) = (s"$root/state", s"$root/edges", s"$root/out")
+    LabelLoop.foldBatch(df(stage1), 0L, "src", "dst", k, state, edges, out)
+    LabelLoop.foldBatch(df(stage2), 1L, "src", "dst", k, state, edges, out)
+    val first = canon(LabelLoop.latestLabels(spark, state, k))
+    // Crash replay: batch 1 re-runs against the state it already wrote.
+    LabelLoop.foldBatch(df(stage2), 1L, "src", "dst", k, state, edges, out)
+    assert(canon(LabelLoop.latestLabels(spark, state, k)) == first)
+    assert(canon(spark.read.parquet(s"$out/batch=1")) ==
+      canon(GraphOps.labelPropagation(df(stage1 ++ stage2), iterations = k)))
+  }
+
+  test("streamed run with a mid-stream restart ≡ batch labelPropagation") {
+    val root = Files.createTempDirectory("graft-labelloop-st").toString
+    val (src, state, edges, out, ckpt) =
+      (s"$root/src", s"$root/state", s"$root/edges", s"$root/out", s"$root/ckpt")
+
+    def runOnce(): Unit = {
+      val q = LabelLoop.run(
+        spark.readStream.schema(df(stage1).schema).parquet(src),
+        "src", "dst", k, state, edges, out, ckpt,
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(120000)
+      q.stop()
+    }
+
+    df(stage1).write.mode("append").parquet(src)
+    runOnce() // STOP — mid-stream restart
+    df(stage2 ++ stage3).write.mode("append").parquet(src)
+    runOnce()
+
+    val want = canon(GraphOps.labelPropagation(
+      df(stage1 ++ stage2 ++ stage3), iterations = k))
+    assert(canon(LabelLoop.latestLabels(spark, state, k)) == want && want.nonEmpty)
+  }
+}
