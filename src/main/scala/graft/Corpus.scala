@@ -316,6 +316,37 @@ ${(round(1) + round(2)).stripSuffix(",")}
  order by n.node limit 300"""
   }
 
+  /** q173: LOCAL CLUSTERING COEFFICIENT over the q172 graph —
+    * `c = 2T/(d(d−1))`, 0 for degree < 2. The one float op is a single
+    * correctly-rounded IEEE division over exactly-representable integer
+    * inputs, rounded to 4dp (the q74/q169 grid discipline), so the
+    * normalized form stays exactly hashable. Same id-ordered triple-join
+    * oracle as q172 plus a degree CTE; the library operator
+    * (`GraphOps.clusteringCoefficient`) normalizes its degree-ordered
+    * triangle counts with one extra node-scale join. */
+  private def q173Sql(cast: String): String = {
+    val li = "from lineitem where l_orderkey % 20 = 0"
+    s"""with raw as (
+   select concat('p', cast(l_partkey as $cast)) a, concat('s', cast(l_suppkey as $cast)) b $li
+   union all
+   select concat('s', cast(l_suppkey as $cast)) a, concat('k', cast(l_orderkey % 97 as $cast)) b $li
+   union all
+   select concat('k', cast(l_orderkey % 97 as $cast)) a, concat('p', cast(l_partkey as $cast)) b $li),
+ und as (select distinct least(a, b) lo, greatest(a, b) hi from raw where a <> b),
+ deg as (select node, count(*) d from (
+   select lo node from und union all select hi from und) t group by node),
+ tri as (select e1.lo a, e1.hi b, e2.hi c from und e1
+   join und e2 on e2.lo = e1.hi
+   join und e3 on e3.lo = e1.lo and e3.hi = e2.hi),
+ pern as (select node, count(*) triangles from (
+   select a node from tri union all select b from tri union all select c from tri) t
+   group by node)
+ select g.node, coalesce(p.triangles, cast(0 as bigint)) triangles, g.d degree,
+   round(case when g.d >= 2 then 2.0 * coalesce(p.triangles, 0) / (g.d * (g.d - 1.0)) else 0.0 end, 4) clustering
+ from deg g left join pern p on p.node = g.node
+ order by g.node limit 300"""
+  }
+
   val all: Seq[CorpusQuery] = Seq(
     q("q01_scan_filter_project",
       """select l_orderkey, l_linenumber, round(l_extendedprice*(1-l_discount),2) net
@@ -2442,6 +2473,10 @@ select d.pid,
     // Triangle count (round 10) — see q172Sql for the graph construction
     // and the id-ordered oracle vs degree-ordered library split.
     q2("q172_triangles", q172Sql("string"), q172Sql("varchar")),
+
+    // Local clustering coefficient (round 10) — q172 normalized; see
+    // q173Sql for the single-division float-grid argument.
+    q2("q173_clustering", q173Sql("string"), q173Sql("varchar")),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1419,6 +1419,20 @@ object DfQueries {
         .orderBy("node").limit(300)
     },
 
+    "q173_clustering" -> { (s, _) =>
+      // GraphOps.clusteringCoefficient over the q172 graph — triangle
+      // counts normalized by 2/(d(d−1)) on the 4dp grid.
+      val li = t(s, "lineitem").where(col("l_orderkey") % 20 === 0)
+      val p = concat(lit("p"), col("l_partkey").cast("string"))
+      val sup = concat(lit("s"), col("l_suppkey").cast("string"))
+      val k = concat(lit("k"), (col("l_orderkey") % 97).cast("string"))
+      val edges = li.select(p.as("src"), sup.as("dst"))
+        .unionAll(li.select(sup.as("src"), k.as("dst")))
+        .unionAll(li.select(k.as("src"), p.as("dst")))
+      graft.ops.GraphOps.clusteringCoefficient(edges)
+        .orderBy("node").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

@@ -39,10 +39,15 @@ object LakeScaleProbe {
     val dir = java.nio.file.Files.createTempDirectory("graft-lakescale")
       .toString + s"/lake_$n"
     val t0 = System.nanoTime()
+    // One task per file (repartitionByRange(n)) pays ~250 ms of task +
+    // committer overhead PER FILE — prohibitive past ~100k files. 32
+    // range-partitioned tasks each writing a run of `rpf`-row files via
+    // maxRecordsPerFile produce the same disjoint-sorted-range layout at
+    // ~8 ms/file.
     spark.range(0, n.toLong * rpf)
       .select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))
-      .repartitionByRange(n, col("k")).sortWithinPartitions("k")
-      .write.parquet(dir)
+      .repartitionByRange(32, col("k")).sortWithinPartitions("k")
+      .write.option("maxRecordsPerFile", rpf).parquet(dir)
     p("write_layout", (System.nanoTime() - t0) / 1e9, s"files=$n rows=${n.toLong * rpf}")
 
     p("hadoop_listing", med(3)(() => LakeFs.listFiles(dir, skipHiddenDirs = true)))
@@ -63,9 +68,16 @@ object LakeScaleProbe {
     p("range_probe_trusted", med(3)(() =>
       FileStats.prunedRead(spark, dir, manifest, bounds, trustManifest = true)
         .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("s")).collect()))
-    p("range_probe_full", med(3)(() =>
+    // Past ~200k files one full-scan sample is minutes of pure task
+    // scheduling — time it ONCE, cold (the cold number IS the regime
+    // being measured; warm footer caches would flatter it).
+    val fullScan = () =>
       spark.read.parquet(dir).where(FileStats.residual(bounds))
-        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("s")).collect()))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("s")).collect()
+    if (n > 200000) {
+      val tf = System.nanoTime(); fullScan()
+      p("range_probe_full", (System.nanoTime() - tf) / 1e9, "single cold sample")
+    } else p("range_probe_full", med(3)(() => { fullScan(); () }))
 
     p("compact_planning", med(3)(() => { Maintenance.plannedFiles(dir); () }),
       s"planned=${Maintenance.plannedFiles(dir)}")

@@ -287,24 +287,46 @@ object GraphOps {
     * Returns (node, triangles) for every node of the graph, zeros
     * included. */
   def triangleCount(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
-    val (nodes, lazyClosed) = triangleParts(edges, src, dst)
-    val closed = lazyClosed.localCheckpoint()
-    val perNode = closed.select(col("apex").as("node"))
-      .unionAll(closed.select(col("x").as("node")))
-      .unionAll(closed.select(col("y").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
-    nodes.join(perNode, Seq("node"), "left")
+    val (nodes, _, lazyClosed) = triangleParts(edges, src, dst)
+    nodes.join(perNodeTriangles(lazyClosed.localCheckpoint()), Seq("node"), "left")
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
-  /** The (nodes, closed-wedges) pair behind [[triangleCount]], with the
-    * closed-wedge frame returned LAZILY (no lineage cut) so PlanSpec can
-    * assert the wedge and closing joins are equi joins — an internal
-    * `localCheckpoint` would execute and hide the plan. One row of
-    * `closed` per triangle: (apex, x, y) with apex→x, apex→y, x→y all
-    * oriented edges. */
+  /** LOCAL CLUSTERING COEFFICIENT per node — the normalized form of
+    * [[triangleCount]]: `c(v) = 2·T(v) / (d(v)·(d(v)−1))` over the
+    * undirected simple graph (0 for degree < 2), the canonical
+    * "how clique-like is this node's neighborhood" signal. Deterministic
+    * cross-engine: T and d are exact integers (exactly representable as
+    * doubles), the one division is correctly-rounded IEEE, and the
+    * output is rounded to 4dp — the q74/q169 float-grid discipline.
+    * Returns (node, triangles, degree, clustering); same plan shape as
+    * [[triangleCount]] plus one node-scale degree join. */
+  def clusteringCoefficient(edges: DataFrame, src: String = "src",
+                            dst: String = "dst"): DataFrame = {
+    val (nodes, deg, lazyClosed) = triangleParts(edges, src, dst)
+    val t = coalesce(col("triangles"), lit(0L))
+    nodes.join(perNodeTriangles(lazyClosed.localCheckpoint()), Seq("node"), "left")
+      .join(deg, Seq("node"))
+      .select(col("node"), t.as("triangles"), col("d").as("degree"),
+        round(when(col("d") >= 2,
+            lit(2.0) * t / (col("d") * (col("d") - lit(1.0))))
+          .otherwise(lit(0.0)), 4).as("clustering"))
+  }
+
+  private def perNodeTriangles(closed: DataFrame): DataFrame =
+    closed.select(col("apex").as("node"))
+      .unionAll(closed.select(col("x").as("node")))
+      .unionAll(closed.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+
+  /** The (nodes, degrees, closed-wedges) triple behind [[triangleCount]] /
+    * [[clusteringCoefficient]], with the closed-wedge frame returned
+    * LAZILY (no lineage cut) so PlanSpec can assert the wedge and closing
+    * joins are equi joins — an internal `localCheckpoint` would execute
+    * and hide the plan. One row of `closed` per triangle: (apex, x, y)
+    * with apex→x, apex→y, x→y all oriented edges. */
   private[graft] def triangleParts(edges: DataFrame, src: String,
-                                   dst: String): (DataFrame, DataFrame) = {
+                                   dst: String): (DataFrame, DataFrame, DataFrame) = {
     // Canonical undirected edge set: (lo, hi) by node id, once.
     val und = edges.select(col(src).as("a"), col(dst).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
@@ -348,6 +370,6 @@ object GraphOps {
     val closed = wedges.join(oriented.as("e3"),
         col("e3.u") === col("x") && col("e3.v") === col("y"))
       .select(col("apex"), col("x"), col("y"))
-    (nodes, closed)
+    (nodes, deg, closed)
   }
 }

@@ -307,9 +307,10 @@ object FileStats {
 
   /** `trustManifest = true` skips the per-probe directory re-listing and
     * staleness check. The listing is the probe's dominant FIXED cost and
-    * grows linearly with file count (LakeScaleProbe: 0.12 s at 4k files,
-    * 0.48 s at 16k, ~2 s at 64k on a local fs — an object-store LIST at
-    * ~1M files is minutes and money) while guarding only against
+    * grows with file count (LakeScaleProbe, local fs, SURVEY §6: 1.0 s
+    * at 16k files, 4.2 s at 131k; the verified range probe runs 1.5 s /
+    * 9.6 s at those counts vs 0.8 s / 4.4 s trusted — an object-store
+    * LIST at ~1M files is minutes and money) while guarding only against
     * OUT-OF-BAND writes; a manifest maintained transactionally
     * (ManifestLoop folds its stats in the same foreachBatch that lands
     * the files; [[update]] after every append) cannot drift from the

@@ -209,7 +209,7 @@ class PlanSpec extends AnyFunSuite {
     val edges = (for { a <- 0 until 40; b <- 0 until 40
                        if a < b && (b - a <= 2 || (a % 7 == 0 && b % 5 == 0)) }
       yield (s"n$a", s"n$b")).toDF("src", "dst")
-    val (_, closed) = graft.ops.GraphOps.triangleParts(edges, "src", "dst")
+    val (_, _, closed) = graft.ops.GraphOps.triangleParts(edges, "src", "dst")
     val p = planString(closed)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"triangle joins must be equi joins:\n$p")

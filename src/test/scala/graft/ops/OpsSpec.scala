@@ -439,6 +439,23 @@ class OpsSpec extends AnyFunSuite {
     val rep = GraphOps.triangleCount(mixed.toDF("src", "dst").repartition(7))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep == got, "triangle counts must be layout-independent")
+    // Clustering coefficient = the normalized form: K5 interiors are
+    // fully clique-like (1.0), star spokes/hub are 0, and every value
+    // matches 2T/(d(d−1)) over the reference counts on the 4dp grid.
+    val cc = GraphOps.clusteringCoefficient(mixed.toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val refT = refTri(mixed)
+    val und = mixed.filter(e => e._1 != e._2)
+      .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct
+    val refD = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+    assert(cc.nonEmpty && cc.forall { case (n, t0, d0, c0) =>
+      t0 == refT(n) && d0 == refD(n).toLong &&
+        c0 == (if (d0 >= 2) BigDecimal(2.0 * t0 / (d0 * (d0 - 1.0)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0)
+    }, s"clustering coefficients diverge: ${cc.toSeq.sortBy(_._1)}")
+    val ccK5 = GraphOps.clusteringCoefficient(k5.toDF("src", "dst"))
+      .collect().map(_.getDouble(3)).toSet
+    assert(ccK5 == Set(1.0), "every K5 node is fully clique-like")
   }
 
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
