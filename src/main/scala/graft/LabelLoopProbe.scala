@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Diagnosis probe (not driver contract): is [[graft.streaming.LabelLoop]]'s
+  * k-hop-cone incremental fold actually cheaper than the cold
+  * [[graft.ops.GraphOps.labelPropagation]] sweep it equals? Method: fold
+  * a 1M-edge base graph as batch 0 (necessarily a full sweep — every
+  * node is new), then fold a ~1% append as batch 1 and time it against
+  * the cold sweep over the union. Also re-verifies exact equality at
+  * this scale (count of label disagreements must be 0).
+  *
+  * Usage: runMain graft.LabelLoopProbe [nEdges] [appendPct] [iterations]
+  */
+object LabelLoopProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.engine.Graft.session("graft-labelloopprobe")
+    val nEdges = if (args.nonEmpty) args(0).toLong else 1000000L
+    val pct = if (args.length > 1) args(1).toDouble else 0.01
+    val k = if (args.length > 2) args(2).toInt else 2
+    val nNodes = nEdges / 10
+    def synth(n: Long, offset: Long) =
+      spark.range(offset, offset + n).select(
+          concat(lit("n"), (col("id") % nNodes).cast("string")).as("src"),
+          concat(lit("n"), ((col("id") * col("id") + col("id")) % (nNodes / 10))
+            .cast("string")).as("dst"))
+    val base = synth(nEdges, 0L).localCheckpoint()
+    val extra = synth((nEdges * pct).toLong, nEdges)
+      .unionAll(spark.range(50).select(
+        concat(lit("m"), col("id").cast("string")).as("src"),
+        lit("n0").as("dst"))).localCheckpoint()
+    println(s"== base=${base.count()} extra=${extra.count()} k=$k")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-lblprobe").toString
+    val (state, edges, out) = (s"$root/state", s"$root/edges", s"$root/out")
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"== $tag%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f sec"); r
+    }
+    t("fold batch0 (cold, full)") {
+      graft.streaming.LabelLoop.foldBatch(base, 0L, "src", "dst", k, state, edges, out)
+    }
+    t("fold batch1 (1% append)") {
+      graft.streaming.LabelLoop.foldBatch(extra, 1L, "src", "dst", k, state, edges, out)
+    }
+    val cold = t("cold sweep over union") {
+      val l = graft.ops.GraphOps.labelPropagation(
+        base.unionAll(extra), iterations = k).localCheckpoint()
+      l.count(); l
+    }
+    val diff = graft.streaming.LabelLoop.latestLabels(spark, state, k)
+      .join(cold.select(col("node"), col("lbl").as("__c")), Seq("node"), "full")
+      .where(!(col("lbl") <=> col("__c"))).count()
+    println(s"== label disagreements vs cold sweep: $diff (must be 0)")
+    spark.stop()
+  }
+}

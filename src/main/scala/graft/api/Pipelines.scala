@@ -201,6 +201,19 @@ object Pipelines {
       .orderBy("format")
   }
 
+  /** Crawl-archive ingestion: WARC payloads → curation-ready documents.
+    * Explodes records ([[graft.ops.Warc.records]] — gzip members, HTTP
+    * split, HTML→text), keeps only 200-status text-bearing responses,
+    * and emits `(asset_id, record_no, uri, text, n_chars)` — the rows
+    * the dedup/quality/language funnel consumes. One narrow pass;
+    * archive bytes never shuffle. */
+  def warcDocuments(assets: DataFrame, id: Column, payload: Column): DataFrame =
+    graft.ops.Warc.records(assets, id, payload)
+      .where(col("warc_type") === "response" && col("http_status") === 200 &&
+        col("text").isNotNull && length(col("text")) > 0)
+      .select(col("asset_id"), col("record_no"), col("uri"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+
   /** Train a BPE tokenizer on the corpus (word-level, deterministic);
     * returns the ordered merge table — persist it alongside the corpus. */
   def trainTokenizer(docs: DataFrame, text: Column,

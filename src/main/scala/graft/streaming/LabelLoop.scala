@@ -58,9 +58,9 @@ object LabelLoop {
       .getOrElse(emptyState(spark, iterations))
       .select(col("node"), col(s"l$iterations").as("lbl"))
 
-  /** One micro-batch — exposed for direct replay tests; [[run]] wires it
-    * into foreachBatch. */
-  private[streaming] def foldBatch(batch: DataFrame, batchId: Long,
+  /** One micro-batch — exposed for direct replay tests and
+    * [[graft.LabelLoopProbe]]; [[run]] wires it into foreachBatch. */
+  private[graft] def foldBatch(batch: DataFrame, batchId: Long,
                                    src: String, dst: String, iterations: Int,
                                    stateDir: String, edgesDir: String,
                                    outDir: String): Unit = {

@@ -452,6 +452,32 @@ class PipelinesSpec extends AnyFunSuite {
     assert(toks.where(col("n_tokens") <= 0).count() == 0)
   }
 
+  test("warcDocuments: archive payloads land as curation-ready text rows") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets
+    def crlf(lines: String*) = lines.mkString("", "\r\n", "\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    def rec(typ: String, uri: String, body: Array[Byte]) =
+      crlf("WARC/1.0", s"WARC-Type: $typ", s"WARC-Target-URI: $uri",
+        s"Content-Length: ${body.length}", "") ++ body ++
+        "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+    def http(status: String, ctype: String, payload: String) =
+      crlf(s"HTTP/1.1 $status", s"Content-Type: $ctype", "") ++
+        payload.getBytes(StandardCharsets.UTF_8)
+    val archive =
+      rec("response", "http://e.com/ok", http("200 OK", "text/html", "<p>kept</p>")) ++
+      rec("response", "http://e.com/gone", http("404 Not Found", "text/html", "<p>x</p>")) ++
+      rec("request", "http://e.com/ok", crlf("GET /ok HTTP/1.1", "")) ++
+      rec("response", "http://e.com/bin", http("200 OK", "image/png", "xx"))
+    val out = Pipelines.warcDocuments(
+        Seq((7L, archive)).toDF("asset_id", "payload"),
+        col("asset_id"), col("payload"))
+      .collect()
+    // Only the 200 text response survives the funnel gate.
+    assert(out.map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq == Seq((7L, "http://e.com/ok", "kept", 4L)))
+  }
+
   test("AQE is live: runtime coalescing appears in a shuffled agg plan") {
     val df = TestSpark.table("lineitem").groupBy("l_partkey").count()
     df.collect()
