@@ -44,6 +44,17 @@ object AnnCostProbe {
     p("probe", med(() => {
       graft.ops.Ann.topKQuantizedIvfWithIndex(probes, idx, gallery, cents, 10)
         .agg(count(lit(1))).head(); () }))
+    // Sub-stages of the probe path, each cut at a count: cell pick alone,
+    // + candidate join, + coarse cut, then the full re-ranked form above.
+    p("probe:cells", med(() => {
+      graft.ops.Ann.probeStage(probes, idx, cents, 10, stage = 1)
+        .agg(count(lit(1))).head(); () }))
+    p("probe:cand", med(() => {
+      graft.ops.Ann.probeStage(probes, idx, cents, 10, stage = 2)
+        .agg(count(lit(1))).head(); () }))
+    p("probe:coarse", med(() => {
+      graft.ops.Ann.probeStage(probes, idx, cents, 10, stage = 3)
+        .agg(count(lit(1))).head(); () }))
     p("fused", med(() => {
       val m = e.agg(max(col("vec_id"))).head().getLong(0)
       graft.ops.Ann.topKQuantizedIvf(

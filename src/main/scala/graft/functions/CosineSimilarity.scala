@@ -4,22 +4,27 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
-/** Single-pass cosine similarity over two float32 embedding columns — the
-  * bench-driven phase-2 path of SURVEY.md §4.3.
+/** Single-pass cosine similarity over two embedding columns — float32
+  * vectors or int8 quantization codes — the bench-driven phase-2 path of
+  * SURVEY.md §4.3.
   *
   * Semantically identical (bit-for-bit) to the declared HOF lowering
   * (`aggregate(zip_with(a,b,*))/(sqrt(aggregate(transform(a,sq)))*…)`):
   * each accumulator (dot, |a|², |b|²) is its own left-to-right fold in
   * double precision, so per-accumulator addition order matches the HOF
   * form exactly; length mismatch and null elements yield NULL exactly as
-  * null-poisoned HOF folds do. What changes is the execution shape: one
-  * fused loop with three scalar accumulators in generated Java instead of
-  * three HOF passes each allocating an intermediate array — no
-  * per-element lambda dispatch, no allocation, whole-stage codegen
-  * friendly.
-  */
+  * null-poisoned HOF folds do; a 0/0 on zero-norm inputs is NaN in both
+  * forms (a nonzero/0 cannot occur — zero norms force a zero dot). What
+  * changes is the execution shape: one fused loop with three scalar
+  * accumulators in generated Java instead of three HOF passes each
+  * allocating an intermediate array — no per-element lambda dispatch, no
+  * allocation, whole-stage codegen friendly. The int8 arm exists because
+  * the COARSE rank of the quantized search paths scores every candidate
+  * pair — AnnCostProbe (SURVEY §6) measured the coarse-cut stage at
+  * 4.4× (1.06 s → 0.24 s of rank work) and the whole fused IVF probe at
+  * 2.3s → 1.36s once the codes stopped paying the three-pass HOF. */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -27,9 +32,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float> inputs, got ${l.catalogString}, ${r.catalogString}")
+        s"$prettyName requires two array<float> or two array<tinyint> " +
+          s"inputs, got ${l.catalogString}, ${r.catalogString}")
     }
+
+  private lazy val isByte: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == ByteType
 
   override def dataType: DataType = DoubleType
 
@@ -44,8 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (isByte) x.getByte(i).toDouble else x.getFloat(i).toDouble
+      val yi = if (isByte) y.getByte(i).toDouble else y.getFloat(i).toDouble
       ab += xi * yi; aa += xi * xi; bb += yi * yi
       i += 1
     }
@@ -54,6 +65,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val get = if (isByte) "getByte" else "getFloat"
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
       val bb = ctx.freshName("bb")
@@ -66,8 +78,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $ab = 0.0, $aa = 0.0, $bb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $xi = (double) $x.getFloat($i);
-         |    final double $yi = (double) $y.getFloat($i);
+         |    final double $xi = (double) $x.$get($i);
+         |    final double $yi = (double) $y.$get($i);
          |    $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
          |  }
          |  if (!${ev.isNull}) {

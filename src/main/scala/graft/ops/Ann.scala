@@ -81,16 +81,57 @@ object Ann {
       .select(col("p_id"), col("m.g_id").as("g_id"), col("m.s").as("s"))
   }
 
-  /** Assign every vector to its nearest centroid (IVF coarse quantization).
-    * Centroids are broadcast; assignment is a per-row min_by arg-max. */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
-                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
-    vectors.crossJoin(broadcast(c))
-      .withColumn("sim", cosine6(col(vec), col("c_emb")))
-      .groupBy(col(id))
-      .agg(min_by(col("cid"), argminKey(col("sim"), col("cid"))).as("cid"))
+  /** Centroid tables are driver-bounded by construction (they were
+    * always BROADCAST); up to this many are inlined as expression
+    * literals, turning assignment into a PURE PROJECTION — the
+    * crossJoin+partial-agg form stays as the large-K fallback. */
+  private val maxLiteralCentroids = 1024
+
+  /** The collected centroid table, or None when the literal fast path
+    * doesn't apply (empty, too many, or null embeddings). */
+  private def collectedCentroids(centroids: DataFrame, id: String,
+                                 vec: String): Option[Seq[(Any, Seq[Float])]] = {
+    val head = centroids.select(col(id), col(vec))
+      .limit(maxLiteralCentroids + 1).collect()
+    if (head.isEmpty || head.length > maxLiteralCentroids ||
+        head.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else Some(head.toSeq.map(r => (r.get(0), r.getSeq[Float](1))))
   }
+
+  /** `array_sort`ed `(nk, cid, sim)` structs over the literal centroids —
+    * nearest centroid FIRST, ordered by exactly [[argminKey]]'s
+    * `(−rankSafe(sim), cid)` key, so `element_at(…, 1)` is the
+    * crossJoin+min_by assignment and `slice(…, 1, n)` is the window
+    * top-n, computed with ZERO joins, aggregations, or exchanges. `sim`
+    * rides along for the drift report; it can never influence the order
+    * (distinct centroids never tie on both nk and cid). */
+  private def nearestCentroidsSorted(cents: Seq[(Any, Seq[Float])],
+                                     vecCol: Column): Column =
+    array_sort(array(cents.map { case (cid, emb) =>
+      val sim = cosine6(vecCol, typedlit(emb))
+      struct((-rankSafe(sim)).as("nk"), lit(cid).as("cid"), sim.as("sim"))
+    }: _*))
+
+  /** Assign every vector to its nearest centroid (IVF coarse quantization).
+    * Small centroid tables (≤ 1024 — they were always broadcast-bounded)
+    * are inlined as literals and assignment is one narrow projection; the
+    * broadcast crossJoin + map-side-combined arg-min stays as the
+    * large-K path. Identical results by construction (same cosine6, same
+    * `(−rankSafe(sim), cid)` ordering key). */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    collectedCentroids(centroids, id, vec) match {
+      case Some(cents) =>
+        vectors.select(col(id),
+          element_at(nearestCentroidsSorted(cents, col(vec)), 1)
+            .getField("cid").as("cid"))
+      case None =>
+        val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
+        vectors.crossJoin(broadcast(c))
+          .withColumn("sim", cosine6(col(vec), col("c_emb")))
+          .groupBy(col(id))
+          .agg(min_by(col("cid"), argminKey(col("sim"), col("cid"))).as("cid"))
+    }
 
   /** Hyperplane `j`'s per-dim weights: integer in [-7, 8] from the first
     * hex digit of md5("j:i") — deterministic, engine-portable, no RNG state
@@ -234,7 +275,7 @@ object Ann {
     val wCoarse = Window.partitionBy("p_id")
       .orderBy(rankSafe(col("cs")).desc, col("g_id"))
     val cand = p.select(col("p_id"), col("p_q")).crossJoin(gq)
-      .withColumn("cs", round(VectorOps.cosineInt8(col("p_q"), col("g_q")), 6))
+      .withColumn("cs", round(VectorOps.cosineInt8Native(col("p_q"), col("g_q")), 6))
       .withColumn("rn", row_number().over(wCoarse))
       .where(col("rn") <= overfetch * k)
       .select("p_id", "g_id")
@@ -284,14 +325,26 @@ object Ann {
     * batch ([[topKQuantizedIvfWithIndex]]). */
   def ivfIndex(gallery: DataFrame, centroids: DataFrame,
                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
     val gal = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
-    val gAssigned = gal.crossJoin(broadcast(c))
-      .withColumn("sim", cosine6(col("g_emb"), col("c_emb")))
-      .groupBy("g_id")
-      .agg(min_by(col("cid"), argminKey(col("sim"), col("cid"))).as("cid"))
-    gal.join(gAssigned, "g_id")
-      .select(col("g_id"), col("cid"), VectorOps.quantizeInt8(col("g_emb")).as("g_q"))
+    collectedCentroids(centroids, id, vec) match {
+      // Literal centroids: the whole index build is ONE narrow map — the
+      // crossJoin form materializes gallery×K rows through a partial agg
+      // and then re-joins the assignment onto the gallery (two
+      // gallery-scale exchanges that exist only to recover g_emb).
+      case Some(cents) =>
+        gal.select(col("g_id"),
+          element_at(nearestCentroidsSorted(cents, col("g_emb")), 1)
+            .getField("cid").as("cid"),
+          VectorOps.quantizeInt8(col("g_emb")).as("g_q"))
+      case None =>
+        val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
+        val gAssigned = gal.crossJoin(broadcast(c))
+          .withColumn("sim", cosine6(col("g_emb"), col("c_emb")))
+          .groupBy("g_id")
+          .agg(min_by(col("cid"), argminKey(col("sim"), col("cid"))).as("cid"))
+        gal.join(gAssigned, "g_id")
+          .select(col("g_id"), col("cid"), VectorOps.quantizeInt8(col("g_emb")).as("g_q"))
+    }
   }
 
   /** Persist an [[ivfIndex]] BUCKETED by cluster id: the steady-state
@@ -369,15 +422,22 @@ object Ann {
     require(batchN == batchDistinct,
       s"appendIvfIndex: newVectors carries ${batchN - batchDistinct} " +
         s"duplicate $id value(s) within the batch — dedup the batch first")
-    val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
     val gal = newVectors.select(col(id).as("g_id"), col(vec).as("g_emb"))
     // Same arg-min key as ivfAssign/ivfIndex — identical cid per vector —
     // with the winning similarity kept for the drift report.
-    val best = gal.crossJoin(broadcast(c))
-      .withColumn("sim", cosine6(col("g_emb"), col("c_emb")))
-      .groupBy("g_id")
-      .agg(min_by(struct(col("cid"), col("sim")), argminKey(col("sim"), col("cid"))).as("b"))
-      .select(col("g_id"), col("b.cid").as("cid"), col("b.sim").as("sim"))
+    val best = collectedCentroids(centroids, id, vec) match {
+      case Some(cents) =>
+        gal.select(col("g_id"),
+            element_at(nearestCentroidsSorted(cents, col("g_emb")), 1).as("b"))
+          .select(col("g_id"), col("b.cid").as("cid"), col("b.sim").as("sim"))
+      case None =>
+        val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
+        gal.crossJoin(broadcast(c))
+          .withColumn("sim", cosine6(col("g_emb"), col("c_emb")))
+          .groupBy("g_id")
+          .agg(min_by(struct(col("cid"), col("sim")), argminKey(col("sim"), col("cid"))).as("b"))
+          .select(col("g_id"), col("b.cid").as("cid"), col("b.sim").as("sim"))
+    }
     val newIdx = gal.join(best, "g_id")
       .select(col("g_id"), col("cid"), VectorOps.quantizeInt8(col("g_emb")).as("g_q"))
     // loadIvfIndex above already register-validated the attachment; the
@@ -455,7 +515,7 @@ object Ann {
     val wCoarse = Window.partitionBy("p_id")
       .orderBy(rankSafe(col("cs")).desc, col("g_id"))
     val cand = deduped
-      .withColumn("cs", round(VectorOps.cosineInt8(col("p_q"), col("g_q")), 6))
+      .withColumn("cs", round(VectorOps.cosineInt8Native(col("p_q"), col("g_q")), 6))
       .withColumn("rn", row_number().over(wCoarse))
       .where(col("rn") <= overfetch * k)
       .select("p_id", "g_id")
@@ -478,26 +538,9 @@ object Ann {
                                 gallery: DataFrame, centroids: DataFrame, k: Int,
                                 nprobe: Int = 2, overfetch: Int = 4,
                                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
     val gal = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
-    val gq = index.select(col("g_id"), col("cid"), col("g_q"))
     val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
-    val wc = Window.partitionBy("p_id")
-      .orderBy(rankSafe(col("csim")).desc, col("cid"))
-    val pAssigned = p.crossJoin(broadcast(c))
-      .withColumn("csim", cosine6(col("p_emb"), col("c_emb")))
-      .withColumn("crn", row_number().over(wc))
-      .where(col("crn") <= nprobe)
-      .select(col("p_id"), VectorOps.quantizeInt8(col("p_emb")).as("p_q"), col("cid"))
-    // Each gallery vector lives in exactly one list, so a probe never sees
-    // a candidate twice across its nprobe cells — no distinct needed.
-    val wCoarse = Window.partitionBy("p_id")
-      .orderBy(rankSafe(col("cs")).desc, col("g_id"))
-    val cand = pAssigned.join(gq, "cid")
-      .withColumn("cs", round(VectorOps.cosineInt8(col("p_q"), col("g_q")), 6))
-      .withColumn("rn", row_number().over(wCoarse))
-      .where(col("rn") <= overfetch * k)
-      .select("p_id", "g_id")
+    val cand = probeCand(p, index, centroids, k, nprobe, overfetch, id, vec)
     val wExact = Window.partitionBy("p_id")
       .orderBy(rankSafe(col("s")).desc, col("g_id"))
     cand.join(p, "p_id")
@@ -506,6 +549,66 @@ object Ann {
       .withColumn("rn", row_number().over(wExact))
       .where(col("rn") <= k)
       .select("p_id", "g_id", "s", "rn")
+  }
+
+  /** Probe-side multi-probe cell pick: (p_id, p_q, cid) per probed cell.
+    * With literal centroids the top-nprobe cells are a slice of the
+    * sorted literal array — one narrow projection, no probe-side
+    * exchange (the window form shuffles probes by p_id just to rank
+    * ≤ maxLiteralCentroids similarities). */
+  private def probeCells(p: DataFrame, centroids: DataFrame, nprobe: Int,
+                         id: String, vec: String): DataFrame =
+    collectedCentroids(centroids, id, vec) match {
+      case Some(cents) =>
+        p.select(col("p_id"), VectorOps.quantizeInt8(col("p_emb")).as("p_q"),
+            explode(slice(nearestCentroidsSorted(cents, col("p_emb")), 1, nprobe))
+              .as("__c"))
+          .select(col("p_id"), col("p_q"), col("__c.cid").as("cid"))
+      case None =>
+        val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
+        val wc = Window.partitionBy("p_id")
+          .orderBy(rankSafe(col("csim")).desc, col("cid"))
+        p.crossJoin(broadcast(c))
+          .withColumn("csim", cosine6(col("p_emb"), col("c_emb")))
+          .withColumn("crn", row_number().over(wc))
+          .where(col("crn") <= nprobe)
+          .select(col("p_id"), VectorOps.quantizeInt8(col("p_emb")).as("p_q"), col("cid"))
+    }
+
+  /** Coarse int8 candidates: equi join on the probed cell id, ranked cut
+    * to overfetch·k per probe (WindowGroupLimit). Each gallery vector
+    * lives in exactly one list, so a probe never sees a candidate twice
+    * across its nprobe cells — no distinct needed. */
+  private def probeCand(p: DataFrame, index: DataFrame, centroids: DataFrame,
+                        k: Int, nprobe: Int, overfetch: Int,
+                        id: String, vec: String): DataFrame = {
+    val gq = index.select(col("g_id"), col("cid"), col("g_q"))
+    val wCoarse = Window.partitionBy("p_id")
+      .orderBy(rankSafe(col("cs")).desc, col("g_id"))
+    probeCells(p, centroids, nprobe, id, vec).join(gq, "cid")
+      .withColumn("cs", round(VectorOps.cosineInt8Native(col("p_q"), col("g_q")), 6))
+      .withColumn("rn", row_number().over(wCoarse))
+      .where(col("rn") <= overfetch * k)
+      .select("p_id", "g_id")
+  }
+
+  /** Diagnostic prefixes of the probe path for [[graft.AnnCostProbe]]:
+    * stage 1 = cell pick, 2 = + candidate join (pre-cut), 3 = + coarse
+    * cut. Not part of the public contract. */
+  private[graft] def probeStage(probes: DataFrame, index: DataFrame,
+                                centroids: DataFrame, k: Int,
+                                nprobe: Int = 2, overfetch: Int = 4,
+                                id: String = "vec_id", vec: String = "embedding",
+                                stage: Int): DataFrame = {
+    val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
+    stage match {
+      case 1 => probeCells(p, centroids, nprobe, id, vec)
+      case 2 =>
+        probeCells(p, centroids, nprobe, id, vec)
+          .join(index.select(col("g_id"), col("cid"), col("g_q")), "cid")
+          .withColumn("cs", round(VectorOps.cosineInt8Native(col("p_q"), col("g_q")), 6))
+      case _ => probeCand(p, index, centroids, k, nprobe, overfetch, id, vec)
+    }
   }
 
   /** Element-wise per-cluster centroid (the k-means recenter / IVF centroid

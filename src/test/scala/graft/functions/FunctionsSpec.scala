@@ -26,6 +26,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff pairs diverge from the HOF lowering")
   }
 
+  test("cosine_sim int8 arm is bit-identical to the HOF cosineInt8 incl. the NaN case") {
+    // Code pairs over a bounded slice (all-pairs of the FULL table
+    // recomputes the collapsed quantize expression inside every HOF pass
+    // — minutes of interpreted array churn for no extra coverage), with
+    // an all-zero code pair appended so the NaN arm is exercised even if
+    // no fixture vector quantizes to zero. NaN <> NaN is false in SQL,
+    // so the compare goes through NaN-normalizing keys. localCheckpoint
+    // materializes the codes so both scorings read the SAME arrays.
+    val emb = TestSpark.table("embeddings").where(col("vec_id") < 300)
+    val zero = emb.limit(1).select(
+      expr("transform(embedding, x -> cast(0 as float))").as("embedding"))
+    val one = emb.select(col("embedding")).unionAll(zero)
+    val q = one.select(VectorOps.quantizeInt8(col("embedding")).as("qa"))
+      .crossJoin(one.select(VectorOps.quantizeInt8(col("embedding")).as("qb")))
+      .localCheckpoint()
+    val df = q.select(
+      VectorOps.cosineInt8(col("qa"), col("qb")).as("hof"),
+      VectorOps.cosineInt8Native(col("qa"), col("qb")).as("nat"))
+    val bad = df.where(
+      "nanvl(hof, -9) <> nanvl(nat, -9) or (hof is null) <> (nat is null) " +
+        "or isnan(hof) <> isnan(nat)").count()
+    assert(bad == 0, s"$bad int8 pairs diverge from the HOF lowering")
+    assert(df.where("isnan(hof)").count() > 0, "the NaN (zero-code) arm never fired")
+    // Mixed element types stay rejected.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select cosine_sim(array(cast(1 as tinyint)), array(cast(1 as float)))").collect()
+    }
+    assert(e.getMessage.contains("array<tinyint>"))
+  }
+
   test("dot_f32 is bit-identical to the HOF dot fold") {
     val df = pairs.select(
       VectorOps.dot(col("ea"), col("eb")).as("hof"),
