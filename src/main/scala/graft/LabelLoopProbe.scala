@@ -18,34 +18,45 @@ object LabelLoopProbe {
     val nEdges = if (args.nonEmpty) args(0).toLong else 1000000L
     val pct = if (args.length > 1) args(1).toDouble else 0.01
     val k = if (args.length > 2) args(2).toInt else 2
-    val nNodes = nEdges / 10
+    // Edge-to-node ratio: the fold's win regime is DENSE graphs (edge
+    // work >> node-scale state maintenance) — measurable via args(3).
+    val ratio = if (args.length > 3) args(3).toLong else 10L
+    val nNodes = nEdges / ratio
     def synth(n: Long, offset: Long) =
       spark.range(offset, offset + n).select(
           concat(lit("n"), (col("id") % nNodes).cast("string")).as("src"),
           concat(lit("n"), ((col("id") * col("id") + col("id")) % (nNodes / 10))
             .cast("string")).as("dst"))
     val base = synth(nEdges, 0L).localCheckpoint()
-    val extra = synth((nEdges * pct).toLong, nEdges)
-      .unionAll(spark.range(50).select(
-        concat(lit("m"), col("id").cast("string")).as("src"),
-        lit("n0").as("dst"))).localCheckpoint()
-    println(s"== base=${base.count()} extra=${extra.count()} k=$k")
+    // Two append regimes: LOCAL (a 50-edge chain hanging off one node —
+    // the k-hop cone stays tiny) and SPREAD (1% of edge volume over the
+    // hub-dense id space — the cone reaches most of the graph, the
+    // incremental form's honest worst case).
+    val local = spark.range(50).select(
+      concat(lit("m"), col("id").cast("string")).as("src"),
+      concat(lit("m"), ((col("id") + 1) % 51).cast("string")).as("dst"))
+      .localCheckpoint()
+    val spread = synth((nEdges * pct).toLong, nEdges).localCheckpoint()
+    println(s"== base=${base.count()} nodes≈$nNodes local=${local.count()} spread=${spread.count()} k=$k")
 
     val root = java.nio.file.Files.createTempDirectory("graft-lblprobe").toString
     val (state, edges, out) = (s"$root/state", s"$root/edges", s"$root/out")
     def t[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"== $tag%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f sec"); r
+      println(f"== $tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f sec"); r
     }
     t("fold batch0 (cold, full)") {
       graft.streaming.LabelLoop.foldBatch(base, 0L, "src", "dst", k, state, edges, out)
     }
-    t("fold batch1 (1% append)") {
-      graft.streaming.LabelLoop.foldBatch(extra, 1L, "src", "dst", k, state, edges, out)
+    t("fold batch1 (local 50-edge)") {
+      graft.streaming.LabelLoop.foldBatch(local, 1L, "src", "dst", k, state, edges, out)
+    }
+    t("fold batch2 (1% spread)") {
+      graft.streaming.LabelLoop.foldBatch(spread, 2L, "src", "dst", k, state, edges, out)
     }
     val cold = t("cold sweep over union") {
       val l = graft.ops.GraphOps.labelPropagation(
-        base.unionAll(extra), iterations = k).localCheckpoint()
+        base.unionAll(local).unionAll(spread), iterations = k).localCheckpoint()
       l.count(); l
     }
     val diff = graft.streaming.LabelLoop.latestLabels(spark, state, k)

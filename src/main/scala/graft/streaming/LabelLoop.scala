@@ -33,13 +33,21 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * of restarting the cascade mid-round — plus the accumulated edge set,
   * appended (never rewritten) under `edgesDir/batch=<id>`.
   *
-  * Scale shape per batch: k× { one equi join expanding the changed
+  * Scale shape per batch: k× { one semi join expanding the changed
   * frontier along in-edges, one vote count + WindowGroupLimit top-1
   * restricted to the affected sources }, then one node-scale state
   * rewrite. The full edge set is re-SCANNED each round (columnar,
-  * narrow — only src/dst) but re-AGGREGATED only on the affected
-  * slice; the avoided cost is the full-graph shuffle+count+window of a
-  * cold sweep. Same [[VersionedState]] exactly-once posture as the
+  * narrow — only src/dst, probed by a broadcast-small frontier, so
+  * edge data never enters an exchange) but re-SHUFFLED only on the
+  * affected slice; a cold sweep exchanges the full edge set k times
+  * per batch. Measured honestly (LabelLoopProbe, SURVEY §6): at
+  * local[32] 1M–4M edges the fold and the cold sweep are at PARITY
+  * (±20% — local shuffles are memory-speed, and the fold pays ~10
+  * job barriers of node-scale state maintenance plus the persisted
+  * store read the in-memory sweep skips); the incremental form's win
+  * is the shuffled-volume asymmetry (O(affected cone) vs O(E·k)),
+  * which pays on network-bound clusters and dense graphs, not on a
+  * single box. Same [[VersionedState]] exactly-once posture as the
   * other loops: deterministic Overwrite per batch id for output, edge
   * store, and state; GC below the version read.
   */
@@ -71,11 +79,13 @@ object LabelLoop {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint()
     delta.write.mode(SaveMode.Overwrite).parquet(s"$edgesDir/batch=$batchId")
-    // Full accumulated edge set: append-only store, distinct across
-    // batches (a replayed or re-sent edge collapses here exactly as the
-    // batch operator's `distinct` does).
-    val edges = spark.read.parquet(edgesDir)
-      .select(col("src"), col("dst")).distinct().localCheckpoint()
+    // Full accumulated edge set, read LAZILY — never materialized or
+    // globally deduped per batch (that would be O(graph) work on every
+    // fold, swamping a small append's cone; LabelLoopProbe measured the
+    // first draft losing to the cold sweep on exactly that). Re-sent
+    // edges dedup on the AFFECTED slice below, where the batch operator's
+    // `distinct` semantics are actually consumed.
+    val store = spark.read.parquet(edgesDir).select(col("src"), col("dst"))
 
     val priorV = VersionedState.priorVersion(stateDir, batchId)
     val prior = priorV
@@ -83,12 +93,23 @@ object LabelLoop {
       .getOrElse(emptyState(spark, iterations))
       .localCheckpoint()
 
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val newNodes = nodes.join(prior, Seq("node"), "left_anti").localCheckpoint()
-    val deltaSrcs = delta.select(col("src").as("node")).distinct().localCheckpoint()
+    // The node universe is maintained from STATE + delta (the prior
+    // trajectory covers every node the graph had), not re-derived from
+    // an edge-store scan.
+    // explode, not union: a Union under the anti-join makes Spark's
+    // union-constraint rewrite look up attributes that the checkpointed
+    // prior no longer exposes (NoSuchElementException at optimization
+    // time); toDF re-aliases so prior's own attributes never flow into
+    // the later self-joins.
+    val deltaNodes = delta
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+    val newNodes = deltaNodes.join(prior, Seq("node"), "left_anti")
+      .localCheckpoint().toDF("node")
+    val nodes = prior.select("node").unionAll(newNodes.select("node"))
+      .localCheckpoint().toDF("node")
+    val deltaSrcs = delta.select(col("src").as("node")).distinct()
     // Round-0 labels are definitionally the node ids — no state needed.
-    var cur = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
+    var cur = nodes.select(col("node"), col("node").as("lbl"))
     // Nodes whose PREVIOUS-round label differs from the persisted
     // trajectory: at round 0 only new nodes (old l0 never changes).
     var changed = newNodes
@@ -98,13 +119,17 @@ object LabelLoop {
       // Affected sources this round: changed-label in-neighbors + the
       // always-dirty sets (delta sources re-vote every round; new nodes
       // have no trajectory to fall back on).
-      val affected = edges
+      val affected = store
         .join(changed.select(col("node").as("__c")), col("dst") === col("__c"), "left_semi")
         .select(col("src").as("node"))
         .union(deltaSrcs).union(newNodes.select("node"))
         .distinct().localCheckpoint()
-      val votes = edges
+      // One-neighbor-one-vote dedup happens HERE, on the affected slice
+      // only — cross-batch re-sent edges collapse exactly as the batch
+      // operator's global `distinct`, without an O(graph) dedup per fold.
+      val votes = store
         .join(affected.select(col("node").as("__a")), col("src") === col("__a"), "left_semi")
+        .dropDuplicates("src", "dst")
         .join(cur.select(col("node").as("__n"), col("lbl")), col("__n") === col("dst"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
@@ -125,7 +150,7 @@ object LabelLoop {
         .localCheckpoint()
       changed = rec.join(priorR, Seq("node"), "left")
         .where(col("__pl").isNull || col("__rl") =!= col("__pl"))
-        .select("node").localCheckpoint()
+        .select("node")
       trajCols = trajCols :+ (r -> cur)
     }
     cur.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
