@@ -515,9 +515,24 @@ object DedupOps {
     * backing the returned DataFrame, like a checkpoint would.
     *
     * Input: pairs (d1, d2). Output: (doc, label) for every node with at
-    * least one edge, label = min node id of its component. */
+    * least one edge, label = min node id of its component.
+    *
+    * `warmStart`: a prior `(doc, label)` table (what this function
+    * returns) to seed labels from after an edge APPEND — the
+    * O(new-data) maintenance posture (`pageRankWarm`'s CC twin). Sound
+    * because appends only MERGE components and the iteration is
+    * monotone: a prior label is the min node of the node's OLD
+    * component — still a member of its (possibly merged) new component
+    * and ≥ the new min — so it is a valid intermediate state of the
+    * SAME fixpoint computation; nodes absent from the prior seed at
+    * their own id as usual. From a warm start the propagation only has
+    * to carry the smaller merged label from the merge point through the
+    * absorbed component (then one pointer jump floods it), instead of
+    * re-deriving every component from scratch; OpsSpec pins warm ≡
+    * cold labels and 0-round stability at the fixpoint. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          warmStart: Option[DataFrame] = None): DataFrame = {
     val spark = pairs.sparkSession
     val runDir = checkpointDir.map(d =>
       s"$d/graft-cc-${java.util.UUID.randomUUID()}")
@@ -527,17 +542,40 @@ object DedupOps {
         val path = s"$base/step-$step"; step += 1
         df.write.mode("overwrite").parquet(path)
         (spark.read.parquet(path), Some(path))
-      case None => (df.localCheckpoint(), None)
+      case None =>
+        // localCheckpoint cuts LINEAGE but carries the child's
+        // CONSTRAINT set forward (LogicalRDD.rewriteStatsAndConstraints)
+        // — and this loop's per-round self-join DOUBLES that set, so by
+        // round ~10 constraint rewriting dwarfs the actual work (a warm
+        // start seeded from a prior run's output inherits its baggage
+        // and visibly hangs in stats estimation). Rebuilding the frame
+        // from the checkpointed RDD is a constraint-free boundary; the
+        // parquet arm above is naturally free of it. The edge table is
+        // cut ONCE from a shallow plan and scanned every round — it
+        // keeps the raw internal-row checkpoint (no accumulation to
+        // strip, and the Row re-encoding boundary would tax each scan).
+        val ck = df.localCheckpoint()
+        (spark.createDataFrame(ck.rdd, ck.schema), None)
+    }
+    def cutRaw(df: DataFrame): (DataFrame, Option[String]) = runDir match {
+      case Some(_) => cut(df)
+      case None    => (df.localCheckpoint(), None)
     }
     def drop(path: Option[String]): Unit = path.foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     }
-    val (e, ePath) = cut(pairs.select(col("d1").as("u"), col("d2").as("v"))
+    val (e, ePath) = cutRaw(pairs.select(col("d1").as("u"), col("d2").as("v"))
       .unionAll(pairs.select(col("d2").as("u"), col("d1").as("v")))
       .distinct())
-    var (labels, labelsPath) = cut(e.select(col("u")).distinct()
-      .withColumn("label", col("u")))
+    var (labels, labelsPath) = cut(warmStart match {
+      case None => e.select(col("u")).distinct().withColumn("label", col("u"))
+      case Some(prior) =>
+        e.select(col("u")).distinct()
+          .join(prior.select(col("doc").as("u"), col("label").as("__pl")),
+            Seq("u"), "left")
+          .select(col("u"), coalesce(col("__pl"), col("u")).as("label"))
+    })
     var converged = false
     var i = 0
     try {

@@ -506,6 +506,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents warm start: ≡ cold after a merging append; cheap at the fixpoint") {
+    import spark.implicits._
+    // Two far-apart components (a 40-link chain and a clique-ish blob),
+    // then ONE appended edge merges them — the maintenance case.
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val blob = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L))
+    val base = (chain ++ blob).toDF("d1", "d2")
+    val prior = DedupOps.connectedComponents(base)
+    val appended = (chain ++ blob ++ Seq((3L, 120L), (200L, 201L))).toDF("d1", "d2")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = m(DedupOps.connectedComponents(appended))
+    val warm = m(DedupOps.connectedComponents(appended, warmStart = Some(prior)))
+    assert(warm == cold, "warm start must reach the cold fixpoint")
+    assert(warm(120L) == 0L && warm(200L) == 200L,
+      "merged chain must adopt the blob's min; the new island labels itself")
+    // Warm-starting AT the fixpoint: the merge is already folded in, so
+    // maxIter=2 suffices (1 no-change round + convergence observation) —
+    // a cold run under the same budget THROWS on the 40-link chain.
+    val again = m(DedupOps.connectedComponents(appended, maxIter = 2,
+      warmStart = Some(appended.select(col("d1").as("doc")).unionAll(
+        appended.select(col("d2").as("doc"))).distinct()
+        .join(DedupOps.connectedComponents(appended)
+          .select(col("doc"), col("label")), Seq("doc"))
+        .select(col("doc"), col("label")))))
+    assert(again == cold, "fixpoint warm start must be stationary")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(appended, maxIter = 2).collect()
+    }
+  }
+
   test("connectedComponents: throws on non-convergence instead of returning split labels") {
     import spark.implicits._
     // Path graph 0-1-...-64: pointer jumping reaches distance ~2^t after t
