@@ -135,6 +135,18 @@ object Bench {
             assets, new graft.ops.MediaCodecs.ImageCodec(4, 4))
           .agg(count(lit(1)).as("n"))
       },
+      // WARC crawl-archive ingestion (round 10): archive synthesis is
+      // fixture work (outside the thunk); the timed pass is gunzip +
+      // record framing + HTTP split + HTML→text over every document —
+      // the per-archive cost model of the crawl front door.
+      "x_warc_ingest" -> {
+        val archives = graft.ops.Warc.syntheticArchives(
+          docs, col("doc_id"), col("text")).persist()
+        archives.count() // materialize: the bench times ingestion, not synthesis
+        () => graft.api.Pipelines.warcDocuments(
+            archives, col("asset_id"), col("payload"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"))
+      },
       // Manifest-pruned range read (FileStats): layout + stats collection
       // happen once outside the timed thunk (that's table maintenance,
       // amortized over every probe); the timed pass is plan-from-manifest
@@ -232,6 +244,7 @@ object Bench {
     "x_boundary_span"      -> 0.40,
     "x_lang_classify"      -> 0.23,
     "x_bloom_semijoin"     -> 2.47,
+    "x_warc_ingest"        -> 0.29,
   )
 
   def main(args: Array[String]): Unit = {

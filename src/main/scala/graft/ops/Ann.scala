@@ -94,7 +94,8 @@ object Ann {
     val head = centroids.select(col(id), col(vec))
       .limit(maxLiteralCentroids + 1).collect()
     if (head.isEmpty || head.length > maxLiteralCentroids ||
-        head.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        head.exists(r => r.isNullAt(0) || r.isNullAt(1) ||
+          r.getSeq[Any](1).exists(_ == null))) None
     else Some(head.toSeq.map(r => (r.get(0), r.getSeq[Float](1))))
   }
 
@@ -117,7 +118,12 @@ object Ann {
     * are inlined as literals and assignment is one narrow projection; the
     * broadcast crossJoin + map-side-combined arg-min stays as the
     * large-K path. Identical results by construction (same cosine6, same
-    * `(−rankSafe(sim), cid)` ordering key). */
+    * `(−rankSafe(sim), cid)` ordering key) — UNDER the contract every
+    * caller already assumes and `appendIvfIndex` enforces explicitly:
+    * `id` is unique per vector. (With duplicate ids the two paths differ
+    * in cardinality: the projection emits one row per input row, the
+    * grouped fallback one row per id folding all duplicates' candidates
+    * — neither is meaningful input.) */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 id: String = "vec_id", vec: String = "embedding"): DataFrame =
     collectedCentroids(centroids, id, vec) match {
@@ -314,9 +320,14 @@ object Ann {
   def topKQuantizedIvf(probes: DataFrame, gallery: DataFrame,
                        centroids: DataFrame, k: Int,
                        nprobe: Int = 2, overfetch: Int = 4,
-                       id: String = "vec_id", vec: String = "embedding"): DataFrame =
-    topKQuantizedIvfWithIndex(probes, ivfIndex(gallery, centroids, id, vec),
-      gallery, centroids, k, nprobe, overfetch, id, vec)
+                       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    // ONE eager centroid collect, threaded through both the index build
+    // and the probe cell pick — letting each half re-collect would run
+    // duplicate driver jobs per operator CONSTRUCTION.
+    val cents = collectedCentroids(centroids, id, vec)
+    withIndexImpl(probes, ivfIndexImpl(gallery, centroids, cents, id, vec),
+      gallery, centroids, cents, k, nprobe, overfetch, id, vec)
+  }
 
   /** The inverted-list index behind [[topKQuantizedIvf]]: (g_id, cid, g_q
     * int8 codes). Building it scans the gallery once (assignment +
@@ -324,9 +335,14 @@ object Ann {
     * amortize across probe batches, paying only cluster-local work per
     * batch ([[topKQuantizedIvfWithIndex]]). */
   def ivfIndex(gallery: DataFrame, centroids: DataFrame,
-               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+               id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    ivfIndexImpl(gallery, centroids, collectedCentroids(centroids, id, vec), id, vec)
+
+  private def ivfIndexImpl(gallery: DataFrame, centroids: DataFrame,
+                           cents0: Option[Seq[(Any, Seq[Float])]],
+                           id: String, vec: String): DataFrame = {
     val gal = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
-    collectedCentroids(centroids, id, vec) match {
+    cents0 match {
       // Literal centroids: the whole index build is ONE narrow map — the
       // crossJoin form materializes gallery×K rows through a partial agg
       // and then re-joins the assignment onto the gallery (two
@@ -537,10 +553,18 @@ object Ann {
   def topKQuantizedIvfWithIndex(probes: DataFrame, index: DataFrame,
                                 gallery: DataFrame, centroids: DataFrame, k: Int,
                                 nprobe: Int = 2, overfetch: Int = 4,
-                                id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+                                id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    withIndexImpl(probes, index, gallery, centroids,
+      collectedCentroids(centroids, id, vec), k, nprobe, overfetch, id, vec)
+
+  private def withIndexImpl(probes: DataFrame, index: DataFrame,
+                            gallery: DataFrame, centroids: DataFrame,
+                            cents0: Option[Seq[(Any, Seq[Float])]], k: Int,
+                            nprobe: Int, overfetch: Int,
+                            id: String, vec: String): DataFrame = {
     val gal = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
     val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
-    val cand = probeCand(p, index, centroids, k, nprobe, overfetch, id, vec)
+    val cand = probeCand(p, index, centroids, cents0, k, nprobe, overfetch, id, vec)
     val wExact = Window.partitionBy("p_id")
       .orderBy(rankSafe(col("s")).desc, col("g_id"))
     cand.join(p, "p_id")
@@ -556,9 +580,10 @@ object Ann {
     * sorted literal array — one narrow projection, no probe-side
     * exchange (the window form shuffles probes by p_id just to rank
     * ≤ maxLiteralCentroids similarities). */
-  private def probeCells(p: DataFrame, centroids: DataFrame, nprobe: Int,
+  private def probeCells(p: DataFrame, centroids: DataFrame,
+                         cents0: Option[Seq[(Any, Seq[Float])]], nprobe: Int,
                          id: String, vec: String): DataFrame =
-    collectedCentroids(centroids, id, vec) match {
+    cents0 match {
       case Some(cents) =>
         p.select(col("p_id"), VectorOps.quantizeInt8(col("p_emb")).as("p_q"),
             explode(slice(nearestCentroidsSorted(cents, col("p_emb")), 1, nprobe))
@@ -580,12 +605,13 @@ object Ann {
     * lives in exactly one list, so a probe never sees a candidate twice
     * across its nprobe cells — no distinct needed. */
   private def probeCand(p: DataFrame, index: DataFrame, centroids: DataFrame,
+                        cents0: Option[Seq[(Any, Seq[Float])]],
                         k: Int, nprobe: Int, overfetch: Int,
                         id: String, vec: String): DataFrame = {
     val gq = index.select(col("g_id"), col("cid"), col("g_q"))
     val wCoarse = Window.partitionBy("p_id")
       .orderBy(rankSafe(col("cs")).desc, col("g_id"))
-    probeCells(p, centroids, nprobe, id, vec).join(gq, "cid")
+    probeCells(p, centroids, cents0, nprobe, id, vec).join(gq, "cid")
       .withColumn("cs", round(VectorOps.cosineInt8Native(col("p_q"), col("g_q")), 6))
       .withColumn("rn", row_number().over(wCoarse))
       .where(col("rn") <= overfetch * k)
@@ -601,13 +627,14 @@ object Ann {
                                 id: String = "vec_id", vec: String = "embedding",
                                 stage: Int): DataFrame = {
     val p = probes.select(col(id).as("p_id"), col(vec).as("p_emb"))
+    val cents = collectedCentroids(centroids, id, vec)
     stage match {
-      case 1 => probeCells(p, centroids, nprobe, id, vec)
+      case 1 => probeCells(p, centroids, cents, nprobe, id, vec)
       case 2 =>
-        probeCells(p, centroids, nprobe, id, vec)
+        probeCells(p, centroids, cents, nprobe, id, vec)
           .join(index.select(col("g_id"), col("cid"), col("g_q")), "cid")
           .withColumn("cs", round(VectorOps.cosineInt8Native(col("p_q"), col("g_q")), 6))
-      case _ => probeCand(p, index, centroids, k, nprobe, overfetch, id, vec)
+      case _ => probeCand(p, index, centroids, cents, k, nprobe, overfetch, id, vec)
     }
   }
 

@@ -608,6 +608,22 @@ object DedupOps {
         s"connectedComponents: labels still changing after $maxIter rounds — " +
           "a component with diameter > maxIter would get silently split " +
           "labels; raise maxIter (rounds needed ~ worst component diameter)")
+    // Warm-start premise check (append-only edge set): labels only ever
+    // DECREASE, so a stale seed label from a node no longer in the graph
+    // survives to the fixpoint looking exactly like a correct answer —
+    // one node-scale anti-join catches the common violation (a rewritten
+    // or shrunk pair set). A label that is still a node but no longer
+    // the component min (an edge REMOVED between runs) is undetectable
+    // short of a cold recompute; append-only remains the caller contract.
+    if (warmStart.isDefined) {
+      val ghost = labels.select(col("label").as("u")).distinct()
+        .join(e.select(col("u")).distinct(), Seq("u"), "left_anti")
+        .limit(1).count()
+      require(ghost == 0L,
+        "connectedComponents: warmStart labels reference node ids absent " +
+          "from `pairs` — the edge set is not a superset of the prior " +
+          "run's (warm start requires append-only edges); re-run cold")
+    }
     labels.select(col("u").as("doc"), col("label"))
   }
 

@@ -29,7 +29,11 @@ object Warc {
     * yields the bytes decoded so far (salvage, never throw). */
   def gunzip(b: Array[Byte]): Array[Byte] = {
     if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return b
-    val out = new ByteArrayOutputStream(b.length * 4)
+    // Initial capacity only (the stream grows): cap it — b.length * 4
+    // overflows Int on ~512 MiB payloads, and ByteArrayOutputStream
+    // throws on a negative capacity BEFORE the salvage try.
+    val out = new ByteArrayOutputStream(
+      math.max(64L, math.min(b.length.toLong * 4, 1L << 26)).toInt)
     try {
       // GZIPInputStream reads concatenated members natively.
       val in = new GZIPInputStream(new ByteArrayInputStream(b))
@@ -73,7 +77,10 @@ object Warc {
               if (i > 0) hs += (h.take(i).trim.toLowerCase -> h.drop(i + 1).trim)
             case None => inHeaders = false; ok = false
           }
+          // toLongOption alone admits a negative length, and
+          // copyOfRange(from > to) then THROWS out of the salvage path.
           val len = hs.get("content-length").flatMap(_.toLongOption)
+            .filter(n => n >= 0 && n <= Int.MaxValue)
           (len, ok) match {
             case (Some(n), true) if p + n <= b.length =>
               out += WarcRecord(hs, java.util.Arrays.copyOfRange(b, p, p + n.toInt))
@@ -113,7 +120,8 @@ object Warc {
     "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>".r
   private val comments = "(?s)<!--.*?-->".r
   private val tags = "(?s)<[^>]*>".r
-  private val numEntity = "&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});".r
+  private val entity =
+    "&(amp|lt|gt|quot|apos|nbsp|#x[0-9a-fA-F]{1,6}|#[0-9]{1,7});".r
 
   /** HTML → whitespace-normalized plain text: script/style/comment blocks
     * drop whole, tags drop, block-ish tags become newlines before
@@ -129,20 +137,65 @@ object Warc {
     s = s.replaceAll("[\\r\\n\\t]+", " ")
     s = "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)\\b[^>]*>".r.replaceAllIn(s, "\n")
     s = tags.replaceAllIn(s, " ")
-    s = numEntity.replaceAllIn(s, m => {
-      val g = m.group(1)
-      val cp = if (g.charAt(0) == 'x' || g.charAt(0) == 'X')
-        Integer.parseInt(g.substring(1), 16) else Integer.parseInt(g)
-      if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF) &&
-          (cp >= 0x20 || cp == '\n'.toInt || cp == '\t'.toInt))
-        java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
-      else " "
+    // ONE pass for named + numeric entities: chained global replaces
+    // double-decode ("&amp;lt;" — an author literally writing "&lt;" —
+    // must yield "&lt;", not "<"; each source position decodes at most
+    // once).
+    s = entity.replaceAllIn(s, m => {
+      val rep = m.group(1) match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case "nbsp" => " "
+        case g =>
+          val cp = if (g.charAt(1) == 'x' || g.charAt(1) == 'X')
+            Integer.parseInt(g.substring(2), 16)
+          else Integer.parseInt(g.substring(1))
+          if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF) &&
+              (cp >= 0x20 || cp == '\n'.toInt || cp == '\t'.toInt))
+            new String(Character.toChars(cp))
+          else " "
+      }
+      java.util.regex.Matcher.quoteReplacement(rep)
     })
-    s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'").replace("&#39;", "'")
-      .replace("&nbsp;", " ")
     s.split("\n").map(_.replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim)
       .filter(_.nonEmpty).mkString("\n")
+  }
+
+  /** Synthetic per-row WARC archive (one gzip member, one 200 HTML
+    * response wrapping `text`) — the bench/spec fixture builder, the
+    * [[MediaCodecs.syntheticImageAssets]] discipline: build REAL archive
+    * bytes once outside the timed thunk so the timed pass measures
+    * gunzip + record framing + HTTP split + HTML extraction, not
+    * fixture synthesis. Output: (asset_id, payload). */
+  def syntheticArchives(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val in: Dataset[Row] = docs.select(id.cast("long").as("i"), text.as("t"))
+      .where(col("i").isNotNull && col("t").isNotNull)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        val html =
+          (s"<html><head><title>doc $i</title></head><body><h1>Doc $i</h1>" +
+            s"<p>${r.getString(1)}</p></body></html>").getBytes(StandardCharsets.UTF_8)
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          s"Content-Length: ${html.length}\r\n\r\n").getBytes(StandardCharsets.US_ASCII) ++ html
+        val warc = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://example.com/doc/$i\r\n" +
+          s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: ${http.length}\r\n\r\n")
+          .getBytes(StandardCharsets.US_ASCII) ++ http ++
+          "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+        val bos = new ByteArrayOutputStream(warc.length / 2 + 64)
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(warc); gz.finish()
+        Row(i, bos.toByteArray)
+      }
+    }(enc)
   }
 
   private val recordSchema = StructType(Seq(

@@ -282,9 +282,23 @@ object FileStats {
     if (cur != null && cur._1 == mXor) cur._2
     else {
       val files = manifest.select("file").collect().map(_.getString(0)).toSeq
-      val s = spark.read.option("basePath", dir).parquet(files: _*).schema
-      schemaCache.put(key, (mXor, s))
-      s
+      if (files.isEmpty) {
+        // Zero-file generation: there is nothing manifest-consistent to
+        // infer from. A stale memo entry is safe here — the result is
+        // provably empty, so any schema shape only types zero rows —
+        // but with no memo at all the honest move is to demand one
+        // verified probe (or a collect) rather than read the LIVE
+        // directory the trust premise says not to touch.
+        if (cur != null) cur._2
+        else throw new IllegalStateException(
+          s"trusted probe against an EMPTY manifest for $dir with no " +
+            "memoized schema: run one verified probe (trustManifest=false) " +
+            "or re-collect the manifest to establish the schema")
+      } else {
+        val s = spark.read.option("basePath", dir).parquet(files: _*).schema
+        schemaCache.put(key, (mXor, s))
+        s
+      }
     }
   }
 

@@ -535,6 +535,16 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       DedupOps.connectedComponents(appended, maxIter = 2).collect()
     }
+    // Premise guard: warm-starting a SHRUNK edge set (not a superset of
+    // the prior run's) leaves stale labels pointing at departed nodes —
+    // refused, not silently returned (labels only decrease, so a stale
+    // min looks exactly like a correct answer).
+    val merged = DedupOps.connectedComponents(appended)
+    val chainOnly = chain.toDF("d1", "d2")
+    val g = intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(chainOnly, warmStart = Some(merged)).collect()
+    }
+    assert(g.getMessage.contains("not a superset"))
   }
 
   test("connectedComponents: throws on non-convergence instead of returning split labels") {
