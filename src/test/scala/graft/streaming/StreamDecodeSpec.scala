@@ -54,4 +54,32 @@ class StreamDecodeSpec extends AnyFunSuite {
         s"decode added streaming state: ${plan.stateOperators.mkString(",")}")
     } finally q.stop()
   }
+
+  test("streamed WARC ingestion equals batch and keeps a stateless plan") {
+    import org.apache.spark.sql.functions.col
+    // Real archives from the fixture builder + one junk payload that must
+    // be row-absent in both forms (salvage, not failure).
+    val docs = TestSpark.table("documents").where(col("doc_id") < 20)
+    val archives = graft.ops.Warc
+      .syntheticArchives(docs, col("doc_id"), col("text"))
+      .collect().map(r => StreamAsset(r.getLong(0), r.getAs[Array[Byte]](1))) :+
+      StreamAsset(999L, "not a warc".getBytes)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(2), r.getLong(4))).toSet
+
+    val batch = canon(graft.api.Pipelines.warcDocuments(
+      archives.toSeq.toDF("asset_id", "payload"), col("asset_id"), col("payload")))
+
+    val mem = MemoryStream[StreamAsset]
+    val q = graft.api.Pipelines.warcDocuments(
+        mem.toDF(), col("asset_id"), col("payload"))
+      .writeStream.format("memory").queryName("t_warc").outputMode("append").start()
+    try {
+      archives.grouped(7).foreach { b => mem.addData(b); q.processAllAvailable() }
+      assert(canon(spark.table("t_warc")) == batch && batch.size == 20)
+      val plan = q.lastProgress
+      assert(plan == null || plan.stateOperators.isEmpty,
+        s"WARC ingestion added streaming state: ${plan.stateOperators.mkString(",")}")
+    } finally q.stop()
+  }
 }
