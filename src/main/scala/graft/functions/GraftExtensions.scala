@@ -67,6 +67,10 @@ object GraftFunctions {
       info(classOf[LangClassify], "lang_classify",
         "lang_classify(pack, text) - argmax language under a pack of frozen char-n-gram LMs, one text walk per gram width"),
       (e: Seq[Expression]) => { checkArity("lang_classify", 2, e); LangClassify(e.head, e(1)) }),
+    (FunctionIdentifier("word_shingles"),
+      info(classOf[WordShingles], "word_shingles",
+        "word_shingles(text, n) - word n-gram shingles as zero-copy substrings, one byte walk per row"),
+      (e: Seq[Expression]) => { checkArity("word_shingles", 2, e); WordShingles(e.head, e(1)) }),
   )
 
   def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)

@@ -17,8 +17,22 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles: `n` consecutive tokens joined by a space, one per
-    * start position (at least one shingle even for short docs). */
-  def wordShingles(text: Column, n: Int): Column = {
+    * start position (at least one shingle even for short docs). Rides the
+    * native `word_shingles` expression (graft.functions.WordShingles) —
+    * value-identical to [[wordShinglesHof]] (FunctionsSpec proves it; the
+    * sf0.01 oracle gate re-proves it per declared query) in one byte walk
+    * emitting zero-copy substrings instead of split+slice+concat churn.
+    * NULL-text subtlety the HOF pins: `concat_ws` swallows the null
+    * `slice`, so the HOF yields `[""]` for null text (NOT null) — a
+    * null-text doc must flow through shingle-driven filters, never be
+    * silently dropped by a null predicate (NullSafetySpec). The coalesce
+    * reproduces that exactly: "" shingles to `[""]` too. */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("word_shingles", coalesce(text, lit("")), lit(n))
+
+  /** The declared-SQL HOF lowering of [[wordShingles]] — kept as the
+    * cross-proof twin. */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     transform(
       sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),

@@ -56,6 +56,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("array<tinyint>"))
   }
 
+  test("word_shingles ≡ the HOF lowering on the corpus and every separator edge case") {
+    import spark.implicits._
+    val corpus = TestSpark.table("documents").select(col("text"))
+    val edges = Seq("", " ", "  ", "a", "a b", "a  b", " a b ", "a b c d e",
+      "многа слов юникода тут", "one\ttab inside", "t " * 40).toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val bad = corpus.unionAll(edges).select(
+          graft.ops.TextOps.wordShingles(col("text"), n).as("nat"),
+          graft.ops.TextOps.wordShinglesHof(col("text"), n).as("hof"))
+        .where(not(col("nat") <=> col("hof"))).count()
+      assert(bad == 0, s"n=$n: native shingles diverge from the HOF lowering")
+    }
+    // NULL text: the HOF yields [""] (concat_ws swallows the null slice),
+    // and TextOps.wordShingles reproduces it via coalesce — a null-text
+    // doc flows through shingle-driven filters instead of vanishing into
+    // a null predicate (the NullSafetySpec contract). The bare registered
+    // function stays null-safe (null in, null out).
+    val nulls = Seq((1, null: String)).toDF("i", "text").select(
+      graft.ops.TextOps.wordShingles(col("text"), 3).as("nat"),
+      graft.ops.TextOps.wordShinglesHof(col("text"), 3).as("hof"))
+    assert(nulls.where(not(col("nat") <=> col("hof"))).count() == 0)
+    assert(nulls.head().getSeq[String](0) == Seq(""))
+    val r = spark.sql("select word_shingles(cast(null as string), 3) n").head()
+    assert(r.isNullAt(0))
+  }
+
   test("dot_f32 is bit-identical to the HOF dot fold") {
     val df = pairs.select(
       VectorOps.dot(col("ea"), col("eb")).as("hof"),
