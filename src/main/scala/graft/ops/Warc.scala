@@ -93,28 +93,149 @@ object Warc {
     out.result()
   }
 
-  /** Split an HTTP message into (status, content-type, body bytes);
-    * None if the body is not an HTTP message. */
-  def httpSplit(body: Array[Byte]): Option[(Int, Option[String], Array[Byte])] = {
-    if (body.length < 12 || !new String(body, 0, 5, StandardCharsets.US_ASCII)
+  /** De-chunk a `Transfer-Encoding: chunked` HTTP body: hex size line
+    * (chunk extensions after ';' ignored) + CRLF, chunk bytes, CRLF,
+    * terminated by a zero-size chunk (trailer headers ignored). Real
+    * Common Crawl response records preserve the raw wire bytes, so
+    * chunk framing reaches us verbatim. Salvage posture: malformed or
+    * truncated framing keeps the chunk bytes decoded so far. */
+  def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.min(math.max(64, b.length), 1 << 20))
+    var p = 0
+    var done = false
+    while (!done) {
+      var q = p
+      while (q + 1 < b.length && !(b(q) == '\r' && b(q + 1) == '\n')) q += 1
+      if (q + 1 >= b.length) done = true // no CRLF-terminated size line: stop
+      else {
+        val sizeLine = new String(b, p, q - p, StandardCharsets.US_ASCII)
+        val hexPart = sizeLine.takeWhile(_ != ';').trim
+        val size =
+          try java.lang.Long.parseLong(hexPart, 16)
+          catch { case _: NumberFormatException => -1L }
+        if (size <= 0 || size > Int.MaxValue) done = true // terminal 0 / junk
+        else {
+          val start = q + 2
+          if (start + size > b.length) { // truncated: keep what arrived
+            if (start < b.length) out.write(b, start, b.length - start)
+            done = true
+          } else {
+            out.write(b, start, size.toInt)
+            p = start + size.toInt
+            if (p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n') p += 2
+            else done = true // missing chunk-data CRLF: stop (bytes kept)
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Inflate a `Content-Encoding: deflate` body. Servers ship both the
+    * RFC-correct zlib wrapper and (widely) raw deflate streams — try
+    * zlib first, fall back to raw. None when neither yields bytes (so
+    * compressed garbage never becomes document text); a mid-stream
+    * error keeps what decoded (same salvage posture as [[gunzip]]). */
+  def inflate(b: Array[Byte]): Option[Array[Byte]] = {
+    def attempt(raw: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(b)
+        val out = new ByteArrayOutputStream(
+          math.max(64L, math.min(b.length.toLong * 4, 1L << 26)).toInt)
+        val buf = new Array[Byte](8192)
+        try {
+          var going = true
+          while (going && !inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n > 0) out.write(buf, 0, n)
+            else going = false // needsInput (truncated) or needsDictionary
+          }
+        } catch { case _: java.util.zip.DataFormatException => () }
+        if (out.size() > 0) Some(out.toByteArray) else None
+      } finally inf.end()
+    }
+    attempt(raw = false).orElse(attempt(raw = true))
+  }
+
+  /** Apply `Content-Encoding`: None for codings we cannot decode with
+    * the pure JDK (br, zstd, …) — the caller must null the text rather
+    * than emit compressed bytes as document content. */
+  def contentDecode(coding: Option[String], body: Array[Byte]): Option[Array[Byte]] =
+    coding.map(_.trim.toLowerCase) match {
+      case None | Some("") | Some("identity") => Some(body)
+      case Some("gzip") | Some("x-gzip") => Some(gunzip(body))
+      case Some("deflate") => inflate(body)
+      case _ => None
+    }
+
+  /** Charset from a Content-Type's `charset=` parameter (quoted or
+    * bare), UTF-8 when absent or unknown to `java.nio.charset`. String
+    * construction from bytes uses malformed-input REPLACEMENT (U+FFFD),
+    * so no page can throw out of the decode. */
+  def charsetOf(contentType: Option[String]): java.nio.charset.Charset =
+    contentType.flatMap { ct =>
+      ct.split(';').iterator.map(_.trim).collectFirst {
+        case p if p.toLowerCase.startsWith("charset=") =>
+          p.substring(8).trim.stripPrefix("\"").stripSuffix("\"")
+      }
+    }.flatMap { name =>
+      try Some(java.nio.charset.Charset.forName(name))
+      catch { case _: Exception => None }
+    }.getOrElse(StandardCharsets.UTF_8)
+
+  /** One parsed HTTP message. `body` has transfer framing (chunked)
+    * removed and `Content-Encoding` applied when decodable; when the
+    * coding is one the JDK can't decode (`decoded = false`) the body is
+    * the still-encoded bytes and must not be treated as text. */
+  final case class HttpMessage(status: Int, headers: Map[String, String],
+                               body: Array[Byte], decoded: Boolean) {
+    def header(name: String): Option[String] = headers.get(name.toLowerCase)
+  }
+
+  /** Parse an HTTP response: status line, CRLF headers (first value
+    * wins on duplicates), then the body de-chunked per
+    * `Transfer-Encoding` and decompressed per `Content-Encoding`.
+    * None if the bytes are not an HTTP response message. */
+  def httpParse(raw: Array[Byte]): Option[HttpMessage] = {
+    if (raw.length < 12 || !new String(raw, 0, 5, StandardCharsets.US_ASCII)
         .equalsIgnoreCase("HTTP/")) return None
     var p = 0
     var headerEnd = -1
-    while (headerEnd < 0 && p + 3 < body.length) {
-      if (body(p) == '\r' && body(p + 1) == '\n' &&
-          body(p + 2) == '\r' && body(p + 3) == '\n') headerEnd = p
+    while (headerEnd < 0 && p + 3 < raw.length) {
+      if (raw(p) == '\r' && raw(p + 1) == '\n' &&
+          raw(p + 2) == '\r' && raw(p + 3) == '\n') headerEnd = p
       p += 1
     }
     if (headerEnd < 0) return None
-    val head = new String(body, 0, headerEnd, StandardCharsets.UTF_8)
+    val head = new String(raw, 0, headerEnd, StandardCharsets.UTF_8)
     val lines = head.split("\r\n")
     val status = lines.head.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(return None)
-    val ctype = lines.tail.collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") => l.drop(13).trim
+    var headers = Map.empty[String, String]
+    lines.tail.foreach { l =>
+      val i = l.indexOf(':')
+      if (i > 0) {
+        val k = l.take(i).trim.toLowerCase
+        if (!headers.contains(k)) headers += (k -> l.drop(i + 1).trim)
+      }
     }
-    Some((status, ctype,
-      java.util.Arrays.copyOfRange(body, headerEnd + 4, body.length)))
+    val wire = java.util.Arrays.copyOfRange(raw, headerEnd + 4, raw.length)
+    // Transfer codings (RFC 9112): chunked is last when present; a
+    // "gzip, chunked" pipeline de-chunks then gunzips.
+    val te = headers.get("transfer-encoding").map(_.toLowerCase).getOrElse("")
+    var framed = if (te.contains("chunked")) dechunk(wire) else wire
+    if (te.contains("gzip")) framed = gunzip(framed)
+    contentDecode(headers.get("content-encoding"), framed) match {
+      case Some(d) => Some(HttpMessage(status, headers, d, decoded = true))
+      case None => Some(HttpMessage(status, headers, framed, decoded = false))
+    }
   }
+
+  /** Split an HTTP message into (status, content-type, decoded body);
+    * None if the body is not an HTTP message. Thin view over
+    * [[httpParse]] (which also exposes all headers + decodability). */
+  def httpSplit(body: Array[Byte]): Option[(Int, Option[String], Array[Byte])] =
+    httpParse(body).map(m => (m.status, m.header("content-type"), m.body))
 
   private val scriptStyle =
     "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>".r
@@ -210,8 +331,13 @@ object Warc {
 
   /** Exploded WARC records per archive payload: `(asset_id, record_no,
     * warc_type, uri, warc_date, content_type, http_status, text)`.
-    * `text` is the extracted plain text for HTML responses, the decoded
-    * body for other `text/ *` responses, and null otherwise (binary
+    * `text` is the extracted plain text for HTML responses and the
+    * decoded body for other `text/ *` responses — after de-chunking
+    * (`Transfer-Encoding: chunked`), content decompression
+    * (`Content-Encoding: gzip`/`deflate`; undecodable codings like br
+    * null the text rather than emit compressed bytes), and charset
+    * decoding per the Content-Type `charset=` parameter (UTF-8
+    * fallback, invalid bytes → U+FFFD) — and null otherwise (binary
     * bodies are metadata-only rows — route them to the [[MediaCodecs]]
     * path instead). `content_type` prefers the HTTP header over the
     * WARC record header. One narrow mapPartitions; payload bytes never
@@ -228,27 +354,27 @@ object Warc {
         parseRecords(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
           case (rec, i) =>
             val wtype = rec.header("warc-type").orNull
-            val http = httpSplit(rec.body)
-            val ctype = http.flatMap(_._2)
-              .orElse(rec.header("content-type")).map(_.takeWhile(_ != ';').trim)
+            val http = httpParse(rec.body)
+            val ctypeFull = http.flatMap(_.header("content-type"))
+              .orElse(rec.header("content-type"))
+            val ctype = ctypeFull.map(_.takeWhile(_ != ';').trim)
+            val cs = charsetOf(ctypeFull)
             val isHtml = ctype.exists(_.equalsIgnoreCase("text/html"))
             val isText = ctype.exists(_.toLowerCase.startsWith("text/"))
             val bodyText: String = http match {
-              case Some((_, _, payloadBytes)) if isHtml =>
-                htmlToText(new String(payloadBytes, StandardCharsets.UTF_8))
-              case Some((_, _, payloadBytes)) if isText =>
-                new String(payloadBytes, StandardCharsets.UTF_8)
-              case None if isHtml =>
-                htmlToText(new String(rec.body, StandardCharsets.UTF_8))
+              case Some(m) if !m.decoded => null // br/zstd body: never emit as text
+              case Some(m) if isHtml => htmlToText(new String(m.body, cs))
+              case Some(m) if isText => new String(m.body, cs)
+              case None if isHtml => htmlToText(new String(rec.body, cs))
               case None if isText && wtype != null && wtype != "request" =>
-                new String(rec.body, StandardCharsets.UTF_8)
+                new String(rec.body, cs)
               case _ => null
             }
             Row(aid, i, wtype,
               rec.header("warc-target-uri").orNull,
               rec.header("warc-date").orNull,
               ctype.orNull,
-              http.map(h => Integer.valueOf(h._1)).orNull,
+              http.map(m => Integer.valueOf(m.status)).orNull,
               bodyText)
         }
       }
