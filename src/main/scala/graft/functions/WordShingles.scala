@@ -28,7 +28,15 @@ case class WordShingles(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // Width is foldable: reject non-positive values HERE, at analysis
+        // time, instead of a generic task-time RuntimeException per row.
+        right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName shingle width must not be null")
+          case n: Int if n < 1 => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName shingle width must be >= 1, got $n")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, literal int n), got ${l.catalogString}, ${r.catalogString}")
     }

@@ -104,18 +104,21 @@ object Warc {
     var p = 0
     var done = false
     while (!done) {
+      // Size lines from sloppy servers use bare LF; accept '\n' with an
+      // optional preceding '\r' (CRLF remains the common case).
       var q = p
-      while (q + 1 < b.length && !(b(q) == '\r' && b(q + 1) == '\n')) q += 1
-      if (q + 1 >= b.length) done = true // no CRLF-terminated size line: stop
+      while (q < b.length && b(q) != '\n') q += 1
+      if (q >= b.length) done = true // no terminated size line: stop
       else {
-        val sizeLine = new String(b, p, q - p, StandardCharsets.US_ASCII)
+        val lineEnd = if (q > p && b(q - 1) == '\r') q - 1 else q
+        val sizeLine = new String(b, p, lineEnd - p, StandardCharsets.US_ASCII)
         val hexPart = sizeLine.takeWhile(_ != ';').trim
         val size =
           try java.lang.Long.parseLong(hexPart, 16)
           catch { case _: NumberFormatException => -1L }
         if (size <= 0 || size > Int.MaxValue) done = true // terminal 0 / junk
         else {
-          val start = q + 2
+          val start = q + 1
           if (start + size > b.length) { // truncated: keep what arrived
             if (start < b.length) out.write(b, start, b.length - start)
             done = true
@@ -123,6 +126,7 @@ object Warc {
             out.write(b, start, size.toInt)
             p = start + size.toInt
             if (p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n') p += 2
+            else if (p < b.length && b(p) == '\n') p += 1 // bare-LF framing
             else done = true // missing chunk-data CRLF: stop (bytes kept)
           }
         }
@@ -132,12 +136,19 @@ object Warc {
   }
 
   /** Inflate a `Content-Encoding: deflate` body. Servers ship both the
-    * RFC-correct zlib wrapper and (widely) raw deflate streams — try
-    * zlib first, fall back to raw. None when neither yields bytes (so
-    * compressed garbage never becomes document text); a mid-stream
-    * error keeps what decoded (same salvage posture as [[gunzip]]). */
+    * RFC-correct zlib wrapper and (widely) raw deflate streams — run
+    * BOTH parses and pick the one that completed (`Inflater.finished`),
+    * falling back to whichever consumed more input (then produced more
+    * output). A raw-deflate body whose first two bytes coincidentally
+    * form a valid zlib header makes the zlib attempt emit a short
+    * garbage prefix before erroring — the completed raw parse must win
+    * over that partial zlib output, while a genuinely truncated zlib
+    * stream (neither attempt finishes, zlib consumed nearly all input)
+    * still salvages its decoded prefix. None when neither attempt
+    * yields bytes, so compressed garbage never becomes document text. */
   def inflate(b: Array[Byte]): Option[Array[Byte]] = {
-    def attempt(raw: Boolean): Option[Array[Byte]] = {
+    // (decoded bytes, reached end-of-stream, input bytes consumed)
+    def attempt(raw: Boolean): (Array[Byte], Boolean, Long) = {
       val inf = new java.util.zip.Inflater(raw)
       try {
         inf.setInput(b)
@@ -152,37 +163,103 @@ object Warc {
             else going = false // needsInput (truncated) or needsDictionary
           }
         } catch { case _: java.util.zip.DataFormatException => () }
-        if (out.size() > 0) Some(out.toByteArray) else None
+        (out.toByteArray, inf.finished(), inf.getBytesRead)
       } finally inf.end()
     }
-    attempt(raw = false).orElse(attempt(raw = true))
+    val best = Seq(attempt(raw = false), attempt(raw = true))
+      .maxBy { case (o, fin, read) => (fin, read, o.length.toLong) }
+    if (best._1.nonEmpty) Some(best._1) else None
   }
 
-  /** Apply `Content-Encoding`: None for codings we cannot decode with
-    * the pure JDK (br, zstd, …) — the caller must null the text rather
-    * than emit compressed bytes as document content. */
-  def contentDecode(coding: Option[String], body: Array[Byte]): Option[Array[Byte]] =
-    coding.map(_.trim.toLowerCase) match {
-      case None | Some("") | Some("identity") => Some(body)
-      case Some("gzip") | Some("x-gzip") => Some(gunzip(body))
-      case Some("deflate") => inflate(body)
-      case _ => None
+  /** Apply `Content-Encoding`: the header is a comma-separated list in
+    * application order (`gzip, identity` and `identity, gzip` are both
+    * legal and both mean gzip), so decode the codings right-to-left,
+    * dropping `identity`/empty tokens. None as soon as any coding is
+    * one we cannot decode with the pure JDK (br, zstd, …) — the caller
+    * must null the text rather than emit compressed bytes as document
+    * content. */
+  def contentDecode(coding: Option[String], body: Array[Byte]): Option[Array[Byte]] = {
+    val codings = coding.toSeq.flatMap(_.split(',')).map(_.trim.toLowerCase)
+      .filter(c => c.nonEmpty && c != "identity")
+    codings.foldRight(Option(body)) { (c, acc) =>
+      acc.flatMap { bytes =>
+        c match {
+          case "gzip" | "x-gzip" => Some(gunzip(bytes))
+          case "deflate" => inflate(bytes)
+          case _ => None
+        }
+      }
     }
+  }
+
+  private def lookupCharset(name: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(name))
+    catch { case _: Exception => None }
 
   /** Charset from a Content-Type's `charset=` parameter (quoted or
-    * bare), UTF-8 when absent or unknown to `java.nio.charset`. String
-    * construction from bytes uses malformed-input REPLACEMENT (U+FFFD),
-    * so no page can throw out of the decode. */
-  def charsetOf(contentType: Option[String]): java.nio.charset.Charset =
+    * bare); None when absent or unknown to `java.nio.charset`. */
+  def headerCharset(contentType: Option[String]): Option[java.nio.charset.Charset] =
     contentType.flatMap { ct =>
       ct.split(';').iterator.map(_.trim).collectFirst {
         case p if p.toLowerCase.startsWith("charset=") =>
           p.substring(8).trim.stripPrefix("\"").stripSuffix("\"")
       }
-    }.flatMap { name =>
-      try Some(java.nio.charset.Charset.forName(name))
-      catch { case _: Exception => None }
-    }.getOrElse(StandardCharsets.UTF_8)
+    }.flatMap(lookupCharset)
+
+  /** Charset from a Content-Type's `charset=` parameter, UTF-8 when
+    * absent or unknown. String construction from bytes uses
+    * malformed-input REPLACEMENT (U+FFFD), so no page can throw out of
+    * the decode. Header-only view; [[sniffCharset]] adds the BOM / HTML
+    * `<meta>` fallbacks real crawl pages need. */
+  def charsetOf(contentType: Option[String]): java.nio.charset.Charset =
+    headerCharset(contentType).getOrElse(StandardCharsets.UTF_8)
+
+  /** Charset from a byte-order mark, None when the body carries none. */
+  def bomCharset(body: Array[Byte]): Option[java.nio.charset.Charset] = {
+    def at(i: Int): Int = if (i < body.length) body(i) & 0xff else -1
+    // UTF-32 BOMs first: FF FE 00 00 is also a valid UTF-16LE prefix.
+    if (at(0) == 0xff && at(1) == 0xfe && at(2) == 0x00 && at(3) == 0x00)
+      lookupCharset("UTF-32LE")
+    else if (at(0) == 0x00 && at(1) == 0x00 && at(2) == 0xfe && at(3) == 0xff)
+      lookupCharset("UTF-32BE")
+    else if (at(0) == 0xef && at(1) == 0xbb && at(2) == 0xbf) Some(StandardCharsets.UTF_8)
+    else if (at(0) == 0xff && at(1) == 0xfe) Some(StandardCharsets.UTF_16LE)
+    else if (at(0) == 0xfe && at(1) == 0xff) Some(StandardCharsets.UTF_16BE)
+    else None
+  }
+
+  private val metaCharsetRe =
+    "(?is)<meta[^>]*charset\\s*=\\s*[\"']?([\\w.:+-]+)".r
+
+  /** Charset declared inside the HTML itself: a bounded prescan of the
+    * first `limit` bytes (decoded byte-preserving as latin-1, the
+    * browser-prescan convention) for `<meta charset=...>` or the
+    * `http-equiv` content-type form. None when absent or unknown. */
+  def metaCharset(body: Array[Byte], limit: Int = 1024): Option[java.nio.charset.Charset] = {
+    val head = new String(body, 0, math.min(body.length, limit),
+      StandardCharsets.ISO_8859_1)
+    metaCharsetRe.findFirstMatchIn(head).map(_.group(1)).flatMap(lookupCharset)
+  }
+
+  /** Charset for an HTTP text body, in the precedence real crawl
+    * pipelines (and browsers) use: the Content-Type header's `charset=`
+    * parameter wins; else a byte-order mark; else an HTML
+    * `<meta charset=...>` / `http-equiv` declaration in the first ~1 KB
+    * (very common on the Shift-JIS/GBK/latin-2 web, where the server
+    * sends a bare `text/html` and only the page declares its
+    * encoding); else UTF-8. */
+  def sniffCharset(contentType: Option[String], body: Array[Byte]): java.nio.charset.Charset =
+    headerCharset(contentType)
+      .orElse(bomCharset(body))
+      .orElse(metaCharset(body))
+      .getOrElse(StandardCharsets.UTF_8)
+
+  /** Decode a text body via [[sniffCharset]], with malformed input
+    * replaced by U+FFFD and a leading BOM (U+FEFF) stripped. */
+  def decodeText(body: Array[Byte], contentType: Option[String]): String = {
+    val s = new String(body, sniffCharset(contentType, body))
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+  }
 
   /** One parsed HTTP message. `body` has transfer framing (chunked)
     * removed and `Content-Encoding` applied when decodable; when the
@@ -220,11 +297,28 @@ object Warc {
       }
     }
     val wire = java.util.Arrays.copyOfRange(raw, headerEnd + 4, raw.length)
-    // Transfer codings (RFC 9112): chunked is last when present; a
-    // "gzip, chunked" pipeline de-chunks then gunzips.
-    val te = headers.get("transfer-encoding").map(_.toLowerCase).getOrElse("")
-    var framed = if (te.contains("chunked")) dechunk(wire) else wire
-    if (te.contains("gzip")) framed = gunzip(framed)
+    // Transfer codings (RFC 9112): the list is in application order, so
+    // undo right-to-left — "gzip, chunked" de-chunks then gunzips. An
+    // unrecognized coding (compress, …) means the remaining bytes are
+    // still encoded: mark the message undecoded so the caller nulls the
+    // text instead of emitting compressed bytes as document content.
+    val teTokens = headers.get("transfer-encoding").toSeq
+      .flatMap(_.split(',')).map(_.trim.toLowerCase)
+      .filter(t => t.nonEmpty && t != "identity")
+    var framed = wire
+    var teOk = true
+    teTokens.reverseIterator.foreach { t =>
+      if (teOk) t match {
+        case "chunked" => framed = dechunk(framed)
+        case "gzip" | "x-gzip" => framed = gunzip(framed)
+        case "deflate" => inflate(framed) match {
+          case Some(d) => framed = d
+          case None => teOk = false
+        }
+        case _ => teOk = false
+      }
+    }
+    if (!teOk) return Some(HttpMessage(status, headers, framed, decoded = false))
     contentDecode(headers.get("content-encoding"), framed) match {
       case Some(d) => Some(HttpMessage(status, headers, d, decoded = true))
       case None => Some(HttpMessage(status, headers, framed, decoded = false))
@@ -336,8 +430,9 @@ object Warc {
     * (`Transfer-Encoding: chunked`), content decompression
     * (`Content-Encoding: gzip`/`deflate`; undecodable codings like br
     * null the text rather than emit compressed bytes), and charset
-    * decoding per the Content-Type `charset=` parameter (UTF-8
-    * fallback, invalid bytes → U+FFFD) — and null otherwise (binary
+    * decoding via [[sniffCharset]] (header `charset=` parameter wins,
+    * then BOM, then HTML `<meta>` declaration, then UTF-8; invalid
+    * bytes → U+FFFD, leading BOM stripped) — and null otherwise (binary
     * bodies are metadata-only rows — route them to the [[MediaCodecs]]
     * path instead). `content_type` prefers the HTTP header over the
     * WARC record header. One narrow mapPartitions; payload bytes never
@@ -358,16 +453,15 @@ object Warc {
             val ctypeFull = http.flatMap(_.header("content-type"))
               .orElse(rec.header("content-type"))
             val ctype = ctypeFull.map(_.takeWhile(_ != ';').trim)
-            val cs = charsetOf(ctypeFull)
             val isHtml = ctype.exists(_.equalsIgnoreCase("text/html"))
             val isText = ctype.exists(_.toLowerCase.startsWith("text/"))
             val bodyText: String = http match {
               case Some(m) if !m.decoded => null // br/zstd body: never emit as text
-              case Some(m) if isHtml => htmlToText(new String(m.body, cs))
-              case Some(m) if isText => new String(m.body, cs)
-              case None if isHtml => htmlToText(new String(rec.body, cs))
+              case Some(m) if isHtml => htmlToText(decodeText(m.body, ctypeFull))
+              case Some(m) if isText => decodeText(m.body, ctypeFull)
+              case None if isHtml => htmlToText(decodeText(rec.body, ctypeFull))
               case None if isText && wtype != null && wtype != "request" =>
-                new String(rec.body, cs)
+                decodeText(rec.body, ctypeFull)
               case _ => null
             }
             Row(aid, i, wtype,

@@ -80,6 +80,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nulls.head().getSeq[String](0) == Seq(""))
     val r = spark.sql("select word_shingles(cast(null as string), 3) n").head()
     assert(r.isNullAt(0))
+    // Non-positive widths are rejected at ANALYSIS time (TypeCheckFailure),
+    // not as a per-row task-time RuntimeException.
+    for (w <- Seq(0, -1)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"select word_shingles('a b c', $w)").collect()
+      }
+      assert(e.getMessage.contains("width must be >= 1"), s"w=$w: ${e.getMessage}")
+    }
+    val en = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select word_shingles('a b c', cast(null as int))").collect()
+    }
+    assert(en.getMessage.contains("must not be null"))
   }
 
   test("dot_f32 is bit-identical to the HOF dot fold") {
