@@ -2477,6 +2477,34 @@ select d.pid,
     // Local clustering coefficient (round 10) — q172 normalized; see
     // q173Sql for the single-division float-grid argument.
     q2("q173_clustering", q173Sql("string"), q173Sql("varchar")),
+
+    // Charset / encoding conventions (round 12 — pins the conventions the
+    // WARC front door relies on): latin-1 byte layout (é→E9, ±→B1),
+    // UTF-16BE layout (ASCII → 00-interleaved), lossless latin-1 round
+    // trip, and the U+FFFD invalid-byte replacement convention
+    // (make_valid_utf8 / is_valid_utf8). DuckDB has no charset argument
+    // on encode/decode (utf-8 only), so the oracle derives the same
+    // bytes from documented equivalences: part columns are pure ASCII
+    // (latin-1 ≡ utf-8 there), the non-ASCII suffix ' é±' contributes
+    // fixed latin-1 bytes 20E9B1, UTF-16BE of ASCII is 00-interleaving,
+    // and the replacement char is chr(65533).
+    q2("q174_charset_conventions",
+      """select p_partkey,
+ hex(encode(concat(p_name, ' é±'), 'ISO-8859-1')) lat1,
+ hex(encode(p_brand, 'UTF-16BE')) u16,
+ decode(encode(concat(p_name, ' é±'), 'ISO-8859-1'), 'ISO-8859-1') rt,
+ make_valid_utf8(cast(concat(encode(p_brand, 'utf-8'), unhex('80'), encode('!', 'utf-8')) as string)) fixed,
+ is_valid_utf8(p_name) ok_ascii,
+ is_valid_utf8(cast(concat(encode(p_brand, 'utf-8'), unhex('FF')) as string)) ok_broken
+ from part order by p_partkey limit 300""",
+      """select p_partkey,
+ hex(encode(p_name)) || '20E9B1' AS lat1,
+ regexp_replace(hex(encode(p_brand)), '(..)', '00\1', 'g') AS u16,
+ p_name || ' é±' AS rt,
+ p_brand || chr(65533) || '!' AS fixed,
+ true AS ok_ascii,
+ false AS ok_broken
+ from part order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1433,6 +1433,26 @@ object DfQueries {
         .orderBy("node").limit(300)
     },
 
+    "q174_charset_conventions" -> { (s, _) =>
+      // Charset/encoding conventions (pairs with the WARC charset
+      // sniffing): latin-1 + UTF-16BE byte layouts, lossless latin-1
+      // round trip, U+FFFD invalid-byte replacement — all codegen'd
+      // unary expressions, pure projection, no shuffle.
+      val nonAscii = concat(col("p_name"), lit(" é±"))
+      val brandBytes = encode(col("p_brand"), "utf-8")
+      t(s, "part").select(col("p_partkey"),
+          hex(encode(nonAscii, "ISO-8859-1")).as("lat1"),
+          hex(encode(col("p_brand"), "UTF-16BE")).as("u16"),
+          decode(encode(nonAscii, "ISO-8859-1"), "ISO-8859-1").as("rt"),
+          call_function("make_valid_utf8",
+            concat(brandBytes, unhex(lit("80")), encode(lit("!"), "utf-8"))
+              .cast("string")).as("fixed"),
+          call_function("is_valid_utf8", col("p_name")).as("ok_ascii"),
+          call_function("is_valid_utf8",
+            concat(brandBytes, unhex(lit("FF"))).cast("string")).as("ok_broken"))
+        .orderBy("p_partkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
