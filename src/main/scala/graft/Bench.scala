@@ -91,12 +91,18 @@ object Bench {
       // 2.9M J>=0.8 pairs over 5k docs), so full pair ENUMERATION is
       // quadratic in cluster size by definition — the linear keep/drop
       // entry above is the pipeline path; this guards the banding shape.
-      "x_minhash_lsh_pairs_1k" -> (() => {
-        val toks = graft.ops.DedupOps.tokenSet(
-          docs.where(col("doc_id") < 1000), col("doc_id"), col("text"))
-        graft.ops.DedupOps.minhashLsh(toks, k = 8, bands = 4, threshold = 0.8)
-          .agg(count(lit(1)).as("pairs"))
-      }),
+      // Round 12: swapped to the doc-level production form minhashLshDocs
+      // (native projection signatures + merge-walk jaccard_sorted verify;
+      // output-identical to the token-relation minhashLsh, OpsSpec-pinned).
+      // MinhashCostProbe decomposition of the old fused plan: verify was
+      // ~75% of its ~2.3 s (token-level 1.74 s / compact 2.61 s over
+      // materialized candidates at this 363k-candidate density); the
+      // doc-level form runs the same slice in ~0.85 s.
+      "x_minhash_lsh_pairs_1k" -> (() =>
+        graft.ops.DedupOps.minhashLshDocs(
+          docs.where(col("doc_id") < 1000), col("doc_id"), col("text"),
+          k = 8, bands = 4, threshold = 0.8)
+          .agg(count(lit(1)).as("pairs"))),
       // Auto-sized bucket bits (lshBitsFor): the declared 2-bit q76 shape is
       // oracle-exact but its bucket population grows linearly with the
       // corpus — measured 348s at 20k vectors vs 2.7s at 2k before sizing.

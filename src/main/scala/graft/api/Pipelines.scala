@@ -33,8 +33,11 @@ object Pipelines {
       DedupOps.pairwiseJaccard(DedupOps.tokenSet(docs, id, text), "w", threshold)
     case "minhash-lsh" =>
       // Banding sized from the threshold with a 0.9 recall floor — never
-      // fixture-pinned constants (DedupOps.minhashParamsFor).
-      DedupOps.minhashLshAuto(DedupOps.tokenSet(docs, id, text), threshold)
+      // fixture-pinned constants (DedupOps.minhashParamsFor). Doc-level
+      // form: native projection signatures + merge-walk verify (round 12,
+      // ~3× the token-relation pipeline on the dense bench slice;
+      // OpsSpec pins output identical).
+      DedupOps.minhashLshDocsAuto(docs, id, text, threshold)
     case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
   }
 

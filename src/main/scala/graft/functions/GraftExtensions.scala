@@ -71,6 +71,10 @@ object GraftFunctions {
       info(classOf[WordShingles], "word_shingles",
         "word_shingles(text, n) - word n-gram shingles as zero-copy substrings, one byte walk per row"),
       (e: Seq[Expression]) => { checkArity("word_shingles", 2, e); WordShingles(e.head, e(1)) }),
+    (FunctionIdentifier("jaccard_sorted"),
+      info(classOf[JaccardSorted], "jaccard_sorted",
+        "jaccard_sorted(a, b) - exact Jaccard of two sorted-distinct string arrays, one merge walk per pair"),
+      (e: Seq[Expression]) => { checkArity("jaccard_sorted", 2, e); JaccardSorted(e.head, e(1)) }),
   )
 
   def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)

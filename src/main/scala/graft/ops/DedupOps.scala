@@ -309,7 +309,12 @@ object DedupOps {
     * (end-to-end uncached: 94 s token-level vs 100+ s compact; same at the
     * 1k-doc regime). Pipelines that persist candidates between stages —
     * the normal shape at 100 TB, where candidates are written out and
-    * audited separately — should verify with [[jaccardVerifyCompact]]. */
+    * audited separately — should verify with [[jaccardVerifyCompact]].
+    *
+    * When the input is a DOC table (id, text) rather than an existing
+    * token relation, use [[minhashLshDocs]]: output-identical, but
+    * signatures become a projection and the verify a merge walk — ~3× this
+    * pipeline on the dense bench slice (MinhashCostProbe, round 12). */
   def minhashLsh(tokens: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     // bands > k would give 0 rows per band — every doc in ONE bucket, the
     // all-pairs quadratic blowup this operator exists to avoid; a k not
@@ -319,6 +324,51 @@ object DedupOps {
     val sig = minhashSignatures(tokens, k)
     val cand = lshCandidates(lshBandKeys(sig, bands, k / bands))
     jaccardVerify(tokens, cand, threshold)
+  }
+
+  /** Doc-level MinHash+LSH near-dup pairs — output-identical to
+    * [[minhashLsh]] over `tokenSet(docs)` (same buckets: the native
+    * signature's 48-bit minima are the numeric values of the hex-string
+    * minima, a bijection, so band co-habitation is unchanged; same exact
+    * Jaccard math and 4dp rounding), but restructured around per-row
+    * native expressions (round 12, MinhashCostProbe):
+    *
+    *  - signatures are a PROJECTION (`minhash_sig` over the token array) —
+    *    no token explode, no k-way min aggregation, no signature shuffle;
+    *  - the verify is `jaccard_sorted`, a merge walk over each doc's
+    *    sorted-distinct token array — no per-pair `array_intersect` hash
+    *    set and no candidate×token join explosion (the two verify forms
+    *    minhashLsh chooses between cost 1.74 s / 2.61 s on the 1k-doc
+    *    dense bench slice; this form's whole pipeline runs ~0.6 s).
+    *
+    * The only shuffles left are the band-bucket self-join, the candidate
+    * `distinct`, and the two doc-array attach joins — all keyed, none
+    * corpus×token. The doc projection (split + sort + signature) is
+    * referenced by both the band side and the verify side; at corpus scale
+    * persist it (or feed this from a materialized doc table) so the scan
+    * runs once. */
+  def minhashLshDocs(docs: DataFrame, id: Column, text: Column,
+                     k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands)")
+    val r = k / bands
+    val base = docs.select(id.as("doc_id"),
+        array_sort(array_distinct(TextOps.tokens(text))).as("toks"))
+      .withColumn("sig", call_function("minhash_sig", col("toks"), lit(k)))
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(":", lit(b) +: (0 until r).map(i => col("sig")(b * r + i).cast("string")): _*)
+    }
+    val keys = base.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val cand = keys.select(col("doc_id").as("d1"), col("bk"))
+      .join(keys.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val j = call_function("jaccard_sorted", col("t1"), col("t2"))
+    cand
+      .join(base.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
+      .join(base.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
+      .where(j >= threshold)
+      .select(col("d1"), col("d2"), round(j, 4).as("j"))
   }
 
   /** Banding choice for [[minhashLshAuto]]: the LARGEST rows-per-band `r`
@@ -358,6 +408,16 @@ object DedupOps {
                      targetRecall: Double = 0.9, maxK: Int = 32): DataFrame = {
     val (k, bands) = minhashParamsFor(threshold, targetRecall, maxK)
     minhashLsh(tokens, k, bands, threshold)
+  }
+
+  /** [[minhashLshDocs]] with threshold-derived banding — the production
+    * near-dup pair path (`Pipelines.nearDuplicates`): doc-level native
+    * signatures + merge-walk verify, banding from [[minhashParamsFor]]. */
+  def minhashLshDocsAuto(docs: DataFrame, id: Column, text: Column,
+                         threshold: Double, targetRecall: Double = 0.9,
+                         maxK: Int = 32): DataFrame = {
+    val (k, bands) = minhashParamsFor(threshold, targetRecall, maxK)
+    minhashLshDocs(docs, id, text, k, bands, threshold)
   }
 
   /** LINEAR-output dedup decision (the true 100 TB shape): on near-dup-dense

@@ -55,6 +55,54 @@ class OpsSpec extends AnyFunSuite {
         s"auto-banding recall too low: ${auto.size}/${exact.size}")
   }
 
+  test("minhashLshDocs ≡ minhashLsh pair-for-pair (native sig + merge-walk verify)") {
+    // The doc-level restructure (round 12): projection signatures +
+    // jaccard_sorted verify must reproduce the token-relation pipeline
+    // EXACTLY — same buckets (48-bit minima ↔ hex-min bijection), same
+    // exact Jaccard values on the 4dp grid.
+    val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
+    val viaTokens = DedupOps.minhashLsh(toks, k = 8, bands = 4, threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    val viaDocs = DedupOps.minhashLshDocs(documents, col("doc_id"), col("text"),
+        k = 8, bands = 4, threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(viaDocs == viaTokens && viaDocs.nonEmpty,
+      s"doc-level diverged: only-docs=${(viaDocs -- viaTokens).take(3)} " +
+        s"only-tokens=${(viaTokens -- viaDocs).take(3)}")
+    // And at a second banding shape (k=16, bands=8).
+    val t2 = DedupOps.minhashLsh(toks, k = 16, bands = 8, threshold = 0.7)
+      .collect().map(_.toSeq).toSet
+    val d2 = DedupOps.minhashLshDocs(documents, col("doc_id"), col("text"),
+        k = 16, bands = 8, threshold = 0.7)
+      .collect().map(_.toSeq).toSet
+    assert(d2 == t2 && d2.nonEmpty)
+  }
+
+  test("jaccard_sorted equals the array_intersect form and handles edge cases") {
+    import spark.implicits._
+    // Random-ish token arrays incl. unicode, empties, and one-sided blanks.
+    val df = Seq(
+      ("a b c d", "b c d e"), ("", ""), ("x", "x"), ("x", "y"),
+      ("многа слов", "слов многа тут"), ("a a a b", "a b"),
+      ("one", ""), ("", "q r s")).toDF("ta", "tb")
+      .select(
+        array_sort(array_distinct(split(col("ta"), " "))).as("a"),
+        array_sort(array_distinct(split(col("tb"), " "))).as("b"))
+    val cmp = df.select(
+      call_function("jaccard_sorted", col("a"), col("b")).as("nat"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("b")) - size(array_intersect(col("a"), col("b"))))).as("hof"))
+    val bad = cmp.where("nanvl(nat, -9) <> nanvl(hof, -9) or (nat is null) <> (hof is null)").count()
+    assert(bad == 0, s"$bad rows diverge from the array_intersect form")
+    // Null input arrays → null out.
+    val r = spark.sql("select jaccard_sorted(cast(null as array<string>), array('a'))").head()
+    assert(r.isNullAt(0))
+    // Null ELEMENTS (sorted last) are excluded from sizes and the walk.
+    val withNulls = spark.sql(
+      "select jaccard_sorted(array_sort(array('a', 'b', cast(null as string))), array('a','b'))").head()
+    assert(withNulls.getDouble(0) == 1.0)
+  }
+
   test("compact (array) Jaccard verify equals the token-level join form") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val sig = DedupOps.minhashSignatures(toks, 8)
