@@ -313,6 +313,131 @@ object GraphOps {
           .otherwise(lit(0.0)), 4).as("clustering"))
   }
 
+  /** Fold an edge APPEND into persisted per-node triangle counts — the
+    * q172 maintenance twin of [[pageRankWarm]]/`connectedComponents
+    * (warmStart)`. `prior` is a previous [[triangleCount]] output
+    * (node, triangles) over `oldEdges`; the result equals
+    * `triangleCount(oldEdges ∪ newEdges)` (OpsSpec-pinned) without
+    * re-running the O(E^1.5) wedge enumeration over the full graph.
+    *
+    * Soundness: appends only ADD triangles, and every added triangle
+    * contains at least one truly-new edge — so the delta is exactly the
+    * triangles of the union graph with ≥1 new edge. Each such triangle is
+    * found once per new edge it contains via common-neighbor
+    * intersection, then deduplicated on the sorted node triple before
+    * counting. Deletions are NOT supported (counts would need the same
+    * enumeration with a minus sign — fold only appends).
+    *
+    * Scale shape — the LabelLoop posture: the old edge store is touched
+    * only through a frontier-cone semi join (directed adjacency rows
+    * whose tail is an appended-edge endpoint, probed with the
+    * broadcast-small frontier), so store bytes never enter an exchange;
+    * everything downstream (candidate wedges, closing probes, the triple
+    * dedup) is sized by Σ_{new edge (a,b)} deg(a)+deg(b) — O(Δ·d̄), not
+    * O(E^1.5). NO degree-reorientation frontier exists on this path at
+    * all: the delta enumeration intersects adjacency directly and never
+    * orients edges, so an append that flips (degree, id) order between
+    * old endpoints cannot invalidate anything. */
+  def triangleCountInc(prior: DataFrame, oldEdges: DataFrame, newEdges: DataFrame,
+                       src: String = "src", dst: String = "dst"): DataFrame = {
+    val (frontier, _, deltaCounts) = triangleDelta(oldEdges, newEdges, src, dst)
+    val allNodes = prior.select(col("node"))
+      .union(frontier.select(col("n").as("node"))).distinct()
+    allNodes
+      .join(prior.select(col("node"), col("triangles").as("__pt")), Seq("node"), "left")
+      .join(deltaCounts, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("__pt"), lit(0L)) + coalesce(col("__dt"), lit(0L))).as("triangles"))
+  }
+
+  /** [[clusteringCoefficientInc]]: fold an edge append into a persisted
+    * [[clusteringCoefficient]] output (node, triangles, degree,
+    * clustering). Triangle deltas as in [[triangleCountInc]]; degrees
+    * fold as prior + per-node count of truly-new incident edges (both
+    * node-scale); the 4dp-grid division is recomputed — equal to the
+    * cold run on the union graph (OpsSpec-pinned). */
+  def clusteringCoefficientInc(prior: DataFrame, oldEdges: DataFrame,
+                               newEdges: DataFrame, src: String = "src",
+                               dst: String = "dst"): DataFrame = {
+    val (frontier, delta, deltaCounts) = triangleDelta(oldEdges, newEdges, src, dst)
+    val deltaDeg = delta.select(col("lo").as("node"))
+      .unionAll(delta.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__dd"))
+    val allNodes = prior.select(col("node"))
+      .union(frontier.select(col("n").as("node"))).distinct()
+    val t = coalesce(col("__pt"), lit(0L)) + coalesce(col("__dt"), lit(0L))
+    val d = coalesce(col("__pd"), lit(0L)) + coalesce(col("__dd"), lit(0L))
+    allNodes
+      .join(prior.select(col("node"), col("triangles").as("__pt"),
+        col("degree").as("__pd")), Seq("node"), "left")
+      .join(deltaCounts, Seq("node"), "left")
+      .join(deltaDeg, Seq("node"), "left")
+      .select(col("node"), t.as("triangles"), d.as("degree"),
+        round(when(d >= 2, lit(2.0) * t / (d * (d - lit(1.0))))
+          .otherwise(lit(0.0)), 4).as("clustering"))
+  }
+
+  /** Shared delta machinery of the incremental triangle family:
+    * (frontier nodes `n`, truly-new canonical edges (lo, hi), per-node
+    * triangle deltas (node, __dt)). */
+  private def triangleDelta(oldEdges: DataFrame, newEdges: DataFrame,
+                            src: String, dst: String): (DataFrame, DataFrame, DataFrame) = {
+    def und(df: DataFrame): DataFrame = df
+      .select(col(src).as("a"), col(dst).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val newU = und(newEdges).localCheckpoint()
+    val frontier = newU.select(col("lo").as("n"))
+      .union(newU.select(col("hi").as("n"))).distinct().localCheckpoint()
+    // Directed-adjacency CONE of the old store: rows whose tail is a
+    // frontier node — the only part of the old graph the fold reads. The
+    // broadcast semi join restricts the store BEFORE any wide operation
+    // (the canonical `distinct` runs on the cone, not the store — running
+    // it store-first was a full-E shuffle that made the fold LOSE to the
+    // cold recompute on the 1M-edge probe), so store bytes never shuffle.
+    val oldCanon = oldEdges.select(col(src).as("a"), col(dst).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+    // Cut once: both the duplicate-filtering anti join and the closing
+    // adjacency reference the cone — lazy, each reference would re-scan
+    // the store.
+    // The cone IS distinct'd (cone-sized exchange, not store-sized): raw
+    // edge lists carry duplicate/reversed edges, and leaving them in
+    // inflates the candidate fan-out by the duplicity factor (measured
+    // +50% fold shuffle on the 1M-edge probe) even though the sorted-
+    // triple dedup would keep counts correct.
+    val adjOldCone = oldCanon
+      .select(explode(array(
+          struct(col("lo").as("u"), col("hi").as("w")),
+          struct(col("hi").as("u"), col("lo").as("w")))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .join(broadcast(frontier), col("u") === col("n"), "left_semi")
+      .distinct().localCheckpoint()
+    // Truly-new edges: appended minus already-present (duplicates of old
+    // edges add nothing). Both endpoints of a duplicate are frontier
+    // nodes, so the cone suffices for the anti join.
+    val delta = newU.join(adjOldCone,
+        col("lo") === col("u") && col("hi") === col("w"), "left_anti")
+      .localCheckpoint()
+    val adjU = adjOldCone
+      .unionAll(delta.select(col("lo").as("u"), col("hi").as("w")))
+      .unionAll(delta.select(col("hi").as("u"), col("lo").as("w")))
+      .localCheckpoint()
+    // Triangles with >= 1 new edge: for new edge (lo, hi), a common
+    // neighbor w of both endpoints closes one. Found once per new edge a
+    // triangle contains — dedup on the sorted triple.
+    val cand = delta.join(adjU.as("na"), col("na.u") === col("lo"))
+      .select(col("lo").as("ta"), col("hi").as("tb"), col("na.w").as("cw"))
+    val tris = cand.join(adjU.as("nb"),
+        col("nb.u") === col("tb") && col("nb.w") === col("cw"))
+      .select(array_sort(array(col("ta"), col("tb"), col("cw"))).as("tri"))
+      .distinct()
+    val deltaCounts = tris.select(explode(col("tri")).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__dt"))
+    (frontier, delta, deltaCounts)
+  }
+
   private def perNodeTriangles(closed: DataFrame): DataFrame =
     closed.select(col("apex").as("node"))
       .unionAll(closed.select(col("x").as("node")))

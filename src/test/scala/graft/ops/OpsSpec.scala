@@ -506,6 +506,47 @@ class OpsSpec extends AnyFunSuite {
     assert(ccK5 == Set(1.0), "every K5 node is fully clique-like")
   }
 
+  test("triangleCountInc / clusteringCoefficientInc: fold ≡ cold on appended fixtures") {
+    import spark.implicits._
+    def triMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select("node", "triangles").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ccMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Double)] =
+      df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def check(oldE: Seq[(String, String)], newE: Seq[(String, String)]): Unit = {
+      val oldDf = oldE.toDF("src", "dst")
+      val newDf = newE.toDF("src", "dst")
+      val unionDf = (oldE ++ newE).toDF("src", "dst")
+      val priorT = GraphOps.triangleCount(oldDf).localCheckpoint()
+      val inc = triMap(GraphOps.triangleCountInc(priorT, oldDf, newDf))
+      val cold = triMap(GraphOps.triangleCount(unionDf))
+      assert(inc == cold, s"triangle fold diverges:\n inc=$inc\n cold=$cold")
+      val priorC = GraphOps.clusteringCoefficient(oldDf).localCheckpoint()
+      val incC = ccMap(GraphOps.clusteringCoefficientInc(priorC, oldDf, newDf))
+      val coldC = ccMap(GraphOps.clusteringCoefficient(unionDf))
+      assert(incC == coldC, s"clustering fold diverges:\n inc=$incC\n cold=$coldC")
+    }
+    // Append closes triangles through OLD edges only (1 new edge/triangle).
+    check(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a"),
+      Seq("a" -> "c"))
+    // Append whose triangles use 2 and 3 new edges (multi-counting must
+    // dedup on the triple), plus brand-new nodes.
+    check(Seq("a" -> "b"),
+      Seq("b" -> "c", "c" -> "a", "x" -> "y", "y" -> "z", "z" -> "x"))
+    // Append that FLIPS the (degree, id) orientation order of old
+    // endpoints (the reorientation hazard the delta path sidesteps):
+    // hub gains enough edges to pass every old neighbor's degree.
+    check(Seq("h" -> "a", "h" -> "b", "a" -> "b", "a" -> "c", "b" -> "c"),
+      (1 to 6).map(i => "h" -> s"p$i") ++ Seq("h" -> "c", "p1" -> "p2", "h" -> "p1"))
+    // Duplicate/reversed/self-loop appends add nothing; fold is a no-op.
+    val base = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    check(base, Seq("b" -> "a", "a" -> "c", "d" -> "d", "c" -> "a"))
+    // K5 grown edge-by-edge from K4 (every degree equal at the end).
+    check((for { x <- 'a' to 'd'; y <- 'a' to 'd' if x < y } yield x.toString -> y.toString),
+      ('a' to 'd').map(x => x.toString -> "e"))
+  }
+
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
