@@ -42,8 +42,11 @@ object LabelLoopProbe {
     val root = java.nio.file.Files.createTempDirectory("graft-lblprobe").toString
     val (state, edges, out) = (s"$root/state", s"$root/edges", s"$root/out")
     def t[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"== $tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f sec"); r
+      val t0 = System.nanoTime()
+      val (r, rd, wr) = ShuffleMeter.measure(spark)(f)
+      println(f"== $tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f sec  " +
+        f"shuffle read=$rd%8.1f MB written=$wr%8.1f MB")
+      r
     }
     t("fold batch0 (cold, full)") {
       graft.streaming.LabelLoop.foldBatch(base, 0L, "src", "dst", k, state, edges, out)

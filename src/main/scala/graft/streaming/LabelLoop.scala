@@ -66,12 +66,47 @@ object LabelLoop {
       .getOrElse(emptyState(spark, iterations))
       .select(col("node"), col(s"l$iterations").as("lbl"))
 
+  /** Compact the accumulated edge store into one `batch=<id>_compact`
+    * dir (with a global `distinct` — the deliberate, cadence-amortized
+    * O(graph) moment; it also collapses cross-batch re-sent edges the
+    * per-fold path only dedups on the affected slice), deleting the
+    * folded per-batch dirs. Crash-safe under deterministic replay:
+    * the target name is batch-unique, a finished target (`_SUCCESS`) is
+    * never rewritten — so a crash mid-DELETE cannot lose edges on
+    * replay (the already-folded dirs' content lives in the target;
+    * re-reading the remaining dirs would drop it, which is why the
+    * rewrite is skipped) — and a crash mid-WRITE replays the rewrite
+    * from the still-present source dirs. Duplicate edges visible
+    * between the write and the deletes are absorbed by the fold's
+    * affected-slice dedup. */
+  private[graft] def compactEdgeStore(spark: SparkSession, edgesDir: String,
+                                      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tgtName = s"batch=${batchId}_compact"
+    val (fs, root) = graft.sources.LakeFs.resolve(edgesDir)
+    if (!fs.exists(root)) return
+    val others = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName != tgtName)
+    if (others.isEmpty) return
+    val tgt = new Path(root, tgtName)
+    if (!fs.exists(new Path(tgt, "_SUCCESS"))) {
+      spark.read.parquet(others.map(_.toString).toSeq: _*)
+        .select("src", "dst").distinct()
+        .write.mode(SaveMode.Overwrite).parquet(tgt.toString)
+    }
+    others.foreach(p => fs.delete(p, true))
+  }
+
   /** One micro-batch — exposed for direct replay tests and
-    * [[graft.LabelLoopProbe]]; [[run]] wires it into foreachBatch. */
+    * [[graft.LabelLoopProbe]]; [[run]] wires it into foreachBatch.
+    * `compactEvery` > 0 compacts the append-only edge store every that
+    * many batches ([[compactEdgeStore]]) — without it a long-running
+    * stream accumulates one parquet dir per batch forever and listing/
+    * scan cost grows unboundedly. */
   private[graft] def foldBatch(batch: DataFrame, batchId: Long,
                                    src: String, dst: String, iterations: Int,
                                    stateDir: String, edgesDir: String,
-                                   outDir: String): Unit = {
+                                   outDir: String, compactEvery: Int = 0): Unit = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val spark = batch.sparkSession
     val delta = batch
@@ -79,6 +114,8 @@ object LabelLoop {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint()
     delta.write.mode(SaveMode.Overwrite).parquet(s"$edgesDir/batch=$batchId")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactEdgeStore(spark, edgesDir, batchId)
     // Full accumulated edge set, read LAZILY — never materialized or
     // globally deduped per batch (that would be O(graph) work on every
     // fold, swamping a small append's cone; LabelLoopProbe measured the
@@ -167,11 +204,13 @@ object LabelLoop {
     * `stateDir`; raw edges accumulate under `edgesDir`. */
   def run(stream: DataFrame, src: String, dst: String, iterations: Int,
           stateDir: String, edgesDir: String, outDir: String,
-          checkpointDir: String, trigger: Option[Trigger] = None): StreamingQuery = {
+          checkpointDir: String, trigger: Option[Trigger] = None,
+          compactEvery: Int = 64): StreamingQuery = {
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, src, dst, iterations, stateDir, edgesDir, outDir)
+        foldBatch(batch, batchId, src, dst, iterations, stateDir, edgesDir,
+          outDir, compactEvery)
       }
     trigger.foreach(w.trigger)
     w.start()

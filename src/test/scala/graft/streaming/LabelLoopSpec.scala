@@ -70,6 +70,38 @@ class LabelLoopSpec extends AnyFunSuite {
       canon(GraphOps.labelPropagation(df(stage1 ++ stage2), iterations = k)))
   }
 
+  test("edge-store compaction: folded labels unchanged, dirs bounded, replay-safe") {
+    val root = Files.createTempDirectory("graft-labelloop-cp").toString
+    val (state, edges, out) = (s"$root/state", s"$root/edges", s"$root/out")
+    def dirs(): Set[String] = {
+      val (fs, p) = graft.sources.LakeFs.resolve(edges)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    // compactEvery=2: batch 2 triggers the rewrite.
+    for ((stage, i) <- Seq(stage1, stage2, stage3).zipWithIndex)
+      LabelLoop.foldBatch(df(stage), i.toLong, "src", "dst", k, state, edges, out,
+        compactEvery = 2)
+    assert(dirs() == Set("batch=2_compact"),
+      s"store must hold exactly the compacted dir after the cadence hit: ${dirs()}")
+    val want = canon(GraphOps.labelPropagation(
+      df(stage1 ++ stage2 ++ stage3), iterations = k))
+    assert(canon(LabelLoop.latestLabels(spark, state, k)) == want,
+      "labels diverged after compaction")
+    // The compacted store is globally distinct — re-sent duplicates from
+    // separate batches collapsed (stage edges are symmetric, distinct by
+    // construction; count must equal the canonical union).
+    val stored = spark.read.parquet(s"$edges/batch=2_compact")
+    assert(stored.count() == (stage1 ++ stage2 ++ stage3).distinct.size)
+    // Crash replay of the compacting batch: target exists (_SUCCESS), so
+    // the rewrite is skipped, remaining per-batch dirs fold in, labels
+    // stay exact. (Batch 2's delta dir is rewritten by the replay, then
+    // folded into the already-complete target via the delete pass.)
+    LabelLoop.foldBatch(df(stage3), 2L, "src", "dst", k, state, edges, out,
+      compactEvery = 2)
+    assert(dirs() == Set("batch=2_compact"))
+    assert(canon(LabelLoop.latestLabels(spark, state, k)) == want)
+  }
+
   test("streamed run with a mid-stream restart ≡ batch labelPropagation") {
     val root = Files.createTempDirectory("graft-labelloop-st").toString
     val (src, state, edges, out, ckpt) =
