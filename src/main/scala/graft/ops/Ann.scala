@@ -88,7 +88,20 @@ object Ann {
   private val maxLiteralCentroids = 1024
 
   /** The collected centroid table, or None when the literal fast path
-    * doesn't apply (empty, too many, or null embeddings). */
+    * doesn't apply (empty, too many, or null embeddings).
+    *
+    * EAGER-SNAPSHOT SEMANTICS (shared by every centroid-taking operator
+    * — `ivfAssign`/`ivfIndex`/`appendIvfIndex`/`topKQuantizedIvf`/
+    * `neardupIvf`/`ivfDriftReport`): the bounded collect runs when the
+    * operator is CONSTRUCTED, not when the returned DataFrame first
+    * executes. The centroids become expression literals inside the plan,
+    * so a plan built once and re-executed after the centroid SOURCE
+    * mutates keeps serving the snapshot — by design (an IVF index is
+    * only meaningful against the fixed centroid set it was built with;
+    * re-run the operator after retraining centroids). Duplicate centroid
+    * ids are rejected HERE, at collect time: assignment against an
+    * ambiguous centroid identity has no meaning on either the literal or
+    * the fallback path. */
   private def collectedCentroids(centroids: DataFrame, id: String,
                                  vec: String): Option[Seq[(Any, Seq[Float])]] = {
     val head = centroids.select(col(id), col(vec))
@@ -96,7 +109,15 @@ object Ann {
     if (head.isEmpty || head.length > maxLiteralCentroids ||
         head.exists(r => r.isNullAt(0) || r.isNullAt(1) ||
           r.getSeq[Any](1).exists(_ == null))) None
-    else Some(head.toSeq.map(r => (r.get(0), r.getSeq[Float](1))))
+    else {
+      val ids = head.map(_.get(0)).toSeq
+      val dups = ids.groupBy(identity).collect { case (v, g) if g.size > 1 => v }
+      require(dups.isEmpty,
+        s"duplicate centroid ids ${dups.take(5).mkString(", ")} — centroid " +
+          "identity must be unique (assignment against an ambiguous id has " +
+          "no meaning); dedupe the centroid table before building the operator")
+      Some(head.toSeq.map(r => (r.get(0), r.getSeq[Float](1))))
+    }
   }
 
   /** `array_sort`ed `(nk, cid, sim)` structs over the literal centroids —
@@ -123,7 +144,13 @@ object Ann {
     * `id` is unique per vector. (With duplicate ids the two paths differ
     * in cardinality: the projection emits one row per input row, the
     * grouped fallback one row per id folding all duplicates' candidates
-    * — neither is meaningful input.) */
+    * — neither is meaningful input.)
+    *
+    * The centroid table is SNAPSHOTTED when this operator is built — a
+    * bounded eager collect, see [[collectedCentroids]] — so re-executing
+    * the returned DataFrame after the centroid source mutates serves the
+    * snapshot, not the new rows; rebuild the operator after retraining.
+    * Duplicate centroid ids throw at build time. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 id: String = "vec_id", vec: String = "embedding"): DataFrame =
     collectedCentroids(centroids, id, vec) match {

@@ -263,6 +263,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(asg.getString(1) == "doc-a", s"assignment tie not smallest id: $asg")
   }
 
+  test("duplicate centroid ids throw at operator build; snapshot is build-time") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val dupCents = Seq((7L, Array(1f, 0f)), (7L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    // Ambiguous centroid identity must fail AT BUILD TIME (the eager
+    // bounded collect), not assign arbitrarily.
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfAssign(vecs, dupCents)
+    }
+    assert(e.getMessage.contains("duplicate centroid ids"), e.getMessage)
+    // Eager-snapshot semantics: the plan built against a centroid view
+    // keeps serving the snapshot after the source mutates.
+    val src = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    src.createOrReplaceTempView("__cent_snap")
+    val assigned = Ann.ivfAssign(vecs, spark.table("__cent_snap"))
+    Seq((99L, Array(0f, 1f))).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("__cent_snap")
+    // Both vectors still assign to the snapshotted centroid 1, not 99.
+    assert(assigned.select("cid").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("all-zero vectors quantize to zero codes and NaN cosine — no ANSI divide error") {
     import spark.implicits._
     val z = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, 3f)))
