@@ -2505,6 +2505,38 @@ select d.pid,
  true AS ok_ascii,
  false AS ok_broken
  from part order by p_partkey limit 300"""),
+
+    // Struct/array ORDER BY conventions (round 12): complex-typed sort
+    // keys — the "order by (vector of features)" shape. Both engines
+    // order arrays lexicographically element-wise with a shorter strict
+    // prefix FIRST (empty least) and structs field-wise in declaration
+    // order; ranks over both, derived from variable-length slices (0–3
+    // elements) so the prefix convention actually fires, pin the whole
+    // comparator cross-engine. Render discipline: ranks + a joined
+    // string, never the array itself (driver pandas compare); the
+    // empty-array render split (Spark '' vs DuckDB NULL, q154) is
+    // coalesced on the DuckDB side.
+    q2("q175_ordering_conventions",
+      """select p_partkey,
+ row_number() over (order by arr, p_partkey) rn_arr,
+ row_number() over (order by st, p_partkey) rn_st,
+ array_join(transform(arr, x -> cast(x as string)), ',') arr_s
+ from (
+ select p_partkey,
+  slice(array(p_size % 5, p_partkey % 7, length(p_name) % 6), 1, cast(p_partkey % 4 as int)) arr,
+  struct(p_brand, p_size % 3) st
+ from part) t
+ order by p_partkey limit 300""",
+      """select p_partkey,
+ row_number() over (order by arr, p_partkey) AS rn_arr,
+ row_number() over (order by st, p_partkey) AS rn_st,
+ coalesce(array_to_string(arr, ','), '') AS arr_s
+ from (
+ select p_partkey,
+  ([p_size % 5, p_partkey % 7, length(p_name) % 6])[1:(p_partkey % 4)] arr,
+  row(p_brand, p_size % 3) st
+ from part) t
+ order by p_partkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

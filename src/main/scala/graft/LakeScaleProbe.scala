@@ -82,6 +82,40 @@ object LakeScaleProbe {
     p("compact_planning", med(3)(() => { Maintenance.plannedFiles(dir); () }),
       s"planned=${Maintenance.plannedFiles(dir)}")
 
+    // ---- Steady-state production shape (round 12): the raw many-file
+    // landing zone is compacted ONCE into a bucketed+sorted state table
+    // (trustManifest sheds the listing on probes; Bucketed sheds the
+    // Exchange on state joins). Measured: the one-time bucketed rewrite,
+    // then a keyed state join against a second keyed table — raw layout
+    // vs bucketed state, broadcast disabled so the join shape (shuffle
+    // both sides vs zero Exchange) is what's timed.
+    val buckets = 32
+    val tbl = s"lakescale_state_$n"
+    val tb0 = System.nanoTime()
+    graft.sources.Bucketed.write(
+      spark.read.parquet(dir), tbl, s"$dir-bucketed", "k", buckets)
+    p("bucketed_rewrite", (System.nanoTime() - tb0) / 1e9,
+      s"$n files -> $buckets buckets")
+    val rhsDir = s"$dir-rhs"
+    spark.range(0, n.toLong * rpf, 64)
+      .select(col("id").as("k"), (col("id") % 7).cast("double").as("w"))
+      .write.parquet(rhsDir)
+    val rhs = spark.read.parquet(rhsDir)
+    def timedJoin(left: org.apache.spark.sql.DataFrame): () => Unit = () => {
+      val joined = left.join(rhs, "k")
+        .agg(count(lit(1)).as("n"), round(sum(col("v") * col("w")), 2).as("s"))
+      joined.collect(); ()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rawJoin = timedJoin(spark.read.parquet(dir))
+      if (n > 200000) {
+        val tj = System.nanoTime(); rawJoin()
+        p("state_join_raw", (System.nanoTime() - tj) / 1e9, "single cold sample")
+      } else p("state_join_raw", med(3)(rawJoin))
+      p("state_join_bucketed", med(3)(timedJoin(spark.table(tbl))))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     spark.stop()
   }
 }
