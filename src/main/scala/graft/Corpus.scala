@@ -2537,6 +2537,29 @@ select d.pid,
   row(p_brand, p_size % 3) st
  from part) t
  order by p_partkey limit 300"""),
+
+    // Interval arithmetic conventions (round 12): the dialect split is
+    // pure spelling — Spark `make_interval(y,m,w,d,h,mi,s)` vs DuckDB
+    // `INTERVAL (expr) UNIT` chains / `INTERVAL '1 month 3 days'` — while
+    // the semantics agree exactly: day/hour/minute addition is plain
+    // duration arithmetic (no TZ in play), month addition clamps to the
+    // target month's last day (01-31 + 1 month = 02-29), and a COMBINED
+    // month+day interval applies months (with clamp) FIRST, then days
+    // (01-31 + '1 month 3 days' = 03-03, not 03-04) — both verified on
+    // both engines. Timestamps emitted directly (q110 discipline).
+    q2("q176_interval_arithmetic",
+      """select o_orderkey,
+ o_orderdate + make_interval(0, 0, 0, cast(o_orderkey % 40 as int), cast(o_orderkey % 23 as int), cast(o_orderkey % 59 as int), 0) plus_dhm,
+ o_orderdate + make_interval(0, cast(o_orderkey % 14 as int)) plus_m,
+ o_orderdate - make_interval(0, 0, 0, cast(o_orderkey % 11 as int)) minus_d,
+ o_orderdate + make_interval(0, 1, 0, 3) plus_m_d
+ from orders order by o_orderkey limit 300""",
+      """select o_orderkey,
+ o_orderdate + INTERVAL (o_orderkey % 40) DAY + INTERVAL (o_orderkey % 23) HOUR + INTERVAL (o_orderkey % 59) MINUTE AS plus_dhm,
+ o_orderdate + INTERVAL (o_orderkey % 14) MONTH AS plus_m,
+ o_orderdate - INTERVAL (o_orderkey % 11) DAY AS minus_d,
+ o_orderdate + INTERVAL '1 month 3 days' AS plus_m_d
+ from orders order by o_orderkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1473,6 +1473,19 @@ object DfQueries {
         .orderBy("p_partkey").limit(300)
     },
 
+    "q176_interval_arithmetic" -> { (s, _) =>
+      // Interval spellings over agreeing semantics (duration arithmetic,
+      // month clamp, months-before-days in combined intervals) — pure
+      // codegen'd projection, no shuffle.
+      t(s, "orders").select(col("o_orderkey"),
+          expr("o_orderdate + make_interval(0, 0, 0, cast(o_orderkey % 40 as int), " +
+            "cast(o_orderkey % 23 as int), cast(o_orderkey % 59 as int), 0)").as("plus_dhm"),
+          expr("o_orderdate + make_interval(0, cast(o_orderkey % 14 as int))").as("plus_m"),
+          expr("o_orderdate - make_interval(0, 0, 0, cast(o_orderkey % 11 as int))").as("minus_d"),
+          expr("o_orderdate + make_interval(0, 1, 0, 3)").as("plus_m_d"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
