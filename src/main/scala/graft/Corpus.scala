@@ -2512,29 +2512,32 @@ select d.pid,
     // prefix FIRST (empty least) and structs field-wise in declaration
     // order; ranks over both, derived from variable-length slices (0–3
     // elements) so the prefix convention actually fires, pin the whole
-    // comparator cross-engine. Render discipline: ranks + a joined
+    // comparator cross-engine; ranks are PARTITIONED by p_brand (~80-row
+    // groups — an un-partitioned window is the single-task scale killer
+    // PlanSpec's corpus sweep forbids, and it caught this query's first
+    // draft). Render discipline: ranks + a joined
     // string, never the array itself (driver pandas compare); the
     // empty-array render split (Spark '' vs DuckDB NULL, q154) is
     // coalesced on the DuckDB side.
     q2("q175_ordering_conventions",
       """select p_partkey,
- row_number() over (order by arr, p_partkey) rn_arr,
- row_number() over (order by st, p_partkey) rn_st,
+ row_number() over (partition by p_brand order by arr, p_partkey) rn_arr,
+ row_number() over (partition by p_brand order by st, p_partkey) rn_st,
  array_join(transform(arr, x -> cast(x as string)), ',') arr_s
  from (
- select p_partkey,
+ select p_partkey, p_brand,
   slice(array(p_size % 5, p_partkey % 7, length(p_name) % 6), 1, cast(p_partkey % 4 as int)) arr,
-  struct(p_brand, p_size % 3) st
+  struct(p_type, p_size % 3) st
  from part) t
  order by p_partkey limit 300""",
       """select p_partkey,
- row_number() over (order by arr, p_partkey) AS rn_arr,
- row_number() over (order by st, p_partkey) AS rn_st,
+ row_number() over (partition by p_brand order by arr, p_partkey) AS rn_arr,
+ row_number() over (partition by p_brand order by st, p_partkey) AS rn_st,
  coalesce(array_to_string(arr, ','), '') AS arr_s
  from (
- select p_partkey,
+ select p_partkey, p_brand,
   ([p_size % 5, p_partkey % 7, length(p_name) % 6])[1:(p_partkey % 4)] arr,
-  row(p_brand, p_size % 3) st
+  row(p_type, p_size % 3) st
  from part) t
  order by p_partkey limit 300"""),
 

@@ -1456,18 +1456,21 @@ object DfQueries {
     "q175_ordering_conventions" -> { (s, _) =>
       // Complex-typed sort keys: array (lexicographic, shorter-prefix
       // first, empty least) and struct (field-wise) comparators as
-      // window ORDER BY — two node-scale window sorts, no join.
+      // window ORDER BY. Ranks are PARTITIONED by p_brand — an
+      // un-partitioned window funnels every row through one task (the
+      // PlanSpec corpus-sweep rule, which caught this query's first
+      // draft).
       import org.apache.spark.sql.expressions.Window
       val arr = slice(
         array(col("p_size") % 5, col("p_partkey") % 7, length(col("p_name")) % 6),
         lit(1), (col("p_partkey") % 4).cast("int"))
-      val st = struct(col("p_brand"), (col("p_size") % 3).as("s3"))
+      val st = struct(col("p_type"), (col("p_size") % 3).as("s3"))
       t(s, "part")
-        .select(col("p_partkey"), arr.as("arr"), st.as("st"))
-        .withColumn("rn_arr",
-          row_number().over(Window.orderBy(col("arr"), col("p_partkey"))))
-        .withColumn("rn_st",
-          row_number().over(Window.orderBy(col("st"), col("p_partkey"))))
+        .select(col("p_partkey"), col("p_brand"), arr.as("arr"), st.as("st"))
+        .withColumn("rn_arr", row_number().over(
+          Window.partitionBy(col("p_brand")).orderBy(col("arr"), col("p_partkey"))))
+        .withColumn("rn_st", row_number().over(
+          Window.partitionBy(col("p_brand")).orderBy(col("st"), col("p_partkey"))))
         .select(col("p_partkey"), col("rn_arr"), col("rn_st"),
           array_join(transform(col("arr"), x => x.cast("string")), ",").as("arr_s"))
         .orderBy("p_partkey").limit(300)

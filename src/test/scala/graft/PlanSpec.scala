@@ -218,6 +218,28 @@ class PlanSpec extends AnyFunSuite {
       s"expected hash/merge wedge + closing joins:\n$p")
   }
 
+  test("minhashLshDocs: band bucket + verify joins are equi joins; signatures never aggregate") {
+    // The doc-level production dedup path (round 12): signatures are a
+    // projection (native minhash_sig), so the plan must contain NO
+    // aggregate before the candidate join (the token-relation form pays
+    // a k-way min agg + its exchange there), and every join — band
+    // bucket self-join, the two doc-array attaches — must be an equi
+    // join (no BNLJ/cartesian at any volume).
+    val docs = TestSpark.table("documents").where(col("doc_id") < 60)
+    val pairs = graft.ops.DedupOps.minhashLshDocs(
+      docs, col("doc_id"), col("text"), k = 8, bands = 4, threshold = 0.8)
+    val p = planString(pairs)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"doc-level dedup must stay equi-join-only:\n$p")
+    // The only aggregate allowed is the candidate `distinct`
+    // (HashAggregate pairs, partial+final): band-key construction and
+    // the jaccard_sorted verify are pure projections.
+    assert("HashAggregate".r.findAllIn(p).length <= 2,
+      s"signature aggregation leaked back into the doc-level plan:\n$p")
+    assert(p.contains("jaccard_sorted") && p.contains("minhash_sig"),
+      s"native expressions missing from the plan:\n$p")
+  }
+
   test("q92: span keeper is a partial+final agg joined back — no window, no cartesian") {
     val p = planString(TestSpark.corpus("q92_span_dedup"))
     // The struct-min keeper lowers to SortAggregate (a struct is not a
