@@ -55,7 +55,35 @@ object TriIncProbe {
       .join(cold.select(col("node"), col("triangles").as("tc")), Seq("node"), "full")
       .where(not(col("tf") <=> col("tc"))).count()
     println(s"== fold-vs-cold diverging nodes: $diff (must be 0)")
+
+    // Mixed batch (round 12): the same append PLUS a same-sized random
+    // removal — the deletion-aware fold vs the cold recompute of
+    // (base ∖ removed) ∪ extra.
+    val removed = base.sample(pct, seed = 7).localCheckpoint()
+    // Cold reference applies the removal CANONICALLY (every duplicate and
+    // reversed copy of a removed undirected edge goes) — the semantics
+    // the signed fold implements.
+    val remCanon = removed.select(
+      least(col("src"), col("dst")).as("lo"),
+      greatest(col("src"), col("dst")).as("hi")).distinct()
+    val mixedGraph = base.join(remCanon,
+        least(base("src"), base("dst")) === col("lo") &&
+        greatest(base("src"), base("dst")) === col("hi"), "left_anti")
+      .unionAll(extra).localCheckpoint()
+    val coldM = t("cold mixed recompute") {
+      val c = graft.ops.GraphOps.triangleCount(mixedGraph).localCheckpoint()
+      c.count(); c
+    }
+    val foldM = t("fold (signed, add+rem)") {
+      val f = graft.ops.GraphOps.triangleCountInc(prior, base, extra, removed)
+        .localCheckpoint()
+      f.count(); f
+    }
+    val diffM = foldM.select(col("node"), col("triangles").as("tf"))
+      .join(coldM.select(col("node"), col("triangles").as("tc")), Seq("node"), "full")
+      .where(not(col("tf") <=> col("tc"))).count()
+    println(s"== signed-fold-vs-cold diverging nodes: $diffM (must be 0)")
     spark.stop()
-    if (diff != 0) sys.exit(1)
+    if (diff != 0 || diffM != 0) sys.exit(1)
   }
 }

@@ -325,8 +325,8 @@ object GraphOps {
     * triangles of the union graph with ≥1 new edge. Each such triangle is
     * found once per new edge it contains via common-neighbor
     * intersection, then deduplicated on the sorted node triple before
-    * counting. Deletions are NOT supported (counts would need the same
-    * enumeration with a minus sign — fold only appends).
+    * counting. For batches that also REMOVE edges, use the
+    * deletion-aware overload (extra `removedEdges` frame).
     *
     * Scale shape — the LabelLoop posture: the old edge store is touched
     * only through a frontier-cone semi join (directed adjacency rows
@@ -375,6 +375,169 @@ object GraphOps {
       .select(col("node"), t.as("triangles"), d.as("degree"),
         round(when(d >= 2, lit(2.0) * t / (d * (d - lit(1.0))))
           .otherwise(lit(0.0)), 4).as("clustering"))
+  }
+
+  /** Deletion-aware [[triangleCountInc]]: fold a mixed edge batch —
+    * `addedEdges` AND `removedEdges` — into persisted per-node triangle
+    * counts. Result equals `triangleCount((old ∖ removed) ∪ added)`
+    * (OpsSpec-pinned); an edge in both frames is present afterwards
+    * (add wins — "remove then re-add" is a no-op for an existing edge).
+    *
+    * Soundness mirrors the append-only fold with a minus sign:
+    * deletions only REMOVE triangles, and every removed triangle is a
+    * triangle of the OLD graph containing ≥1 truly-removed edge —
+    * enumerated per removed edge by common-neighbor intersection over
+    * old adjacency; added triangles are triangles of the NEW graph
+    * containing ≥1 truly-new edge, enumerated over new adjacency
+    * (old cone minus removals plus additions). The two triple sets are
+    * provably disjoint (a subtracted triangle contains a removed edge,
+    * which no new-graph triangle can), so no cross-pass dedup is
+    * needed; within each pass the sorted-triple `distinct` dedups
+    * multi-delta triangles exactly as in the append-only fold.
+    *
+    * Nodes left ISOLATED by the batch (every incident edge removed) are
+    * DROPPED, and new nodes appear — matching the cold recompute's
+    * "nodes of the graph" contract. The old degree of each frontier
+    * node needed for that decision comes from the adjacency cone the
+    * fold already reads — no extra pass over the store.
+    *
+    * Scale shape: identical to the append-only fold — ONE frontier-cone
+    * broadcast semi join over the store (frontier = endpoints of both
+    * frames), everything downstream sized by Σ_{batch edge} deg. */
+  def triangleCountInc(prior: DataFrame, oldEdges: DataFrame, addedEdges: DataFrame,
+                       removedEdges: DataFrame, src: String, dst: String): DataFrame = {
+    val d = signedTriangleDelta(oldEdges, addedEdges, removedEdges, src, dst)
+    val newDeg = coalesce(col("__cd"), lit(0L)) + coalesce(col("__di"), lit(0L))
+    val frontierKept = d.frontier
+      .join(d.coneDeg, Seq("n"), "left").join(d.degDelta, Seq("n"), "left")
+      .where(newDeg > 0).select(col("n").as("node"))
+    val allNodes = prior.select(col("node"))
+      .join(d.frontier, col("node") === col("n"), "left_anti")
+      .union(frontierKept)
+    allNodes
+      .join(prior.select(col("node"), col("triangles").as("__pt")), Seq("node"), "left")
+      .join(d.triDelta, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("__pt"), lit(0L)) + coalesce(col("__dt"), lit(0L))).as("triangles"))
+  }
+
+  def triangleCountInc(prior: DataFrame, oldEdges: DataFrame, addedEdges: DataFrame,
+                       removedEdges: DataFrame): DataFrame =
+    triangleCountInc(prior, oldEdges, addedEdges, removedEdges, "src", "dst")
+
+  /** Deletion-aware [[clusteringCoefficientInc]]: triangle deltas as in
+    * the deletion-aware [[triangleCountInc]]; degrees fold as
+    * prior ± per-node truly-changed incident edges (prior carries the
+    * degree, so the cone degree isn't needed here); now-isolated nodes
+    * drop; the 4dp-grid division recomputes. Equal to the cold run on
+    * `(old ∖ removed) ∪ added` (OpsSpec-pinned). */
+  def clusteringCoefficientInc(prior: DataFrame, oldEdges: DataFrame,
+                               addedEdges: DataFrame, removedEdges: DataFrame,
+                               src: String, dst: String): DataFrame = {
+    val dd = signedTriangleDelta(oldEdges, addedEdges, removedEdges, src, dst)
+    val allNodes = prior.select(col("node"))
+      .union(dd.frontier.select(col("n").as("node"))).distinct()
+    val t = coalesce(col("__pt"), lit(0L)) + coalesce(col("__dt"), lit(0L))
+    val d = coalesce(col("__pd"), lit(0L)) + coalesce(col("__di"), lit(0L))
+    allNodes
+      .join(prior.select(col("node"), col("triangles").as("__pt"),
+        col("degree").as("__pd")), Seq("node"), "left")
+      .join(dd.triDelta, Seq("node"), "left")
+      .join(dd.degDelta.select(col("n").as("node"), col("__di")), Seq("node"), "left")
+      .where(d > 0)
+      .select(col("node"), t.as("triangles"), d.as("degree"),
+        round(when(d >= 2, lit(2.0) * t / (d * (d - lit(1.0))))
+          .otherwise(lit(0.0)), 4).as("clustering"))
+  }
+
+  def clusteringCoefficientInc(prior: DataFrame, oldEdges: DataFrame,
+                               addedEdges: DataFrame, removedEdges: DataFrame): DataFrame =
+    clusteringCoefficientInc(prior, oldEdges, addedEdges, removedEdges, "src", "dst")
+
+  /** The pieces of the signed (add + remove) triangle delta. `frontier`
+    * = endpoints of either batch frame (`n`); `triDelta` = signed
+    * per-node triangle deltas (node, __dt); `degDelta` = signed per-node
+    * incident-edge deltas (n, __di); `coneDeg` = OLD-graph degree of
+    * each frontier node read off the adjacency cone (n, __cd). */
+  private case class SignedDelta(frontier: DataFrame, triDelta: DataFrame,
+                                 degDelta: DataFrame, coneDeg: DataFrame)
+
+  /** Signed delta machinery of the deletion-aware fold. Net semantics
+    * first — `rnet` = requested removals minus re-adds, intersected with
+    * the old graph; `anet` = requested additions absent from the old
+    * graph (an existing edge that is both removed and re-added nets to
+    * untouched) — then two enumeration passes over ONE shared frontier
+    * cone: removed triangles close through OLD adjacency (they existed
+    * before the batch), added triangles through NEW adjacency
+    * (cone ∖ rnet ∪ anet). Store bytes never shuffle — the cone pays
+    * the canonical distinct, exactly as in the append-only fold. */
+  private def signedTriangleDelta(oldEdges: DataFrame, addedEdges: DataFrame,
+                                  removedEdges: DataFrame, src: String,
+                                  dst: String): SignedDelta = {
+    def und(df: DataFrame): DataFrame = df
+      .select(col(src).as("a"), col(dst).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val addU = und(addedEdges).localCheckpoint()
+    // Removals re-added in the same batch cancel BEFORE touching the
+    // store: for an existing edge the pair is a no-op (add wins), and
+    // netting first keeps both enumeration passes delta-sized.
+    val remReq = und(removedEdges).join(addU, Seq("lo", "hi"), "left_anti")
+      .localCheckpoint()
+    val frontier = addU.select(col("lo").as("n"))
+      .union(addU.select(col("hi").as("n")))
+      .union(remReq.select(col("lo").as("n")))
+      .union(remReq.select(col("hi").as("n"))).distinct().localCheckpoint()
+    val oldCanon = oldEdges.select(col(src).as("a"), col(dst).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+    val adjOldCone = oldCanon
+      .select(explode(array(
+          struct(col("lo").as("u"), col("hi").as("w")),
+          struct(col("hi").as("u"), col("lo").as("w")))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .join(broadcast(frontier), col("u") === col("n"), "left_semi")
+      .distinct().localCheckpoint()
+    // Both endpoints of every batch edge are frontier nodes, so the cone
+    // suffices for presence tests against the old graph.
+    val rnet = remReq.join(adjOldCone,
+        col("lo") === col("u") && col("hi") === col("w"), "left_semi")
+      .localCheckpoint()
+    val anet = addU.join(adjOldCone,
+        col("lo") === col("u") && col("hi") === col("w"), "left_anti")
+      .localCheckpoint()
+    // Delete pass: triangles of the OLD graph with >= 1 rnet edge.
+    val remTris = rnet.join(adjOldCone.as("ra"), col("ra.u") === col("lo"))
+      .select(col("lo").as("ta"), col("hi").as("tb"), col("ra.w").as("cw"))
+      .join(adjOldCone.as("rb"),
+        col("rb.u") === col("tb") && col("rb.w") === col("cw"))
+      .select(array_sort(array(col("ta"), col("tb"), col("cw"))).as("tri"))
+      .distinct()
+    // Add pass: triangles of the NEW graph with >= 1 anet edge.
+    val adjNew = adjOldCone
+      .join(rnet.select(col("lo").as("u"), col("hi").as("w"))
+          .unionAll(rnet.select(col("hi").as("u"), col("lo").as("w"))),
+        Seq("u", "w"), "left_anti")
+      .unionAll(anet.select(col("lo").as("u"), col("hi").as("w")))
+      .unionAll(anet.select(col("hi").as("u"), col("lo").as("w")))
+      .localCheckpoint()
+    val addTris = anet.join(adjNew.as("na"), col("na.u") === col("lo"))
+      .select(col("lo").as("ta"), col("hi").as("tb"), col("na.w").as("cw"))
+      .join(adjNew.as("nb"),
+        col("nb.u") === col("tb") && col("nb.w") === col("cw"))
+      .select(array_sort(array(col("ta"), col("tb"), col("cw"))).as("tri"))
+      .distinct()
+    val triDelta = addTris.select(explode(col("tri")).as("node"), lit(1L).as("s"))
+      .unionAll(remTris.select(explode(col("tri")).as("node"), lit(-1L).as("s")))
+      .groupBy("node").agg(sum(col("s")).as("__dt"))
+    val degDelta = anet.select(col("lo").as("n")).unionAll(anet.select(col("hi").as("n")))
+      .select(col("n"), lit(1L).as("s"))
+      .unionAll(rnet.select(col("lo").as("n")).unionAll(rnet.select(col("hi").as("n")))
+        .select(col("n"), lit(-1L).as("s")))
+      .groupBy("n").agg(sum(col("s")).as("__di"))
+    val coneDeg = adjOldCone.groupBy(col("u").as("n")).agg(count(lit(1)).as("__cd"))
+    SignedDelta(frontier, triDelta, degDelta, coneDeg)
   }
 
   /** Shared delta machinery of the incremental triangle family:

@@ -547,6 +547,56 @@ class OpsSpec extends AnyFunSuite {
       ('a' to 'd').map(x => x.toString -> "e"))
   }
 
+  test("deletion-aware triangle/clustering fold ≡ cold on (old ∖ removed) ∪ added") {
+    import spark.implicits._
+    def triMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select("node", "triangles").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ccMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Double)] =
+      df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def canon(e: Seq[(String, String)]): Set[(String, String)] =
+      e.filter(p => p._1 != p._2)
+        .map(p => if (p._1 < p._2) p else p.swap).toSet
+    def check(oldE: Seq[(String, String)], addE: Seq[(String, String)],
+              remE: Seq[(String, String)]): Unit = {
+      val resulting = ((canon(oldE) -- canon(remE)) ++ canon(addE)).toSeq
+      val oldDf = oldE.toDF("src", "dst")
+      val addDf = addE.toDF("src", "dst")
+      val remDf = remE.toDF("src", "dst")
+      val priorT = GraphOps.triangleCount(oldDf).localCheckpoint()
+      val inc = triMap(GraphOps.triangleCountInc(priorT, oldDf, addDf, remDf))
+      val cold = triMap(GraphOps.triangleCount(resulting.toDF("src", "dst")))
+      assert(inc == cold, s"signed triangle fold diverges:\n inc=$inc\n cold=$cold")
+      val priorC = GraphOps.clusteringCoefficient(oldDf).localCheckpoint()
+      val incC = ccMap(GraphOps.clusteringCoefficientInc(priorC, oldDf, addDf, remDf))
+      val coldC = ccMap(GraphOps.clusteringCoefficient(resulting.toDF("src", "dst")))
+      assert(incC == coldC, s"signed clustering fold diverges:\n inc=$incC\n cold=$coldC")
+    }
+    val k4 = for { x <- 'a' to 'd'; y <- 'a' to 'd' if x < y } yield x.toString -> y.toString
+    // Pure deletion: K4 loses one edge (two triangles die, one survives).
+    check(k4, Nil, Seq("a" -> "b"))
+    // Deletion that ISOLATES a node: every incident edge of d removed —
+    // the node must drop from the fold output like it does from cold.
+    check(k4, Nil, Seq("a" -> "d", "b" -> "d", "d" -> "c"))
+    // Removing an edge not in the graph (and a reversed duplicate and a
+    // self loop) is a no-op.
+    check(k4, Nil, Seq("a" -> "z", "b" -> "a", "c" -> "c"))
+    // Remove + re-add the same existing edge in one batch: net no-op
+    // (add wins; the pair must cancel, not double-count).
+    check(k4, Seq("a" -> "b"), Seq("b" -> "a"))
+    // Mixed batch sharing nodes: one triangle destroyed by the removal
+    // while another is created by the addition through the same node.
+    check(Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d"),
+      Seq("a" -> "d"), Seq("b" -> "c"))
+    // Removal + addition where the new triangle uses 2 new edges and a
+    // brand-new node appears while an old one leaves.
+    check(Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "x"),
+      Seq("b" -> "n", "n" -> "a"), Seq("a" -> "x", "b" -> "c"))
+    // Empty batch: fold is the identity.
+    check(k4, Nil, Nil)
+  }
+
   test("minhashDedupKeep: linear keep/drop decision is consistent") {
     val toks = DedupOps.tokenSet(documents, col("doc_id"), col("text"))
     val decisions = DedupOps.minhashDedupKeep(toks, 8).collect()
