@@ -154,6 +154,38 @@ object FileStats {
       statsOf(spark.read.parquet(newPaths: _*), cols), newPaths, cols))
   }
 
+  /** The stats columns a manifest carries, recovered from its schema —
+    * the `c` of every complete `(min_c, max_c, n_null_c)` triple. Lets
+    * maintenance ops ([[Maintenance.upsert]]) refresh a manifest without
+    * being told which columns it was collected over. */
+  def statsColumns(manifest: DataFrame): Seq[String] = {
+    val names = manifest.columns.toSet
+    manifest.columns.toSeq.collect {
+      case n if n.startsWith("min_") &&
+        names.contains("max_" + n.stripPrefix("min_")) &&
+        names.contains("n_null_" + n.stripPrefix("min_")) => n.stripPrefix("min_")
+    }
+  }
+
+  /** Manifest maintenance for a TARGETED FILE REWRITE
+    * ([[Maintenance.upsert]]'s copy-on-write swap): drop the rows of
+    * `removedPaths`, stat ONLY `addedPaths` and union them in. Costs
+    * O(rewritten data) — history outside the touched files is never
+    * re-scanned, the same property [[update]] gives appends. Path
+    * identity is the normalized full path on both sides, as everywhere
+    * in the manifest layer. */
+  def rewrite(spark: SparkSession, manifest: DataFrame, removedPaths: Seq[String],
+              addedPaths: Seq[String], cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val kept =
+      if (removedPaths.isEmpty) manifest
+      else manifest.join(removedPaths.toDF("__rm"),
+        normPathCol(col("file")) === normPathCol(col("__rm")), "left_anti")
+    if (addedPaths.isEmpty) kept
+    else kept.unionByName(withAllFiles(spark,
+      statsOf(spark.read.parquet(addedPaths: _*), cols), addedPaths, cols))
+  }
+
   /** Persist a manifest (tiny; one row per data file). */
   def writeManifest(manifest: DataFrame, path: String): Unit =
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)

@@ -109,6 +109,112 @@ object Maintenance {
     (spark.read.parquet(out), FileStats.readManifest(spark, s"${out}_stats"))
   }
 
+  /** Targeted MERGE (CDC upsert + delete) into a parquet state
+    * directory — copy-on-write at FILE granularity, the operation that
+    * makes a keyed 100 TB state table maintainable without a full
+    * rewrite per change batch.
+    *
+    * Semantics (replace-by-key): after the call, every row of `dir`
+    * whose `key` appears in `changes` or `deleteKeys` is gone, and all
+    * rows of `changes` are present — i.e. the table equals
+    * `old ∖ keys(changes ∪ deleteKeys) ∪ changes`. Multiple change rows
+    * per key are allowed (all inserted); `changes` rows with a NULL key
+    * are rejected (null never equi-matches, so they could only
+    * accumulate). `deleteKeys` is a single-column frame of keys to
+    * drop without replacement.
+    *
+    * Scale shape — the Delta-merge file-finding discipline, built on
+    * the stats manifest:
+    *  1. ENVELOPE prune: `[min, max]` of the change keys (one tiny agg)
+    *     feeds [[FileStats.prunedFiles]], dropping files at planning
+    *     time on a sorted/z-ordered layout before any task exists.
+    *  2. TOUCH scan: the surviving candidates' KEY COLUMN ONLY is
+    *     scanned and left-semi joined against the change keys under
+    *     `input_file_name()` — exact touched-file set, one narrow
+    *     columnar pass over candidates (finding rows by key below the
+    *     key column's bytes is information a manifest cannot carry).
+    *  3. REWRITE touched files only: surviving rows (anti join on key)
+    *     + all change rows, staged into a hidden `_upsert_*` subdir
+    *     (invisible to concurrent parquet scans), then moved in and
+    *     the touched files deleted.
+    *  4. MANIFEST maintenance: [[FileStats.rewrite]] drops the touched
+    *     rows and stats only the staged files — O(change batch), never
+    *     a re-collect; the refreshed manifest is returned (persist it
+    *     with [[FileStats.writeManifest]]).
+    *
+    * Crash posture (plain parquet has no commit log — detection, not
+    * atomicity): staged files move in BEFORE touched files are deleted,
+    * so no committed row is ever lost; a crash inside the swap window
+    * leaves duplicate key versions that (a) any manifest-checked read
+    * refuses loudly (staleness fingerprint), and (b) re-running the
+    * SAME upsert repairs — the re-run's anti join removes every copy of
+    * every change key before re-inserting exactly one. Single writer
+    * assumed, like [[compact]]/[[zorder]]. Readers racing the swap can
+    * see a mix — swap under a catalog pointer for snapshot isolation.
+    *
+    * Returns `(table, refreshed manifest)`. */
+  def upsert(spark: SparkSession, dir: String, manifest: DataFrame,
+             changes: DataFrame, key: String,
+             deleteKeys: Option[DataFrame] = None,
+             targetBytes: Long = 128L * 1024 * 1024): (DataFrame, DataFrame) = {
+    require(changes.columns.contains(key), s"changes lack key column `$key`")
+    val statsCols = FileStats.statsColumns(manifest)
+    require(statsCols.contains(key),
+      s"manifest carries no stats for `$key` (has: ${statsCols.mkString(", ")}) — " +
+        "collect the manifest over the merge key")
+    require(changes.where(col(key).isNull).isEmpty,
+      "null-keyed change rows are not mergeable (null never equi-matches)")
+    val delKeys = deleteKeys.map { d =>
+      require(d.columns.length == 1, "deleteKeys must be a single key column")
+      d.select(col(d.columns.head).cast(changes.schema(key).dataType).as(key))
+    }
+    val changeKeys = delKeys.foldLeft(changes.select(col(key)))(_ unionByName _)
+      .where(col(key).isNotNull).distinct().localCheckpoint()
+    // Pin the manifest BEFORE mutating the directory: an un-persisted
+    // manifest re-lists lazily, and a post-swap re-evaluation would
+    // double-count the files this call is about to move in.
+    val m0 = manifest.localCheckpoint()
+    // 1. Envelope prune (two scalars — bounded driver data).
+    val env = changeKeys.agg(min(col(key)), max(col(key))).head()
+    if (env.isNullAt(0)) return (spark.read.parquet(dir), m0) // empty batch
+    val candidates = FileStats.prunedFiles(m0,
+      Seq(ColumnBounds(key, Some(env.get(0)), Some(env.get(1)))))
+    // 2. Exact touched set: key column + file name over candidates only.
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else spark.read.parquet(candidates: _*)
+        .select(col(key), input_file_name().as("__f"))
+        .join(changeKeys, Seq(key), "left_semi")
+        .select("__f").distinct().collect().map(_.getString(0)).toSeq
+    // 3. Copy-on-write rewrite of the touched files.
+    val (fs, root) = LakeFs.resolve(dir)
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s"_upsert_${java.util.UUID.randomUUID().toString.take(8)}")
+    val survivors =
+      if (touched.isEmpty) changes
+      else spark.read.parquet(touched: _*)
+        .join(changeKeys, Seq(key), "left_anti").unionByName(changes)
+    val touchedBytes = touched.map(p =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
+    val nOut = math.max(1, math.ceil(touchedBytes.toDouble / targetBytes).toInt)
+    survivors.repartition(nOut).write.mode(SaveMode.ErrorIfExists)
+      .parquet(staging.toString)
+    val staged = LakeFs.listFiles(staging.toString, skipHiddenDirs = true)
+      .map(_._1).filter(_.endsWith(".parquet"))
+    val moved = staged.map { s =>
+      val sp = new org.apache.hadoop.fs.Path(s)
+      val dest = new org.apache.hadoop.fs.Path(root, sp.getName)
+      require(fs.rename(sp, dest), s"failed to move staged file $s into $dir")
+      dest.toString
+    }
+    touched.foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(t), false))
+    fs.delete(staging, true)
+    // 4. O(batch) manifest maintenance.
+    val m2 = FileStats.rewrite(spark, m0, touched, moved, statsCols)
+    (spark.read.parquet(dir), m2)
+  }
+
   /** Z-ORDER rewrite: range-partition and sort the table by an
     * interleaved-bits curve over `cols`, so rows close in EVERY listed
     * dimension land in the same files — parquet min/max stats then prune

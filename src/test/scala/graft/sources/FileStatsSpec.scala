@@ -300,4 +300,82 @@ class FileStatsSpec extends AnyFunSuite {
     val want = spark.read.parquet(d).where(col("o_orderkey").between(1000L, 2000L))
     assert(canon(got) == canon(want) && got.count() > 0)
   }
+
+  test("upsert: replace-by-key MERGE rewrites ONLY the touched files") {
+    val d = tmp("upsert")
+    val (_, manifest) = Maintenance.writeOptimized(
+      spark, TestSpark.table("orders"), d, Seq("o_orderkey"), files)
+    val before = LakeFs.listFiles(d, skipHiddenDirs = true).map(_._1)
+      .filter(_.endsWith(".parquet")).toSet
+    val orders = spark.read.parquet(d).localCheckpoint()
+    // Change batch: updated versions of a NARROW key slice (price
+    // zeroed), brand-new keys past the old range, and two deletes.
+    val changes = orders.where(col("o_orderkey").between(100L, 120L))
+      .withColumn("o_totalprice", lit(0.0))
+      .unionByName(orders.where(col("o_orderkey") < 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+      .localCheckpoint()
+    import spark.implicits._
+    val dels = Seq(130L, 131L, 99999999L).toDF("k")
+    val (table, m2) = Maintenance.upsert(spark, d, manifest, changes,
+      "o_orderkey", Some(dels))
+    // Content equals the MERGE definition computed independently.
+    val changeKeys = changes.select("o_orderkey")
+      .union(dels.select(col("k").as("o_orderkey")))
+    val want = orders.join(changeKeys, Seq("o_orderkey"), "left_anti")
+      .unionByName(changes)
+    assert(canon(table) == canon(want))
+    // Targeting: the narrow slice lives in ~1 of 16 range files, so the
+    // overwhelming majority of original files must survive untouched.
+    val after = LakeFs.listFiles(d, skipHiddenDirs = true).map(_._1)
+      .filter(_.endsWith(".parquet")).toSet
+    val untouched = (before intersect after).size
+    assert(untouched >= files - 3,
+      s"upsert rewrote too much: only $untouched of $files original files kept")
+    assert(!after.exists(_.contains("_upsert_")), "staging dir leaked")
+    // The refreshed manifest passes the staleness guard and still prunes.
+    assert(m2.count() == after.size.toLong)
+    val bounds = Seq(ColumnBounds("o_orderkey", Some(100L), Some(120L)))
+    val got = FileStats.prunedRead(spark, d, m2, bounds)
+    val w2 = spark.read.parquet(d).where(col("o_orderkey").between(100L, 120L))
+    assert(canon(got) == canon(w2) && got.count() > 0)
+    assert(got.agg(sum(col("o_totalprice"))).head().getDouble(0) == 0.0)
+    // Re-running the SAME upsert (the crash-repair path) is content-stable.
+    val (t3, m3) = Maintenance.upsert(spark, d, m2, changes,
+      "o_orderkey", Some(dels))
+    assert(canon(t3) == canon(want))
+    assert(m3.count() == LakeFs.listFiles(d, skipHiddenDirs = true)
+      .count(_._1.endsWith(".parquet")).toLong)
+  }
+
+  test("upsert edge cases: empty batch, delete-only, null keys, missing key stats") {
+    val d = tmp("upsert-edge")
+    val (_, manifest) = Maintenance.writeOptimized(
+      spark, TestSpark.table("region"), d, Seq("r_regionkey"), 2)
+    val region = spark.read.parquet(d).localCheckpoint()
+    val empty = region.where(lit(false))
+    // Empty batch: identity, manifest unchanged row-for-row.
+    val (t0, m0) = Maintenance.upsert(spark, d, manifest, empty, "r_regionkey")
+    assert(canon(t0) == canon(region) && canon(m0) == canon(manifest))
+    // Delete-only batch.
+    import spark.implicits._
+    val (t1, m1) = Maintenance.upsert(spark, d, m0, empty, "r_regionkey",
+      Some(Seq(0L).toDF("k")))
+    assert(canon(t1) == canon(region.where(col("r_regionkey") =!= 0L)))
+    val got = FileStats.prunedRead(spark, d, m1,
+      Seq(ColumnBounds("r_regionkey", Some(0L), Some(99L))))
+    assert(canon(got) == canon(t1))
+    // Null-keyed change rows are rejected loudly.
+    val nulled = region.withColumn("r_regionkey",
+      when(col("r_regionkey") === 1L, lit(null)).otherwise(col("r_regionkey")))
+    val eNull = intercept[IllegalArgumentException] {
+      Maintenance.upsert(spark, d, m1, nulled, "r_regionkey")
+    }
+    assert(eNull.getMessage.contains("null"))
+    // A manifest without stats for the merge key is refused.
+    val eKey = intercept[IllegalArgumentException] {
+      Maintenance.upsert(spark, d, m1, empty, "r_name")
+    }
+    assert(eKey.getMessage.contains("no stats"))
+  }
 }
