@@ -2563,6 +2563,37 @@ select d.pid,
  o_orderdate - INTERVAL (o_orderkey % 11) DAY AS minus_d,
  o_orderdate + INTERVAL '1 month 3 days' AS plus_m_d
  from orders order by o_orderkey limit 300"""),
+
+    // Date/timestamp sequence conventions (round 12, H23): day-stepped
+    // series (unit + stride-2), descending series, and weekly timestamp
+    // series agree engine-for-engine — inclusive stop, last element =
+    // greatest step <= stop, singleton when stop = start. Month-STEPPED
+    // sequences are the measured divergence: Spark `sequence(d1, d2,
+    // interval 1 month)` adds k months to the START each element
+    // (cumulative — Jan 31, Feb 29, MAR 31), DuckDB's generate_series
+    // re-adds one month to the PREVIOUS element (iterative — Jan 31,
+    // Feb 29, MAR 29); they part at the first month-end clamp and never
+    // re-join. The portable monthly spine, declared here, is an integer
+    // index series + add-k-months (Spark `add_months`, DuckDB
+    // `to_months`) — cumulative by construction on both engines, clamp
+    // semantics already pinned by q176. DuckDB's date-series elements
+    // are TIMESTAMPs (cast back to date before rendering); Spark's are
+    // DATEs.
+    q2("q177_date_sequences",
+      """select o_orderkey,
+ array_join(transform(sequence(cast(o_orderdate as date), date_add(cast(o_orderdate as date), cast(o_orderkey % 6 as int)), interval 1 day), x -> cast(x as string)), ',') AS days,
+ array_join(transform(sequence(cast(o_orderdate as date), date_add(cast(o_orderdate as date), 5), interval 2 day), x -> cast(x as string)), ',') AS stride,
+ array_join(transform(sequence(cast(o_orderdate as date), date_sub(cast(o_orderdate as date), cast(o_orderkey % 4 as int)), interval -1 day), x -> cast(x as string)), ',') AS days_desc,
+ array_join(transform(sequence(0, cast(o_orderkey % 5 as int)), k -> cast(add_months(cast(o_orderdate as date), k) as string)), ',') AS mspine,
+ array_join(transform(sequence(o_orderdate, o_orderdate + make_interval(0,0,0,20), interval 7 day), x -> cast(x as string)), ',') AS weekly
+ from orders order by o_orderkey limit 300""",
+      """select o_orderkey,
+ array_to_string(list_transform(generate_series(cast(o_orderdate as date), cast(o_orderdate as date) + to_days(cast(o_orderkey % 6 as int)), INTERVAL 1 DAY), x -> cast(cast(x as date) as varchar)), ',') AS days,
+ array_to_string(list_transform(generate_series(cast(o_orderdate as date), cast(o_orderdate as date) + to_days(5), INTERVAL 2 DAY), x -> cast(cast(x as date) as varchar)), ',') AS stride,
+ array_to_string(list_transform(generate_series(cast(o_orderdate as date), cast(o_orderdate as date) - to_days(cast(o_orderkey % 4 as int)), INTERVAL (-1) DAY), x -> cast(cast(x as date) as varchar)), ',') AS days_desc,
+ array_to_string(list_transform(generate_series(0, o_orderkey % 5), k -> cast(cast(cast(o_orderdate as date) + to_months(cast(k as int)) as date) as varchar)), ',') AS mspine,
+ array_to_string(list_transform(generate_series(o_orderdate, o_orderdate + to_days(20), INTERVAL 7 DAY), x -> cast(x as varchar)), ',') AS weekly
+ from orders order by o_orderkey limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1489,6 +1489,32 @@ object DfQueries {
         .orderBy("o_orderkey").limit(300)
     },
 
+    "q177_date_sequences" -> { (s, _) =>
+      // Date/timestamp series conventions (H23): day-stepped (unit and
+      // stride), descending, and weekly-timestamp sequences agree
+      // engine-for-engine (inclusive stop, last step <= stop); a
+      // month-STEPPED sequence does NOT (Spark steps cumulatively from
+      // the start, DuckDB re-adds iteratively — they part at the first
+      // month-end clamp), so the portable monthly spine is an INDEX
+      // series + add-k-months, pinned here. Pure projection, no shuffle.
+      t(s, "orders").select(col("o_orderkey"),
+          expr("array_join(transform(sequence(cast(o_orderdate as date), " +
+            "date_add(cast(o_orderdate as date), cast(o_orderkey % 6 as int)), " +
+            "interval 1 day), x -> cast(x as string)), ',')").as("days"),
+          expr("array_join(transform(sequence(cast(o_orderdate as date), " +
+            "date_add(cast(o_orderdate as date), 5), interval 2 day), " +
+            "x -> cast(x as string)), ',')").as("stride"),
+          expr("array_join(transform(sequence(cast(o_orderdate as date), " +
+            "date_sub(cast(o_orderdate as date), cast(o_orderkey % 4 as int)), " +
+            "interval -1 day), x -> cast(x as string)), ',')").as("days_desc"),
+          expr("array_join(transform(sequence(0, cast(o_orderkey % 5 as int)), " +
+            "k -> cast(add_months(cast(o_orderdate as date), k) as string)), ',')").as("mspine"),
+          expr("array_join(transform(sequence(o_orderdate, " +
+            "o_orderdate + make_interval(0,0,0,20), interval 7 day), " +
+            "x -> cast(x as string)), ',')").as("weekly"))
+        .orderBy("o_orderkey").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
