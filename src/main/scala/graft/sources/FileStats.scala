@@ -154,6 +154,18 @@ object FileStats {
       statsOf(spark.read.parquet(newPaths: _*), cols), newPaths, cols))
   }
 
+  /** Does `manifest` still describe `dir` exactly (same file set)? The
+    * boolean form of [[prunedRead]]'s staleness guard, for maintenance
+    * loops ([[graft.streaming.UpsertLoop]]) that must decide
+    * repair-vs-proceed instead of throwing: a crash inside an upsert's
+    * swap window leaves a manifest that names files the swap deleted,
+    * and planning from it would fail on the missing files. */
+  def isFresh(spark: SparkSession, dir: String, manifest: DataFrame): Boolean = {
+    val (nDisk, diskXor) = probeDiskFingerprint(dir)
+    val (mRows, mDistinct, mXor, _) = probeManifestAgg(manifest, Nil)
+    mRows == mDistinct && mRows == nDisk.toLong && mXor == diskXor
+  }
+
   /** The stats columns a manifest carries, recovered from its schema —
     * the `c` of every complete `(min_c, max_c, n_null_c)` triple. Lets
     * maintenance ops ([[Maintenance.upsert]]) refresh a manifest without
