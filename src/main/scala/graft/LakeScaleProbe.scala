@@ -18,12 +18,17 @@ import graft.sources.{ColumnBounds, FileStats, LakeFs, Maintenance}
   *    fingerprint) vs the full scan of the same predicate,
   *  - compaction planning (`Maintenance.plannedFiles`).
   *
-  * Usage: runMain graft.LakeScaleProbe [nFiles] [rowsPerFile]
+  * Usage: runMain graft.LakeScaleProbe [nFiles] [rowsPerFile] [stateonly]
+  * `stateonly` skips the listing/manifest/scan stages (already measured
+  * at every tier in round 10) and runs just the layout write + the
+  * round-12 steady-state stage — the 1M tier's scan stages cost ~25 min
+  * of re-measurement the steady-state numbers don't need.
   */
 object LakeScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 16384
     val rpf = if (args.length > 1) args(1).toInt else 16
+    val stateOnly = args.length > 2 && args(2) == "stateonly"
     val spark = graft.engine.Graft.session("graft-lakescaleprobe")
 
     def med(samples: Int)(f: () => Unit): Double = {
@@ -50,6 +55,7 @@ object LakeScaleProbe {
       .write.option("maxRecordsPerFile", rpf).parquet(dir)
     p("write_layout", (System.nanoTime() - t0) / 1e9, s"files=$n rows=${n.toLong * rpf}")
 
+    if (!stateOnly) {
     p("hadoop_listing", med(3)(() => LakeFs.listFiles(dir, skipHiddenDirs = true)))
 
     val tc0 = System.nanoTime()
@@ -81,6 +87,7 @@ object LakeScaleProbe {
 
     p("compact_planning", med(3)(() => { Maintenance.plannedFiles(dir); () }),
       s"planned=${Maintenance.plannedFiles(dir)}")
+    }
 
     // ---- Steady-state production shape (round 12): the raw many-file
     // landing zone is compacted ONCE into a bucketed+sorted state table
