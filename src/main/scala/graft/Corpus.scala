@@ -2594,6 +2594,75 @@ select d.pid,
  array_to_string(list_transform(generate_series(0, o_orderkey % 5), k -> cast(cast(cast(o_orderdate as date) + to_months(cast(k as int)) as date) as varchar)), ',') AS mspine,
  array_to_string(list_transform(generate_series(o_orderdate, o_orderdate + to_days(20), INTERVAL 7 DAY), x -> cast(x as varchar)), ',') AS weekly
  from orders order by o_orderkey limit 300"""),
+
+    // URL canonicalization conventions (round 12): the URL-level dedup
+    // key a crawl pipeline applies before content dedup
+    // (TextOps.canonicalizeUrl — the q168 parse family's constructive
+    // half). Five variants of each logical URL: case-variant
+    // scheme/host + default port + fragment + tracking params
+    // (utm_*/gclid/fbclid/msclkid) all fold to one canonical form
+    // (n_dups=3 proves the collision), while a scheme change (http) and
+    // a NON-default port (:8443) stay distinct. Conventions pinned
+    // cross-engine: fragment dropped, scheme+host lowercased (path case
+    // kept), http:80/https:443 dropped, query params split on '&',
+    // tracking/empty dropped, survivors byte-sorted and rejoined,
+    // empty query dropped. Regexes are backslash-free (char classes
+    // only) so both dialects share identical pattern strings; query
+    // split runs on instr/strpos, not regex. Shape: pure projection +
+    // one hash agg + an equi join back — no window, scales per-row.
+    q2("q178_url_canonical",
+      """with u as (select doc_id,
+   case when doc_id % 5 = 0 then concat('https://H', cast(doc_id div 5 % 13 as string), '.Example.COM:443/Dir/', cast(doc_id div 5 as string), '?b=2&a=1')
+        when doc_id % 5 = 1 then concat('HTTPS://h', cast(doc_id div 5 % 13 as string), '.example.com/Dir/', cast(doc_id div 5 as string), '?a=1&b=2&utm_campaign=spring#sec2')
+        when doc_id % 5 = 2 then concat('https://h', cast(doc_id div 5 % 13 as string), '.EXAMPLE.com/Dir/', cast(doc_id div 5 as string), '?utm_source=feed&b=2&fbclid=XyZ&a=1')
+        when doc_id % 5 = 3 then concat('http://h', cast(doc_id div 5 % 13 as string), '.example.com:80/Dir/', cast(doc_id div 5 as string), '?a=1&b=2')
+        else concat('https://h', cast(doc_id div 5 % 13 as string), '.example.com:8443/Dir/', cast(doc_id div 5 as string), '?a=1&b=2') end url
+  from documents),
+ s1 as (select doc_id, url, regexp_replace(url, '#.*', '') nofrag from u),
+ s2 as (select doc_id, url, lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) scheme,
+   regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') rest from s1),
+ s3 as (select *, regexp_extract(rest, '^([^/?]*)', 1) hostport from s2),
+ s4 as (select *, lower(regexp_extract(hostport, '^([^:]*)', 1)) host,
+   regexp_extract(hostport, ':([0-9]+)$', 1) port,
+   substr(rest, length(hostport) + 1) pathq from s3),
+ s5 as (select *,
+   case when instr(pathq, '?') > 0 then substr(pathq, 1, instr(pathq, '?') - 1) else pathq end path,
+   case when instr(pathq, '?') > 0 then substr(pathq, instr(pathq, '?') + 1) else '' end rawq from s4),
+ s6 as (select *, array_join(array_sort(filter(split(rawq, '&'),
+     p -> p <> '' and not (p rlike '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)(=.*)?$'))), '&') q from s5),
+ c as (select doc_id, url, concat(scheme, '://', host,
+   case when port <> '' and not ((scheme = 'http' and port = '80') or (scheme = 'https' and port = '443')) then concat(':', port) else '' end,
+   case when path = '' then '/' else path end,
+   case when q <> '' then concat('?', q) else '' end) canon from s6),
+ g as (select canon, count(*) n_dups from c group by canon)
+ select c.doc_id, c.url, c.canon, g.n_dups from c join g on c.canon = g.canon
+ order by c.doc_id limit 500""",
+      """with u as (select doc_id,
+   case when doc_id % 5 = 0 then concat('https://H', cast(doc_id // 5 % 13 as varchar), '.Example.COM:443/Dir/', cast(doc_id // 5 as varchar), '?b=2&a=1')
+        when doc_id % 5 = 1 then concat('HTTPS://h', cast(doc_id // 5 % 13 as varchar), '.example.com/Dir/', cast(doc_id // 5 as varchar), '?a=1&b=2&utm_campaign=spring#sec2')
+        when doc_id % 5 = 2 then concat('https://h', cast(doc_id // 5 % 13 as varchar), '.EXAMPLE.com/Dir/', cast(doc_id // 5 as varchar), '?utm_source=feed&b=2&fbclid=XyZ&a=1')
+        when doc_id % 5 = 3 then concat('http://h', cast(doc_id // 5 % 13 as varchar), '.example.com:80/Dir/', cast(doc_id // 5 as varchar), '?a=1&b=2')
+        else concat('https://h', cast(doc_id // 5 % 13 as varchar), '.example.com:8443/Dir/', cast(doc_id // 5 as varchar), '?a=1&b=2') end url
+  from documents),
+ s1 as (select doc_id, url, regexp_replace(url, '#.*', '') nofrag from u),
+ s2 as (select doc_id, url, lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) scheme,
+   regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') rest from s1),
+ s3 as (select *, regexp_extract(rest, '^([^/?]*)', 1) hostport from s2),
+ s4 as (select *, lower(regexp_extract(hostport, '^([^:]*)', 1)) host,
+   regexp_extract(hostport, ':([0-9]+)$', 1) port,
+   substr(rest, length(hostport) + 1) pathq from s3),
+ s5 as (select *,
+   case when strpos(pathq, '?') > 0 then substr(pathq, 1, strpos(pathq, '?') - 1) else pathq end path,
+   case when strpos(pathq, '?') > 0 then substr(pathq, strpos(pathq, '?') + 1) else '' end rawq from s4),
+ s6 as (select *, array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+     p -> p <> '' and not regexp_matches(p, '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)(=.*)?$'))), '&') q from s5),
+ c as (select doc_id, url, concat(scheme, '://', host,
+   case when port <> '' and not ((scheme = 'http' and port = '80') or (scheme = 'https' and port = '443')) then concat(':', port) else '' end,
+   case when path = '' then '/' else path end,
+   case when q <> '' then concat('?', q) else '' end) canon from s6),
+ g as (select canon, count(*) n_dups from c group by canon)
+ select c.doc_id, c.url, c.canon, g.n_dups from c join g on c.canon = g.canon
+ order by c.doc_id limit 500"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1515,6 +1515,33 @@ object DfQueries {
         .orderBy("o_orderkey").limit(300)
     },
 
+    "q178_url_canonical" -> { (s, _) =>
+      // TextOps.canonicalizeUrl over five variants of each logical URL:
+      // case/default-port/fragment/tracking variants fold to one form
+      // (n_dups = 3 proves the collision), the http and :8443 variants
+      // stay distinct. Pure projection + one hash agg + an equi join
+      // back (broadcastable group table) — no window, no collect.
+      val b = floor(col("doc_id") / 5).cast("long")
+      val hn = (b % 13).cast("string")
+      val bs = b.cast("string")
+      val v = col("doc_id") % 5
+      val url = when(v === 0, concat(lit("https://H"), hn,
+          lit(".Example.COM:443/Dir/"), bs, lit("?b=2&a=1")))
+        .when(v === 1, concat(lit("HTTPS://h"), hn,
+          lit(".example.com/Dir/"), bs, lit("?a=1&b=2&utm_campaign=spring#sec2")))
+        .when(v === 2, concat(lit("https://h"), hn,
+          lit(".EXAMPLE.com/Dir/"), bs, lit("?utm_source=feed&b=2&fbclid=XyZ&a=1")))
+        .when(v === 3, concat(lit("http://h"), hn,
+          lit(".example.com:80/Dir/"), bs, lit("?a=1&b=2")))
+        .otherwise(concat(lit("https://h"), hn,
+          lit(".example.com:8443/Dir/"), bs, lit("?a=1&b=2")))
+      val c = t(s, "documents").select(col("doc_id"), url.as("url"))
+        .withColumn("canon", graft.ops.TextOps.canonicalizeUrl(col("url")))
+      val g = c.groupBy("canon").agg(count(lit(1)).as("n_dups"))
+      c.join(g, "canon").select("doc_id", "url", "canon", "n_dups")
+        .orderBy("doc_id").limit(500)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

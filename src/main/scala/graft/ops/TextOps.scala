@@ -138,6 +138,54 @@ object TextOps {
   /** Whole-document fingerprint. */
   def docFingerprint(text: Column): Column = md5(text)
 
+  /** Crawl-URL canonicalization — the URL-level dedup key a crawl
+    * pipeline applies BEFORE fetching/content dedup (the same page is
+    * crawled under case variants, default ports, tracking params and
+    * fragments; canonicalizing first removes whole-fetch duplicates at
+    * projection cost, no shuffle). Rules, applied to `scheme://host...`
+    * URLs: fragment dropped; scheme and host lowercased; a port equal
+    * to the scheme's default (http:80 / https:443) dropped, any other
+    * port kept; empty path normalized to `/` (path case preserved —
+    * paths are case-sensitive); query parameters split on `&`, empties
+    * and `trackingParams` matches (full-param regex against `name` or
+    * `name=value`) dropped, survivors byte-order sorted and rejoined,
+    * a now-empty query dropped entirely. A URL with no
+    * `scheme://`-shaped head canonicalizes to NULL (the q168
+    * `try_parse_url` row-degrade convention — count the NULL bucket,
+    * never throw on crawl data). Userinfo (`user@host`) and relative
+    * path segments (`/a/../b`) are passed through untouched —
+    * documented non-goals, rare in crawl frontiers and risky to fold
+    * (percent-encoding equivalence would be needed first for `..`
+    * folding to be sound). Pure built-in expressions (regex + string +
+    * array HOFs): per-row, codegen-adjacent, zero state — q178 pins
+    * the whole convention cross-engine. */
+  def canonicalizeUrl(
+      url: Column,
+      trackingParams: String = "utm_[a-z0-9_]*|gclid|fbclid|msclkid"): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?]*)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= lit("") &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val pathq = rest.substr(length(hostport) + 1, length(rest))
+    val qpos = instr(pathq, "?")
+    val path = when(qpos > 0, pathq.substr(lit(1), qpos - 1)).otherwise(pathq)
+    val rawq = when(qpos > 0, pathq.substr(qpos + 1, length(pathq))).otherwise(lit(""))
+    val normPath = when(path === "", lit("/")).otherwise(path)
+    val kept = filter(split(rawq, "&"),
+      p => p =!= "" && !p.rlike(s"^($trackingParams)(=.*)?$$"))
+    val sortedQ = array_join(array_sort(kept), "&")
+    when(scheme === "", lit(null).cast("string")).otherwise(
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        normPath,
+        when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
+  }
+
   /** Shingle-level fingerprint piece: md5 prefix of one shingle (aggregate
     * with min() per doc to get a rolling-hash-style doc signature). */
   def shingleHash(shingle: Column, bytes: Int = 16): Column =

@@ -203,4 +203,45 @@ class TextOpsEdgeSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(TextOps.ngramScore(edge, col("doc_id"), col("text"), model).count() == 0)
   }
+
+  test("canonicalizeUrl: folds crawl variants, keeps real distinctions") {
+    import spark.implicits._
+    def canon(urls: String*): Seq[Option[String]] =
+      urls.toDF("u").select(TextOps.canonicalizeUrl(col("u")).as("c"))
+        .collect().toSeq.map(r => Option(r.getString(0)))
+    // The five-way q178 variant family: case/default-port/fragment/
+    // tracking fold together; scheme and non-default port do not.
+    assert(canon(
+      "https://H3.Example.COM:443/Dir/9?b=2&a=1",
+      "HTTPS://h3.example.com/Dir/9?a=1&b=2&utm_campaign=spring#sec2",
+      "https://h3.EXAMPLE.com/Dir/9?utm_source=feed&b=2&fbclid=XyZ&a=1")
+      .distinct == Seq(Some("https://h3.example.com/Dir/9?a=1&b=2")))
+    assert(canon("http://h3.example.com:80/Dir/9?a=1&b=2")
+      == Seq(Some("http://h3.example.com/Dir/9?a=1&b=2")))
+    assert(canon("https://h3.example.com:8443/Dir/9?a=1&b=2")
+      == Seq(Some("https://h3.example.com:8443/Dir/9?a=1&b=2")))
+    // Degenerate shapes: bare host → '/', '?'-only and all-tracking
+    // queries dropped, '&&' empties dropped, path case preserved,
+    // http's default port is NOT https's.
+    assert(canon("HTTP://Host.ORG") == Seq(Some("http://host.org/")))
+    assert(canon("https://h.org/p?") == Seq(Some("https://h.org/p")))
+    assert(canon("https://h.org/p?utm_source=x&gclid=1")
+      == Seq(Some("https://h.org/p")))
+    assert(canon("https://h.org/A/B?b=2&&a=1")
+      == Seq(Some("https://h.org/A/B?a=1&b=2")))
+    assert(canon("http://h.org:443/p") == Seq(Some("http://h.org:443/p")))
+    // Bare tracking name without '=' is still dropped; a param merely
+    // PREFIXED by a tracking name is kept.
+    assert(canon("https://h.org/p?gclid&a=1") == Seq(Some("https://h.org/p?a=1")))
+    assert(canon("https://h.org/p?gclid_like=1")
+      == Seq(Some("https://h.org/p?gclid_like=1")))
+    // No scheme://-shaped head → NULL (row-degrade, never throw).
+    assert(canon("not a url", "://missing/x", "mailto:a@b")
+      == Seq(None, None, None))
+    // Custom tracking set.
+    val custom = Seq("https://h.org/p?sid=9&a=1").toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"), trackingParams = "sid").as("c"))
+      .head().getString(0)
+    assert(custom == "https://h.org/p?a=1")
+  }
 }
