@@ -217,6 +217,57 @@ object Pipelines {
       .select(col("asset_id"), col("record_no"), col("uri"), col("text"),
         length(col("text")).cast("long").as("n_chars"))
 
+  /** Crawl-archive OUTLINKS: WARC payloads → absolute `(asset_id,
+    * record_no, src_url, dst_url)` link rows ([[graft.ops.Warc.links]]
+    * — href extraction + RFC-3986 resolution, http(s)-only). The WAT
+    * step of the web-graph pipeline; feed [[linkGraph]] /
+    * [[hostAuthority]]. */
+  def warcLinks(assets: DataFrame, id: Column, payload: Column): DataFrame =
+    graft.ops.Warc.links(assets, id, payload)
+
+  /** HOST-level link graph from a URL-to-URL link table — the standard
+    * web-graph reduction (the CommonCrawl host-graph shape): both
+    * endpoints fold under [[TextOps.canonicalizeUrl]] so case/default-
+    * port/tracking variants of one host's URLs never split its edges,
+    * hosts come from the canonical form, and parallel links collapse
+    * into one weighted edge `(src, dst, weight)`. Intra-host links drop
+    * by default (they carry navigation, not authority — keep them via
+    * `includeSelf` for site-structure work). Shape: two narrow
+    * projections + ONE hash agg on the (src,dst) pair — count-style
+    * partial aggregation combines map-side, so the exchange carries
+    * distinct host pairs (≪ links; the web's host graph is ~1e8 edges
+    * from ~1e11 links). Rows whose URLs don't parse degrade out. */
+  def linkGraph(links: DataFrame, srcUrl: Column, dstUrl: Column,
+                includeSelf: Boolean = false): DataFrame = {
+    val hostOf = (u: Column) => {
+      val h = regexp_extract(TextOps.canonicalizeUrl(u),
+        "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
+      // Hostname-shaped only: the Column canonicalizer is regex-tolerant
+      // (it never throws on crawl junk), so garbage like a space-bearing
+      // "host" reaches here and must not become a graph node.
+      when(h.rlike("^[a-zA-Z0-9._-]+$"), h)
+    }
+    val e = links.select(hostOf(srcUrl).as("src"), hostOf(dstUrl).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val kept = if (includeSelf) e else e.where(col("src") =!= col("dst"))
+    kept.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+  }
+
+  /** Host authority scores from a URL-level link table: [[linkGraph]]
+    * host edges → exact-integer PageRank ([[graft.ops.GraphOps.pageRank]]
+    * — (host, r, nrank), nrank relative to uniform). The quality prior
+    * real curation stacks feed next to per-document filters: a page on
+    * a high-authority host survives borderline quality cuts, a page on
+    * a link-farm host doesn't. Unweighted (PageRank's classic form —
+    * each host's vote splits over its distinct out-hosts); the weighted
+    * edge table is available from [[linkGraph]] for scorers that want
+    * it. Runs `iterations` cluster jobs at call time. */
+  def hostAuthority(links: DataFrame, srcUrl: Column, dstUrl: Column,
+                    iterations: Int = 10): DataFrame =
+    graft.ops.GraphOps.pageRank(
+      linkGraph(links, srcUrl, dstUrl), iterations = iterations)
+      .withColumnRenamed("node", "host")
+
   /** Train a BPE tokenizer on the corpus (word-level, deterministic);
     * returns the ordered merge table — persist it alongside the corpus. */
   def trainTokenizer(docs: DataFrame, text: Column,

@@ -356,7 +356,19 @@ object Warc {
     // double-decode ("&amp;lt;" — an author literally writing "&lt;" —
     // must yield "&lt;", not "<"; each source position decodes at most
     // once).
-    s = entity.replaceAllIn(s, m => {
+    s = decodeEntities(s)
+    s.split("\n").map(_.replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim)
+      .filter(_.nonEmpty).mkString("\n")
+  }
+
+  /** Single-pass HTML entity decode (the common named set plus all
+    * numeric forms); control/surrogate/invalid codepoints become a
+    * space. Shared by [[htmlToText]] and href extraction — `&amp;` is
+    * the legally-required spelling of `&` inside attribute values, so
+    * a query string copied out of an href is undecoded until this
+    * runs. */
+  def decodeEntities(s0: String): String =
+    entity.replaceAllIn(s0, m => {
       val rep = m.group(1) match {
         case "amp" => "&"
         case "lt" => "<"
@@ -375,8 +387,65 @@ object Warc {
       }
       java.util.regex.Matcher.quoteReplacement(rep)
     })
-    s.split("\n").map(_.replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim)
-      .filter(_.nonEmpty).mkString("\n")
+
+  private val hrefAttr =
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))".r
+
+  /** `href` values of every `<a>` tag in document order: double-quoted,
+    * single-quoted, and unquoted attribute forms; entities decoded
+    * (`&amp;` inside query strings); surrounding whitespace trimmed;
+    * empties dropped. Raw values — resolution against the page URL is
+    * [[resolveUrl]]'s job. */
+  def extractHrefs(html: String): Seq[String] =
+    hrefAttr.findAllMatchIn(html).flatMap { m =>
+      val raw = Option(m.group(1)).orElse(Option(m.group(2)))
+        .orElse(Option(m.group(3))).getOrElse("")
+      val v = decodeEntities(raw).trim
+      if (v.isEmpty) None else Some(v)
+    }.toVector
+
+  /** RFC-3986 reference resolution for crawl outlinks, built on
+    * `java.net.URI.resolve` (relative / root-relative / `..`-folding /
+    * protocol-relative `//host` forms all per spec). Crawl-grade
+    * conventions on top of the JDK:
+    *   - the fragment is cut BEFORE resolving, and a pure-fragment ref
+    *     (`#sec`) returns None — a self link is not an outlink;
+    *   - only `http`/`https` results with a non-empty authority
+    *     survive (`mailto:`/`javascript:`/`data:` → None); the check is
+    *     authority-based, not `getHost`, because the JDK nulls `getHost`
+    *     for legal-in-the-wild underscore hostnames;
+    *   - spaces are pre-escaped to `%20` (the single most common
+    *     illegal byte in real hrefs); anything else the strict JDK
+    *     parser rejects → None, the row-degrade convention — malformed
+    *     markup costs one link, never the task;
+    *   - excess `..` segments that the RFC-2396-era JDK leaves as a
+    *     literal leading `/../` are stripped the way every browser
+    *     strips them (RFC 3986 §5.4.2).
+    * Returns the resolved ABSOLUTE url; canonicalization (case, default
+    * ports, tracking params) is deliberately left to
+    * [[graft.ops.TextOps.canonicalizeUrl]] so graph building and URL
+    * dedup share one convention. */
+  def resolveUrl(base: String, ref: String): Option[String] = {
+    val r0 = ref.trim.replace(" ", "%20")
+    val cut = r0.indexOf('#')
+    val r = if (cut >= 0) r0.substring(0, cut) else r0
+    if (r.isEmpty) return None
+    try {
+      val b = new java.net.URI(base.trim.replace(" ", "%20"))
+      val res = b.resolve(r)
+      val scheme = Option(res.getScheme).map(_.toLowerCase(java.util.Locale.ROOT))
+      val auth = Option(res.getAuthority).getOrElse("")
+      if ((scheme.contains("http") || scheme.contains("https")) && auth.nonEmpty) {
+        val s = res.toString
+        val pathStart = s.indexOf('/', s.indexOf("://") + 3)
+        if (pathStart < 0) Some(s)
+        else {
+          var p = s.substring(pathStart)
+          while (p.startsWith("/../")) p = "/" + p.substring(4)
+          Some(s.substring(0, pathStart) + p)
+        }
+      } else None
+    } catch { case _: Exception => None }
   }
 
   /** Synthetic per-row WARC archive (one gzip member, one 200 HTML
@@ -470,6 +539,59 @@ object Warc {
               ctype.orNull,
               http.map(m => Integer.valueOf(m.status)).orNull,
               bodyText)
+        }
+      }
+    }(enc)
+  }
+
+  private val linkSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("record_no", IntegerType, nullable = false),
+    StructField("src_url", StringType, nullable = true),
+    StructField("dst_url", StringType, nullable = false)))
+
+  /** Exploded OUTLINKS per archive payload: `(asset_id, record_no,
+    * src_url, dst_url)` — one row per `<a href>` in each decodable
+    * `text/html` response, resolved to an absolute URL against the
+    * record's `WARC-Target-URI` ([[resolveUrl]] conventions: fragments
+    * and `mailto:`/`javascript:` drop, relative forms resolve, only
+    * http(s) survives). This is the crawl→graph front door — the WAT
+    * extraction step of the standard web-graph pipeline: feed the
+    * output to [[graft.api.Pipelines.linkGraph]] for host-level edges
+    * and PageRank authority priors. Extraction runs on the RAW decoded
+    * markup (before [[htmlToText]] strips tags); a record with no
+    * target URI keeps only hrefs that are already absolute. Same
+    * narrow-scan posture as [[records]]: one mapPartitions, payload
+    * bytes never shuffle, malformed archives degrade to the links that
+    * framed cleanly. */
+  def links(assets: DataFrame, id: Column, payload: Column): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(linkSchema)
+    val in: Dataset[Row] = assets
+      .select(id.cast("long").as("asset_id"), payload.as("payload"))
+      .where(col("asset_id").isNotNull && col("payload").isNotNull)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val aid = r.getLong(0)
+        parseRecords(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.flatMap {
+          case (rec, i) =>
+            val http = httpParse(rec.body)
+            val ctypeFull = http.flatMap(_.header("content-type"))
+              .orElse(rec.header("content-type"))
+            val isHtml = ctypeFull.map(_.takeWhile(_ != ';').trim)
+              .exists(_.equalsIgnoreCase("text/html"))
+            http match {
+              case Some(m) if isHtml && m.decoded =>
+                val base = rec.header("warc-target-uri").orNull
+                val html = decodeText(m.body, ctypeFull)
+                extractHrefs(html).flatMap { ref =>
+                  val resolved =
+                    if (base != null) resolveUrl(base, ref)
+                    else if (ref.matches("(?i)^https?://.*")) resolveUrl(ref, ref)
+                    else None
+                  resolved.map(dst => Row(aid, i, base, dst))
+                }
+              case _ => Nil
+            }
         }
       }
     }(enc)
