@@ -2663,6 +2663,61 @@ select d.pid,
  g as (select canon, count(*) n_dups from c group by canon)
  select c.doc_id, c.url, c.canon, g.n_dups from c join g on c.canon = g.canon
  order by c.doc_id limit 500"""),
+
+    // C4-style line cleaning conventions (round 12): the published C4
+    // recipe (TextOps.c4CleanLines/c4PageKeep) pinned cross-engine on a
+    // synthetic page matrix that exercises every branch — terminal-punct
+    // drop (nav bar), word-count drop ('ok.'), the 'javascript' word
+    // drop vs the 'JavascriptX' boundary NON-drop (backslash-free
+    // boundary class, identical pattern text in both dialects),
+    // trim-before-test, and the page gates: sentence threshold (exactly
+    // 7 is the even/%3 boundary row), '{' code-page kill, 'lorem ipsum'
+    // kill (case-insensitive, on the RAW page — cleaning removes
+    // neither). Cleaned lines join with ' / ' so no newline enters the
+    // hashed cells. Shape: pure per-row projection, no shuffle.
+    q2("q179_c4_lines",
+      """with p as (select doc_id, concat_ws(chr(10),
+   concat('Welcome to page ', cast(doc_id as string), '.'),
+   'Home | About | Contact',
+   'ok.',
+   case when doc_id % 3 = 0 then 'This menu uses javascript to render.' else 'JavascriptX is a product name.' end,
+   '   Padded and trimmed, fine.   ',
+   case when doc_id % 2 = 0 then 'Is this a question? Yes it is.' else 'no terminal punctuation' end,
+   'Final line stands here.',
+   case when doc_id % 5 = 0 then 'Braces {inside} code.' else 'Tail sentence number five.' end,
+   case when doc_id % 7 = 0 then 'Standard Lorem Ipsum placeholder text.' else 'One more closing sentence.' end) raw
+  from documents where doc_id < 300),
+ k as (select doc_id, raw, filter(transform(split(raw, chr(10)), l -> trim(l)),
+   l -> l rlike '[.!?"]$' and size(split(l, ' +')) >= 3
+    and not lower(l) rlike '(^|[^a-z0-9_])javascript([^a-z0-9_]|$)') kept from p),
+ c as (select doc_id, raw, size(kept) n_kept, array_join(kept, ' / ') clean from k)
+ select doc_id, n_kept, size(split(clean, '[.!?]')) - 1 AS n_sent,
+  size(split(clean, '[.!?]')) - 1 >= 7
+   and not contains(lower(raw), 'lorem ipsum')
+   and not contains(raw, '{') AS keep,
+  clean
+ from c order by doc_id limit 300""",
+      """with p as (select doc_id, concat_ws(chr(10),
+   concat('Welcome to page ', cast(doc_id as varchar), '.'),
+   'Home | About | Contact',
+   'ok.',
+   case when doc_id % 3 = 0 then 'This menu uses javascript to render.' else 'JavascriptX is a product name.' end,
+   '   Padded and trimmed, fine.   ',
+   case when doc_id % 2 = 0 then 'Is this a question? Yes it is.' else 'no terminal punctuation' end,
+   'Final line stands here.',
+   case when doc_id % 5 = 0 then 'Braces {inside} code.' else 'Tail sentence number five.' end,
+   case when doc_id % 7 = 0 then 'Standard Lorem Ipsum placeholder text.' else 'One more closing sentence.' end) raw
+  from documents where doc_id < 300),
+ k as (select doc_id, raw, list_filter(list_transform(string_split(raw, chr(10)), l -> trim(l)),
+   l -> regexp_matches(l, '[.!?"]$') and len(string_split_regex(l, ' +')) >= 3
+    and not regexp_matches(lower(l), '(^|[^a-z0-9_])javascript([^a-z0-9_]|$)')) kept from p),
+ c as (select doc_id, raw, len(kept) n_kept, array_to_string(kept, ' / ') clean from k)
+ select doc_id, n_kept, len(string_split_regex(clean, '[.!?]')) - 1 AS n_sent,
+  len(string_split_regex(clean, '[.!?]')) - 1 >= 7
+   and not contains(lower(raw), 'lorem ipsum')
+   and not contains(raw, '{') AS keep,
+  clean
+ from c order by doc_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1542,6 +1542,40 @@ object DfQueries {
         .orderBy("doc_id").limit(500)
     },
 
+    "q179_c4_lines" -> { (s, _) =>
+      // TextOps.c4LineKeep/c4PageKeep over a synthetic page matrix that
+      // exercises every C4 branch (terminal punct, word count, the
+      // javascript word vs JavascriptX boundary, trim-before-test,
+      // sentence threshold at the exact boundary, '{' and lorem-ipsum
+      // page kills). Clean lines join with ' / ' — no newline reaches
+      // the hashed cells. Pure per-row projection, no shuffle.
+      val raw = concat_ws("\n",
+        concat(lit("Welcome to page "), col("doc_id").cast("string"), lit(".")),
+        lit("Home | About | Contact"),
+        lit("ok."),
+        when(col("doc_id") % 3 === 0, "This menu uses javascript to render.")
+          .otherwise("JavascriptX is a product name."),
+        lit("   Padded and trimmed, fine.   "),
+        when(col("doc_id") % 2 === 0, "Is this a question? Yes it is.")
+          .otherwise("no terminal punctuation"),
+        lit("Final line stands here."),
+        when(col("doc_id") % 5 === 0, "Braces {inside} code.")
+          .otherwise("Tail sentence number five."),
+        when(col("doc_id") % 7 === 0, "Standard Lorem Ipsum placeholder text.")
+          .otherwise("One more closing sentence."))
+      t(s, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), raw.as("__raw"))
+        .withColumn("__kept",
+          filter(transform(split(col("__raw"), "\n"), l => trim(l)),
+            l => graft.ops.TextOps.c4LineKeep(l)))
+        .withColumn("clean", array_join(col("__kept"), " / "))
+        .select(col("doc_id"), size(col("__kept")).as("n_kept"),
+          (size(split(col("clean"), "[.!?]")) - 1).as("n_sent"),
+          graft.ops.TextOps.c4PageKeep(col("clean"), col("__raw"), 7).as("keep"),
+          col("clean"))
+        .orderBy("doc_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

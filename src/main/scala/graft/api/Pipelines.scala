@@ -580,6 +580,24 @@ object Pipelines {
     docs.where(TextOps.qualityVerdict(text) === "keep" &&
       TextOps.langGuess(text) === "en")
 
+  /** C4-style cleaning: per-LINE boilerplate removal, then the page
+    * gates — the published recipe the C4 corpus was built with (keep
+    * lines ending in terminal punctuation with ≥ `minWords` words and
+    * no "javascript"; drop pages with < `minSentences` sentences after
+    * cleaning, or containing "lorem ipsum" or a curly brace). Returns
+    * `(doc_id, text_clean, n_sentences)` for surviving pages — this
+    * REWRITES documents, where [[qualityFilter]] only gates whole ones;
+    * run it first so nav/cookie boilerplate never reaches dedup or the
+    * LM gate as document content. Per-row expressions only: map-stage
+    * work, no shuffle, scales per-byte. */
+  def c4Filter(docs: DataFrame, id: Column, text: Column,
+               minWords: Int = 3, minSentences: Int = 5): DataFrame =
+    docs.select(id.as("doc_id"), text.as("__raw"),
+        TextOps.c4CleanLines(text, minWords).as("text_clean"))
+      .where(TextOps.c4PageKeep(col("text_clean"), col("__raw"), minSentences))
+      .select(col("doc_id"), col("text_clean"),
+        (size(split(col("text_clean"), "[.!?]")) - 1).as("n_sentences"))
+
   /** CCNet/Gopher-style LM quality scores in one call: train the char
     * n-gram model over `reference` (usually a trusted slice of the
     * corpus) and score every `docs` row under it — (doc_id, score,

@@ -95,6 +95,45 @@ object TextOps {
     round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
   }
 
+  /** C4-style line-keep predicate over ONE (already-trimmed) line — the
+    * published line filter from the C4 corpus construction (Raffel et
+    * al. 2020, §2.2): keep a line only if it (a) ends in a terminal
+    * punctuation mark (`.` `!` `?` `"`), (b) has at least `minWords`
+    * whitespace-separated words, and (c) does not contain the word
+    * "javascript" (the classic leftover of script-soup extraction).
+    * Conventions pinned for the cross-engine contract (q179): the word
+    * test is a BACKSLASH-FREE boundary class `(^|[^a-z0-9_])` on the
+    * lowered line — identical pattern text in Spark and DuckDB, no
+    * `\b`/string-escape dialect hazard — and word count splits on
+    * space runs. Pure per-row expressions, no shuffle. */
+  def c4LineKeep(line: Column, minWords: Int = 3): Column =
+    line.rlike("[.!?\"]$") &&
+      size(split(line, " +")) >= minWords &&
+      !lower(line).rlike("(^|[^a-z0-9_])javascript([^a-z0-9_]|$)")
+
+  /** C4 line cleaning: split `text` on newlines, trim each line, keep
+    * the [[c4LineKeep]] survivors, rejoin with newlines. Boilerplate
+    * navigation ("Home | About | Contact"), cookie banners, and menu
+    * fragments rarely end in terminal punctuation — this one heuristic
+    * removes most of them, which is exactly why C4 used it. */
+  def c4CleanLines(text: Column, minWords: Int = 3): Column =
+    array_join(
+      filter(transform(split(text, "\n"), l => trim(l)),
+        l => c4LineKeep(l, minWords)),
+      "\n")
+
+  /** C4 page-keep predicate: the page-level gates that run AFTER line
+    * cleaning — at least `minSentences` sentences in the cleaned text
+    * (sentence ≈ terminal-punctuation count, the C4 reading), no
+    * "lorem ipsum" placeholder anywhere in the RAW page, and no curly
+    * brace in the RAW page (the paper's code-page excluder). Raw-page
+    * gates take the raw column because cleaning can delete the very
+    * evidence they test for. */
+  def c4PageKeep(cleaned: Column, raw: Column, minSentences: Int = 5): Column =
+    (size(split(cleaned, "[.!?]")) - 1 >= minSentences) &&
+      !lower(raw).contains("lorem ipsum") &&
+      !raw.contains("{")
+
   /** Regex token count: alphabetic runs (both cases — a lowercase-only
     * class would split 'The' into 'he' and undercount mixed-case text). */
   def alphaTokenCount(text: Column): Column = regexp_count(text, lit("[a-zA-Z]+"))

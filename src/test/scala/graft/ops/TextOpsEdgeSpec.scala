@@ -244,4 +244,52 @@ class TextOpsEdgeSpec extends AnyFunSuite {
       .head().getString(0)
     assert(custom == "https://h.org/p?a=1")
   }
+
+  test("c4CleanLines/c4PageKeep: the published line and page gates, edge cases") {
+    import spark.implicits._
+    def clean(t: String): String =
+      Seq(t).toDF("t").select(TextOps.c4CleanLines(col("t")).as("c"))
+        .head().getString(0)
+    // Line gates: terminal punct, >=3 words, the javascript WORD (not
+    // prefix), trim-before-test; kept lines come back trimmed.
+    assert(clean(Seq(
+      "A real sentence ends here.",
+      "Home | About | Contact",          // no terminal punct
+      "ok.",                             // < 3 words
+      "Menus need javascript here.",     // the word drops the line
+      "JavascriptX is a product name.",  // boundary: NOT the word
+      "  Padded line survives trim.  ",
+      "Ends with a question?",
+      "Ends with a quote.\"").mkString("\n")) == Seq(
+      "A real sentence ends here.",
+      "JavascriptX is a product name.",
+      "Padded line survives trim.",
+      "Ends with a question?",
+      "Ends with a quote.\"").mkString("\n"))
+    // Degenerate shapes: empty text and all-dropped pages yield ''.
+    assert(clean("") == "")
+    assert(clean("no punct at all\nshort.") == "")
+    // Page gates: sentence floor on the CLEANED text, lorem/brace on RAW.
+    def keep(cleaned: String, raw: String, minS: Int = 2): Boolean =
+      Seq((cleaned, raw)).toDF("c", "r")
+        .select(TextOps.c4PageKeep(col("c"), col("r"), minS).as("k"))
+        .head().getBoolean(0)
+    assert(keep("One. Two.", "One. Two."))
+    assert(!keep("One.", "One."), "below the sentence floor")
+    assert(!keep("One. Two.", "One. Two. Lorem IPSUM follows"),
+      "lorem ipsum is case-insensitive and tested on the raw page")
+    assert(!keep("One. Two.", "One. Two. {code}"), "brace kills the page")
+    // The raw-column discipline matters: cleaning can delete the brace
+    // line, but the page must still die.
+    val df = Seq((1L, "Good sentence stays here.\nvar x = {json}")).toDF("doc_id", "text")
+    assert(graft.api.Pipelines.c4Filter(df, col("doc_id"), col("text"),
+      minSentences = 1).count() == 0)
+    // And a surviving page comes back cleaned with its sentence count.
+    val ok = Seq((2L, "First real sentence here.\nnav | bar\nSecond one lands too."))
+      .toDF("doc_id", "text")
+    val out = graft.api.Pipelines.c4Filter(ok, col("doc_id"), col("text"),
+      minSentences = 2).head()
+    assert(out.getString(1) == "First real sentence here.\nSecond one lands too." &&
+      out.getInt(2) == 2)
+  }
 }
