@@ -152,11 +152,21 @@ object Maintenance {
     * assumed, like [[compact]]/[[zorder]]. Readers racing the swap can
     * see a mix — swap under a catalog pointer for snapshot isolation.
     *
+    * TIME TRAVEL: with `retainHistory` the touched files move to the
+    * hidden `_history/` subdir instead of being deleted (invisible to
+    * raw parquet scans — Spark skips underscore paths — and to every
+    * manifest freshness/listing check, which hide hidden dirs), so any
+    * PERSISTED pre-merge manifest stays readable via [[readAt]]: the
+    * manifest version IS the snapshot, the Delta/Iceberg reading
+    * discipline without a commit log. Bound the retained bytes with
+    * [[vacuumHistory]].
+    *
     * Returns `(table, refreshed manifest)`. */
   def upsert(spark: SparkSession, dir: String, manifest: DataFrame,
              changes: DataFrame, key: String,
              deleteKeys: Option[DataFrame] = None,
-             targetBytes: Long = 128L * 1024 * 1024): (DataFrame, DataFrame) = {
+             targetBytes: Long = 128L * 1024 * 1024,
+             retainHistory: Boolean = false): (DataFrame, DataFrame) = {
     require(changes.columns.contains(key), s"changes lack key column `$key`")
     val statsCols = FileStats.statsColumns(manifest)
     require(statsCols.contains(key),
@@ -207,12 +217,81 @@ object Maintenance {
       require(fs.rename(sp, dest), s"failed to move staged file $s into $dir")
       dest.toString
     }
-    touched.foreach(t =>
+    if (retainHistory && touched.nonEmpty) {
+      val hist = new org.apache.hadoop.fs.Path(root, HistoryDir)
+      fs.mkdirs(hist)
+      touched.foreach { t =>
+        val tp = new org.apache.hadoop.fs.Path(t)
+        require(fs.rename(tp, new org.apache.hadoop.fs.Path(hist, tp.getName)),
+          s"failed to retire $t into $HistoryDir")
+      }
+    } else touched.foreach(t =>
       fs.delete(new org.apache.hadoop.fs.Path(t), false))
     fs.delete(staging, true)
     // 4. O(batch) manifest maintenance.
     val m2 = FileStats.rewrite(spark, m0, touched, moved, statsCols)
     (spark.read.parquet(dir), m2)
+  }
+
+  /** Where [[upsert]]`(retainHistory = true)` retires replaced files:
+    * hidden from raw parquet scans and every manifest listing. */
+  val HistoryDir = "_history"
+
+  /** SNAPSHOT READ — the table exactly as a persisted manifest version
+    * describes it, regardless of merges applied since. Live paths read
+    * in place; paths a later `retainHistory` upsert retired resolve
+    * into `_history/` by basename (parquet part names carry a per-job
+    * UUID, so basenames never collide across versions). A referenced
+    * file that exists in neither place fails LOUDLY — that snapshot was
+    * vacuumed, and silently reading a partial version would be data
+    * loss dressed as success. `preds` prune at planning time from the
+    * SNAPSHOT's own stats ([[FileStats.prunedFiles]]), so time-travel
+    * reads keep the manifest pruning discipline; the freshness
+    * fingerprint is deliberately NOT checked — being "stale" is the
+    * entire point of a snapshot read. Driver cost: one existence probe
+    * per snapshot file (bounded by the manifest row count, the same
+    * driver-side list every pruned read already holds). */
+  def readAt(spark: SparkSession, dir: String, manifest: DataFrame,
+             preds: Seq[FilePredicate] = Nil): DataFrame = {
+    val files =
+      if (preds.isEmpty)
+        manifest.select("file").collect().map(_.getString(0)).toSeq
+      else FileStats.prunedFiles(manifest, preds)
+    val (fs, root) = LakeFs.resolve(dir)
+    val hist = new org.apache.hadoop.fs.Path(root, HistoryDir)
+    val resolved = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      if (fs.exists(p)) p.toString
+      else {
+        val h = new org.apache.hadoop.fs.Path(hist, p.getName)
+        require(fs.exists(h),
+          s"snapshot file $f exists neither live nor in $HistoryDir — " +
+            "this version was vacuumed; a partial read would be silent data loss")
+        h.toString
+      }
+    }
+    if (resolved.isEmpty) spark.read.parquet(dir).limit(0)
+    else spark.read.parquet(resolved: _*)
+  }
+
+  /** Bound the [[upsert]]`(retainHistory = true)` storage: delete every
+    * `_history/` file not referenced by any of the `retained` manifest
+    * versions (pass the versions you still want [[readAt]]-able; pass
+    * Nil to drop all history). Live files are never touched — only the
+    * hidden dir is swept. Returns the deleted paths. */
+  def vacuumHistory(spark: SparkSession, dir: String,
+                    retained: Seq[DataFrame]): Seq[String] = {
+    val (fs, root) = LakeFs.resolve(dir)
+    val hist = new org.apache.hadoop.fs.Path(root, HistoryDir)
+    if (!fs.exists(hist)) return Nil
+    val keep: Set[String] = retained.flatMap(
+      _.select("file").collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName)).toSet
+    val victims = fs.listStatus(hist)
+      .filter(st => !st.isDirectory && !keep.contains(st.getPath.getName))
+      .map(_.getPath).toSeq
+    victims.foreach(p => fs.delete(p, false))
+    victims.map(_.toString)
   }
 
   /** Z-ORDER rewrite: range-partition and sort the table by an

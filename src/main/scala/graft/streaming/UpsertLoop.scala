@@ -50,11 +50,27 @@ object UpsertLoop {
   def latestManifest(spark: SparkSession, stateDir: String): Option[DataFrame] =
     VersionedState.latest(spark, stateDir)
 
+  /** All [[snapshotAt]]-readable versions (ascending batch-manifest
+    * versions still on disk — with `retainHistory` that is every batch
+    * since the last [[graft.sources.Maintenance.vacuumHistory]]). */
+  def versions(stateDir: String): Seq[Long] =
+    VersionedState.validVersions(stateDir)
+
+  /** TIME TRAVEL over a `retainHistory = true` loop: the state table
+    * exactly as of manifest version `v` (= batchId + 1 of the batch
+    * that produced it), via [[graft.sources.Maintenance.readAt]] —
+    * retired files resolve from `_history/`, vacuumed versions fail
+    * loudly rather than read partially. */
+  def snapshotAt(spark: SparkSession, dir: String, stateDir: String,
+                 v: Long): DataFrame =
+    Maintenance.readAt(spark, dir, VersionedState.read(spark, stateDir, v))
+
   /** One micro-batch fold — exposed for direct replay tests. */
   private[streaming] def foldBatch(batch: DataFrame, batchId: Long, dir: String,
                                    key: String, statsCols: Seq[String],
                                    stateDir: String,
-                                   deleteCol: Option[String]): Unit = {
+                                   deleteCol: Option[String],
+                                   retainHistory: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val b = batch.localCheckpoint()
     val deletes = deleteCol.map(c =>
@@ -76,7 +92,8 @@ object UpsertLoop {
     }
     val folded = manifest match {
       case Some(m) =>
-        val (_, m2) = Maintenance.upsert(spark, dir, m, changes, key, deletes)
+        val (_, m2) = Maintenance.upsert(spark, dir, m, changes, key, deletes,
+          retainHistory = retainHistory)
         m2
       case None =>
         // Table genesis: the first batch IS the table (delete markers
@@ -85,7 +102,9 @@ object UpsertLoop {
         FileStats.collect(spark, dir, statsCols)
     }
     VersionedState.write(folded, stateDir, batchId + 1)
-    priorV.foreach(VersionedState.gcBelow(stateDir, _))
+    // With history retained, every manifest version IS a readable
+    // snapshot — keep them all; vacuumHistory owns retention.
+    if (!retainHistory) priorV.foreach(VersionedState.gcBelow(stateDir, _))
   }
 
   /** Start the CDC apply loop over `stream`. `statsCols` are the
@@ -94,13 +113,15 @@ object UpsertLoop {
   def run(stream: DataFrame, dir: String, key: String, stateDir: String,
           checkpointDir: String, deleteCol: Option[String] = None,
           statsCols: Seq[String] = Nil,
-          trigger: Option[Trigger] = None): StreamingQuery = {
+          trigger: Option[Trigger] = None,
+          retainHistory: Boolean = false): StreamingQuery = {
     val stats = if (statsCols.nonEmpty) statsCols else Seq(key)
     require(stats.contains(key), s"statsCols must include the merge key `$key`")
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, dir, key, stats, stateDir, deleteCol)
+        foldBatch(batch, batchId, dir, key, stats, stateDir, deleteCol,
+          retainHistory)
       }
     trigger.foreach(w.trigger)
     w.start()

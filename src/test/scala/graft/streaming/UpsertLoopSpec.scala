@@ -113,4 +113,33 @@ class UpsertLoopSpec extends AnyFunSuite {
     assert(FileStats.isFresh(spark, dir,
       UpsertLoop.latestManifest(spark, state).get))
   }
+
+  test("retainHistory loop: every batch version stays time-travelable") {
+    val root = Files.createTempDirectory("graft-upsertloop-tt").toString
+    val (dir, state) = (s"$root/t", s"$root/state")
+    val base = orders.where(col("o_orderkey") < 400).localCheckpoint()
+    def fold(b: DataFrame, id: Long): Unit =
+      UpsertLoop.foldBatch(b, id, dir, "o_orderkey", Seq("o_orderkey"),
+        state, Some("__del"), retainHistory = true)
+
+    fold(mark(base, del = false), 0L)
+    val s1 = spark.read.parquet(dir).localCheckpoint()
+    fold(mark(base.where(col("o_orderkey") < 50)
+      .withColumn("o_totalprice", lit(0.0)), del = false), 1L)
+    val s2 = spark.read.parquet(dir).localCheckpoint()
+    fold(mark(base.where(col("o_orderkey").between(60L, 70L)), del = true), 2L)
+    val s3 = spark.read.parquet(dir).localCheckpoint()
+
+    // No version GC under retainHistory: every batch manifest persists,
+    // and each one snapshot-reads its exact post-batch table.
+    assert(UpsertLoop.versions(state) == Seq(1L, 2L, 3L))
+    assert(canon(UpsertLoop.snapshotAt(spark, dir, state, 1L)) == canon(s1))
+    assert(canon(UpsertLoop.snapshotAt(spark, dir, state, 2L)) == canon(s2))
+    assert(canon(UpsertLoop.snapshotAt(spark, dir, state, 3L)) == canon(s3))
+    // The deleted slice is visible at v2 and gone at v3 — point-in-time
+    // semantics, not just content stability.
+    assert(UpsertLoop.snapshotAt(spark, dir, state, 2L)
+      .where(col("o_orderkey").between(60L, 70L)).count() > 0)
+    assert(s3.where(col("o_orderkey").between(60L, 70L)).count() == 0)
+  }
 }
