@@ -153,6 +153,26 @@ object Bench {
             archives, col("asset_id"), col("payload"))
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"))
       },
+      // Web-graph extraction (round 12): archives → hrefs → RFC-3986
+      // resolution → canonical host edges, aggregated. Fixture pages
+      // carry three anchors each (absolute-with-entity, relative, and a
+      // host-varying absolute so the edge agg has real cardinality);
+      // synthesis is outside the timed thunk, same as x_warc_ingest.
+      "x_warc_links" -> {
+        val linky = docs.select(col("doc_id"), concat(
+          col("text"),
+          lit("<a href=\"https://hub.example.org/x?a=1&amp;b=2\">h</a>"),
+          lit("<a href='/rel/"), (col("doc_id") % 97).cast("string"), lit("'>r</a>"),
+          lit("<a href=\"http://site"), (col("doc_id") % 1000).cast("string"),
+          lit(".org/p\">s</a>")).as("text"))
+        val archives = graft.ops.Warc.syntheticArchives(
+          linky, col("doc_id"), col("text")).persist()
+        archives.count()
+        () => graft.api.Pipelines.linkGraph(
+            graft.ops.Warc.links(archives, col("asset_id"), col("payload")),
+            col("src_url"), col("dst_url"))
+          .agg(count(lit(1)).as("edges"), sum("weight").as("links"))
+      },
       // Manifest-pruned range read (FileStats): layout + stats collection
       // happen once outside the timed thunk (that's table maintenance,
       // amortized over every probe); the timed pass is plan-from-manifest
@@ -251,6 +271,7 @@ object Bench {
     "x_lang_classify"      -> 0.23,
     "x_bloom_semijoin"     -> 2.47,
     "x_warc_ingest"        -> 0.29,
+    "x_warc_links"         -> 0.62,
   )
 
   def main(args: Array[String]): Unit = {

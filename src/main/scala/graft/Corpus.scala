@@ -2718,6 +2718,57 @@ select d.pid,
    and not contains(raw, '{') AS keep,
   clean
  from c order by doc_id limit 300"""),
+
+    // Outlink-extraction conventions (round 12): the href-scraping subset
+    // of the web-graph front door (Warc.extractHrefs → resolveUrl →
+    // linkGraph), pinned cross-engine: both quote styles extract, the
+    // REQUIRED &amp; entity spelling decodes before any filter, only
+    // http(s) absolutes survive (relative and mailto drop), the fragment
+    // cuts, and the scheme://host head lowercases while path/query case
+    // keeps. The full RFC-3986 relative resolution is JVM-side
+    // (WarcLinkSpec); this pins the pure-expression conventions both
+    // engines can express. Backslash-free patterns shared verbatim.
+    q2("q180_link_extract",
+      """with h as (select doc_id, concat(
+   '<a href="https://Site', cast(doc_id % 7 as string), '.ORG/Page?b=2&amp;a=1#s">x</a>',
+   case when doc_id % 3 = 0 then concat('<a href=''http://alt', cast(doc_id % 5 as string), '.org/P''>y</a>')
+        else '<a href="/relative/skip">y</a>' end,
+   '<a href="mailto:a@b.org">z</a>') html
+  from documents where doc_id < 300),
+ e as (select doc_id, concat(
+   regexp_extract_all(html, 'href="([^"]*)"', 1),
+   regexp_extract_all(html, 'href=''([^'']*)''', 1)) hrefs from h),
+ a as (select doc_id, size(hrefs) AS n_href,
+   filter(transform(hrefs, u -> replace(u, '&amp;', '&')),
+     u -> u rlike '^(http|https)://') abs from e),
+ c as (select doc_id, n_href, size(abs) AS n_abs,
+   transform(abs, u -> concat(
+     lower(regexp_extract(regexp_replace(u, '#.*', ''), '^[^:]*://[^/?]*', 0)),
+     substr(regexp_replace(u, '#.*', ''),
+       length(regexp_extract(regexp_replace(u, '#.*', ''), '^[^:]*://[^/?]*', 0)) + 1))) canon
+  from a)
+ select doc_id, n_href, n_abs, array_join(array_sort(canon), ' ') AS links
+ from c order by doc_id limit 300""",
+      """with h as (select doc_id, concat(
+   '<a href="https://Site', cast(doc_id % 7 as varchar), '.ORG/Page?b=2&amp;a=1#s">x</a>',
+   case when doc_id % 3 = 0 then concat('<a href=''http://alt', cast(doc_id % 5 as varchar), '.org/P''>y</a>')
+        else '<a href="/relative/skip">y</a>' end,
+   '<a href="mailto:a@b.org">z</a>') html
+  from documents where doc_id < 300),
+ e as (select doc_id, list_concat(
+   regexp_extract_all(html, 'href="([^"]*)"', 1),
+   regexp_extract_all(html, 'href=''([^'']*)''', 1)) hrefs from h),
+ a as (select doc_id, len(hrefs) AS n_href,
+   list_filter(list_transform(hrefs, u -> replace(u, '&amp;', '&')),
+     u -> regexp_matches(u, '^(http|https)://')) abs from e),
+ c as (select doc_id, n_href, len(abs) AS n_abs,
+   list_transform(abs, u -> concat(
+     lower(regexp_extract(regexp_replace(u, '#.*', ''), '^[^:]*://[^/?]*', 0)),
+     substr(regexp_replace(u, '#.*', ''),
+       length(regexp_extract(regexp_replace(u, '#.*', ''), '^[^:]*://[^/?]*', 0)) + 1))) canon
+  from a)
+ select doc_id, n_href, n_abs, array_to_string(list_sort(canon), ' ') AS links
+ from c order by doc_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

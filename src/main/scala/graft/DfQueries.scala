@@ -1576,6 +1576,39 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q180_link_extract" -> { (s, _) =>
+      // Href-scraping conventions (the pure-expression subset of
+      // Warc.extractHrefs → resolveUrl → linkGraph): both quote styles,
+      // &amp; decode BEFORE filtering, http(s)-absolute-only, fragment
+      // cut, scheme://host lowered with path/query case kept. Sorted
+      // space-joined links — arrays never reach the hashed cells.
+      val html = concat(
+        lit("<a href=\"https://Site"), (col("doc_id") % 7).cast("string"),
+        lit(".ORG/Page?b=2&amp;a=1#s\">x</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a href='http://alt"), (col("doc_id") % 5).cast("string"),
+            lit(".org/P'>y</a>")))
+          .otherwise(lit("<a href=\"/relative/skip\">y</a>")),
+        lit("<a href=\"mailto:a@b.org\">z</a>"))
+      val canonU = (u: Column) => {
+        val nf = regexp_replace(u, "#.*", "")
+        val head = regexp_extract(nf, "^[^:]*://[^/?]*", 0)
+        concat(lower(head), nf.substr(length(head) + 1, length(nf)))
+      }
+      t(s, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), html.as("__html"))
+        .withColumn("__hrefs", concat(
+          regexp_extract_all(col("__html"), lit("href=\"([^\"]*)\""), lit(1)),
+          regexp_extract_all(col("__html"), lit("href='([^']*)'"), lit(1))))
+        .withColumn("__abs",
+          filter(transform(col("__hrefs"), u => regexp_replace(u, "&amp;", "&")),
+            u => u.rlike("^(http|https)://")))
+        .select(col("doc_id"), size(col("__hrefs")).as("n_href"),
+          size(col("__abs")).as("n_abs"),
+          array_join(array_sort(transform(col("__abs"), canonU)), " ").as("links"))
+        .orderBy("doc_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

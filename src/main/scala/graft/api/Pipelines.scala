@@ -226,25 +226,33 @@ object Pipelines {
     graft.ops.Warc.links(assets, id, payload)
 
   /** HOST-level link graph from a URL-to-URL link table — the standard
-    * web-graph reduction (the CommonCrawl host-graph shape): both
-    * endpoints fold under [[TextOps.canonicalizeUrl]] so case/default-
-    * port/tracking variants of one host's URLs never split its edges,
-    * hosts come from the canonical form, and parallel links collapse
-    * into one weighted edge `(src, dst, weight)`. Intra-host links drop
-    * by default (they carry navigation, not authority — keep them via
-    * `includeSelf` for site-structure work). Shape: two narrow
-    * projections + ONE hash agg on the (src,dst) pair — count-style
-    * partial aggregation combines map-side, so the exchange carries
-    * distinct host pairs (≪ links; the web's host graph is ~1e8 edges
-    * from ~1e11 links). Rows whose URLs don't parse degrade out. */
+    * web-graph reduction (the CommonCrawl host-graph shape): the host
+    * folds the way [[TextOps.canonicalizeUrl]] folds it (lowercased,
+    * port stripped) so case/port variants of one host never split its
+    * edges — extracted DIRECTLY from the raw URL rather than through
+    * the full canonicalizer, because path/query normalization cannot
+    * change the host and the canonicalizer's expression tree is
+    * measured poison inside a reused projection (LinkCostProbe: the
+    * canonical-tree form of this projection ran 11.7 s against 0.45 s
+    * for the direct extraction at sf0.1 — Column reuse duplicates
+    * subtrees symbolically, and wrapping the ~10²-node canon tree in
+    * `when(rlike(h), extract(h))` tripled it past what codegen
+    * amortizes). Parallel links collapse into one weighted edge
+    * `(src, dst, weight)`; intra-host links drop by default (they carry
+    * navigation, not authority — keep them via `includeSelf` for
+    * site-structure work). Shape: one narrow projection + ONE hash agg
+    * on the (src,dst) pair — count-style partial aggregation combines
+    * map-side, so the exchange carries distinct host pairs (≪ links;
+    * the web's host graph is ~1e8 edges from ~1e11 links). Rows whose
+    * URLs don't parse degrade out. */
   def linkGraph(links: DataFrame, srcUrl: Column, dstUrl: Column,
                 includeSelf: Boolean = false): DataFrame = {
     val hostOf = (u: Column) => {
-      val h = regexp_extract(TextOps.canonicalizeUrl(u),
-        "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
-      // Hostname-shaped only: the Column canonicalizer is regex-tolerant
-      // (it never throws on crawl junk), so garbage like a space-bearing
-      // "host" reaches here and must not become a graph node.
+      val hp = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+      val h = lower(regexp_extract(hp, "^([^:]*)", 1))
+      // Hostname-shaped only: extraction is regex-tolerant (it never
+      // throws on crawl junk), so garbage like a space-bearing "host"
+      // reaches here and must not become a graph node.
       when(h.rlike("^[a-zA-Z0-9._-]+$"), h)
     }
     val e = links.select(hostOf(srcUrl).as("src"), hostOf(dstUrl).as("dst"))

@@ -197,7 +197,18 @@ object TextOps {
     * (percent-encoding equivalence would be needed first for `..`
     * folding to be sound). Pure built-in expressions (regex + string +
     * array HOFs): per-row, codegen-adjacent, zero state — q178 pins
-    * the whole convention cross-engine. */
+    * the whole convention cross-engine.
+    *
+    * COST HAZARD: this returns a LARGE self-referential expression tree
+    * (Column reuse duplicates subtrees symbolically). Used once per
+    * projection it is fine (q178, the URL-dedup key); WRAPPING it in
+    * further expressions that reference it more than once multiplies
+    * the tree past what codegen subexpression elimination amortizes —
+    * LinkCostProbe measured 11.7 s vs 0.45 s for a host-extraction
+    * projection built this way vs directly. If you only need a PIECE of
+    * the canonical form (the host, the scheme), extract that piece from
+    * the raw URL with the same fold rules instead (see
+    * [[graft.api.Pipelines.linkGraph]]). */
   def canonicalizeUrl(
       url: Column,
       trackingParams: String = "utm_[a-z0-9_]*|gclid|fbclid|msclkid"): Column = {
