@@ -246,6 +246,17 @@ object Pipelines {
     * the web's host graph is ~1e8 edges from ~1e11 links). Rows whose
     * URLs don't parse degrade out. */
   def linkGraph(links: DataFrame, srcUrl: Column, dstUrl: Column,
+                includeSelf: Boolean = false): DataFrame =
+    hostEdges(links, srcUrl, dstUrl, includeSelf)
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+
+  /** The aggregation-free half of [[linkGraph]]: one `(src, dst)` HOST
+    * row per link, same fold/validation conventions, no shuffle — the
+    * form a STREAMING consumer needs (a streaming groupBy would demand
+    * watermarks; [[streamHostAuthority]] feeds these rows to
+    * [[graft.streaming.RankLoop]], which deduplicates inside its own
+    * fold). */
+  def hostEdges(links: DataFrame, srcUrl: Column, dstUrl: Column,
                 includeSelf: Boolean = false): DataFrame = {
     val hostOf = (u: Column) => {
       val hp = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
@@ -257,9 +268,33 @@ object Pipelines {
     }
     val e = links.select(hostOf(srcUrl).as("src"), hostOf(dstUrl).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val kept = if (includeSelf) e else e.where(col("src") =!= col("dst"))
-    kept.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+    if (includeSelf) e else e.where(col("src") =!= col("dst"))
   }
+
+  /** STREAMING crawl→authority: fold a stream of WARC archive payloads
+    * into continuously-maintained host PageRank — the full web-graph
+    * pipeline as one continuous operator (the streaming twin of
+    * [[hostAuthority]], composing [[warcLinks]] → [[hostEdges]] →
+    * [[graft.streaming.RankLoop]]). Per micro-batch: archives explode
+    * to resolved links (stateless narrow pass — archive bytes never
+    * shuffle, no streaming state), links reduce to host edges
+    * (projection, no agg — RankLoop dedups within its fold), edges
+    * append to `edgesDir`, and ranks warm-start from the prior batch's
+    * fixpoint (`iterations` = the per-batch maintenance budget; see
+    * RankLoop for why warm rounds ≪ cold rounds). Maintained
+    * `(host, r, nrank)` tables land under `outDir/batch=<id>`;
+    * [[graft.streaming.RankLoop.latestRanks]] reads the current one. */
+  def streamHostAuthority(archives: DataFrame, id: Column, payload: Column,
+                          iterations: Int, stateDir: String, edgesDir: String,
+                          outDir: String, checkpointDir: String,
+                          trigger: Option[Trigger] = None,
+                          compactEvery: Int = 64,
+                          damping: Double = 0.85): StreamingQuery =
+    graft.streaming.RankLoop.run(
+      hostEdges(graft.ops.Warc.links(archives, id, payload),
+        col("src_url"), col("dst_url")),
+      "src", "dst", iterations, stateDir, edgesDir, outDir, checkpointDir,
+      trigger, compactEvery, damping)
 
   /** Host authority scores from a URL-level link table: [[linkGraph]]
     * host edges → exact-integer PageRank ([[graft.ops.GraphOps.pageRank]]
@@ -676,9 +711,19 @@ object Pipelines {
              evalSet: Option[DataFrame] = None,
              perSourceCap: Option[Int] = None,
              lmScoreFloor: Option[Double] = None,
-             mixtureRates: Option[Map[String, Double]] = None): CurationResult = {
+             mixtureRates: Option[Map[String, Double]] = None,
+             c4Clean: Boolean = false): CurationResult = {
     val id = col("doc_id"); val text = col("text")
-    val quality = docs.where(TextOps.qualityVerdict(text) === "keep" &&
+    // Optional C4 stage FIRST: it REWRITES text (line-level boilerplate
+    // removal + page gates), and every downstream signal — quality
+    // ratios, the LM model trained on survivors, dedup shingles — must
+    // see the cleaned text, not nav bars and cookie banners.
+    val base =
+      if (!c4Clean) docs
+      else docs.withColumn("__clean", TextOps.c4CleanLines(text))
+        .where(TextOps.c4PageKeep(col("__clean"), text))
+        .withColumn("text", col("__clean")).drop("__clean")
+    val quality = base.where(TextOps.qualityVerdict(text) === "keep" &&
       lang.map(l => TextOps.langGuess(text) === l).getOrElse(lit(true)))
     val lmKept = lmScoreFloor match {
       case Some(floor) =>
@@ -709,7 +754,11 @@ object Pipelines {
       case Some(rates) => mixSources(capped, "source", "doc_id", rates)
       case None => capped
     }
-    val stages = Seq("input" -> docs, "quality_lang" -> quality,
+    // The audit mirrors the funnel that actually ran: the c4 row only
+    // appears when the stage does (default audits keep their shape).
+    val stages = (("input" -> docs) +:
+      (if (c4Clean) Seq("c4_clean" -> base) else Nil)) ++
+      Seq("quality_lang" -> quality,
       "lm_gate" -> lmKept,
       "canonical" -> canon, "decontaminated" -> clean, "capped" -> capped,
       "mixed" -> mixed)

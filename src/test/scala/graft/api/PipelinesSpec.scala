@@ -193,6 +193,35 @@ class PipelinesSpec extends AnyFunSuite {
     assert(mixAudit("mixed") < mixAudit("capped"), s"mixture removed nothing: $mixAudit")
   }
 
+  test("curate c4Clean: boilerplate lines are rewritten away before every gate") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Pages whose CONTENT passes quality but carry nav/cookie lines that
+    // must never reach dedup or the quality ratios; plus one brace page
+    // the c4 page gate must kill outright.
+    val docs = TestSpark.table("documents").limit(100)
+      .select(col("doc_id"),
+        concat(lit("Home | About | Contact\n"), col("text"),
+          lit(".\nAccept all cookies\n"),
+          when(col("doc_id") === 7L, "var cfg = {a: 1}")
+            .otherwise("A tail line stands here. It carries sentences. More follow now. And again here. Plus a final one."))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val res = Pipelines.curate(docs, c4Clean = true)
+    val audit = res.audit.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(res.audit.collect().map(_.getString(1)).toSeq.take(3) ==
+      Seq("input", "c4_clean", "quality_lang"), "c4 stage must audit FIRST")
+    assert(audit("c4_clean") < audit("input"), "the brace page must die in c4")
+    val texts = res.curated.select("text").collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    assert(!texts.exists(t => t.contains("Home | About") || t.contains("Accept all cookies")),
+      "boilerplate lines leaked through the funnel")
+    assert(res.curated.where(col("doc_id") === 7L).isEmpty,
+      "the brace page survived")
+    // Default funnel shape unchanged: no c4 row unless asked for.
+    assert(!Pipelines.curate(docs).audit.collect().map(_.getString(1)).contains("c4_clean"))
+  }
+
   test("curate lm gate: gibberish falls below the floor, real docs survive it") {
     val spark2 = spark
     import spark2.implicits._
