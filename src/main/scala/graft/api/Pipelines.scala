@@ -246,8 +246,9 @@ object Pipelines {
     * the web's host graph is ~1e8 edges from ~1e11 links). Rows whose
     * URLs don't parse degrade out. */
   def linkGraph(links: DataFrame, srcUrl: Column, dstUrl: Column,
-                includeSelf: Boolean = false): DataFrame =
-    hostEdges(links, srcUrl, dstUrl, includeSelf)
+                includeSelf: Boolean = false,
+                byRegisteredDomain: Boolean = false): DataFrame =
+    hostEdges(links, srcUrl, dstUrl, includeSelf, byRegisteredDomain)
       .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
 
   /** The aggregation-free half of [[linkGraph]]: one `(src, dst)` HOST
@@ -257,10 +258,15 @@ object Pipelines {
     * [[graft.streaming.RankLoop]], which deduplicates inside its own
     * fold). */
   def hostEdges(links: DataFrame, srcUrl: Column, dstUrl: Column,
-                includeSelf: Boolean = false): DataFrame = {
+                includeSelf: Boolean = false,
+                byRegisteredDomain: Boolean = false): DataFrame = {
     val hostOf = (u: Column) => {
       val hp = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
-      val h = lower(regexp_extract(hp, "^([^:]*)", 1))
+      val h0 = lower(regexp_extract(hp, "^([^:]*)", 1))
+      // Optional DOMAIN-level graph (the other CommonCrawl graph shape):
+      // fold hosts to registrable domains so news.bbc.co.uk and
+      // www.bbc.co.uk are one node.
+      val h = if (byRegisteredDomain) TextOps.registeredDomain(h0) else h0
       // Hostname-shaped only: extraction is regex-tolerant (it never
       // throws on crawl junk), so garbage like a space-bearing "host"
       // reaches here and must not become a graph node.
@@ -417,10 +423,11 @@ object Pipelines {
   def capPerDomain(docs: DataFrame, urlCol: String, idCol: String, k: Int,
                    seed: String = "dom"): DataFrame = {
     val host = call_function("try_parse_url", col(urlCol), lit("HOST"))
-    // regexp_extract returns '' (not NULL) on no-match — fall back to
-    // the whole host so distinct single-label hosts keep distinct caps.
-    val apex = coalesce(
-      nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit("")), host)
+    // Registrable-domain budget keys (PSL-lite): news.bbc.co.uk and
+    // www.bbc.co.uk share ONE cap — the naive last-two-labels spelling
+    // stays the declared portable convention (q164), this is the
+    // production-accuracy form. Single-label hosts keep distinct caps.
+    val apex = TextOps.registeredDomain(host)
     sampleExactK(docs.withColumn("__apex", apex), "__apex", idCol, k, seed)
       .drop("__apex")
   }

@@ -236,6 +236,72 @@ object TextOps {
         when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
   }
 
+  /** PSL-lite: the common MULTI-PART public suffixes (from the published
+    * Mozilla Public Suffix List — the high-traffic ccTLD second-level
+    * registries), under which the registrable domain is three labels,
+    * not two. Deliberately a bounded static subset: the full PSL is a
+    * live external artifact (and includes private suffixes like hosting
+    * platforms, a policy choice the caller should make) — pass
+    * additions via `registeredDomain`'s `extra` parameter. */
+  val multiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "gov.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
+    "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
+    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
+    "co.nz", "org.nz", "net.nz", "ac.nz", "govt.nz", "school.nz",
+    "com.ar", "org.ar", "net.ar", "edu.ar", "gob.ar",
+    "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    "com.my", "org.my", "net.my", "edu.my", "gov.my",
+    "com.ph", "org.ph", "net.ph", "edu.ph", "gov.ph",
+    "com.vn", "org.vn", "net.vn", "edu.vn", "gov.vn",
+    "com.eg", "org.eg", "net.eg", "edu.eg", "gov.eg",
+    "com.sa", "org.sa", "net.sa", "edu.sa", "gov.sa",
+    "com.pk", "org.pk", "net.pk", "edu.pk", "gov.pk",
+    "co.th", "or.th", "ac.th", "go.th", "in.th",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua",
+    "co.il", "org.il", "ac.il", "gov.il", "muni.il", "net.il",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "com.co", "org.co", "net.co", "edu.co", "gov.co",
+    "com.pe", "org.pe", "net.pe", "edu.pe", "gob.pe",
+    "com.ve", "org.ve", "net.ve", "co.ve", "gob.ve",
+    "com.ec", "org.ec", "net.ec", "edu.ec", "gob.ec",
+    "co.ke", "or.ke", "ac.ke", "go.ke", "ne.ke",
+    "com.ng", "org.ng", "net.ng", "edu.ng", "gov.ng",
+    "co.tz", "or.tz", "ac.tz", "go.tz",
+    "com.bd", "org.bd", "net.bd", "edu.bd", "gov.bd",
+    "com.np", "org.np", "net.np", "edu.np", "gov.np")
+
+  /** Registrable (apex) domain of a hostname — the unit a crawl
+    * pipeline budgets by (per-domain caps, domain-level link graphs):
+    * `news.bbc.co.uk` → `bbc.co.uk`, `a.b.example.com` → `example.com`.
+    * Three labels when the host ends in a known multi-part public
+    * suffix ([[multiPartSuffixes]] ∪ `extra`), else two; a host that IS
+    * a suffix, or a single label, returns itself lowercased (the honest
+    * degrade — PSL leaves the registrable domain undefined there). Pure
+    * regex expressions, suffix alternation folded into ONE anchored
+    * pattern literal; NULL host → NULL. The naive 2-label spelling
+    * stays the DECLARED portable convention (q164's apex regex) — this
+    * op is the production-accuracy form. */
+  def registeredDomain(host: Column, extra: Seq[String] = Nil): Column = {
+    val alt = (multiPartSuffixes ++ extra.map(_.toLowerCase))
+      .map(_.replace(".", "[.]")).mkString("|")
+    val h = lower(host)
+    val multi = regexp_extract(h, s"([^.]+[.](?:$alt))$$", 1)
+    val two = regexp_extract(h, "([^.]+[.][^.]+)$", 1)
+    coalesce(nullif(multi, lit("")), nullif(two, lit("")), h)
+  }
+
   /** Shingle-level fingerprint piece: md5 prefix of one shingle (aggregate
     * with min() per doc to get a rolling-hash-style doc signature). */
   def shingleHash(shingle: Column, bytes: Int = 16): Column =

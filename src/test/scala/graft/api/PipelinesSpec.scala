@@ -425,6 +425,11 @@ class PipelinesSpec extends AnyFunSuite {
     assert(kept.contains(40L) && kept.contains(41L),
       "single-label hosts are their own strata, not one shared '' budget")
     assert(cap(d.repartition(5)) == kept, "draw must not depend on layout")
+    // PSL-lite: co.uk subdomains share ONE registrable-domain budget —
+    // the naive last-two-labels key would give every subdomain its own.
+    val uk = (0L until 8L).map(i => (i, s"https://sub$i.beeb.co.uk/p"))
+      .toDF("doc_id", "url")
+    assert(cap(uk).size == 3, "beeb.co.uk must cap at 3 across subdomains")
   }
 
   test("bm25Rank: only term-matching docs score, scores positive, params validated") {

@@ -245,6 +245,28 @@ class TextOpsEdgeSpec extends AnyFunSuite {
     assert(custom == "https://h.org/p?a=1")
   }
 
+  test("registeredDomain: PSL-lite apex folding, degrades honestly") {
+    import spark.implicits._
+    def apex(hosts: String*): Seq[Option[String]] =
+      hosts.toDF("h").select(TextOps.registeredDomain(col("h")).as("a"))
+        .collect().toSeq.map(r => Option(r.getString(0)))
+    // Multi-part public suffixes take three labels; plain TLDs take two.
+    assert(apex("news.bbc.co.uk", "www.bbc.co.uk", "bbc.co.uk")
+      == Seq(Some("bbc.co.uk"), Some("bbc.co.uk"), Some("bbc.co.uk")))
+    assert(apex("a.b.example.com", "example.com", "sub.shop.com.au")
+      == Seq(Some("example.com"), Some("example.com"), Some("shop.com.au")))
+    // Case folds; a bare suffix or single label returns itself; NULL rides.
+    assert(apex("News.BBC.CO.UK") == Seq(Some("bbc.co.uk")))
+    assert(apex("co.uk", "localhost") == Seq(Some("co.uk"), Some("localhost")))
+    assert(Seq(Option.empty[String]).toDF("h")
+      .select(TextOps.registeredDomain(col("h")).as("a")).head().isNullAt(0))
+    // Caller-supplied extra suffixes extend the list.
+    val extra = Seq("x.blogspot.co.uk").toDF("h")
+      .select(TextOps.registeredDomain(col("h"),
+        extra = Seq("blogspot.co.uk")).as("a")).head().getString(0)
+    assert(extra == "x.blogspot.co.uk")
+  }
+
   test("c4CleanLines/c4PageKeep: the published line and page gates, edge cases") {
     import spark.implicits._
     def clean(t: String): String =
