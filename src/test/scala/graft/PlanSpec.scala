@@ -110,6 +110,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("linkGraph: ONE exchange — pair counts combine map-side, links never shuffle raw") {
+    import spark.implicits._
+    val links = (0L until 2000L).map(i =>
+      (s"http://s${i % 50}.org/p$i", s"https://d${i % 20}.org/x?q=$i"))
+      .toDF("src_url", "dst_url")
+    val df = graft.api.Pipelines.linkGraph(links, col("src_url"), col("dst_url"))
+    val p = planString(df)
+    // Partial+final pair: the (src,dst) count combines BEFORE the
+    // exchange, so the shuffle carries distinct host pairs, not links —
+    // at web scale that is ~1e8 rows instead of ~1e11.
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate pair:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"the host-graph reduction must shuffle exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no pair-join shape anywhere:\n$p")
+  }
+
   test("q03: aggregation has map-side partial + final (the automatic combiner)") {
     val p = planString(TestSpark.corpus("q03_agg_tpch1_decimal"))
     assert("HashAggregate".r.findAllIn(p).length >= 2,

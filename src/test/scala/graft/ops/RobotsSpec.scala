@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** RFC 9309 semantics pinned on the RFC's own examples: group selection
+  * by most-specific agent token, longest-match rule precedence with
+  * Allow winning ties, wildcard/anchor patterns, permissive degrades,
+  * and the frontier filter's join + memo shape. */
+class RobotsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("matches: REP wildcards and anchors") {
+    assert(Robots.matches("/", "/anything"))
+    assert(Robots.matches("/fish", "/fish.html"))       // prefix
+    assert(Robots.matches("/fish", "/fishheads/x"))     // octet prefix, not segment
+    assert(!Robots.matches("/fish", "/Fish"))           // case-sensitive paths
+    assert(Robots.matches("/*.gif$", "/a/b/pic.gif"))   // star + anchor
+    assert(!Robots.matches("/*.gif$", "/pic.gifx"))
+    assert(Robots.matches("/p*q", "/pXXXq/more"))       // star mid-pattern, prefix tail
+    assert(Robots.matches("/fish*.php", "/fishheads/catfish.php?x=1"))
+    assert(!Robots.matches("/fish$", "/fish.html"))
+    assert(Robots.matches("/fish$", "/fish"))
+    assert(!Robots.matches("$", "/"))                   // bare anchor matches nothing real
+  }
+
+  test("parse + allowed: groups, precedence, ties, degrades") {
+    val txt =
+      """# politeness file
+        |User-agent: googlebot-news
+        |Disallow: /news-archive
+        |
+        |User-agent: googlebot
+        |Disallow: /archive
+        |
+        |User-agent: *
+        |Allow: /public
+        |Disallow: /
+        |Crawl-delay: 10
+        |Sitemap: https://x.org/sitemap.xml""".stripMargin
+    // Most specific group wins — and ONLY that group's rules apply.
+    assert(!Robots.allowed(txt, "googlebot-news", "/news-archive/a"))
+    assert(Robots.allowed(txt, "googlebot-news", "/archive/a"),
+      "the less specific googlebot group must NOT leak into the news group")
+    assert(!Robots.allowed(txt, "googlebot", "/archive/a"))
+    // The * group: longest match wins — /public beats /.
+    assert(Robots.allowed(txt, "randombot", "/public/page"))
+    assert(!Robots.allowed(txt, "randombot", "/private"))
+    // Equal-length tie goes to Allow (RFC precedence).
+    val tie = "User-agent: *\nAllow: /page\nDisallow: /*.ph"
+    assert(Robots.allowed(tie, "*", "/page.php5"))
+    // Consecutive UA lines share one group.
+    val shared = "User-agent: a\nUser-agent: b\nDisallow: /x"
+    assert(!Robots.allowed(shared, "a", "/x/1") && !Robots.allowed(shared, "b", "/x/1"))
+    // Empty Disallow = allow-all idiom; no rules / null text = allowed.
+    assert(Robots.allowed("User-agent: *\nDisallow:", "*", "/anything"))
+    assert(Robots.allowed(null: String, "*", "/anything"))
+    assert(Robots.allowed("totally { malformed", "*", "/x"))
+  }
+
+  test("frontierFilter: equi join on host, opt-out default, per-partition memo") {
+    val spark2 = spark
+    import spark2.implicits._
+    val urls = Seq(
+      (1L, "https://A.org/public/x"),
+      (2L, "https://a.org/private/secret"),
+      (3L, "https://a.org/"),
+      (4L, "https://norobots.org/anything"),
+      (5L, "https://blocked.org/y"),
+      (6L, "not a url")).toDF("id", "url")
+    val robots = Seq(
+      ("a.org", "User-agent: *\nDisallow: /private"),
+      ("blocked.org", "User-agent: *\nDisallow: /"),
+      ("unused.org", "User-agent: *\nDisallow: /")).toDF("host", "txt")
+    val kept = Robots.frontierFilter(urls, col("url"), robots, col("host"), col("txt"))
+    assert(kept.columns.toSeq == Seq("id", "url"), "helper columns must not leak")
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 6L))
+    // Agent-specific filtering rides through.
+    val agented = Seq(("a.org",
+      "User-agent: newsbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private"))
+      .toDF("host", "txt")
+    val forNews = Robots.frontierFilter(urls.where(col("id") < 4L), col("url"),
+      agented, col("host"), col("txt"), agent = "newsbot")
+    assert(forNews.count() == 0, "newsbot is banned from a.org entirely")
+  }
+}
