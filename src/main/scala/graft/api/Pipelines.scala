@@ -648,6 +648,39 @@ object Pipelines {
       .select(col("doc_id"), col("text_clean"),
         (size(split(col("text_clean"), "[.!?]")) - 1).as("n_sentences"))
 
+  /** Train a fastText/DCLM-style learned quality classifier: hashed
+    * unigram+bigram logistic regression over `positives` (reference-like
+    * docs — wiki, books, curated slices) vs `negatives` (random crawl).
+    * Runs `iters` cluster jobs on the labeled sample at call time;
+    * persist the returned model via `Model.toBytes`. The heuristic
+    * gates ([[qualityFilter]], the LM gate) are hand-set priors — this
+    * is the gate you FIT when labels exist. */
+  def trainQualityClassifier(positives: DataFrame, negatives: DataFrame,
+                             text: Column, dim: Int = 1 << 17,
+                             iters: Int = 30): graft.ops.LinearClassifier.Model =
+    graft.ops.LinearClassifier.train(
+      positives.select(text.as("t"), lit(1.0).as("y"))
+        .unionByName(negatives.select(text.as("t"), lit(0.0).as("y"))),
+      col("t"), col("y"), dim = dim, iters = iters)
+
+  /** Classifier scores for every doc — `(doc_id, score)`, score =
+    * P(reference-like). One stateless broadcast-model pass; the 100 TB
+    * side of [[trainQualityClassifier]]. */
+  def classifierScores(docs: DataFrame, id: Column, text: Column,
+                       model: graft.ops.LinearClassifier.Model): DataFrame =
+    graft.ops.LinearClassifier.score(docs, id, text, model)
+
+  /** Gate a corpus on the learned quality score: keep docs scoring ≥
+    * `floor`. Left-semi join back so the caller's schema rides through
+    * untouched. */
+  def classifierFilter(docs: DataFrame, id: Column, text: Column,
+                       model: graft.ops.LinearClassifier.Model,
+                       floor: Double): DataFrame =
+    docs.join(
+      classifierScores(docs, id, text, model)
+        .where(col("score") >= floor).select(col("doc_id").as("__keep")),
+      id === col("__keep"), "left_semi")
+
   /** CCNet/Gopher-style LM quality scores in one call: train the char
     * n-gram model over `reference` (usually a trusted slice of the
     * corpus) and score every `docs` row under it — (doc_id, score,

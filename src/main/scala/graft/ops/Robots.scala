@@ -121,6 +121,55 @@ object Robots {
   def allowed(txt: String, agent: String, path: String): Boolean =
     allowed(parse(txt, agent), path)
 
+  /** `Sitemap:` URLs, in file order — group-independent per the RFC
+    * (they belong to the file, not to any user-agent group); the
+    * frontier SEEDING side of the protocol, where [[frontierFilter]] is
+    * the gating side. */
+  def sitemaps(txt: String): Seq[String] =
+    if (txt == null) Nil
+    else txt.split("[\r\n]+").toSeq.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0 && line.take(i).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.drop(i + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+
+  /** `Crawl-delay` (non-RFC but widely served) for the group `agent`
+    * obeys — the politeness scheduler's per-host rate input. Group
+    * selection matches [[parse]]; a non-numeric or absent value is
+    * None. */
+  def crawlDelay(txt: String, agent: String = "*"): Option[Double] = {
+    if (txt == null) return None
+    val a = agent.toLowerCase(Locale.ROOT)
+    var uas = Vector.empty[String]
+    var inRules = false
+    val found = Vector.newBuilder[(String, Double)]
+    txt.split("[\r\n]+").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.take(i).trim.toLowerCase(Locale.ROOT)
+        val value = line.drop(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) { uas = Vector.empty; inRules = false }
+            uas :+= value.toLowerCase(Locale.ROOT)
+          case "crawl-delay" =>
+            inRules = true
+            value.toDoubleOption.foreach(d => uas.foreach(u => found += ((u, d))))
+          case "allow" | "disallow" => inRules = true
+          case _ => ()
+        }
+      }
+    }
+    val all = found.result()
+    val named = all.filter { case (u, _) => u != "*" && a.startsWith(u) }
+    if (named.nonEmpty) Some(named.maxBy(_._1.length)._2)
+    else all.collectFirst { case ("*", d) => d }
+  }
+
   /** Crawl-frontier politeness filter: keep the `urls` rows whose path
     * the host's robots.txt allows for `agent`. `robots` carries one
     * `(host, txt)` row per host (the fetch layer's robots cache — at

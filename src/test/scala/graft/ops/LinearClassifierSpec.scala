@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The learned quality gate must separate reference-like text from
+  * gibberish that PASSES the scalar heuristics, score deterministically
+  * under a fixed model, round-trip its persisted form, and degrade
+  * (never throw) on null/empty text. */
+class LinearClassifierSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def real = TestSpark.table("documents").limit(300)
+
+  // Word-shaped gibberish (the StreamLm fixture trick): md5 fragments
+  // with stopwords sprinkled so heuristic quality/lang gates pass.
+  private def junk = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    TestSpark.table("documents").limit(300)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", (1 to 30).flatMap(i => Seq(
+          lit(stop(i % stop.size)),
+          substring(md5(concat(col("text"), lit(i))), 1, 7))): _*).as("text"))
+  }
+
+  test("train + score: separates reference text from heuristic-passing gibberish") {
+    val spark2 = spark
+    import spark2.implicits._
+    val model = graft.api.Pipelines.trainQualityClassifier(
+      real.select("text"), junk.select("text"), col("text"),
+      dim = 1 << 15, iters = 30)
+
+    // Held-out-ish shape: score the SAME distributions (the spec pins
+    // separation, not generalization — fixture vocabularies barely
+    // overlap, which is exactly the production regime for this filter).
+    val posScores = graft.ops.LinearClassifier
+      .score(real, col("doc_id"), col("text"), model)
+      .agg(avg("score"), min("score")).head()
+    val negScores = graft.ops.LinearClassifier
+      .score(junk, col("doc_id"), col("text"), model)
+      .agg(avg("score"), max("score")).head()
+    assert(posScores.getDouble(0) > 0.8,
+      s"mean positive score too low: ${posScores.getDouble(0)}")
+    assert(negScores.getDouble(0) < 0.2,
+      s"mean negative score too high: ${negScores.getDouble(0)}")
+
+    // Accuracy at the 0.5 cut.
+    val pn = graft.ops.LinearClassifier.score(real, col("doc_id"), col("text"), model)
+      .where(col("score") >= 0.5).count()
+    val nn = graft.ops.LinearClassifier.score(junk, col("doc_id"), col("text"), model)
+      .where(col("score") < 0.5).count()
+    assert(pn >= 290 && nn >= 290, s"accuracy too low: pos $pn/300, neg $nn/300")
+
+    // Scoring under a FIXED model is layout-independent and deterministic.
+    val s1 = graft.ops.LinearClassifier.score(real, col("doc_id"), col("text"), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s2 = graft.ops.LinearClassifier
+      .score(real.repartition(7), col("doc_id"), col("text"), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1 == s2)
+
+    // Persisted round trip is bit-exact; the filter facade gates whole rows.
+    val back = LinearClassifier.Model.fromBytes(model.toBytes)
+    assert(back.bias == model.bias &&
+      java.util.Arrays.equals(back.weights, model.weights))
+    val mixed = real.select("doc_id", "text").unionByName(junk)
+    val kept = graft.api.Pipelines.classifierFilter(
+      mixed, col("doc_id"), col("text"), back, floor = 0.5)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    val ids = kept.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.count(_ < 1000000L) >= 290 && ids.count(_ >= 1000000L) <= 10)
+
+    // Degrades: null/empty text scores at the prior, never throws.
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val es = graft.ops.LinearClassifier.score(edge, col("doc_id"), col("text"), model)
+      .collect().map(_.getDouble(1))
+    assert(es.length == 3 && es.forall(s => s > 0.0 && s < 1.0))
+    assert(es.distinct.length == 1, "featureless rows all score at the prior")
+  }
+
+  test("train validates input and featurize is stable") {
+    val spark2 = spark
+    import spark2.implicits._
+    intercept[IllegalArgumentException] {
+      LinearClassifier.train(Seq.empty[(String, Double)].toDF("t", "y"),
+        col("t"), col("y"), iters = 1)
+    }
+    // MurmurHash3 feature hashing is stable run-to-run (a persisted
+    // model is useless if the featurizer drifts).
+    val f1 = LinearClassifier.featurize("the quick brown fox", 1 << 10)
+    val f2 = LinearClassifier.featurize("the quick brown fox", 1 << 10)
+    assert(f1.toSeq == f2.toSeq && f1.nonEmpty)
+    // Unigrams + bigrams: 4 + 3 distinct features; L2-style scaling
+    // puts the squared norm at 1 when all grams are distinct.
+    assert(f1.length == 7 &&
+      math.abs(f1.map(v => v._2 * v._2).sum - 1f) < 1e-5)
+  }
+}

@@ -61,6 +61,24 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed("totally { malformed", "*", "/x"))
   }
 
+  test("sitemaps + crawlDelay: seeding and politeness-rate extraction") {
+    val txt =
+      """User-agent: fastbot
+        |Crawl-delay: 0.5
+        |Disallow: /x
+        |Sitemap: https://a.org/sitemap.xml
+        |User-agent: *
+        |Crawl-delay: 10
+        |Sitemap: https://a.org/news/sitemap.xml""".stripMargin
+    assert(Robots.sitemaps(txt) ==
+      Seq("https://a.org/sitemap.xml", "https://a.org/news/sitemap.xml"),
+      "sitemaps are file-scoped, in order, regardless of groups")
+    assert(Robots.crawlDelay(txt, "fastbot-v2").contains(0.5))
+    assert(Robots.crawlDelay(txt, "otherbot").contains(10.0))
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: soon", "x").isEmpty)
+    assert(Robots.crawlDelay(null, "x").isEmpty && Robots.sitemaps(null).isEmpty)
+  }
+
   test("frontierFilter: equi join on host, opt-out default, per-partition memo") {
     val spark2 = spark
     import spark2.implicits._
