@@ -347,6 +347,12 @@ ${(round(1) + round(2)).stripSuffix(",")}
  order by g.node limit 300"""
   }
 
+  /** q181's suffix alternation, interpolated from the op's own list —
+    * one source of truth between the declared contract and
+    * [[graft.ops.TextOps.registeredDomain]]. */
+  private val pslAlt: String =
+    graft.ops.TextOps.multiPartSuffixes.map(_.replace(".", "[.]")).mkString("|")
+
   val all: Seq[CorpusQuery] = Seq(
     q("q01_scan_filter_project",
       """select l_orderkey, l_linenumber, round(l_extendedprice*(1-l_discount),2) net
@@ -2769,6 +2775,42 @@ select d.pid,
   from a)
  select doc_id, n_href, n_abs, array_to_string(list_sort(canon), ' ') AS links
  from c order by doc_id limit 300"""),
+
+    // Registered-domain conventions (round 12): the PSL-lite apex fold
+    // (TextOps.registeredDomain) pinned cross-engine with the suffix
+    // ALTERNATION INTERPOLATED FROM THE OP'S OWN LIST — one source of
+    // truth, so a list edit re-pins the contract automatically. Branches:
+    // multi-part suffix → 3 labels, plain TLD → 2, bare suffix / single
+    // label → itself, case folds. Shared regex text (char classes +
+    // non-capturing group — no backslashes), coalesce(nullif(...))
+    // fallback chain identical in both dialects.
+    q2("q181_registered_domain",
+      s"""with h as (select doc_id, case
+   when doc_id % 6 = 0 then concat('News.Sub', cast(doc_id as string), '.BBC.co.uk')
+   when doc_id % 6 = 1 then concat('www.shop', cast(doc_id % 10 as string), '.com.au')
+   when doc_id % 6 = 2 then concat('a.b.example', cast(doc_id % 10 as string), '.com')
+   when doc_id % 6 = 3 then concat('example', cast(doc_id % 10 as string), '.org')
+   when doc_id % 6 = 4 then 'localhost' else 'co.uk' end host
+  from documents where doc_id < 300),
+ r as (select doc_id, host, lower(host) lh from h)
+ select doc_id, host,
+  coalesce(nullif(regexp_extract(lh, '([^.]+[.](?:$pslAlt))$$', 1), ''),
+           nullif(regexp_extract(lh, '([^.]+[.][^.]+)$$', 1), ''),
+           lh) AS apex
+ from r order by doc_id limit 300""",
+      s"""with h as (select doc_id, case
+   when doc_id % 6 = 0 then concat('News.Sub', cast(doc_id as varchar), '.BBC.co.uk')
+   when doc_id % 6 = 1 then concat('www.shop', cast(doc_id % 10 as varchar), '.com.au')
+   when doc_id % 6 = 2 then concat('a.b.example', cast(doc_id % 10 as varchar), '.com')
+   when doc_id % 6 = 3 then concat('example', cast(doc_id % 10 as varchar), '.org')
+   when doc_id % 6 = 4 then 'localhost' else 'co.uk' end host
+  from documents where doc_id < 300),
+ r as (select doc_id, host, lower(host) lh from h)
+ select doc_id, host,
+  coalesce(nullif(regexp_extract(lh, '([^.]+[.](?:$pslAlt))$$', 1), ''),
+           nullif(regexp_extract(lh, '([^.]+[.][^.]+)$$', 1), ''),
+           lh) AS apex
+ from r order by doc_id limit 300"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

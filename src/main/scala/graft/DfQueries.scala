@@ -1609,6 +1609,29 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q181_registered_domain" -> { (s, _) =>
+      // TextOps.registeredDomain over a host matrix covering every fold
+      // branch: multi-part suffix (3 labels), plain TLD (2), bare
+      // suffix / single label (itself), case folding. The declared SQL
+      // interpolates the op's own suffix list — the DataFrame impl IS
+      // the op, so op ≡ Spark SQL ≡ DuckDB in one gate.
+      val m = col("doc_id") % 6
+      val host = when(m === 0,
+          concat(lit("News.Sub"), col("doc_id").cast("string"), lit(".BBC.co.uk")))
+        .when(m === 1, concat(lit("www.shop"), (col("doc_id") % 10).cast("string"),
+          lit(".com.au")))
+        .when(m === 2, concat(lit("a.b.example"), (col("doc_id") % 10).cast("string"),
+          lit(".com")))
+        .when(m === 3, concat(lit("example"), (col("doc_id") % 10).cast("string"),
+          lit(".org")))
+        .when(m === 4, lit("localhost"))
+        .otherwise(lit("co.uk"))
+      t(s, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), host.as("host"),
+          graft.ops.TextOps.registeredDomain(host).as("apex"))
+        .orderBy("doc_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

@@ -752,7 +752,9 @@ object Pipelines {
              perSourceCap: Option[Int] = None,
              lmScoreFloor: Option[Double] = None,
              mixtureRates: Option[Map[String, Double]] = None,
-             c4Clean: Boolean = false): CurationResult = {
+             c4Clean: Boolean = false,
+             classifierFloor: Option[(graft.ops.LinearClassifier.Model, Double)] =
+               None): CurationResult = {
     val id = col("doc_id"); val text = col("text")
     // Optional C4 stage FIRST: it REWRITES text (line-level boilerplate
     // removal + page gates), and every downstream signal — quality
@@ -775,8 +777,16 @@ object Pipelines {
         graft.streaming.StreamOps.lmFilter(quality, "text", model, floor)
       case None => quality
     }
-    val canon = lmKept.join(
-      canonicalDocs(lmKept, id, text, dedupThreshold)
+    // The LEARNED gate (when a trained model exists): unlike the
+    // self-trained LM stage above it carries external supervision, so
+    // it runs after the cheap gates and before dedup pays for docs the
+    // classifier would drop anyway.
+    val clsKept = classifierFloor match {
+      case Some((model, floor)) => classifierFilter(lmKept, id, text, model, floor)
+      case None => lmKept
+    }
+    val canon = clsKept.join(
+      canonicalDocs(clsKept, id, text, dedupThreshold)
         .select(col("doc_id").as("__keep")),
       id === col("__keep"), "left_semi")
     val clean = evalSet match {
@@ -799,8 +809,9 @@ object Pipelines {
     val stages = (("input" -> docs) +:
       (if (c4Clean) Seq("c4_clean" -> base) else Nil)) ++
       Seq("quality_lang" -> quality,
-      "lm_gate" -> lmKept,
-      "canonical" -> canon, "decontaminated" -> clean, "capped" -> capped,
+      "lm_gate" -> lmKept) ++
+      (if (classifierFloor.isDefined) Seq("classifier" -> clsKept) else Nil) ++
+      Seq("canonical" -> canon, "decontaminated" -> clean, "capped" -> capped,
       "mixed" -> mixed)
     val audit = stages.zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("n_docs"))

@@ -73,6 +73,22 @@ class LinearClassifierSpec extends AnyFunSuite {
     val ids = kept.select("doc_id").collect().map(_.getLong(0))
     assert(ids.count(_ < 1000000L) >= 290 && ids.count(_ >= 1000000L) <= 10)
 
+    // Funnel integration: the learned gate drops heuristic-passing junk
+    // at its own audited stage.
+    val full = real.select("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .unionByName(junk.withColumn("lang", lit("en")).withColumn("source", lit("s0")))
+    val res = graft.api.Pipelines.curate(full,
+      classifierFloor = Some((model, 0.5)))
+    val names = res.audit.collect().map(_.getString(1)).toSeq
+    assert(names.contains("classifier"), s"classifier stage must audit: $names")
+    val curatedIds = res.curated.select("doc_id").collect().map(_.getLong(0))
+    assert(curatedIds.count(_ >= 1000000L) <= 10,
+      "heuristic-passing gibberish must die at the learned gate")
+    assert(!graft.api.Pipelines.curate(full).audit.collect()
+      .map(_.getString(1)).contains("classifier"),
+      "no classifier row unless the gate runs")
+
     // Degrades: null/empty text scores at the prior, never throws.
     val edge = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
