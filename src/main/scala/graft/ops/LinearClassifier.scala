@@ -81,11 +81,19 @@ object LinearClassifier {
   }
 
   /** Train on `(text, label∈{0,1})` rows. Batch gradient descent with L2;
-    * runs `iters` cluster jobs at call time. */
+    * runs `iters` cluster jobs at call time. `init` WARM-STARTS from a
+    * prior model (the maintenance posture shared with `pageRankWarm`:
+    * when new labels arrive, continue the descent from the converged
+    * weights instead of re-paying the full iteration budget — logistic
+    * loss is convex, so the warm path descends toward the same optimum
+    * from a nearer point). */
   def train(docs: DataFrame, text: Column, label: Column,
             dim: Int = 1 << 17, iters: Int = 30, lr: Double = 1.0,
-            l2: Double = 1e-6): Model = {
+            l2: Double = 1e-6, init: Option[Model] = None): Model = {
     require(dim > 0 && iters >= 1 && lr > 0)
+    init.foreach(m => require(m.dim == dim,
+      s"init model dim ${m.dim} != requested dim $dim — hashed features " +
+        "are dim-specific, a resized warm start would scatter them"))
     val spark = docs.sparkSession
     val data = docs.select(text.cast("string").as("t"), label.cast("double").as("y"))
       .where(col("t").isNotNull && col("y").isin(0.0, 1.0))
@@ -94,8 +102,8 @@ object LinearClassifier {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = data.count()
     require(n > 0, "no labeled rows to train on")
-    var w = new Array[Double](dim)
-    var b = 0.0
+    val w = init.map(_.weights.map(_.toDouble)).getOrElse(new Array[Double](dim))
+    var b = init.map(_.bias.toDouble).getOrElse(0.0)
     var it = 0
     while (it < iters) {
       val bw = spark.sparkContext.broadcast(w)
@@ -146,5 +154,25 @@ object LinearClassifier {
           sigmoid(z))
       }
     }(enc)
+  }
+
+  /** Gate rows on the learned score IN PLACE — schema untouched, one
+    * stateless typed filter with the model broadcast once. Works
+    * unchanged on a STREAMING DataFrame (no ids needed, no join, no
+    * state operators — the streaming twin of the batch
+    * [[graft.api.Pipelines.classifierFilter]], same posture as the LM
+    * gate's `lmFilter`). Null/featureless text scores at the prior. */
+  def filterByScore(docs: DataFrame, text: Column, model: Model,
+                    floor: Double): DataFrame = {
+    val bm = docs.sparkSession.sparkContext.broadcast(model)
+    val withT = docs.withColumn("__cls_text", text.cast("string"))
+    val ti = withT.columns.length - 1
+    withT.filter { (r: Row) =>
+      val m = bm.value
+      val feats = featurize(if (r.isNullAt(ti)) null else r.getString(ti), m.dim)
+      var z = m.bias.toDouble
+      feats.foreach { case (i, v) => z += m.weights(i) * v }
+      sigmoid(z) >= floor
+    }.drop("__cls_text")
   }
 }

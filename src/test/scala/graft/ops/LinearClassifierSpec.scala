@@ -1,9 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+
+case class ClsDoc(doc_id: Long, text: String)
 
 /** The learned quality gate must separate reference-like text from
   * gibberish that PASSES the scalar heuristics, score deterministically
@@ -96,6 +99,51 @@ class LinearClassifierSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     assert(es.length == 3 && es.forall(s => s > 0.0 && s < 1.0))
     assert(es.distinct.length == 1, "featureless rows all score at the prior")
+  }
+
+  test("warm start continues the descent; streamed gate ≡ batch, stateless") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val dim = 1 << 14
+    val m0 = graft.api.Pipelines.trainQualityClassifier(
+      real.select("text"), junk.select("text"), col("text"),
+      dim = dim, iters = 20)
+    // Warm start: a few extra rounds from the converged weights must
+    // keep (not destroy) the separation — and dim mismatches refuse.
+    val labeled = real.select(col("text").as("t"), lit(1.0).as("y"))
+      .unionByName(junk.select(col("text").as("t"), lit(0.0).as("y")))
+    val m1 = LinearClassifier.train(labeled, col("t"), col("y"),
+      dim = dim, iters = 3, init = Some(m0))
+    val acc = LinearClassifier.score(real, col("doc_id"), col("text"), m1)
+      .where(col("score") >= 0.5).count() +
+      LinearClassifier.score(junk, col("doc_id"), col("text"), m1)
+        .where(col("score") < 0.5).count()
+    assert(acc >= 580, s"warm-started model lost separation: $acc/600")
+    intercept[IllegalArgumentException] {
+      LinearClassifier.train(labeled, col("t"), col("y"),
+        dim = dim / 2, iters = 1, init = Some(m0))
+    }
+
+    // Streamed gate: identical survivors to the batch filter, schema
+    // untouched, zero state operators.
+    val rows = real.select("doc_id", "text").unionByName(junk)
+      .collect().map(r => ClsDoc(r.getLong(0), r.getString(1)))
+    val batchKept = LinearClassifier
+      .filterByScore(rows.toSeq.toDF(), col("text"), m1, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[ClsDoc]
+    val q = LinearClassifier.filterByScore(mem.toDF(), col("text"), m1, 0.5)
+      .writeStream.format("memory").queryName("t_cls").outputMode("append").start()
+    try {
+      rows.grouped(200).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("t_cls")
+      assert(streamed.columns.toSeq == Seq("doc_id", "text"))
+      assert(streamed.select("doc_id").collect().map(_.getLong(0)).toSet == batchKept)
+      val plan = q.lastProgress
+      assert(plan == null || plan.stateOperators.isEmpty,
+        "the learned gate must not create streaming state")
+    } finally q.stop()
   }
 
   test("train validates input and featurize is stable") {
