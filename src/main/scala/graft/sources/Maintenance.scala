@@ -161,12 +161,25 @@ object Maintenance {
     * discipline without a commit log. Bound the retained bytes with
     * [[vacuumHistory]].
     *
+    * SCHEMA EVOLUTION: with `evolveSchema` a change batch may carry NEW
+    * columns (or omit old non-key ones) — rewritten files union by name
+    * with null padding, and the returned table reads with
+    * `mergeSchema` so the widened schema is visible immediately. The
+    * honest plain-parquet caveat: only TOUCHED files are rewritten, so
+    * UNTOUCHED files keep the old physical schema forever and every
+    * later reader of the raw dir must also pass `mergeSchema` (or read
+    * via the returned frame / compact the table) — there is no commit
+    * log to carry the widened schema for them. Off by default: without
+    * the flag a schema-divergent batch fails loudly at the union, which
+    * is the right default for a typed state table.
+    *
     * Returns `(table, refreshed manifest)`. */
   def upsert(spark: SparkSession, dir: String, manifest: DataFrame,
              changes: DataFrame, key: String,
              deleteKeys: Option[DataFrame] = None,
              targetBytes: Long = 128L * 1024 * 1024,
-             retainHistory: Boolean = false): (DataFrame, DataFrame) = {
+             retainHistory: Boolean = false,
+             evolveSchema: Boolean = false): (DataFrame, DataFrame) = {
     require(changes.columns.contains(key), s"changes lack key column `$key`")
     val statsCols = FileStats.statsColumns(manifest)
     require(statsCols.contains(key),
@@ -203,7 +216,8 @@ object Maintenance {
     val survivors =
       if (touched.isEmpty) changes
       else spark.read.parquet(touched: _*)
-        .join(changeKeys, Seq(key), "left_anti").unionByName(changes)
+        .join(changeKeys, Seq(key), "left_anti")
+        .unionByName(changes, allowMissingColumns = evolveSchema)
     val touchedBytes = touched.map(p =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
     val nOut = math.max(1, math.ceil(touchedBytes.toDouble / targetBytes).toInt)
@@ -230,7 +244,10 @@ object Maintenance {
     fs.delete(staging, true)
     // 4. O(batch) manifest maintenance.
     val m2 = FileStats.rewrite(spark, m0, touched, moved, statsCols)
-    (spark.read.parquet(dir), m2)
+    val table =
+      if (evolveSchema) spark.read.option("mergeSchema", "true").parquet(dir)
+      else spark.read.parquet(dir)
+    (table, m2)
   }
 
   /** Where [[upsert]]`(retainHistory = true)` retires replaced files:

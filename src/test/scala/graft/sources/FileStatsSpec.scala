@@ -348,6 +348,38 @@ class FileStatsSpec extends AnyFunSuite {
       .count(_._1.endsWith(".parquet")).toLong)
   }
 
+  test("upsert schema evolution: widened batches opt in, diverge loudly otherwise") {
+    val d = tmp("upsert-evolve")
+    val (_, manifest) = Maintenance.writeOptimized(
+      spark, TestSpark.table("orders"), d, Seq("o_orderkey"), 8)
+    val orders = spark.read.parquet(d).localCheckpoint()
+    val widened = orders.where(col("o_orderkey").between(100L, 110L))
+      .withColumn("o_flag", lit("hot")).localCheckpoint()
+    // Default: a schema-divergent batch fails loudly at the union — the
+    // right behavior for a typed state table.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Maintenance.upsert(spark, d, manifest, widened, "o_orderkey")
+    }
+    val (table, m2) = Maintenance.upsert(spark, d, manifest, widened,
+      "o_orderkey", evolveSchema = true)
+    assert(table.columns.contains("o_flag"), "widened column must be visible")
+    val hot = table.where(col("o_orderkey").between(100L, 110L))
+    assert(hot.count() > 0 &&
+      hot.where(col("o_flag") === "hot").count() == hot.count())
+    assert(table.where(col("o_flag").isNull).count() ==
+      table.count() - hot.count(),
+      "rows the batch didn't touch carry null in the new column")
+    // Shared-column content still equals the merge definition, and the
+    // manifest stays fresh + prunable over the evolved layout.
+    assert(canon(table.select(orders.columns.map(col): _*)) ==
+      canon(orders.join(widened.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(widened.drop("o_flag"))))
+    assert(FileStats.isFresh(spark, d, m2))
+    val probe = FileStats.prunedRead(spark, d, m2,
+      Seq(ColumnBounds("o_orderkey", Some(100L), Some(110L))))
+    assert(probe.count() == hot.count())
+  }
+
   test("upsert edge cases: empty batch, delete-only, null keys, missing key stats") {
     val d = tmp("upsert-edge")
     val (_, manifest) = Maintenance.writeOptimized(
