@@ -265,27 +265,30 @@ object Maintenance {
     * SNAPSHOT's own stats ([[FileStats.prunedFiles]]), so time-travel
     * reads keep the manifest pruning discipline; the freshness
     * fingerprint is deliberately NOT checked — being "stale" is the
-    * entire point of a snapshot read. Driver cost: one existence probe
-    * per snapshot file (bounded by the manifest row count, the same
-    * driver-side list every pruned read already holds). */
+    * entire point of a snapshot read. Driver cost: TWO directory LISTs
+    * (live + `_history`) and in-memory set membership — deliberately
+    * NOT one `fs.exists` per snapshot file, which would be one RPC per
+    * file on object storage and re-create the per-file floor the
+    * manifest exists to avoid (at 1M files, ~the full listing cost ×
+    * a round trip each). */
   def readAt(spark: SparkSession, dir: String, manifest: DataFrame,
              preds: Seq[FilePredicate] = Nil): DataFrame = {
     val files =
       if (preds.isEmpty)
         manifest.select("file").collect().map(_.getString(0)).toSeq
       else FileStats.prunedFiles(manifest, preds)
-    val (fs, root) = LakeFs.resolve(dir)
-    val hist = new org.apache.hadoop.fs.Path(root, HistoryDir)
+    val (_, root) = LakeFs.resolve(dir)
+    val live: Set[String] = LakeFs.listFiles(dir, skipHiddenDirs = true)
+      .map(f => LakeFs.normPath(f._1)).toSet
+    val histDir = new org.apache.hadoop.fs.Path(root, HistoryDir).toString
+    val hist: Map[String, String] = LakeFs.listFiles(histDir, skipHiddenDirs = false)
+      .map { case (p, _) => new org.apache.hadoop.fs.Path(p).getName -> p }.toMap
     val resolved = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      if (fs.exists(p)) p.toString
-      else {
-        val h = new org.apache.hadoop.fs.Path(hist, p.getName)
-        require(fs.exists(h),
+      if (live.contains(LakeFs.normPath(f))) f
+      else hist.getOrElse(new org.apache.hadoop.fs.Path(f).getName,
+        throw new IllegalArgumentException(
           s"snapshot file $f exists neither live nor in $HistoryDir — " +
-            "this version was vacuumed; a partial read would be silent data loss")
-        h.toString
-      }
+            "this version was vacuumed; a partial read would be silent data loss"))
     }
     if (resolved.isEmpty) spark.read.parquet(dir).limit(0)
     else spark.read.parquet(resolved: _*)
