@@ -307,15 +307,21 @@ object Pipelines {
     * — (host, r, nrank), nrank relative to uniform). The quality prior
     * real curation stacks feed next to per-document filters: a page on
     * a high-authority host survives borderline quality cuts, a page on
-    * a link-farm host doesn't. Unweighted (PageRank's classic form —
-    * each host's vote splits over its distinct out-hosts); the weighted
-    * edge table is available from [[linkGraph]] for scorers that want
-    * it. Runs `iterations` cluster jobs at call time. */
+    * a link-farm host doesn't. Default is PageRank's classic unweighted
+    * form (each host's vote splits over its distinct out-hosts);
+    * `weighted` splits votes by LINK COUNT instead
+    * ([[graft.ops.GraphOps.pageRankWeighted]] — a host linking
+    * somewhere 500 times endorses it more than one footer link does;
+    * also easier to spam, which is why classic host ranking defaults
+    * unweighted). Runs `iterations` cluster jobs at call time. */
   def hostAuthority(links: DataFrame, srcUrl: Column, dstUrl: Column,
-                    iterations: Int = 10): DataFrame =
-    graft.ops.GraphOps.pageRank(
-      linkGraph(links, srcUrl, dstUrl), iterations = iterations)
+                    iterations: Int = 10, weighted: Boolean = false): DataFrame = {
+    val g = linkGraph(links, srcUrl, dstUrl)
+    (if (weighted)
+      graft.ops.GraphOps.pageRankWeighted(g, "weight", iterations = iterations)
+    else graft.ops.GraphOps.pageRank(g, iterations = iterations))
       .withColumnRenamed("node", "host")
+  }
 
   /** Train a BPE tokenizer on the corpus (word-level, deterministic);
     * returns the ordered merge table — persist it alongside the corpus. */

@@ -49,7 +49,24 @@ object GraphOps {
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
                iterations: Int = 10, damping: Double = 0.85,
                scale: Long = 1000000000L): DataFrame =
-    pageRankFrom(edges, None, src, dst, iterations, damping, scale)
+    pageRankFrom(edges, None, src, dst, iterations, damping, scale, None)
+
+  /** WEIGHTED PageRank: each node's vote splits over its out-edges in
+    * proportion to edge weight — `r'(v)` sums `round(r(u)·w(u,v)/W(u))`
+    * with `W(u)` the node's total positive out-weight — the natural
+    * authority model over [[graft.api.Pipelines.linkGraph]]'s weighted
+    * host edges (a host linking somewhere 500 times endorses it more
+    * than a single footer link does). Parallel (src,dst) rows pre-sum;
+    * non-positive weights drop (an endorsement cannot be ≤ 0); the
+    * integer micro-rank machinery, dangling redistribution, and
+    * per-round checkpoint discipline are [[pageRank]]'s. With all
+    * weights equal it reduces exactly to the unweighted form
+    * (spec-pinned). */
+  def pageRankWeighted(edges: DataFrame, weight: String,
+                       src: String = "src", dst: String = "dst",
+                       iterations: Int = 10, damping: Double = 0.85,
+                       scale: Long = 1000000000L): DataFrame =
+    pageRankFrom(edges, None, src, dst, iterations, damping, scale, Some(weight))
 
   /** WARM-START PageRank — the O(new-data) maintenance posture for edge
     * APPENDS (the graph twin of [[graft.sources.FileStats.update]] /
@@ -77,22 +94,36 @@ object GraphOps {
                    src: String = "src", dst: String = "dst",
                    iterations: Int = 10, damping: Double = 0.85,
                    scale: Long = 1000000000L): DataFrame =
-    pageRankFrom(edges, Some(prior), src, dst, iterations, damping, scale)
+    pageRankFrom(edges, Some(prior), src, dst, iterations, damping, scale, None)
 
   private def pageRankFrom(edges: DataFrame, prior: Option[DataFrame],
                            src: String, dst: String, iterations: Int,
-                           damping: Double, scale: Long): DataFrame = {
+                           damping: Double, scale: Long,
+                           weight: Option[String]): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     require(scale >= 1000000L, s"scale under 1e6 loses ranking granularity, got $scale")
-    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
+    // Weighted edges pre-sum parallel rows (distinct would silently keep
+    // weight-variant duplicates apart); the unweighted spelling below is
+    // kept verbatim — it is the declared q169 contract.
+    val e = (weight match {
+      case Some(w) => edges
+        .select(col(src).as("src"), col(dst).as("dst"),
+          col(w).cast("double").as("w"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      case None => edges.select(col(src).as("src"), col(dst).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+    }).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val nn = nodes.count()
     require(nn > 0, "empty graph")
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outd")).localCheckpoint()
+    val deg = (weight match {
+      case Some(_) => e.groupBy("src").agg(sum(col("w")).as("outd"))
+      case None => e.groupBy("src").agg(count(lit(1)).as("outd"))
+    }).localCheckpoint()
     // The dangling node SET is iteration-invariant (only their RANKS
     // change): compute it once, and skip the per-iteration mass action
     // entirely on graphs without sinks (the declared q169 symmetric
@@ -128,10 +159,14 @@ object GraphOps {
             rank("node") === col("__dn"), "left_semi")
           .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
       val share = math.round(dangling.toDouble / nn)
+      val share1 = weight match {
+        case Some(_) => round(col("r") * col("w") / col("outd"))
+        case None => round(col("r") / col("outd"))
+      }
       val contrib = e.join(rank, rank("node") === e("src"))
         .join(deg, "src")
         .groupBy("dst")
-        .agg(sum(round(col("r") / col("outd")).cast("bigint")).as("m"))
+        .agg(sum(share1.cast("bigint")).as("m"))
       rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(nodes("node"),
           round(base + lit(damping) * (coalesce(col("m"), lit(0L)) + lit(share)))

@@ -291,6 +291,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankWeighted: equal weights ≡ unweighted; heavier edges pull more rank") {
+    import spark.implicits._
+    val e = ((1 to 5).map(i => (s"spoke$i", "hub")) ++
+      Seq("hub" -> "spoke1", "spoke1" -> "sink")).toDF("src", "dst")
+    // Uniform weights reduce EXACTLY to the unweighted form — same
+    // integer micro-ranks, any constant weight (votes are shares of the
+    // node's total out-weight, so the constant cancels).
+    val flat = GraphOps.pageRank(e, iterations = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w1 = GraphOps.pageRankWeighted(e.withColumn("w", lit(7.0)), "w",
+      iterations = 12).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 == flat, "constant weights must reduce to the unweighted ranks")
+    // A two-successor node splitting 9:1 sends ~90% of its vote one way.
+    val split = Seq(("a", "heavy", 9.0), ("a", "light", 1.0),
+      ("heavy", "a", 1.0), ("light", "a", 1.0)).toDF("src", "dst", "w")
+    val wr = GraphOps.pageRankWeighted(split, "w", iterations = 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wr("heavy") > 3L * wr("light"),
+      s"9:1 out-weight must skew rank hard: $wr")
+    // Parallel rows pre-sum (two 4.5s ≡ one 9.0); non-positive drop.
+    val par = Seq(("a", "heavy", 4.5), ("a", "heavy", 4.5), ("a", "light", 1.0),
+      ("heavy", "a", 1.0), ("light", "a", 1.0), ("x", "a", 0.0))
+      .toDF("src", "dst", "w")
+    val wp = GraphOps.pageRankWeighted(par, "w", iterations = 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wp - "x" == wr || wp == wr,
+      s"parallel-edge pre-sum must match the single-edge graph: $wp vs $wr")
+    assert(!wp.contains("x"), "a node with only non-positive edges drops")
+  }
+
   test("pageRankWarm: warm ≡ cold at the integer fixpoint; closer after fewer rounds") {
     import spark.implicits._
     // Ring + chords (strongly connected); the append adds chords AND a
