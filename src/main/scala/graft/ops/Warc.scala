@@ -236,8 +236,21 @@ object Warc {
     * browser-prescan convention) for `<meta charset=...>` or the
     * `http-equiv` content-type form. None when absent or unknown. */
   def metaCharset(body: Array[Byte], limit: Int = 1024): Option[java.nio.charset.Charset] = {
-    val head = new String(body, 0, math.min(body.length, limit),
-      StandardCharsets.ISO_8859_1)
+    val end = math.min(body.length, limit)
+    // Guard before the String + regex: most no-header-charset pages have
+    // no <meta charset> either; a raw byte scan for "<meta" (ASCII
+    // case-folded — ISO-8859-1 maps bytes 1:1 to chars, so a byte-level
+    // miss is a char-level miss) skips the expensive path entirely.
+    var i = 0
+    var found = false
+    while (!found && i + 5 <= end) {
+      if (body(i) == '<' && (body(i + 1) | 0x20) == 'm' &&
+        (body(i + 2) | 0x20) == 'e' && (body(i + 3) | 0x20) == 't' &&
+        (body(i + 4) | 0x20) == 'a') found = true
+      i += 1
+    }
+    if (!found) return None
+    val head = new String(body, 0, end, StandardCharsets.ISO_8859_1)
     metaCharsetRe.findFirstMatchIn(head).map(_.group(1)).flatMap(lookupCharset)
   }
 
@@ -270,6 +283,8 @@ object Warc {
     def header(name: String): Option[String] = headers.get(name.toLowerCase)
   }
 
+  private val crlf = java.util.regex.Pattern.compile("\r\n")
+
   /** Parse an HTTP response: status line, CRLF headers (first value
     * wins on duplicates), then the body de-chunked per
     * `Transfer-Encoding` and decompressed per `Content-Encoding`.
@@ -286,7 +301,7 @@ object Warc {
     }
     if (headerEnd < 0) return None
     val head = new String(raw, 0, headerEnd, StandardCharsets.UTF_8)
-    val lines = head.split("\r\n")
+    val lines = crlf.split(head) // hoisted: String.split("\r\n") compiles per call
     val status = lines.head.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(return None)
     var headers = Map.empty[String, String]
     lines.tail.foreach { l =>
@@ -337,29 +352,237 @@ object Warc {
   private val tags = "(?s)<[^>]*>".r
   private val entity =
     "&(amp|lt|gt|quot|apos|nbsp|#x[0-9a-fA-F]{1,6}|#[0-9]{1,7});".r
+  // Hoisted patterns for the per-record hot path: `String.replaceAll` /
+  // inline `.r` re-compile their pattern on EVERY call, and the
+  // whitespace collapse below runs once per LINE — measured by
+  // WarcCostProbe as a real slice of crawl-ingest cost at sf0.1.
+  private val sourceWsRun = java.util.regex.Pattern.compile("[\\r\\n\\t]+")
+  private val blockTags = java.util.regex.Pattern.compile(
+    "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)\\b[^>]*>")
+  private val lineWsRun = java.util.regex.Pattern.compile("[ \\t\\x0B\\f\\r]+")
 
   /** HTML → whitespace-normalized plain text: script/style/comment blocks
     * drop whole, tags drop, block-ish tags become newlines before
     * stripping (so headings/paragraphs don't fuse into one word), the
     * common named entities plus all numeric entities decode. A
     * deterministic heuristic — the curation-grade extraction real
-    * pipelines run before quality filters, not a browser. */
+    * pipelines run before quality filters, not a browser.
+    *
+    * Implementation: the script/style/comment/entity passes stay regex
+    * (guarded by a cheap containment scan — most pages in a curation
+    * stream have no comments, and many no entities), while the three
+    * structural passes (source-ws collapse + block-tag newlines,
+    * generic tag strip, line normalize) are fused manual scans —
+    * WarcCostProbe measured the regex forms of those passes as the
+    * bulk of per-record HTML cost, and crawl ingest pays this on every
+    * page. [[htmlToTextReference]] keeps the original regex cascade;
+    * WarcSpec pins output identity on randomized adversarial markup. */
   def htmlToText(html: String): String = {
-    var s = scriptStyle.replaceAllIn(html, " ")
-    s = comments.replaceAllIn(s, " ")
-    // Source newlines are layout, not content (browser semantics):
-    // normalize them to spaces BEFORE block tags inject real breaks.
-    s = s.replaceAll("[\\r\\n\\t]+", " ")
-    s = "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)\\b[^>]*>".r.replaceAllIn(s, "\n")
-    s = tags.replaceAllIn(s, " ")
+    val guard = guardFlags(html)
+    var s = if ((guard & 1) != 0) scriptStyle.replaceAllIn(html, " ") else html
+    if ((guard & 2) != 0) s = comments.replaceAllIn(s, " ")
+    s = stripMarkup(s)
+    s = stripTags(s)
     // ONE pass for named + numeric entities: chained global replaces
     // double-decode ("&amp;lt;" — an author literally writing "&lt;" —
     // must yield "&lt;", not "<"; each source position decodes at most
     // once).
+    if (s.indexOf('&') >= 0) s = decodeEntities(s)
+    collapseLines(s)
+  }
+
+  /** The original all-regex [[htmlToText]] cascade — kept as the
+    * executable specification the fused manual passes are pinned
+    * against (WarcSpec randomized equivalence). */
+  private[graft] def htmlToTextReference(html: String): String = {
+    var s = scriptStyle.replaceAllIn(html, " ")
+    s = comments.replaceAllIn(s, " ")
+    // Source newlines are layout, not content (browser semantics):
+    // normalize them to spaces BEFORE block tags inject real breaks.
+    s = sourceWsRun.matcher(s).replaceAll(" ")
+    s = blockTags.matcher(s).replaceAll("\n")
+    s = tags.replaceAllIn(s, " ")
     s = decodeEntities(s)
-    s.split("\n").map(_.replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim)
+    s.split('\n').iterator.map(l => lineWsRun.matcher(l).replaceAll(" ").trim)
       .filter(_.nonEmpty).mkString("\n")
   }
+
+  /** One guard scan for the two regex passes: bit 0 = a `<script` or
+    * `<style` opener exists (ASCII case-folded — `(?i)` in Java regex is
+    * ASCII-only without UNICODE_CASE, so folding here is exactly as
+    * strict), bit 1 = a `<!--` comment opener exists. A miss means the
+    * corresponding regex cannot match (both patterns REQUIRE that
+    * literal opener), so the pass is skipped. */
+  private def guardFlags(s: String): Int = {
+    var flags = 0
+    var i = s.indexOf('<')
+    val n = s.length
+    while (i >= 0 && flags != 3) {
+      if ((flags & 1) == 0 && i + 6 < n) {
+        val c1 = asciiLower(s.charAt(i + 1))
+        if (c1 == 's') {
+          if ((asciiLower(s.charAt(i + 2)) == 'c' && asciiLower(s.charAt(i + 3)) == 'r' &&
+               asciiLower(s.charAt(i + 4)) == 'i' && asciiLower(s.charAt(i + 5)) == 'p' &&
+               asciiLower(s.charAt(i + 6)) == 't') ||
+              (asciiLower(s.charAt(i + 2)) == 't' && asciiLower(s.charAt(i + 3)) == 'y' &&
+               asciiLower(s.charAt(i + 4)) == 'l' && asciiLower(s.charAt(i + 5)) == 'e'))
+            flags |= 1
+        }
+      }
+      if ((flags & 2) == 0 && i + 3 < n &&
+        s.charAt(i + 1) == '!' && s.charAt(i + 2) == '-' && s.charAt(i + 3) == '-')
+        flags |= 2
+      i = s.indexOf('<', i + 1)
+    }
+    flags
+  }
+
+  private def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  // Block-level tag names in the alternation order of the original
+  // regex; '/'-prefixed entries are closing forms, as in the regex.
+  private val blockNames = Array(
+    "br", "/p", "/div", "/h1", "/h2", "/h3", "/h4", "/h5", "/h6",
+    "/li", "/tr", "/title")
+
+  /** End index (exclusive) of a block-tag NAME starting right after the
+    * '<' at `i`, with the regex's `\b` boundary satisfied (next char is
+    * not a word char, or end of input); -1 when no block name matches. */
+  private def blockNameEnd(s: String, i: Int): Int = {
+    val n = s.length
+    var b = 0
+    while (b < blockNames.length) {
+      val name = blockNames(b)
+      val len = name.length
+      if (i + 1 + len <= n) {
+        var k = 0
+        while (k < len && asciiLower(s.charAt(i + 1 + k)) == name.charAt(k)) k += 1
+        if (k == len) {
+          val after = i + 1 + len
+          if (after >= n || !isWordChar(s.charAt(after))) return after
+        }
+      }
+      b += 1
+    }
+    -1
+  }
+
+  /** Fused manual form of the first two structural passes: collapse
+    * every `[\r\n\t]+` run to one space AND replace each block-level
+    * tag (`<br …>`, `</p …>`, …) with a newline. Exactly equivalent to
+    * `sourceWsRun→" "` then `blockTags→"\n"`: the ws collapse ran first
+    * in the cascade, but it neither creates nor destroys '<'/'>' and
+    * turns ws into (non-word) spaces, so the block match and its `\b`
+    * boundary are decided identically on the original chars. */
+  private def stripMarkup(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\r' || c == '\n' || c == '\t') {
+        var j = i + 1
+        while (j < n && {
+          val d = s.charAt(j); d == '\r' || d == '\n' || d == '\t'
+        }) j += 1
+        sb.append(' ')
+        i = j
+      } else if (c == '<') {
+        val ne = blockNameEnd(s, i)
+        var e = -1
+        if (ne >= 0) { // name+boundary ok; the tag still needs its '>'
+          var j = ne
+          while (e < 0 && j < n) { if (s.charAt(j) == '>') e = j else j += 1 }
+        }
+        if (e >= 0) { sb.append('\n'); i = e + 1 }
+        else { sb.append('<'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Manual form of the generic tag strip: each `<[^>]*>` → one space,
+    * left-to-right, non-overlapping — identical to the regex (the match
+    * always runs from a '<' to the FIRST following '>'; a '<' with no
+    * later '>' stays literal, exactly as the regex leaves it). */
+  private def stripTags(s: String): String = {
+    var lt = s.indexOf('<')
+    if (lt < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        var e = i + 1
+        while (e < n && s.charAt(e) != '>') e += 1
+        if (e < n) { sb.append(' '); i = e + 1 }
+        else { sb.append(s, i, n); i = n } // no '>' to the end: literal
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Manual form of the final line pass: split on '\n', collapse
+    * `[ \t\x0B\f\r]+` runs to one space, `String.trim` each line, drop
+    * empties, join with '\n'. Trim strips any char ≤ U+0020 from the
+    * edges — every collapse output at an edge is ≤ U+0020, so stripping
+    * edge chars ≤ U+0020 first and collapsing interior runs after is
+    * the same function. */
+  private def collapseLines(s: String): String = {
+    def isRunWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\u000B' || c == '\f' || c == '\r'
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var lineStart = 0
+    while (lineStart <= n) {
+      var lineEnd = s.indexOf('\n', lineStart)
+      val last = lineEnd < 0
+      if (last) lineEnd = n
+      // trim: edge chars ≤ U+0020
+      var a = lineStart
+      while (a < lineEnd && s.charAt(a) <= ' ') a += 1
+      var b = lineEnd
+      while (b > a && s.charAt(b - 1) <= ' ') b -= 1
+      if (a < b) {
+        if (sb.length > 0) sb.append('\n')
+        var i = a
+        while (i < b) {
+          val c = s.charAt(i)
+          if (isRunWs(c)) {
+            var j = i + 1
+            while (j < b && isRunWs(s.charAt(j))) j += 1
+            sb.append(' ')
+            i = j
+          } else { sb.append(c); i += 1 }
+        }
+      }
+      lineStart = if (last) n + 1 else lineEnd + 1
+    }
+    sb.toString
+  }
+
+  /** Probe surface (WarcCostProbe): the individual [[htmlToText]] passes,
+    * each as input→output so per-pass cost is measurable in isolation
+    * (regex reference forms suffixed _re). */
+  private[graft] def textPasses: Seq[(String, String => String)] = Seq(
+    "p_script" -> (s => scriptStyle.replaceAllIn(s, " ")),
+    "p_comment" -> (s => comments.replaceAllIn(s, " ")),
+    "p_srcws_re" -> (s => sourceWsRun.matcher(s).replaceAll(" ")),
+    "p_block_re" -> (s => blockTags.matcher(s).replaceAll("\n")),
+    "p_tags_re" -> (s => tags.replaceAllIn(s, " ")),
+    "p_entity" -> (s => decodeEntities(s)),
+    "p_lines_re" -> (s => s.split('\n').iterator
+      .map(l => lineWsRun.matcher(l).replaceAll(" ").trim)
+      .filter(_.nonEmpty).mkString("\n")),
+    "p_markup" -> (s => stripMarkup(s)),
+    "p_tags" -> (s => stripTags(s)),
+    "p_lines" -> (s => collapseLines(s)))
 
   /** Single-pass HTML entity decode (the common named set plus all
     * numeric forms); control/surrogate/invalid codepoints become a
@@ -482,6 +705,28 @@ object Warc {
     }(enc)
   }
 
+  /** Redistribute a SMALL archive input across the cluster before the
+    * narrow parse. Gzip WARC files are non-splittable, so scan
+    * parallelism equals file count; an ingest tail, a small crawl
+    * segment, or a local test with fewer files than cores would parse
+    * serially while every other core idles — and parse+extract is
+    * 5–10× the decompress cost (WarcCostProbe), so the idle cores are
+    * the bottleneck. Bounded so it cannot hurt at scale: only inputs
+    * whose optimizer size estimate is under 64 MB × defaultParallelism
+    * redistribute; a real crawl volume (files ≫ cores, TBs of payload)
+    * exceeds the bound and archive bytes never move. */
+  private def spreadSmall(in: Dataset[Row]): Dataset[Row] = {
+    // Streaming plans can't be inspected (.rdd executes); micro-batch
+    // parallelism is the source's concern (maxFilesPerTrigger etc.).
+    if (in.isStreaming) return in
+    val sc = in.sparkSession.sparkContext
+    val par = sc.defaultParallelism
+    if (in.rdd.getNumPartitions >= par) return in
+    val est = in.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est >= 0 && est < BigInt(par.toLong * (64L << 20))) in.repartition(par)
+    else in
+  }
+
   private val recordSchema = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("record_no", IntegerType, nullable = false),
@@ -512,15 +757,17 @@ object Warc {
     val in: Dataset[Row] = assets
       .select(id.cast("long").as("asset_id"), payload.as("payload"))
       .where(col("asset_id").isNotNull && col("payload").isNotNull)
-    in.mapPartitions { rows =>
+    spreadSmall(in).mapPartitions { rows =>
       rows.flatMap { r =>
         val aid = r.getLong(0)
         parseRecords(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
           case (rec, i) =>
-            val wtype = rec.header("warc-type").orNull
+            // headers are keyed lowercase — literal keys skip header()'s
+            // per-call toLowerCase on the crawl hot path
+            val wtype = rec.headers.get("warc-type").orNull
             val http = httpParse(rec.body)
-            val ctypeFull = http.flatMap(_.header("content-type"))
-              .orElse(rec.header("content-type"))
+            val ctypeFull = http.flatMap(_.headers.get("content-type"))
+              .orElse(rec.headers.get("content-type"))
             val ctype = ctypeFull.map(_.takeWhile(_ != ';').trim)
             val isHtml = ctype.exists(_.equalsIgnoreCase("text/html"))
             val isText = ctype.exists(_.toLowerCase.startsWith("text/"))
@@ -534,8 +781,8 @@ object Warc {
               case _ => null
             }
             Row(aid, i, wtype,
-              rec.header("warc-target-uri").orNull,
-              rec.header("warc-date").orNull,
+              rec.headers.get("warc-target-uri").orNull,
+              rec.headers.get("warc-date").orNull,
               ctype.orNull,
               http.map(m => Integer.valueOf(m.status)).orNull,
               bodyText)
@@ -569,7 +816,7 @@ object Warc {
     val in: Dataset[Row] = assets
       .select(id.cast("long").as("asset_id"), payload.as("payload"))
       .where(col("asset_id").isNotNull && col("payload").isNotNull)
-    in.mapPartitions { rows =>
+    spreadSmall(in).mapPartitions { rows =>
       rows.flatMap { r =>
         val aid = r.getLong(0)
         parseRecords(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.flatMap {
