@@ -64,7 +64,15 @@ object Robots {
             // no rule at all; an empty Allow is equally vacuous.
             if (value.nonEmpty && uas.nonEmpty)
               rules :+= Rule(allow = key == "allow", pattern = value)
-          case _ => () // crawl-delay, sitemap, unknown: ignored
+          case "crawl-delay" | "sitemap" =>
+            // Recognized non-rule directives still CLOSE the group: in
+            // "User-agent: a / Crawl-delay: 1 / User-agent: b /
+            // Disallow: /" agent a's group ends at the crawl-delay, so b
+            // opens a FRESH group and a is not bound by b's rules
+            // (reference parsers agree; [[crawlDelay]] uses the same
+            // separators, so the two parsers see identical groups).
+            inRules = true
+          case _ => () // unknown directives: ignored
         }
       }
     }
@@ -159,7 +167,7 @@ object Robots {
           case "crawl-delay" =>
             inRules = true
             value.toDoubleOption.foreach(d => uas.foreach(u => found += ((u, d))))
-          case "allow" | "disallow" => inRules = true
+          case "allow" | "disallow" | "sitemap" => inRules = true
           case _ => ()
         }
       }
@@ -180,18 +188,28 @@ object Robots {
     * never a pair join), and the verdict is a typed per-partition pass
     * with a per-host parsed-rule memo, so a host's robots.txt parses
     * once per (partition, host), not once per URL. The join key is the
-    * REGISTRABLE host as served — pass hosts exactly as the fetcher
-    * resolved them; no canonicalization is applied here beyond
-    * lowercasing. */
+    * AUTHORITY as served, lowercased, userinfo stripped, PORT KEPT —
+    * RFC 9309 scopes a robots.txt to its scheme+authority, so
+    * `example.com:8080` is a different robots target than
+    * `example.com`; key the robots cache exactly as the fetcher
+    * resolved the authority. Duplicate cache rows for one host (messy
+    * fetch logs) are collapsed deterministically to the LONGEST txt
+    * (ties lexicographic) rather than duplicating frontier rows through
+    * the join. */
   def frontierFilter(urls: DataFrame, urlCol: Column,
                      robots: DataFrame, hostCol: Column, txtCol: Column,
                      agent: String = "*"): DataFrame = {
     val withHp = urls.withColumn("__host",
-        lower(regexp_extract(urlCol, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)))
+        lower(regexp_extract(urlCol,
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1)))
       .withColumn("__path",
         coalesce(nullif(regexp_extract(urlCol,
           "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1), lit("")), lit("/")))
-    val r = robots.select(lower(hostCol).as("__rhost"), txtCol.as("__txt"))
+    val r = robots
+      .select(lower(hostCol).as("__rhost"), txtCol.as("__txt"))
+      .groupBy("__rhost")
+      .agg(max_by(col("__txt"), struct(length(col("__txt")), col("__txt")))
+        .as("__txt"))
     val joined: Dataset[Row] =
       withHp.join(r, col("__host") === col("__rhost"), "left")
     val txtIdx = joined.columns.length - 1

@@ -169,9 +169,14 @@ object Maintenance {
     * UNTOUCHED files keep the old physical schema forever and every
     * later reader of the raw dir must also pass `mergeSchema` (or read
     * via the returned frame / compact the table) — there is no commit
-    * log to carry the widened schema for them. Off by default: without
-    * the flag a schema-divergent batch fails loudly at the union, which
-    * is the right default for a typed state table.
+    * log to carry the widened schema for them. [[upsert]] is itself
+    * such a later reader: the rewrite always reads touched files with
+    * `mergeSchema`, so a merge whose touched set spans generations of a
+    * previously-evolved table rewrites every column (a plain read would
+    * infer one generation's schema and silently drop the other's
+    * columns before deleting the originals). Off by default: without
+    * the flag a schema-divergent batch fails loudly before the rewrite,
+    * which is the right default for a typed state table.
     *
     * Returns `(table, refreshed manifest)`. */
   def upsert(spark: SparkSession, dir: String, manifest: DataFrame,
@@ -209,15 +214,31 @@ object Maintenance {
         .select(col(key), input_file_name().as("__f"))
         .join(changeKeys, Seq(key), "left_semi")
         .select("__f").distinct().collect().map(_.getString(0)).toSeq
+    // Delete-only batch touching nothing: there is no row to remove and
+    // none to add — staging would move one zero-row part file into the
+    // table root per call, growing the file count without bound.
+    if (touched.isEmpty && changes.isEmpty) return (spark.read.parquet(dir), m0)
     // 3. Copy-on-write rewrite of the touched files.
     val (fs, root) = LakeFs.resolve(dir)
     val staging = new org.apache.hadoop.fs.Path(root,
       s"_upsert_${java.util.UUID.randomUUID().toString.take(8)}")
     val survivors =
       if (touched.isEmpty) changes
-      else spark.read.parquet(touched: _*)
-        .join(changeKeys, Seq(key), "left_anti")
-        .unionByName(changes, allowMissingColumns = evolveSchema)
+      else {
+        // ALWAYS merge the touched files' schemas: after any past
+        // evolveSchema merge the table is a mixed physical layout, and a
+        // plain read infers the schema from ONE file — survivors from
+        // the other generation would silently lose their extra columns
+        // and this call then deletes the originals (permanent loss).
+        val old = spark.read.option("mergeSchema", "true").parquet(touched: _*)
+        if (!evolveSchema)
+          require(old.columns.sorted.sameElements(changes.columns.sorted),
+            s"touched files carry schema (${old.columns.sorted.mkString(", ")}) " +
+              s"but changes carry (${changes.columns.sorted.mkString(", ")}) — " +
+              "pass evolveSchema = true to merge divergent schemas")
+        old.join(changeKeys, Seq(key), "left_anti")
+          .unionByName(changes, allowMissingColumns = evolveSchema)
+      }
     val touchedBytes = touched.map(p =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
     val nOut = math.max(1, math.ceil(touchedBytes.toDouble / targetBytes).toInt)

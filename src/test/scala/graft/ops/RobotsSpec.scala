@@ -59,6 +59,17 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed("User-agent: *\nDisallow:", "*", "/anything"))
     assert(Robots.allowed(null: String, "*", "/anything"))
     assert(Robots.allowed("totally { malformed", "*", "/x"))
+    // Recognized non-rule directives CLOSE a group: agent a's group ends
+    // at the crawl-delay, so b's Disallow must not bind a — and parse /
+    // crawlDelay agree on the group boundaries of the same file.
+    val delayed = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /"
+    assert(Robots.allowed(delayed, "a", "/x"),
+      "a crawl-delay-only group must not merge into the next group")
+    assert(!Robots.allowed(delayed, "b", "/x"))
+    assert(Robots.crawlDelay(delayed, "a").contains(1.0))
+    assert(Robots.crawlDelay(delayed, "b").isEmpty)
+    val mapped = "User-agent: a\nSitemap: https://a.org/s.xml\nUser-agent: b\nDisallow: /"
+    assert(Robots.allowed(mapped, "a", "/x") && !Robots.allowed(mapped, "b", "/x"))
   }
 
   test("sitemaps + crawlDelay: seeding and politeness-rate extraction") {
@@ -103,5 +114,37 @@ class RobotsSpec extends AnyFunSuite {
     val forNews = Robots.frontierFilter(urls.where(col("id") < 4L), col("url"),
       agented, col("host"), col("txt"), agent = "newsbot")
     assert(forNews.count() == 0, "newsbot is banned from a.org entirely")
+  }
+
+  test("frontierFilter: ports key separately, duplicate cache rows collapse") {
+    val spark2 = spark
+    import spark2.implicits._
+    val urls = Seq(
+      (1L, "https://a.org/private/x"),        // default port: gated by a.org
+      (2L, "https://a.org:8080/private/x"),   // :8080 robots allows /private
+      (3L, "https://a.org:8080/secret/x"),    // :8080 robots blocks /secret
+      (4L, "https://a.org:9999/private/x"),   // no robots row for :9999
+      (5L, "https://user@b.org/x")            // userinfo stripped from the key
+    ).toDF("id", "url")
+    val robots = Seq(
+      ("a.org", "User-agent: *\nDisallow: /private"),
+      ("A.ORG:8080", "User-agent: *\nDisallow: /secret"),
+      ("b.org", "User-agent: *\nDisallow: /x")).toDF("host", "txt")
+    val kept = Robots.frontierFilter(urls, col("url"), robots, col("host"), col("txt"))
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 4L),
+      "the authority (host:port) is the robots key; default-port rules " +
+        "must not gate a non-default port")
+    // Duplicate rows for one host (messy fetch logs) collapse to the
+    // longest txt — the frontier must not duplicate through the join.
+    val dup = Seq(
+      ("c.org", "User-agent: *\nDisallow:"),
+      ("c.org", "User-agent: *\nDisallow: /blocked")).toDF("host", "txt")
+    val frontier = Seq((1L, "https://c.org/ok"), (2L, "https://c.org/blocked"))
+      .toDF("id", "url")
+    val out = Robots.frontierFilter(frontier, col("url"), dup, col("host"), col("txt"))
+    assert(out.count() == 1 &&
+      out.select("id").head().getLong(0) == 1L,
+      "duplicate cache rows must neither duplicate frontier rows nor " +
+        "flip the verdict nondeterministically")
   }
 }

@@ -355,11 +355,12 @@ class FileStatsSpec extends AnyFunSuite {
     val orders = spark.read.parquet(d).localCheckpoint()
     val widened = orders.where(col("o_orderkey").between(100L, 110L))
       .withColumn("o_flag", lit("hot")).localCheckpoint()
-    // Default: a schema-divergent batch fails loudly at the union — the
-    // right behavior for a typed state table.
-    intercept[org.apache.spark.sql.AnalysisException] {
+    // Default: a schema-divergent batch fails loudly BEFORE any rewrite —
+    // the right behavior for a typed state table.
+    val eDiv = intercept[IllegalArgumentException] {
       Maintenance.upsert(spark, d, manifest, widened, "o_orderkey")
     }
+    assert(eDiv.getMessage.contains("evolveSchema"))
     val (table, m2) = Maintenance.upsert(spark, d, manifest, widened,
       "o_orderkey", evolveSchema = true)
     assert(table.columns.contains("o_flag"), "widened column must be visible")
@@ -378,6 +379,56 @@ class FileStatsSpec extends AnyFunSuite {
     val probe = FileStats.prunedRead(spark, d, m2,
       Seq(ColumnBounds("o_orderkey", Some(100L), Some(110L))))
     assert(probe.count() == hot.count())
+
+    // SECOND merge over the now-MIXED physical layout, touched set
+    // spanning BOTH generations (an evolved file and a pre-evolution
+    // file): the rewrite must read touched files schema-merged, or the
+    // evolved generation's extra column silently drops from its
+    // survivors and the originals are then deleted — permanent loss.
+    val second = orders
+      .where(col("o_orderkey").between(100L, 105L) ||   // evolved file
+        col("o_orderkey").between(5000L, 5010L))        // pre-evolution file
+      .withColumn("o_flag", lit("new")).localCheckpoint()
+    val (t2, m3) = Maintenance.upsert(spark, d, m2, second,
+      "o_orderkey", evolveSchema = true)
+    val survivorsHot = t2.where(col("o_orderkey").between(106L, 110L))
+    assert(survivorsHot.count() > 0 &&
+      survivorsHot.where(col("o_flag") === "hot").count() == survivorsHot.count(),
+      "survivor rows of the evolved generation lost their widened column")
+    assert(t2.where(col("o_flag") === "new").count() == second.count())
+    assert(FileStats.isFresh(spark, d, m3))
+    // The mixed layout also gates the NON-evolve path: a narrow-schema
+    // batch over it must refuse loudly (a plain read could infer either
+    // generation's schema), never drop columns silently.
+    val narrow = orders.where(col("o_orderkey").between(100L, 102L))
+      .localCheckpoint()
+    val eMix = intercept[IllegalArgumentException] {
+      Maintenance.upsert(spark, d, m3, narrow, "o_orderkey")
+    }
+    assert(eMix.getMessage.contains("evolveSchema"))
+  }
+
+  test("upsert: no-op delete batches add no files") {
+    val d = tmp("upsert-noop")
+    val (_, manifest) = Maintenance.writeOptimized(
+      spark, TestSpark.table("region"), d, Seq("r_regionkey"), 2)
+    val region = spark.read.parquet(d).localCheckpoint()
+    val empty = region.where(lit(false))
+    import spark.implicits._
+    def fileCount: Int = LakeFs.listFiles(d, skipHiddenDirs = true)
+      .count(_._1.endsWith(".parquet"))
+    val n0 = fileCount
+    // Deletes whose keys touch no file: repeated calls must not grow
+    // the table root with zero-row parts.
+    var m = manifest
+    for (_ <- 1 to 3) {
+      val (t, m1) = Maintenance.upsert(spark, d, m, empty, "r_regionkey",
+        Some(Seq(98765L).toDF("k")))
+      assert(canon(t) == canon(region))
+      m = m1
+    }
+    assert(fileCount == n0, s"no-op deletes grew the table: $n0 -> $fileCount")
+    assert(canon(m) == canon(manifest))
   }
 
   test("upsert edge cases: empty batch, delete-only, null keys, missing key stats") {
