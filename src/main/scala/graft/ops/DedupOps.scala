@@ -687,6 +687,89 @@ object DedupOps {
     labels.select(col("u").as("doc"), col("label"))
   }
 
+  /** Deletion-aware [[connectedComponents]] maintenance — the fold for
+    * a dedup pipeline that REMOVES documents (takedowns, retractions,
+    * license filtering), where the append-only `warmStart` is unsound:
+    * a removal can SPLIT a component, so stale labels cannot ride
+    * globally. What CAN ride is every component the batch never
+    * touches:
+    *
+    *  1. AFFECTED components: the prior labels of every endpoint of an
+    *     added or removed edge (batch-scale — one broadcast semi join
+    *     against the node-scale prior).
+    *  2. CONE: all prior members of affected components, plus
+    *     brand-new endpoints. An OLD edge never crosses components, so
+    *     testing one endpoint extracts the cone's old edges in ONE
+    *     keyed pass over the store (the canonical `distinct` then runs
+    *     on the CONE, not the store — the [[graft.ops.GraphOps]]
+    *     signedTriangleDelta lesson).
+    *  3. Recompute labels COLD on `(cone ∖ removed) ∪ added` only;
+    *     every other component's labels ride from `prior` untouched.
+    *
+    * Equal to the cold run on the whole new graph because the new
+    * graph is the DISJOINT union of the riding subgraph (unchanged
+    * nodes, unchanged edges — same per-component minima) and the cone
+    * subgraph (recomputed); labels are component-local minima over
+    * disjoint node sets, so they cannot collide. Same-batch
+    * remove+re-add nets to untouched (add wins); removals of absent
+    * edges and adds of present edges are no-ops; a node isolated by
+    * the batch drops from the output, exactly as a cold run drops it.
+    * Work is sized by Σ(affected component) + batch, not the graph —
+    * but a deletion inside a giant component still reads that whole
+    * component (inherent: its split/label structure is a global
+    * property of the component).
+    *
+    * `prior` must be the [[connectedComponents]] output over
+    * `oldEdges` (both frames `(d1, d2)`; `prior` is `(doc, label)`). */
+  def connectedComponentsInc(prior: DataFrame, oldEdges: DataFrame,
+                             addedEdges: DataFrame, removedEdges: DataFrame,
+                             maxIter: Int = 30,
+                             checkpointDir: Option[String] = None): DataFrame = {
+    def und(df: DataFrame): DataFrame = df
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val addU = und(addedEdges).localCheckpoint()
+    // Remove+re-add in one batch cancels BEFORE touching anything.
+    val remNet = und(removedEdges).join(addU, Seq("lo", "hi"), "left_anti")
+      .localCheckpoint()
+    val frontier = addU.select(col("lo").as("n"))
+      .union(addU.select(col("hi").as("n")))
+      .union(remNet.select(col("lo").as("n")))
+      .union(remNet.select(col("hi").as("n"))).distinct().localCheckpoint()
+    // Affected component labels (batch-scale; broadcast the frontier).
+    val affected = prior
+      .join(broadcast(frontier), col("doc") === col("n"), "left_semi")
+      .select(col("label")).distinct().localCheckpoint()
+    // Cone nodes: members of affected components + brand-new endpoints.
+    val coneNodes = prior
+      .join(broadcast(affected.select(col("label").as("__al"))),
+        col("label") === col("__al"), "left_semi")
+      .select(col("doc"))
+      .union(frontier.join(prior, col("n") === col("doc"), "left_anti")
+        .select(col("n").as("doc")))
+      .distinct().localCheckpoint()
+    // Old cone edges: one keyed pass over the store; distinct on the
+    // cone only. (An old edge's endpoints share a prior label, so the
+    // lo-side membership test finds every cone edge.)
+    val oldCone = oldEdges.select(col("d1").as("a"), col("d2").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .join(coneNodes, col("lo") === col("doc"), "left_semi")
+      .distinct()
+    val newCone = oldCone.join(remNet, Seq("lo", "hi"), "left_anti")
+      .unionAll(addU)
+    val sub = connectedComponents(
+      newCone.select(col("lo").as("d1"), col("hi").as("d2")),
+      maxIter, checkpointDir)
+    val riding = prior.join(broadcast(affected), Seq("label"), "left_anti")
+      .select(col("doc"), col("label"))
+    riding.unionByName(sub)
+  }
+
   /** Bit `j` (0..15) of md5(w)'s first 16 bits, as 0/1 — integer math only
     * (conv(hex,16,10) replaces charindex; floor-division extracts the bit). */
   private def md5Bit(w: Column, j: Column): Column = {

@@ -716,6 +716,47 @@ class OpsSpec extends AnyFunSuite {
     assert(g.getMessage.contains("not a superset"))
   }
 
+  test("connectedComponentsInc: deletions split, adds merge, untouched components ride") {
+    import spark.implicits._
+    // Components: chain 100..120 (label 100), blob {0,1,2,3} (label 0),
+    // pairs (500,501) and (600,601); the last is never touched — it must
+    // ride from prior untouched.
+    val chain = (100L until 120L).map(i => (i, i + 1))
+    val blob = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L))
+    val pairs = Seq((500L, 501L), (600L, 601L))
+    val old = (chain ++ blob ++ pairs).toDF("d1", "d2")
+    val prior = DedupOps.connectedComponents(old).localCheckpoint()
+    // One batch exercising every case: a SPLITTING removal (chain cut at
+    // 110), an ISOLATING removal (3's only edge), a redundant removal
+    // (blob stays connected through 0-2-1), a no-op removal (edge never
+    // existed), a MERGING add across affected components (blob↔chain), an
+    // add to a brand-new node, and a remove+re-add that nets untouched.
+    val removed = Seq((110L, 111L), (2L, 3L), (0L, 1L), (500L, 9999L),
+      (800L, 801L)).toDF("d1", "d2")
+    val added = Seq((501L, 700L), (0L, 100L), (800L, 801L)).toDF("d1", "d2")
+    val newGraph = (chain.filterNot(_ == (110L, 111L)) ++
+      blob.filterNot(e => e == (2L, 3L) || e == (0L, 1L)) ++ pairs ++
+      Seq((501L, 700L), (0L, 100L), (800L, 801L))).toDF("d1", "d2")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = m(DedupOps.connectedComponents(newGraph))
+    val fold = m(DedupOps.connectedComponentsInc(prior, old, added, removed))
+    assert(fold == cold, "fold must equal the cold run on (old ∖ removed) ∪ added")
+    // Spot checks of each behavior.
+    assert(fold(111L) == 111L && fold(120L) == 111L, "split tail relabels to its min")
+    assert(!fold.contains(3L), "a node isolated by the batch drops")
+    assert(fold(100L) == 0L && fold(2L) == 0L, "blob↔chain merge adopts the joint min")
+    assert(fold(700L) == 500L, "new node joins the touched pair's component")
+    assert(fold(800L) == 800L && fold(801L) == 800L, "remove+re-add nets to present")
+    assert(fold(600L) == 600L && fold(601L) == 600L)
+    // The untouched component RODE — its rows come from prior verbatim.
+    val pm = m(prior)
+    assert(fold(600L) == pm(600L) && fold(601L) == pm(601L))
+    // Empty batch: identity.
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(m(DedupOps.connectedComponentsInc(prior, old, empty, empty)) == pm)
+  }
+
   test("connectedComponents: throws on non-convergence instead of returning split labels") {
     import spark.implicits._
     // Path graph 0-1-...-64: pointer jumping reaches distance ~2^t after t
