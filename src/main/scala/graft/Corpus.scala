@@ -234,6 +234,38 @@ ${(iter(1) + iter(2) + iter(3)).stripSuffix(",")}
  select node, r from r3 order by r desc, node limit 100"""
   }
 
+  /** q182: 3-iteration WEIGHTED PageRank — the q169 bit-contract with
+    * edge MULTIPLICITY as weight: the part↔supplier edge (p, s) carries
+    * w = its lineitem row count, and each node's vote splits over its
+    * out-edges in proportion to w — `round(r·w / Σw)` per edge instead
+    * of `round(r / outdeg)`. Still exactly hashable: w and the
+    * out-weight sums are integers, r·w stays far under 2^53 (so the
+    * double products both engines form are exact), the quotient is one
+    * correctly-rounded IEEE division, and the per-edge share casts to
+    * bigint before the order-independent integer sum — the identical
+    * determinism argument as q169, with `r·w` in place of `r`. DuckDB
+    * widens sum(bigint) to HUGEINT (deg + m), consumed only via double
+    * products, so output schemas agree. The symmetric construction
+    * again leaves no dangling nodes and no in-degree-0 nodes. Library
+    * twin: [[graft.ops.GraphOps.pageRankWeighted]] (same micro-rank
+    * machinery; constant weights reduce it to q169's unweighted form —
+    * spec-pinned). */
+  private def q182Sql(cast: String): String = {
+    def iter(i: Int): String =
+      s""" c$i as (select ed.dst node, sum(cast(round(r${i - 1}.r * ed.w / d.outd) as bigint)) m
+ from ed join r${i - 1} on r${i - 1}.node = ed.src join deg d on d.src = ed.src group by ed.dst),
+ r$i as (select c$i.node, cast(round((1 - 0.85) * 1000000000.0 / n + 0.85 * c$i.m) as bigint) r from c$i cross join nn),"""
+    s"""with pw as (select concat('p', cast(l_partkey as $cast)) p, concat('s', cast(l_suppkey as $cast)) s, count(*) w
+   from lineitem group by 1, 2),
+ ed as (select p src, s dst, w from pw union all select s src, p dst, w from pw),
+ nodes as (select distinct src node from ed),
+ nn as (select count(*) n from nodes),
+ deg as (select src, sum(w) outd from ed group by src),
+ r0 as (select node, cast(round(1000000000.0 / n) as bigint) r from nodes cross join nn),
+${(iter(1) + iter(2) + iter(3)).stripSuffix(",")}
+ select node, r from r3 order by r desc, node limit 100"""
+  }
+
   /** q170: 3-iteration PERSONALIZED PageRank — same graph, same exact
     * integer micro-rank bit-contract as q169, but the (1−d) teleport mass
     * lands only on the SEED set (the supplier nodes, `s%`): non-seed
@@ -2811,6 +2843,11 @@ select d.pid,
            nullif(regexp_extract(lh, '([^.]+[.][^.]+)$$', 1), ''),
            lh) AS apex
  from r order by doc_id limit 300"""),
+
+    // Weighted PageRank (round 13) — see q182Sql for the multiplicity-
+    // weight contract; the library operator (GraphOps.pageRankWeighted)
+    // runs the same integer math to any depth.
+    q2("q182_pagerank_weighted", q182Sql("string"), q182Sql("varchar")),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1632,6 +1632,23 @@ object DfQueries {
         .orderBy("doc_id").limit(300)
     },
 
+    "q182_pagerank_weighted" -> { (s, _) =>
+      // GraphOps.pageRankWeighted over the symmetric part↔supplier graph
+      // with lineitem-row multiplicity as the edge weight — each node's
+      // vote splits in proportion to w (see q182Sql for the exact
+      // integer micro-rank contract).
+      val li = t(s, "lineitem")
+      val pw = li.groupBy(
+          concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pw.unionAll(
+        pw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      graft.ops.GraphOps.pageRankWeighted(edges, "w", iterations = 3)
+        .select("node", "r")
+        .orderBy(col("r").desc, col("node")).limit(100)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
