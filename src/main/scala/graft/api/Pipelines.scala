@@ -260,21 +260,26 @@ object Pipelines {
   def hostEdges(links: DataFrame, srcUrl: Column, dstUrl: Column,
                 includeSelf: Boolean = false,
                 byRegisteredDomain: Boolean = false): DataFrame = {
-    val hostOf = (u: Column) => {
-      val hp = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
-      val h0 = lower(regexp_extract(hp, "^([^:]*)", 1))
-      // Optional DOMAIN-level graph (the other CommonCrawl graph shape):
-      // fold hosts to registrable domains so news.bbc.co.uk and
-      // www.bbc.co.uk are one node.
-      val h = if (byRegisteredDomain) TextOps.registeredDomain(h0) else h0
-      // Hostname-shaped only: extraction is regex-tolerant (it never
-      // throws on crawl junk), so garbage like a space-bearing "host"
-      // reaches here and must not become a graph node.
-      when(h.rlike("^[a-zA-Z0-9._-]+$"), h)
-    }
-    val e = links.select(hostOf(srcUrl).as("src"), hostOf(dstUrl).as("dst"))
+    val e = links.select(urlHost(srcUrl, byRegisteredDomain).as("src"),
+        urlHost(dstUrl, byRegisteredDomain).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
     if (includeSelf) e else e.where(col("src") =!= col("dst"))
+  }
+
+  /** THE host fold of the web-graph family — one spelling shared by
+    * [[hostEdges]]/[[linkGraph]] (graph building) and [[curate]]'s
+    * host-authority gate (rank consumption), so a doc's host always
+    * joins the graph node it actually contributed to: lowercased, port
+    * stripped, hostname-shaped only (crawl junk → null, never a graph
+    * node — extraction is regex-tolerant and must not throw). With
+    * `byRegisteredDomain` the host folds to its registrable domain
+    * (the other CommonCrawl graph shape: news.bbc.co.uk and
+    * www.bbc.co.uk become one node). */
+  def urlHost(u: Column, byRegisteredDomain: Boolean = false): Column = {
+    val hp = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    val h0 = lower(regexp_extract(hp, "^([^:]*)", 1))
+    val h = if (byRegisteredDomain) TextOps.registeredDomain(h0) else h0
+    when(h.rlike("^[a-zA-Z0-9._-]+$"), h)
   }
 
   /** STREAMING crawl→authority: fold a stream of WARC archive payloads
@@ -678,7 +683,13 @@ object Pipelines {
 
   /** Gate a corpus on the learned quality score: keep docs scoring ≥
     * `floor`. Left-semi join back so the caller's schema rides through
-    * untouched. */
+    * untouched. Choose `floor` from measured evidence, not folklore:
+    * hold out a slice of the labels with [[splitWeighted]], train on
+    * the rest, and read the precision/recall/f1 curve off
+    * [[graft.ops.LinearClassifier.evaluate]] at the held-out slice —
+    * the floor IS the point on that curve whose trade-off the curation
+    * budget wants (recall-heavy for a first cut, precision-heavy for a
+    * final gate). */
   def classifierFilter(docs: DataFrame, id: Column, text: Column,
                        model: graft.ops.LinearClassifier.Model,
                        floor: Double): DataFrame =
@@ -723,6 +734,24 @@ object Pipelines {
     * a per-stage audit of the funnel — both lazy plans. */
   final case class CurationResult(curated: DataFrame, audit: DataFrame)
 
+  /** Config for [[curate]]'s host-authority prior stage — the reason
+    * the web-graph family exists for curation. `ranks` is a maintained
+    * host-rank table: [[hostAuthority]]'s output `(host, r, nrank)`
+    * works as-is; a [[graft.streaming.RankLoop.latestRanks]] state
+    * table works with `hostCol = col("node"), scoreCol = col("r")` and
+    * an integer-micro-rank floor. `url` is the docs' URL column; the
+    * doc's host folds through [[urlHost]] — the SAME fold that built
+    * the graph — and docs whose host scores BELOW `floor` drop. Docs
+    * with no URL, an unparseable host, or a host ABSENT from `ranks`
+    * KEEP: authority is a prior, not an allowlist — absence of link
+    * evidence must not censor a young host (gate those upstream if you
+    * want allowlisting). Set `byRegisteredDomain` iff `ranks` was
+    * built over the domain-level graph. */
+  final case class HostAuthorityGate(ranks: DataFrame, floor: Double, url: Column,
+                                     hostCol: Column = col("host"),
+                                     scoreCol: Column = col("nrank"),
+                                     byRegisteredDomain: Boolean = false)
+
   /** ONE-CALL corpus curation — the full pre-training funnel as a single
     * lazy composition over a conventional (doc_id, text[, source]) table:
     *
@@ -734,6 +763,10 @@ object Pipelines {
     *      and wrong-charset text sit far below in-distribution text
     *      (measured ≈ -12.6 vs ≈ -5.4 on the fixtures), so a floor
     *      around -8 separates them with a wide margin;
+    *   2b. optional HOST-AUTHORITY prior ([[HostAuthorityGate]]): docs
+    *      whose URL's host ranks below the floor in a maintained
+    *      web-graph authority table drop — the link-farm gate, one
+    *      host-scale equi join placed before the per-doc model stages;
     *   3. near-dup CLUSTER canonicalization ([[canonicalDocs]]: banded
     *      LSH → components → best representative per cluster);
     *   4. optional eval-set decontamination (Bloom-prefiltered exact
@@ -760,7 +793,8 @@ object Pipelines {
              mixtureRates: Option[Map[String, Double]] = None,
              c4Clean: Boolean = false,
              classifierFloor: Option[(graft.ops.LinearClassifier.Model, Double)] =
-               None): CurationResult = {
+               None,
+             hostAuthorityGate: Option[HostAuthorityGate] = None): CurationResult = {
     val id = col("doc_id"); val text = col("text")
     // Optional C4 stage FIRST: it REWRITES text (line-level boilerplate
     // removal + page gates), and every downstream signal — quality
@@ -773,15 +807,32 @@ object Pipelines {
         .withColumn("text", col("__clean")).drop("__clean")
     val quality = base.where(TextOps.qualityVerdict(text) === "keep" &&
       lang.map(l => TextOps.langGuess(text) === l).getOrElse(lit(true)))
+    // Host-authority PRIOR right after the cheap scalar gates: one equi
+    // join against the host-scale rank table (broadcast under AQE at
+    // realistic sizes — hosts ≪ docs) drops link-farm documents before
+    // the LM/classifier/dedup stages pay per-doc model cost for them.
+    // Schema rides through untouched; unknown hosts keep (see
+    // [[HostAuthorityGate]]).
+    val hostKept = hostAuthorityGate match {
+      case Some(g) =>
+        val ranks = g.ranks.select(g.hostCol.cast("string").as("__ah"),
+          g.scoreCol.cast("double").as("__ascore"))
+        quality
+          .withColumn("__ahost", urlHost(g.url, g.byRegisteredDomain))
+          .join(ranks, col("__ahost") === col("__ah"), "left")
+          .where(col("__ascore").isNull || col("__ascore") >= g.floor)
+          .drop("__ahost", "__ah", "__ascore")
+      case None => quality
+    }
     val lmKept = lmScoreFloor match {
       case Some(floor) =>
         // One-pass lm_score gate (bitwise-equal to the ngramScore
         // explode+join+agg lowering it replaced — StreamLmSpec): the
         // frozen model folds into the filter as a literal, so the gate
         // is a projection, not a corpus-wide join.
-        val model = TextOps.ngramModel(quality, text)
-        graft.streaming.StreamOps.lmFilter(quality, "text", model, floor)
-      case None => quality
+        val model = TextOps.ngramModel(hostKept, text)
+        graft.streaming.StreamOps.lmFilter(hostKept, "text", model, floor)
+      case None => hostKept
     }
     // The LEARNED gate (when a trained model exists): unlike the
     // self-trained LM stage above it carries external supervision, so
@@ -814,8 +865,9 @@ object Pipelines {
     // appears when the stage does (default audits keep their shape).
     val stages = (("input" -> docs) +:
       (if (c4Clean) Seq("c4_clean" -> base) else Nil)) ++
-      Seq("quality_lang" -> quality,
-      "lm_gate" -> lmKept) ++
+      Seq("quality_lang" -> quality) ++
+      (if (hostAuthorityGate.isDefined) Seq("host_authority" -> hostKept) else Nil) ++
+      Seq("lm_gate" -> lmKept) ++
       (if (classifierFloor.isDefined) Seq("classifier" -> clsKept) else Nil) ++
       Seq("canonical" -> canon, "decontaminated" -> clean, "capped" -> capped,
       "mixed" -> mixed)

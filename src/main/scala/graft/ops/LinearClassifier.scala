@@ -156,6 +156,67 @@ object LinearClassifier {
     }(enc)
   }
 
+  /** Held-out EVALUATION over a labeled `(text, label∈{0,1})` frame: the
+    * confusion matrix and derived metrics at every threshold in `grid` —
+    * the calibration evidence a production gate needs BEFORE a
+    * `classifierFloor` is chosen (train on one side of a
+    * [[graft.api.Pipelines.splitWeighted]] split, evaluate on the other,
+    * then pick the floor whose precision/recall trade-off the curation
+    * budget wants). Returns `(threshold, tp, fp, tn, fn, precision,
+    * recall, accuracy, f1)` ordered by threshold; precision/recall/f1
+    * are null where their denominator is 0 (no predicted / no actual
+    * positives) rather than an arbitrary 0 or 1.
+    *
+    * Shape: ONE stateless scoring pass (model broadcast once, same as
+    * [[score]]), then each scored row fans out to the |grid| thresholds
+    * and a map-side-combined hash agg reduces to |grid| rows — no
+    * per-threshold re-scan, one exchange of grid-scale data. Rows with
+    * a null/other label are ignored; null text scores at the prior,
+    * exactly as the production gate treats it. */
+  def evaluate(docs: DataFrame, text: Column, label: Column, model: Model,
+               grid: Seq[Double] = (1 to 19).map(_ / 20.0)): DataFrame = {
+    require(grid.nonEmpty, "empty threshold grid")
+    val spark = docs.sparkSession
+    val bm = spark.sparkContext.broadcast(model)
+    val in = docs.select(text.cast("string").as("t"), label.cast("double").as("y"))
+      .where(col("y").isin(0.0, 1.0))
+    val schema = StructType(Seq(
+      StructField("y", DoubleType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val scored = in.mapPartitions { rows =>
+      val m = bm.value
+      rows.map { r =>
+        val feats = featurize(if (r.isNullAt(0)) null else r.getString(0), m.dim)
+        var z = m.bias.toDouble
+        feats.foreach { case (i, v) => z += m.weights(i) * v }
+        Row(r.getDouble(1), sigmoid(z))
+      }
+    }(enc)
+    val pos = col("score") >= col("threshold")
+    val cnt = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    scored
+      .select(col("y"), col("score"),
+        explode(array(grid.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        cnt(pos && col("y") === 1.0).as("tp"),
+        cnt(pos && col("y") === 0.0).as("fp"),
+        cnt(!pos && col("y") === 0.0).as("tn"),
+        cnt(!pos && col("y") === 1.0).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("tn"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("tn") + col("fn"))).as("accuracy"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")))
+          .as("f1"))
+      .orderBy("threshold")
+  }
+
   /** Gate rows on the learned score IN PLACE — schema untouched, one
     * stateless typed filter with the model broadcast once. Works
     * unchanged on a STREAMING DataFrame (no ids needed, no join, no

@@ -222,6 +222,59 @@ class PipelinesSpec extends AnyFunSuite {
     assert(!Pipelines.curate(docs).audit.collect().map(_.getString(1)).contains("c4_clean"))
   }
 
+  test("curate host-authority gate: link-farm hosts die, unknown hosts keep, schema rides") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Web graph: every farm page links to hub.org (hub collects all the
+    // authority); the farms get no in-links and sit at the teleport
+    // floor. Rank with the REAL operator so the test covers the whole
+    // consumption path: links → hostAuthority → curate gate.
+    val links = (1 to 40).map(i =>
+      (s"https://farm$i.spam/p", "https://hub.org/")).toDF("src_url", "dst_url")
+    val ranks = Pipelines.hostAuthority(
+      links, col("src_url"), col("dst_url"), iterations = 5).localCheckpoint()
+    val hubRank = ranks.where(col("host") === "hub.org").head().getDouble(2)
+    val farmRank = ranks.where(col("host") === "farm1.spam").head().getDouble(2)
+    assert(hubRank > 1.0 && farmRank < 1.0, s"fixture ranks: $hubRank / $farmRank")
+    // Docs: on the hub (keep), on farms (drop), on a host the graph has
+    // never seen (keep — prior, not allowlist), and URL-less (keep).
+    val docs = TestSpark.table("documents").limit(120)
+      .withColumn("url",
+        when(col("doc_id") % 4 === 0, concat(lit("https://HUB.org/d/"), col("doc_id")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://farm"), (col("doc_id") % 40 + 1).cast("string"),
+              lit(".spam/d/"), col("doc_id")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://newsite.example/d/"), col("doc_id"))))
+    val res = Pipelines.curate(docs, hostAuthorityGate = Some(
+      Pipelines.HostAuthorityGate(ranks, floor = 0.5, url = col("url"))))
+    assert(res.curated.columns.toSeq == docs.columns.toSeq, "schema must ride through")
+    val kept = res.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    assert(!kept.exists(_ % 4 == 1), "farm-host docs must die in the authority gate")
+    // Against the ungated funnel: every non-farm doc the baseline kept
+    // still survives — the hub docs pass the case-folded host join, and
+    // unknown-host / URL-less docs keep (authority is a prior, not an
+    // allowlist). kept may legitimately EXCEED that set: removing a
+    // farm doc that was a near-dup cluster's representative re-elects
+    // representatives in its cluster (and a removed node can split a
+    // cluster into several, each electing one) — but a baseline winner
+    // can never be dethroned by removing its competitors.
+    val base = Pipelines.curate(docs)
+    val baseKept = base.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(baseKept.filterNot(_ % 4 == 1).subsetOf(kept),
+      s"gate dropped non-farm docs: kept=$kept base=$baseKept")
+    assert(kept.exists(_ % 4 == 0) && kept.exists(_ % 4 == 2) && kept.exists(_ % 4 == 3))
+    // The audit carries the new stage, in order, doing the work.
+    val names = res.audit.collect().map(_.getString(1)).toSeq
+    assert(names.indexOf("host_authority") == names.indexOf("quality_lang") + 1)
+    val audit = res.audit.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(audit("host_authority") < audit("quality_lang"),
+      s"authority stage removed nothing: $audit")
+    // Default funnel shape unchanged.
+    assert(!base.audit.collect().map(_.getString(1)).contains("host_authority"))
+  }
+
   test("curate lm gate: gibberish falls below the floor, real docs survive it") {
     val spark2 = spark
     import spark2.implicits._

@@ -101,6 +101,55 @@ class LinearClassifierSpec extends AnyFunSuite {
     assert(es.distinct.length == 1, "featureless rows all score at the prior")
   }
 
+  test("evaluate: held-out threshold curve carries the floor-choice evidence") {
+    val spark2 = spark
+    import spark2.implicits._
+    // The production calibration recipe verbatim: label the fixture,
+    // carve a held-out slice with the deterministic weighted split,
+    // train on the rest, evaluate the curve on the slice.
+    val labeled = real.select(col("doc_id"), col("text"), lit(1.0).as("y"))
+      .unionByName(junk.select(col("doc_id"), col("text"), lit(0.0).as("y")))
+      .withColumn("bucket", graft.api.Pipelines.splitWeighted(
+        "doc_id", Seq("train" -> 0.7, "heldout" -> 0.3)))
+    val train = labeled.where(col("bucket") === "train")
+    val heldout = labeled.where(col("bucket") === "heldout").localCheckpoint()
+    val model = LinearClassifier.train(train, col("text"), col("y"),
+      dim = 1 << 15, iters = 30)
+    val grid = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val curve = LinearClassifier.evaluate(
+      heldout, col("text"), col("y"), model, grid).collect()
+    assert(curve.map(_.getDouble(0)).toSeq == grid, "one row per threshold, ordered")
+    val nPos = heldout.where(col("y") === 1.0).count()
+    val nHeld = heldout.count()
+    curve.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == nHeld,
+        "confusion matrix must partition the held-out slice")
+      assert(r.getLong(1) + r.getLong(4) == nPos, "tp+fn = actual positives")
+    }
+    // Known separability: every cut on this fixture is nearly clean.
+    val at05 = curve.find(_.getDouble(0) == 0.5).get
+    assert(at05.getDouble(7) >= 0.95, s"accuracy at 0.5: ${at05.getDouble(7)}")
+    assert(at05.getDouble(5) >= 0.95 && at05.getDouble(6) >= 0.95,
+      "precision and recall at 0.5 must both be high on a separable fixture")
+    // Monotone structure of any threshold sweep: predicted positives
+    // (tp+fp) never increase as the threshold rises; recall never rises.
+    val predPos = curve.map(r => r.getLong(1) + r.getLong(2)).toSeq
+    assert(predPos == predPos.sorted.reverse, s"tp+fp not non-increasing: $predPos")
+    val recalls = curve.map(_.getDouble(6)).toSeq
+    assert(recalls == recalls.sorted.reverse, s"recall not non-increasing: $recalls")
+    // Degenerate-denominator honesty: a threshold above every score
+    // yields zero predicted positives and a NULL precision (not 0/1).
+    val top = LinearClassifier.evaluate(
+      heldout, col("text"), col("y"), model, Seq(1.0)).head()
+    assert(top.getLong(1) == 0L && top.getLong(2) == 0L && top.isNullAt(5))
+    // Ill-labeled rows are ignored, not miscounted.
+    val noisy = heldout.unionByName(
+      Seq((9999999L, "stray", 0.5)).toDF("doc_id", "text", "y")
+        .withColumn("bucket", lit("heldout")))
+    assert(LinearClassifier.evaluate(noisy, col("text"), col("y"), model, Seq(0.5))
+      .head().getLong(1) == at05.getLong(1))
+  }
+
   test("warm start continues the descent; streamed gate ≡ batch, stateless") {
     val spark2 = spark
     import spark2.implicits._
