@@ -266,6 +266,39 @@ ${(iter(1) + iter(2) + iter(3)).stripSuffix(",")}
  select node, r from r3 order by r desc, node limit 100"""
   }
 
+  /** q183: robots.txt (RFC 9309) path-pattern semantics as a declared
+    * cross-engine convention. The REP glob — `*` matches any octet
+    * sequence, ONE trailing `$` anchors the end, anything else is a
+    * PREFIX pattern — is exactly SQL LIKE after a mechanical
+    * translation (drop one trailing `$`, `*` → `%`, append `%` unless
+    * anchored), PROVIDED the pattern carries no literal `%`/`_` (the
+    * fixture doesn't; the library glob needs no such caveat). The
+    * DataFrame impl runs the REAL operator ([[graft.ops.Robots.matches]]
+    * — the iterative greedy-backtrack glob) row by row, so the hash
+    * gate pins op ≡ Spark LIKE ≡ DuckDB LIKE in one stroke (the q181
+    * discipline: the impl IS the op). Pattern matrix covers bare
+    * prefix, anchored mid-`*` glob, non-matching prefix, id-derived
+    * prefix, leading-`*` anchored suffix, and an unanchored multi-`*`
+    * form; paths vary extension/directory shape by id. */
+  private def q183Sql(cast: String): String =
+    s"""with pp as (select doc_id,
+  case cast(doc_id % 6 as int)
+    when 0 then '/p'
+    when 1 then '/p/*.html$$'
+    when 2 then '/q'
+    when 3 then concat('/p/', cast(doc_id % 7 as $cast))
+    when 4 then '*html$$'
+    else '/p/*/' end pattern,
+  concat('/p/', cast(doc_id % 7 as $cast),
+    case cast(doc_id % 3 as int) when 0 then '.html' when 1 then '.txt' else '/' end) path
+ from documents where doc_id < 300),
+ tr as (select doc_id, pattern, path,
+   concat(replace(case when pattern like '%$$' then substr(pattern, 1, length(pattern) - 1) else pattern end, '*', '%'),
+          case when pattern like '%$$' then '' else '%' end) lk
+  from pp)
+ select doc_id, pattern, path, path like lk AS matched
+ from tr order by doc_id limit 300"""
+
   /** q170: 3-iteration PERSONALIZED PageRank — same graph, same exact
     * integer micro-rank bit-contract as q169, but the (1−d) teleport mass
     * lands only on the SEED set (the supplier nodes, `s%`): non-seed
@@ -2848,6 +2881,10 @@ select d.pid,
     // weight contract; the library operator (GraphOps.pageRankWeighted)
     // runs the same integer math to any depth.
     q2("q182_pagerank_weighted", q182Sql("string"), q182Sql("varchar")),
+
+    // robots.txt glob semantics (round 13) — see q183Sql; the DF impl
+    // runs Robots.matches itself, so op ≡ LIKE translation cross-engine.
+    q2("q183_robots_glob", q183Sql("string"), q183Sql("varchar")),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

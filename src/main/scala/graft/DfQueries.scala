@@ -1649,6 +1649,40 @@ object DfQueries {
         .orderBy(col("r").desc, col("node")).limit(100)
     },
 
+    "q183_robots_glob" -> { (s, _) =>
+      // The REAL operator (Robots.matches, the iterative greedy-backtrack
+      // REP glob) over the q183 pattern/path matrix — the hash gate pins
+      // op ≡ the glob-to-LIKE translation in both engines (q181
+      // discipline: the impl IS the op). Typed mapPartitions, no UDF.
+      import org.apache.spark.sql.types._
+      val m6 = col("doc_id") % 6
+      val pattern = when(m6 === 0, lit("/p"))
+        .when(m6 === 1, lit("/p/*.html$"))
+        .when(m6 === 2, lit("/q"))
+        .when(m6 === 3, concat(lit("/p/"), (col("doc_id") % 7).cast("string")))
+        .when(m6 === 4, lit("*html$"))
+        .otherwise(lit("/p/*/"))
+      val path = concat(lit("/p/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".html"))
+          .when(col("doc_id") % 3 === 1, lit(".txt")).otherwise(lit("/")))
+      val in = t(s, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), pattern.as("pattern"), path.as("path"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = true),
+        StructField("pattern", StringType, nullable = false),
+        StructField("path", StringType, nullable = false),
+        StructField("matched", BooleanType, nullable = false)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+      in.mapPartitions { rows =>
+        rows.map { r =>
+          org.apache.spark.sql.Row(
+            if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+            r.getString(1), r.getString(2),
+            graft.ops.Robots.matches(r.getString(1), r.getString(2)))
+        }
+      }(enc).orderBy("doc_id").limit(300)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
