@@ -447,9 +447,18 @@ object Ann {
         sum(when(col("__new"), 1L).otherwise(0L)).as("__clashes"))
       .localCheckpoint()
     val clash = prior.agg(sum(col("__clashes"))).head().getLong(0)
-    require(clash == 0L,
+    // The guard is over PHYSICAL rows deliberately: a tombstoned twin is
+    // invisible to the live view, but re-appending its id would leave
+    // two physical rows that the tombstone filter then kills BOTH of.
+    require(clash == 0L, {
+      val dead = ivfTombstones(spark, path)
+        .join(newVectors.select(col(id).as("g_id")), Seq("g_id"), "left_semi")
+        .count()
       s"appendIvfIndex: $clash new $id value(s) already exist in `$table` — " +
-        "appending would silently duplicate vectors; dedup the batch first")
+        "appending would silently duplicate vectors; dedup the batch first" +
+        (if (dead > 0) s" ($dead of them are tombstoned deletions — " +
+          "compactIvfIndex makes deleted ids re-appendable)" else "")
+    })
     // The guard above only sees new-vs-existing clashes; a duplicate id
     // WITHIN the batch would also append duplicate rows (the arg-min
     // groupBy collapses it in `best`, but the join back against `gal`
@@ -496,6 +505,81 @@ object Ann {
           (coalesce(col("prior_n"), lit(0L)) + coalesce(col("appended_n"), lit(0L))))
           .as("growth"),
         col("mean_assign_sim"))
+  }
+
+  /** Where [[deleteFromIvfIndex]] records removed ids: a small parquet
+    * id list beside the index (append-only; reads dedup). */
+  def ivfTombstoneDir(path: String): String = s"${path}_tombstones"
+
+  /** The current tombstone id set of a persisted [[ivfIndex]] (empty
+    * frame when none have been recorded). */
+  def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val dir = ivfTombstoneDir(path)
+    val (fs, p) = graft.sources.LakeFs.resolve(dir)
+    if (fs.exists(p)) spark.read.parquet(dir).select(col("g_id")).distinct()
+    else spark.range(0).select(col("id").as("g_id")).limit(0)
+  }
+
+  /** TOMBSTONE deletion for a persisted bucketed [[ivfIndex]] — the ANN
+    * takedown path (a removed document's embedding must stop being
+    * retrievable NOW, not at the next index rebuild). The standard ANN
+    * deletion posture: deletes are MARKS, not rewrites — a bucketed
+    * table cannot rewrite single files without breaking Spark's
+    * bucket-file naming contract, and takedown batches are tiny against
+    * the index — so ids append to a side list (`<path>_tombstones`,
+    * append-only ⇒ crash-safe and idempotent: reads dedup) and
+    * [[loadIvfIndexLive]] filters them with a broadcast anti join that
+    * leaves the bucketed layout (and the Exchange-free probe join)
+    * intact. Bound the tombstone set with [[compactIvfIndex]] when
+    * deletions accumulate. Returns the number of ids in the batch that
+    * are present (live) in the physical index — 0 means the batch was
+    * a no-op (already deleted or never indexed); the tombstones are
+    * recorded regardless, so delete-then-append races resolve to
+    * deleted. NULL ids are dropped (they cannot match an indexed row). */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, path: String, ids: DataFrame,
+                         buckets: Int = 32): Long = {
+    require(ids.columns.length == 1, "ids must be a single id column")
+    val batch = ids.select(col(ids.columns.head).as("g_id"))
+      .where(col("g_id").isNotNull).distinct().localCheckpoint()
+    val live = loadIvfIndex(spark, table, path, buckets).select(col("g_id"))
+      .join(ivfTombstones(spark, path), Seq("g_id"), "left_anti")
+      .join(batch, Seq("g_id"), "left_semi").count()
+    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(ivfTombstoneDir(path))
+    live
+  }
+
+  /** The LIVE view of a persisted [[ivfIndex]]: the bucketed attachment
+    * minus tombstoned ids. The anti join broadcasts the (takedown-
+    * bounded) tombstone set, so the index's `cid` bucketing — and every
+    * Exchange-free probe join over it — survives the filter. Feed this
+    * to [[topKQuantizedIvfWithIndex]] wherever deletions may exist. */
+  def loadIvfIndexLive(spark: org.apache.spark.sql.SparkSession,
+                       table: String, path: String,
+                       buckets: Int = 32): DataFrame =
+    loadIvfIndex(spark, table, path, buckets)
+      .join(broadcast(ivfTombstones(spark, path)), Seq("g_id"), "left_anti")
+
+  /** Rewrite the live rows to a FRESH bucketed index (never in place —
+    * the [[graft.sources.Maintenance.compact]] rule), clearing the
+    * tombstone debt: after compaction the new path has no tombstones,
+    * every physical row is live, and previously-deleted ids become
+    * appendable again (see [[appendIvfIndex]]'s duplicate guard, which
+    * must check PHYSICAL rows precisely because the live filter would
+    * hide a tombstoned twin of a re-added id). Swap consumers to the
+    * new (table, path) and drop the old directory when convenient. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, path: String,
+                      newTable: String, newPath: String,
+                      buckets: Int = 32): DataFrame = {
+    require(graft.sources.LakeFs.canonical(newPath) !=
+      graft.sources.LakeFs.canonical(path),
+      "compactIvfIndex never rewrites in place — write to a new path and swap")
+    persistIvfIndex(loadIvfIndexLive(spark, table, path, buckets),
+      newTable, newPath, buckets)
+    loadIvfIndex(spark, newTable, newPath, buckets)
   }
 
   /** Probe-side/gallery-side LSH bucket keys: `tables` hash tables of

@@ -68,13 +68,20 @@ object GraphOps {
                        scale: Long = 1000000000L): DataFrame =
     pageRankFrom(edges, None, src, dst, iterations, damping, scale, Some(weight))
 
-  /** WARM-START PageRank — the O(new-data) maintenance posture for edge
-    * APPENDS (the graph twin of [[graft.sources.FileStats.update]] /
-    * `Ann.appendIvfIndex`): instead of re-converging from uniform after
-    * every append, persist the converged `(node, r)` table and restart
-    * the SAME iteration from it. Soundness: for damping < 1 the
-    * iteration is a contraction with a unique fixpoint that does not
-    * depend on the starting vector — per round, total mass follows
+  /** WARM-START PageRank — the O(new-data) maintenance posture for ANY
+    * edge change, appends AND removals (the graph twin of
+    * [[graft.sources.FileStats.update]] / `Ann.appendIvfIndex`):
+    * instead of re-converging from uniform after every batch, persist
+    * the converged `(node, r)` table and restart the SAME iteration
+    * from it. Unlike [[graft.ops.DedupOps.connectedComponents]]'s
+    * label seeding — where a monotone iteration makes stale labels
+    * from removed edges UNDETECTABLE and deletions need the
+    * affected-cone fold — PageRank needs no append-only contract at
+    * all: for damping < 1 the iteration is a contraction with a unique
+    * fixpoint that does not depend on the starting vector (a takedown
+    * batch that removes edges just moves the fixpoint slightly; the
+    * prior ranks still start near it — OpsSpec pins warm ≡ cold after
+    * a removal-only batch). Per round, total mass follows
     * `total' = (1−d)·scale + d·total`, so any init imbalance (new nodes
     * seeded uniform, stale mass on grown graphs) decays geometrically at
     * rate d. A small append moves the fixpoint little, so the prior

@@ -364,6 +364,26 @@ class OpsSpec extends AnyFunSuite {
       assert(warm < cold,
         s"warm start not closer to fixpoint after $k round(s): warm=$warm cold=$cold")
     }
+    // REMOVALS are warm-sound too — the contraction's fixpoint is
+    // init-independent, so no append-only contract exists here (the
+    // contrast with connectedComponents, whose monotone labels make
+    // deletions need the affected-cone fold). Drop two chords; departed
+    // prior rows... there are none (node set unchanged), but ranks for
+    // every node shift — warm from the FULL graph's fixpoint still
+    // lands exactly on the shrunk graph's cold fixpoint.
+    val removed = appended.filterNot(e => e == ("v3", "v17") || e == ("v6", "v18"))
+    val remDf = removed.toDF("src", "dst")
+    val fixRem = m(GraphOps.pageRank(remDf, iterations = 40, damping = d))
+    assert(fixRem != fix, "fixture: the removal must actually move the fixpoint")
+    // Integer quantization leaves a ±1-micro-unit PLATEAU of stationary
+    // points (the RankLoopSpec-pinned phenomenon): warm and cold may
+    // settle one unit apart on individual nodes, so the removal claim
+    // is pinned to the plateau, not bitwise.
+    val warmRem = m(GraphOps.pageRankWarm(remDf, fixDf, iterations = 40, damping = d))
+    assert(warmRem.keySet == fixRem.keySet &&
+      warmRem.forall { case (k, v) => math.abs(v - fixRem(k)) <= 1L },
+      s"warm start after a removal-only change must land on the cold " +
+        s"fixpoint's plateau: ${warmRem.toSeq.diff(fixRem.toSeq)}")
   }
 
   test("personalizedPageRank: mass, locality, seed degeneracy, layout-exact") {

@@ -333,4 +333,65 @@ class VectorOpsSpec extends AnyFunSuite {
       }
     } finally spark.sql("DROP TABLE IF EXISTS `ivf_app_w`")
   }
+
+  test("deleteFromIvfIndex: tombstones hide rows from search; compaction clears the debt") {
+    val spark2 = spark
+    import spark2.implicits._
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val centroids = emb.where(col("vec_id") < 8)
+    val gallery = emb.where(col("vec_id") >= 8 && col("vec_id") <= maxId - 100)
+    val probes = emb.where(col("vec_id") > maxId - 100)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-del").toString
+    val dir = s"$root/idx"
+    Ann.persistIvfIndex(Ann.ivfIndex(gallery, centroids), "ivf_del_w", dir, buckets = 4)
+    try {
+      // Delete the CURRENT top hit of some probe so the takedown is
+      // observable in search results, plus one never-indexed id.
+      val before = Ann.topKQuantizedIvfWithIndex(probes,
+        Ann.loadIvfIndexLive(spark, "ivf_del_w", dir, buckets = 4),
+        gallery, centroids, k = 5).localCheckpoint()
+      val victim = before.orderBy(col("p_id"), col("rn")).head().getLong(1)
+      val live = Ann.deleteFromIvfIndex(spark, "ivf_del_w", dir,
+        Seq(victim, 999999999L).toDF("vec_id"), buckets = 4)
+      assert(live == 1L, "exactly the indexed id counts as a live deletion")
+      // Search over the LIVE view never returns the victim; other
+      // galleries rows still rank (k results per probe where available).
+      val after = Ann.topKQuantizedIvfWithIndex(probes,
+        Ann.loadIvfIndexLive(spark, "ivf_del_w", dir, buckets = 4),
+        gallery, centroids, k = 5)
+      assert(after.where(col("g_id") === victim).isEmpty,
+        "a tombstoned vector must stop being retrievable")
+      assert(after.count() > 0)
+      // Idempotent re-delete: no live rows remain for the id.
+      assert(Ann.deleteFromIvfIndex(spark, "ivf_del_w", dir,
+        Seq(victim).toDF("vec_id"), buckets = 4) == 0L)
+      // Re-appending a tombstoned id refuses with the compaction hint
+      // (physical guard — the live filter would kill BOTH copies).
+      val eDup = intercept[IllegalArgumentException] {
+        Ann.appendIvfIndex(spark, "ivf_del_w", dir,
+          gallery.where(col("vec_id") === victim), centroids, buckets = 4)
+      }
+      assert(eDup.getMessage.contains("compactIvfIndex"))
+      // Compaction: fresh path holds exactly the live rows, no
+      // tombstones, and the victim's id is appendable again.
+      val compacted = Ann.compactIvfIndex(spark, "ivf_del_w", dir,
+        "ivf_del_w2", s"$root/idx2", buckets = 4)
+      assert(compacted.where(col("g_id") === victim).isEmpty)
+      assert(compacted.count() == gallery.count() - 1)
+      assert(Ann.ivfTombstones(spark, s"$root/idx2").isEmpty)
+      val drift = Ann.appendIvfIndex(spark, "ivf_del_w2", s"$root/idx2",
+        gallery.where(col("vec_id") === victim), centroids, buckets = 4)
+      assert(drift.agg(sum(col("appended_n"))).head().getLong(0) == 1L)
+      // In-place compaction refused.
+      intercept[IllegalArgumentException] {
+        Ann.compactIvfIndex(spark, "ivf_del_w2", s"$root/idx2",
+          "ivf_del_w3", s"$root/idx2", buckets = 4)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `ivf_del_w`")
+      spark.sql("DROP TABLE IF EXISTS `ivf_del_w2`")
+      spark.sql("DROP TABLE IF EXISTS `ivf_del_w3`")
+    }
+  }
 }
