@@ -307,6 +307,25 @@ object Pipelines {
       "src", "dst", iterations, stateDir, edgesDir, outDir, checkpointDir,
       trigger, compactEvery, damping)
 
+  /** STREAMING dedup-cluster maintenance WITH takedowns — the one-call
+    * form of [[graft.streaming.ClusterLoop]]: fold a stream of near-dup
+    * pair events (`d1`, `d2`, optional boolean `removedCol` marking
+    * takedowns/retractions) into a continuously-maintained
+    * (doc, label) cluster map. Appends merge clusters, removals SPLIT
+    * them — the event the append-only warm start cannot absorb — and
+    * each batch recomputes only the affected components' cone
+    * ([[graft.ops.DedupOps.connectedComponentsInc]]'s core; CcIncProbe:
+    * 0.03–0.04× the cold recompute's shuffled bytes). Read the live
+    * map any time with [[graft.streaming.ClusterLoop.latestLabels]]. */
+  def streamClusterMap(pairEvents: DataFrame, d1: String, d2: String,
+                       removedCol: String, stateDir: String, edgesDir: String,
+                       outDir: String, checkpointDir: String,
+                       trigger: Option[Trigger] = None,
+                       maxIter: Int = 30,
+                       compactEvery: Int = 64): StreamingQuery =
+    graft.streaming.ClusterLoop.run(pairEvents, d1, d2, removedCol,
+      stateDir, edgesDir, outDir, checkpointDir, trigger, maxIter, compactEvery)
+
   /** Host authority scores from a URL-level link table: [[linkGraph]]
     * host edges → exact-integer PageRank ([[graft.ops.GraphOps.pageRank]]
     * — (host, r, nrank), nrank relative to uniform). The quality prior

@@ -725,15 +725,48 @@ object DedupOps {
                              addedEdges: DataFrame, removedEdges: DataFrame,
                              maxIter: Int = 30,
                              checkpointDir: Option[String] = None): DataFrame = {
-    def und(df: DataFrame): DataFrame = df
-      .select(col("d1").as("a"), col("d2").as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("lo"),
-        greatest(col("a"), col("b")).as("hi"))
-      .distinct()
-    val addU = und(addedEdges).localCheckpoint()
+    // Old cone edges: one keyed pass over the store; distinct on the
+    // cone only. (An old edge's endpoints share a prior label, so the
+    // lo-side membership test finds every cone edge.)
+    val coneExtract = (coneNodes: DataFrame) =>
+      oldEdges.select(col("d1").as("a"), col("d2").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .join(coneNodes, col("lo") === col("doc"), "left_semi")
+        .distinct()
+    ccIncCore(prior, undirected(addedEdges), undirected(removedEdges),
+      coneExtract, maxIter, checkpointDir)
+  }
+
+  /** `(d1, d2)` → canonical undirected `(lo, hi)` pairs: nulls and self
+    * loops drop, both orientations fold, duplicates collapse. */
+  private def undirected(df: DataFrame): DataFrame = df
+    .select(col("d1").as("a"), col("d2").as("b"))
+    .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    .select(least(col("a"), col("b")).as("lo"),
+      greatest(col("a"), col("b")).as("hi"))
+    .distinct()
+
+  /** The affected-cone fold shared by [[connectedComponentsInc]] and
+    * [[graft.streaming.ClusterLoop]] (whose edge store is SIGNED, so it
+    * supplies its own cone extraction). `addU`/`remU` are canonical
+    * `(lo, hi)` batch frames; `coneOldEdges` maps a one-column `doc`
+    * frame of cone nodes to the OLD graph's canonical edges with
+    * `lo` in that set — implementations must restrict the store BEFORE
+    * any wide operation (the cone, not the store, pays the distinct/
+    * netting shuffle). Idempotent under re-applied batches: re-adding a
+    * present edge and re-removing an absent one are no-ops, so a crash
+    * replay that folds the same batch against an already-updated store
+    * reaches identical labels. */
+  private[graft] def ccIncCore(prior: DataFrame, addU0: DataFrame,
+                               remU0: DataFrame,
+                               coneOldEdges: DataFrame => DataFrame,
+                               maxIter: Int = 30,
+                               checkpointDir: Option[String] = None): DataFrame = {
+    val addU = addU0.localCheckpoint()
     // Remove+re-add in one batch cancels BEFORE touching anything.
-    val remNet = und(removedEdges).join(addU, Seq("lo", "hi"), "left_anti")
+    val remNet = remU0.join(addU, Seq("lo", "hi"), "left_anti")
       .localCheckpoint()
     val frontier = addU.select(col("lo").as("n"))
       .union(addU.select(col("hi").as("n")))
@@ -751,16 +784,8 @@ object DedupOps {
       .union(frontier.join(prior, col("n") === col("doc"), "left_anti")
         .select(col("n").as("doc")))
       .distinct().localCheckpoint()
-    // Old cone edges: one keyed pass over the store; distinct on the
-    // cone only. (An old edge's endpoints share a prior label, so the
-    // lo-side membership test finds every cone edge.)
-    val oldCone = oldEdges.select(col("d1").as("a"), col("d2").as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("lo"),
-        greatest(col("a"), col("b")).as("hi"))
-      .join(coneNodes, col("lo") === col("doc"), "left_semi")
-      .distinct()
-    val newCone = oldCone.join(remNet, Seq("lo", "hi"), "left_anti")
+    val newCone = coneOldEdges(coneNodes)
+      .join(remNet, Seq("lo", "hi"), "left_anti")
       .unionAll(addU)
     val sub = connectedComponents(
       newCone.select(col("lo").as("d1"), col("hi").as("d2")),
