@@ -61,29 +61,59 @@ object DedupLoop {
     * [[run]] wires it into foreachBatch. When `manifest` is set, the
     * just-written survivors also fold into a [[ManifestLoop]]-style
     * stats manifest, so the dedup'd lake stays pruning-ready as it
-    * grows. */
+    * grows.
+    *
+    * TAKEDOWNS (`removedCol` non-empty, round 13): rows whose boolean
+    * removal marker is true are RETRACTION events — every state row the
+    * retracted doc anchors (keep_id = its id) leaves the fingerprint
+    * table, so the NEXT content matching that signature (same batch or
+    * later) is admitted fresh instead of being dropped against a doc
+    * that no longer exists. Retractions apply to the PRIOR state before
+    * the batch's additions compete, are no-ops when the id anchors
+    * nothing (non-keeper dups were never in the state), and carry no
+    * text (only the id matters). Honest scope: this loop is ADMISSION
+    * control — already-emitted survivor files are downstream state;
+    * delete the content itself with the lake tools
+    * ([[graft.sources.Maintenance.upsert]] deleteKeys on the survivor
+    * table). */
   private[streaming] def dedupBatch(batch: DataFrame, batchId: Long,
                                     idCol: String, textCol: String,
                                     stateDir: String, outDir: String,
                                     k: Int,
-                                    manifest: Option[(Seq[String], String)] = None): Unit = {
+                                    manifest: Option[(Seq[String], String)] = None,
+                                    removedCol: String = ""): Unit = {
     val spark = batch.sparkSession
     val priorV = VersionedState.priorVersion(stateDir, batchId)
     val prior = priorV
       .map(v => VersionedState.read(spark, stateDir, v, Some(stateSchema)))
       .getOrElse(emptyState(spark))
 
-    val keys = DedupOps.sigKeysFast(batch, col(idCol), col(textCol), k)
-    val keepIds = DedupOps.incrementalDedupKeys(keys, prior)
+    val rm =
+      if (removedCol.nonEmpty && batch.columns.contains(removedCol))
+        coalesce(col(removedCol).cast("boolean"), lit(false))
+      else lit(false)
+    val marked = batch.withColumn("__rm", rm).localCheckpoint()
+    val retractions = marked.where(col("__rm"))
+      .select(col(idCol).cast("long").as("__rid")).distinct()
+    val additions = marked.where(!col("__rm")).drop("__rm")
+    // Retract FIRST: state rows anchored by taken-down docs leave before
+    // the batch's additions compete, so a same-batch duplicate of
+    // retracted content wins its signature fresh.
+    val priorLive = prior
+      .join(retractions, prior("keep_id") === col("__rid"), "left_anti")
+      .localCheckpoint()
+
+    val keys = DedupOps.sigKeysFast(additions, col(idCol), col(textCol), k)
+    val keepIds = DedupOps.incrementalDedupKeys(keys, priorLive)
       .where(!col("is_dup")).select(col("doc_id").as("__keep_id"))
-    batch.join(keepIds, batch(idCol) === col("__keep_id"), "left_semi")
+    additions.join(keepIds, additions(idCol) === col("__keep_id"), "left_semi")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
     manifest.foreach { case (statsCols, manifestStateDir) =>
       ManifestLoop.foldDirStats(spark, outDir, batchId, statsCols, manifestStateDir)
     }
 
     VersionedState.write(
-      prior.unionByName(keys.groupBy("sigkey").agg(min(col("doc_id")).as("keep_id")))
+      priorLive.unionByName(keys.groupBy("sigkey").agg(min(col("doc_id")).as("keep_id")))
         .groupBy("sigkey").agg(min(col("keep_id")).as("keep_id")),
       stateDir, batchId + 1)
     priorV.foreach(VersionedState.gcBelow(stateDir, _))
@@ -98,11 +128,13 @@ object DedupLoop {
   def run(stream: DataFrame, idCol: String, textCol: String,
           stateDir: String, outDir: String, checkpointDir: String,
           k: Int = 8, trigger: Option[Trigger] = None,
-          manifest: Option[(Seq[String], String)] = None): StreamingQuery = {
+          manifest: Option[(Seq[String], String)] = None,
+          removedCol: String = ""): StreamingQuery = {
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupBatch(batch, batchId, idCol, textCol, stateDir, outDir, k, manifest)
+        dedupBatch(batch, batchId, idCol, textCol, stateDir, outDir, k,
+          manifest, removedCol)
       }
     trigger.foreach(w.trigger)
     w.start()

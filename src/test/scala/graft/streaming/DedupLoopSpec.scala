@@ -158,4 +158,42 @@ class DedupLoopSpec extends AnyFunSuite {
     assert(secondOut == firstOut && secondState == firstState)
     assert(firstOut.nonEmpty)
   }
+
+  test("takedowns: retracting a keeper re-opens its signature; non-keepers are no-ops") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft-deduploop-rt").toString
+    val (out, state) = (s"$root/out", s"$root/state")
+    def fold(rows: Seq[(Long, String, Boolean)], id: Long): Unit =
+      DedupLoop.dedupBatch(rows.toDF("doc_id", "text", "removed"), id,
+        "doc_id", "text", state, out, 8, removedCol = "removed")
+    def survivors(id: Long): Seq[Long] =
+      spark.read.parquet(s"$out/batch=$id").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    def keeperOf(text: String): Option[Long] = {
+      val sig = DedupOps.sigKeysFast(Seq((0L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 8).select("sigkey").head().getString(0)
+      DedupLoop.latestState(spark, state).where(col("sigkey") === sig)
+        .collect().headOption.map(_.getLong(1))
+    }
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "an entirely different document about spark engines and data"
+    // b0: A (keeper) + its dup; B.
+    fold(Seq((1L, textA, false), (2L, textA, false), (10L, textB, false)), 0L)
+    assert(survivors(0L) == Seq(1L, 10L) && keeperOf(textA).contains(1L))
+    // b1: RETRACT the keeper; a same-batch duplicate of the retracted
+    // content must be admitted FRESH (retraction applies before the
+    // batch competes). Retraction rows carry no usable text.
+    fold(Seq((1L, null, true), (3L, textA, false)), 1L)
+    assert(survivors(1L) == Seq(3L), "post-retraction duplicate must be admitted")
+    assert(keeperOf(textA).contains(3L), "the signature re-anchors on the new doc")
+    // b2: later duplicates drop against the NEW keeper; retracting a
+    // doc that anchors nothing (2 was always a dup) is a state no-op.
+    fold(Seq((4L, textA, false), (2L, null, true)), 2L)
+    assert(survivors(2L).isEmpty)
+    assert(keeperOf(textA).contains(3L) && keeperOf(textB).contains(10L))
+    // Replay of the retraction batch is idempotent.
+    fold(Seq((1L, null, true), (3L, textA, false)), 1L)
+    assert(survivors(1L) == Seq(3L))
+  }
 }
