@@ -528,6 +528,120 @@ object DedupOps {
                        path: String, buckets: Int = 32): DataFrame =
     graft.sources.Bucketed.register(spark, table, path, "sigkey", buckets)
 
+  /** The persisted NEAR-dup index pair: band-bucket rows `(doc_id, bk)`
+    * bucketed by `bk` (candidate generation joins Exchange-free) and
+    * token rows `(doc_id, toks)` bucketed by `doc_id` (the verify's two
+    * array attaches join Exchange-free) — the [[graft.ops.Ann]]
+    * `persistIvfIndex` posture applied to [[minhashLshDocs]]'s banded
+    * pipeline, so a GROWING corpus pays O(new batch) per near-dup
+    * sweep instead of re-running the full self-join. Storage: tokens
+    * once per doc (never per band); band keys are short strings. */
+  def buildNearDupIndex(docs: DataFrame, id: Column, text: Column,
+                        k: Int, bands: Int): (DataFrame, DataFrame) = {
+    require(bands >= 1 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands)")
+    val r = k / bands
+    val base = docs.select(id.cast("long").as("doc_id"),
+        array_sort(array_distinct(TextOps.tokens(text))).as("toks"))
+      .where(col("doc_id").isNotNull)
+      .withColumn("sig", call_function("minhash_sig", col("toks"), lit(k)))
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(":", lit(b) +: (0 until r).map(i => col("sig")(b * r + i).cast("string")): _*)
+    }
+    (base.select(col("doc_id"), explode(array(bandCols: _*)).as("bk")),
+      base.select(col("doc_id"), col("toks")))
+  }
+
+  /** Persist a [[buildNearDupIndex]] pair under `<table>_bk`/`<path>_bk`
+    * (band buckets) and `<table>_tk`/`<path>_tk` (token arrays). */
+  def persistNearDupIndex(index: (DataFrame, DataFrame), table: String,
+                          path: String, buckets: Int = 32,
+                          mode: org.apache.spark.sql.SaveMode =
+                            org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    graft.sources.Bucketed.write(index._1, s"${table}_bk", s"${path}_bk",
+      "bk", buckets, mode)
+    graft.sources.Bucketed.write(index._2, s"${table}_tk", s"${path}_tk",
+      "doc_id", buckets, mode)
+  }
+
+  /** Re-attach a persisted near-dup index; `buckets` must match the
+    * write. */
+  def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String, path: String,
+                       buckets: Int = 32): (DataFrame, DataFrame) =
+    (graft.sources.Bucketed.register(spark, s"${table}_bk", s"${path}_bk",
+      "bk", buckets),
+      graft.sources.Bucketed.register(spark, s"${table}_tk", s"${path}_tk",
+        "doc_id", buckets))
+
+  /** O(new-batch) near-dup maintenance: the pairs a NEW document batch
+    * forms — against the persisted index AND within itself — verified
+    * at `threshold`, with the batch appended into the index afterwards.
+    * Folding batches B1..Bn this way emits, across all calls, EXACTLY
+    * `minhashLshDocs(B1 ∪ … ∪ Bn)`'s pair set (every pair surfaces
+    * when its later doc arrives — OpsSpec pins the equivalence), while
+    * each call's wide work is sized by the batch: candidate generation
+    * probes the bucketed band table (index side Exchange-free, only
+    * batch keys shuffle), token attaches probe the bucketed token
+    * table, and the batch self-join is batch×batch. Same id hygiene as
+    * [[graft.ops.Ann.appendIvfIndex]]: ids must be non-null and
+    * globally fresh — a duplicate would re-emit old pairs on every
+    * later batch — enforced with a column-pruned scan of the token
+    * table plus a batch-scale agg. Returns `(d1, d2, j)` with
+    * `d1 < d2`. */
+  def appendNearDup(spark: org.apache.spark.sql.SparkSession,
+                    table: String, path: String,
+                    newDocs: DataFrame, id: Column, text: Column,
+                    k: Int, bands: Int, threshold: Double,
+                    buckets: Int = 32): DataFrame = {
+    val (oldKeys, oldToks) = loadNearDupIndex(spark, table, path, buckets)
+    val (newKeys0, newToks0) = buildNearDupIndex(newDocs, id, text, k, bands)
+    val newKeys = newKeys0.localCheckpoint()
+    val newToks = newToks0.localCheckpoint()
+    val Array(nRows, nIds, nDistinct) = newDocs
+      .agg(count(lit(1)), count(id), countDistinct(id)).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nIds,
+      s"appendNearDup: ${nRows - nIds} NULL id row(s) — every doc needs an id")
+    require(nIds == nDistinct,
+      s"appendNearDup: ${nIds - nDistinct} duplicate id value(s) within the batch")
+    val clash = oldToks.select(col("doc_id"))
+      .join(newToks.select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+    require(clash == 0L,
+      s"appendNearDup: $clash batch id(s) already indexed — re-appending " +
+        "would re-emit their pairs on every later batch; dedup the batch first")
+    // Candidates: batch × index (probe side shuffles, bucketed side
+    // doesn't) + batch × batch; both orientations normalize to d1 < d2.
+    val vsOld = newKeys.select(col("doc_id").as("n"), col("bk"))
+      .join(oldKeys.select(col("doc_id").as("o"), col("bk")), Seq("bk"))
+      .select(least(col("n"), col("o")).as("d1"),
+        greatest(col("n"), col("o")).as("d2"))
+    val vsNew = newKeys.select(col("doc_id").as("d1"), col("bk"))
+      .join(newKeys.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("d1") < col("d2"))
+      .select("d1", "d2")
+    val cand = vsOld.unionAll(vsNew).distinct()
+    // Verify: each side's tokens come from whichever table holds the doc
+    // (bucketed old side, checkpointed batch side).
+    // Restrict the token table to candidate docs BEFORE any union (the
+    // bucketed side stays Exchange-free under the semi join; unioning
+    // first would drag the full index through the attach shuffles).
+    val candDocs = cand.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    val toks = newToks.unionByName(
+      oldToks.join(candDocs, Seq("doc_id"), "left_semi"))
+    val j = call_function("jaccard_sorted", col("t1"), col("t2"))
+    val pairs = cand
+      .join(toks.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
+      .join(toks.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
+      .where(j >= threshold)
+      .select(col("d1"), col("d2"), round(j, 6).as("j"))
+      .localCheckpoint()
+    graft.sources.Bucketed.appendRegistered(newKeys, s"${table}_bk", "bk", buckets)
+    graft.sources.Bucketed.appendRegistered(newToks, s"${table}_tk", "doc_id", buckets)
+    pairs
+  }
+
   /** Typed mergeable MinHash sketch (the `Aggregator` path of SURVEY.md
     * §4.3): one pass, one buffer of k minima per doc, element-wise merged —
     * partial aggregation happens map-side exactly like a sketch union.

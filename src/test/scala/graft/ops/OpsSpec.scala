@@ -736,6 +736,59 @@ class OpsSpec extends AnyFunSuite {
     assert(g.getMessage.contains("not a superset"))
   }
 
+  test("appendNearDup: folded batches emit exactly the one-shot LSH pair set") {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = documents.where(col("doc_id") < 300).localCheckpoint()
+    val b0 = all.where(col("doc_id") < 100)
+    val b1 = all.where(col("doc_id") >= 100 && col("doc_id") < 200)
+    val b2 = all.where(col("doc_id") >= 200)
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup-idx").toString
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // Seed the index with b0; every LATER batch's pairs fold in O(batch).
+      DedupOps.persistNearDupIndex(
+        DedupOps.buildNearDupIndex(b0, col("doc_id"), col("text"), 8, 4),
+        "ndup_w", s"$root/idx", buckets = 4)
+      val got1 = pairsOf(DedupOps.appendNearDup(spark, "ndup_w", s"$root/idx",
+        b1, col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4))
+      val got2 = pairsOf(DedupOps.appendNearDup(spark, "ndup_w", s"$root/idx",
+        b2, col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4))
+      // Contract: pairs emitted across appends = one-shot pairs over the
+      // union MINUS pairs internal to the seed (each pair surfaces when
+      // its later doc arrives; seed-internal pairs predate the fold).
+      val oneShot = pairsOf(DedupOps.minhashLshDocs(
+        all, col("doc_id"), col("text"), 8, 4, 0.8))
+      val seedOnly = pairsOf(DedupOps.minhashLshDocs(
+        b0, col("doc_id"), col("text"), 8, 4, 0.8))
+      assert(got1.nonEmpty && got2.nonEmpty, "fixture must have cross-batch near-dups")
+      assert((got1 ++ got2) == (oneShot -- seedOnly),
+        s"fold diverged: extra=${(got1 ++ got2) -- (oneShot -- seedOnly)} " +
+          s"missing=${(oneShot -- seedOnly) -- (got1 ++ got2)}")
+      assert(got1.intersect(got2).isEmpty, "a pair must surface exactly once")
+      // Id hygiene: re-appending indexed ids / in-batch dups / nulls refuse.
+      val eDup = intercept[IllegalArgumentException] {
+        DedupOps.appendNearDup(spark, "ndup_w", s"$root/idx",
+          b1, col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4)
+      }
+      assert(eDup.getMessage.contains("already indexed"))
+      intercept[IllegalArgumentException] {
+        DedupOps.appendNearDup(spark, "ndup_w", s"$root/idx",
+          Seq((900L, "x y z"), (900L, "x y z")).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4)
+      }
+      intercept[IllegalArgumentException] {
+        DedupOps.appendNearDup(spark, "ndup_w", s"$root/idx",
+          Seq((Option.empty[Long], "x")).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `ndup_w_bk`")
+      spark.sql("DROP TABLE IF EXISTS `ndup_w_tk`")
+    }
+  }
+
   test("connectedComponentsInc: deletions split, adds merge, untouched components ride") {
     import spark.implicits._
     // Components: chain 100..120 (label 100), blob {0,1,2,3} (label 0),

@@ -207,6 +207,44 @@ class BucketedStateSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS `lsh_plan_w`")
   }
 
+  test("near-dup append against bucketed index: band and token sides Exchange-free") {
+    val docs = TestSpark.table("documents")
+    val b0 = docs.where(col("doc_id") < 150)
+    val b1 = docs.where(col("doc_id") >= 150 && col("doc_id") < 250)
+    val dir = tmp("ndup_plan")
+    graft.ops.DedupOps.persistNearDupIndex(
+      graft.ops.DedupOps.buildNearDupIndex(b0, col("doc_id"), col("text"), 8, 4),
+      "ndup_plan_w", dir, buckets = 4)
+    try {
+      smjRegime {
+        val pairs = graft.ops.DedupOps.appendNearDup(spark, "ndup_plan_w", dir,
+          b1, col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4)
+        // appendNearDup localCheckpoints its output; the plan to inspect
+        // is the pre-checkpoint lazy form — rebuild it without the cut by
+        // capturing the executed plans of the checkpoint's parents is not
+        // exposed, so assert on a re-derived twin of the candidate join.
+        val (oldKeys, oldToks) = graft.ops.DedupOps.loadNearDupIndex(
+          spark, "ndup_plan_w", dir, buckets = 4)
+        val (nk, _) = graft.ops.DedupOps.buildNearDupIndex(
+          b1, col("doc_id"), col("text"), 8, 4)
+        val candTwin = nk.select(col("doc_id").as("n"), col("bk"))
+          .join(oldKeys.select(col("doc_id").as("o"), col("bk")), Seq("bk"))
+        assert(segmentExchanges(candTwin.queryExecution.executedPlan,
+          "ndup_plan", Set("bk")).isEmpty,
+          "bucketed band table shuffles into its own candidate join")
+        val tokTwin = oldToks.join(
+          nk.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        assert(segmentExchanges(tokTwin.queryExecution.executedPlan,
+          "ndup_plan", Set("doc_id")).isEmpty,
+          "bucketed token table shuffles into its own semi join")
+        assert(pairs.count() >= 0)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `ndup_plan_w_bk`")
+      spark.sql("DROP TABLE IF EXISTS `ndup_plan_w_tk`")
+    }
+  }
+
   test("IVF probe against bucketed index: index side Exchange-free, results identical") {
     val emb = TestSpark.table("embeddings")
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
