@@ -151,3 +151,64 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_f32"
 }
+
+/** Dot product over the COMMON PREFIX of two float arrays — the native
+  * form of the bounded hyperplane-projection fold
+  * (`aggregate(sequence(1, least(dims, size(vec))), 0.0, acc + v·w)`):
+  * walks `min(|a|, |b|)` elements left-to-right in double precision
+  * (bit-identical accumulation to the HOF spelling), returns 0.0 when
+  * either array is empty (the HOF's `when(bound < 1, 0.0)` guard) and
+  * NULL when a consumed element is null. Exists because the interpreted
+  * HOF fold was the measured cost of LSH bucket keys
+  * (graft.NearDupCostProbe): one fused codegen loop per (vector, plane)
+  * instead of per-element Catalyst eval + a materialized sequence
+  * array. */
+case class DotPrefix(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> inputs, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var ab = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      ab += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    ab
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val ab = ctx.freshName("ab")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $ab = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $ab += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $ab; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotPrefix =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_prefix"
+}

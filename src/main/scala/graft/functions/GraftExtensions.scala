@@ -43,6 +43,10 @@ object GraftFunctions {
       info(classOf[DotProduct], "dot_f32",
         "dot_f32(a, b) - dot product of two float arrays in double precision"),
       (e: Seq[Expression]) => { checkArity("dot_f32", 2, e); DotProduct(e.head, e(1)) }),
+    (FunctionIdentifier("dot_prefix"),
+      info(classOf[DotPrefix], "dot_prefix",
+        "dot_prefix(a, b) - dot product over the common prefix of two float arrays (0.0 when empty)"),
+      (e: Seq[Expression]) => { checkArity("dot_prefix", 2, e); DotPrefix(e.head, e(1)) }),
     (FunctionIdentifier("simhash16"),
       info(classOf[SimHash16], "simhash16",
         "simhash16(tokens) - 16-bit SimHash of a token array, one pass per row"),

@@ -187,18 +187,19 @@ object Ann {
     * walk is bounded by the vector's own length (up to `dims`), so short
     * vectors never index past the end (ANSI error / silent-null corruption
     * off the fixture schema). */
-  def hyperplaneProj(vec: Column, j: Int, dims: Int = 64): Column = {
-    val w = lit(planeWeights(j, dims))
-    val bound = least(lit(dims), size(vec))
-    // sequence(1, 0) is DESCENDING [1, 0] — an empty vector must
-    // short-circuit to projection 0.0, not walk out of bounds (ANSI
-    // element_at error: one degenerate row kills the job, H13).
-    when(bound < 1, lit(0.0)).otherwise(
-      aggregate(
-        sequence(lit(1), bound),
-        lit(0.0),
-        (acc, i) => acc + element_at(vec, i).cast("double") * element_at(w, i)))
-  }
+  def hyperplaneProj(vec: Column, j: Int, dims: Int = 64): Column =
+    // Native prefix dot (one fused codegen loop; walks min(|vec|, dims),
+    // empty → 0.0): bit-identical to the HOF fold it replaced —
+    // `when(bound < 1, 0.0).otherwise(aggregate(sequence(1, bound), 0.0,
+    // acc + vec[i]·w[i]))` — same left-to-right double accumulation, and
+    // the integer-valued weights are exact in float32, so the declared
+    // 6dp-rounded sign contract is untouched (LocalVerify q60 gate;
+    // FunctionsSpec pins native ≡ HOF pairwise). The HOF form paid
+    // per-element Catalyst eval + a materialized sequence array per
+    // (vector, plane) — the measured cost of LSH bucket keys
+    // (graft.NearDupCostProbe).
+    call_function("dot_prefix", vec,
+      lit(planeWeights(j, dims).map(_.toFloat)))
 
   /** `nBits`-bit sign bucket from hyperplane projections (random-hyperplane
     * LSH): cosine-similar vectors land in the same bucket w.h.p.

@@ -101,6 +101,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.where("hof <> nat or (hof is null) <> (nat is null)").count() == 0)
   }
 
+  test("dot_prefix ≡ the bounded hyperplane-fold HOF incl. every edge shape") {
+    val spark2 = spark
+    import spark2.implicits._
+    // The exact HOF spelling hyperplaneProj used before going native.
+    def hof(vec: org.apache.spark.sql.Column, w: Array[Float], dims: Int) = {
+      val wl = lit(w.map(_.toDouble))
+      val bound = least(lit(dims), size(vec))
+      when(bound < 1, lit(0.0)).otherwise(
+        aggregate(sequence(lit(1), bound), lit(0.0),
+          (acc, i) => acc + element_at(vec, i).cast("double") * element_at(wl, i)))
+    }
+    val w = Array(3f, -2f, 5f, 1f, -7f)
+    // Shapes: shorter than the planes, equal, longer (prefix-bounded),
+    // empty (0.0, not null), null element (poisons), null array.
+    val vecs: Seq[Option[Seq[Option[Float]]]] = Seq(
+      Some(Seq(Some(1f), Some(2f))),
+      Some(Seq(Some(0.5f), Some(-1.5f), Some(2.5f), Some(4f), Some(-3f))),
+      Some(Seq.empty),
+      Some(Seq(Some(1f), None, Some(3f))),
+      None)
+    val df = vecs.toDF("v")
+      .select(hof(col("v"), w, w.length).as("hof"),
+        call_function("dot_prefix", col("v").cast("array<float>"),
+          lit(w)).as("nat"))
+    assert(df.where("hof <> nat or (hof is null) <> (nat is null)").count() == 0,
+      df.collect().mkString(", "))
+    // The longer-than-planes case needs dims < |vec| to bind: check
+    // explicitly that both walk only the weight prefix.
+    val long = Seq(Seq(1f, 1f, 1f, 1f, 1f, 100f, 100f)).toDF("v")
+      .select(hof(col("v"), w, w.length).as("hof"),
+        call_function("dot_prefix", col("v").cast("array<float>"), lit(w)).as("nat"))
+      .head()
+    assert(long.getDouble(0) == long.getDouble(1) && long.getDouble(0) == 0.0,
+      s"prefix bound diverged: $long")
+  }
+
   test("length mismatch and null elements yield NULL (HOF null-poisoning semantics)") {
     val r = spark.sql(
       """select
