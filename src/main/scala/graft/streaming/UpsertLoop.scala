@@ -70,7 +70,8 @@ object UpsertLoop {
                                    key: String, statsCols: Seq[String],
                                    stateDir: String,
                                    deleteCol: Option[String],
-                                   retainHistory: Boolean = false): Unit = {
+                                   retainHistory: Boolean = false,
+                                   evolveSchema: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val b = batch.localCheckpoint()
     val deletes = deleteCol.map(c =>
@@ -93,7 +94,7 @@ object UpsertLoop {
     val folded = manifest match {
       case Some(m) =>
         val (_, m2) = Maintenance.upsert(spark, dir, m, changes, key, deletes,
-          retainHistory = retainHistory)
+          retainHistory = retainHistory, evolveSchema = evolveSchema)
         m2
       case None =>
         // Table genesis: the first batch IS the table (delete markers
@@ -109,19 +110,26 @@ object UpsertLoop {
 
   /** Start the CDC apply loop over `stream`. `statsCols` are the
     * manifest columns for genesis/repair collects (must include `key`;
-    * defaults to just the key). */
+    * defaults to just the key). `evolveSchema` rides through to
+    * [[graft.sources.Maintenance.upsert]] — the restart-with-a-widened-
+    * source case: one streaming query's batches share a schema, but a
+    * LOOP RESTART whose source gained columns must merge them into the
+    * narrower on-disk table (null-padded survivors, mergeSchema reads)
+    * instead of failing the union; leave it off for a typed state table
+    * so a drifted source fails loudly. */
   def run(stream: DataFrame, dir: String, key: String, stateDir: String,
           checkpointDir: String, deleteCol: Option[String] = None,
           statsCols: Seq[String] = Nil,
           trigger: Option[Trigger] = None,
-          retainHistory: Boolean = false): StreamingQuery = {
+          retainHistory: Boolean = false,
+          evolveSchema: Boolean = false): StreamingQuery = {
     val stats = if (statsCols.nonEmpty) statsCols else Seq(key)
     require(stats.contains(key), s"statsCols must include the merge key `$key`")
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, dir, key, stats, stateDir, deleteCol,
-          retainHistory)
+          retainHistory, evolveSchema)
       }
     trigger.foreach(w.trigger)
     w.start()

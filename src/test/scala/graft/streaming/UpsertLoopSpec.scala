@@ -114,6 +114,34 @@ class UpsertLoopSpec extends AnyFunSuite {
       UpsertLoop.latestManifest(spark, state).get))
   }
 
+  test("evolveSchema loop: a restart with a widened source merges into the narrow table") {
+    val root = Files.createTempDirectory("graft-upsertloop-ev").toString
+    val (dir, state) = (s"$root/t", s"$root/state")
+    val base = orders.where(col("o_orderkey") < 400)
+      .select("o_orderkey", "o_totalprice").localCheckpoint()
+    // Genesis with the narrow schema.
+    UpsertLoop.foldBatch(base, 0L, dir, "o_orderkey", Seq("o_orderkey"),
+      state, deleteCol = None)
+    // Restart: the source gained a column. Without the flag the fold
+    // fails loudly before any rewrite (the typed-state default)...
+    val widened = base.where(col("o_orderkey").between(100L, 120L))
+      .withColumn("o_flag", lit("hot")).localCheckpoint()
+    val e = intercept[IllegalArgumentException] {
+      UpsertLoop.foldBatch(widened, 1L, dir, "o_orderkey", Seq("o_orderkey"),
+        state, deleteCol = None)
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    // ...with it, touched files rewrite null-padded and the widened
+    // column is queryable (mergeSchema read — the documented caveat for
+    // raw readers of the mixed layout).
+    UpsertLoop.foldBatch(widened, 1L, dir, "o_orderkey", Seq("o_orderkey"),
+      state, deleteCol = None, evolveSchema = true)
+    val t = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(t.columns.contains("o_flag"))
+    assert(t.where(col("o_flag") === "hot").count() == widened.count())
+    assert(FileStats.isFresh(spark, dir, UpsertLoop.latestManifest(spark, state).get))
+  }
+
   test("retainHistory loop: every batch version stays time-travelable") {
     val root = Files.createTempDirectory("graft-upsertloop-tt").toString
     val (dir, state) = (s"$root/t", s"$root/state")
