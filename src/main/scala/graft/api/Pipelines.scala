@@ -83,6 +83,23 @@ object Pipelines {
   def trainCentroids(emb: DataFrame, k: Int, iters: Int = 5): DataFrame =
     Ann.kmeans(emb, k, iters)
 
+  /** SemDeDup semantic dedup over an embedding table (public recipe,
+    * arXiv:2303.09540): k-means partitions the space, then each cluster
+    * drops every vector with a smaller-id τ-neighbor — the cheap
+    * cluster-local prune that removes "same meaning, different words"
+    * redundancy exact/MinHash dedup cannot see. k auto-sizes with the
+    * corpus ([[Ann.semDedupKFor]]) so per-cluster work stays bounded;
+    * pass trained `centroids` to skip the k-means (the steady-state
+    * shape: centroids are an index artifact, reused across sweeps).
+    * Returns surviving rows, schema preserved. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.95,
+                    centroids: DataFrame = null, targetCluster: Int = 256,
+                    iters: Int = 5): DataFrame = {
+    val cents = Option(centroids).getOrElse(
+      Ann.kmeans(emb, Ann.semDedupKFor(emb.count(), targetCluster), iters))
+    Ann.semDedup(emb, cents, threshold)
+  }
+
   /** The full-scale ANN: IVF candidate generation fused with the int8
     * coarse pass — a probe batch touches ~nprobe/K of the gallery instead
     * of all of it (Ann.topKQuantizedIvf; persist Ann.ivfIndex to amortize

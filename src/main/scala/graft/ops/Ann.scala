@@ -802,4 +802,65 @@ object Ann {
     }
     centroids
   }
+
+  /** Cluster count that keeps expected cluster population ~`targetCluster`
+    * at corpus size `n` — the [[lshBitsFor]] discipline applied to
+    * [[semDedup]]: the within-cluster verify is quadratic in cluster size,
+    * so FIXED k degrades as the corpus grows; k ∝ n holds per-cluster work
+    * ~constant and total candidate volume ~linear. */
+  def semDedupKFor(n: Long, targetCluster: Int = 256): Int =
+    math.max(1, math.ceil(math.max(1.0, n.toDouble) / targetCluster).toInt)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public recipe):
+    * semantic deduplication over an embedding table. Every vector is
+    * assigned to its nearest centroid ([[ivfAssign]] semantics: cosine,
+    * literal-centroid projection when the table is small); within each
+    * cluster, a vector is DROPPED iff some smaller-id vector in the same
+    * cluster has cosine ≥ `threshold` with it — the deterministic
+    * "keep earliest" variant (the paper keeps an arbitrary representative
+    * per ε-group; id order makes the output reproducible and
+    * engine-portable). One-pass contract, exactly like
+    * [[DedupOps.minhashDedupKeep]]: a doc is dropped if ANY smaller-id
+    * τ-neighbor exists, whether or not that neighbor itself survives —
+    * chains collapse toward the smallest id without iteration.
+    *
+    * Scale posture: the only wide op is the within-cluster self-join —
+    * an EQUI join keyed on the cluster id with the id-order predicate as
+    * residual (never a cartesian; plan pinned in PlanSpec). Per-cluster
+    * work is quadratic in cluster size, which is the knob: size k with
+    * [[semDedupKFor]] so clusters stay ~`targetCluster` and candidate
+    * volume grows linearly with the corpus. Cross-cluster near-dups are
+    * deliberately missed — that is SemDeDup's recall trade (the paper's
+    * ε-balls live inside k-means cells); run [[neardupLshAuto]] when
+    * cross-partition recall matters more than the cheap cluster prune.
+    *
+    * Returns the DROP set `(id)` — distinct ids that lose their cluster
+    * duel. Null/absent embeddings never match (`cosine6` is null-poisoned,
+    * the filter drops null verdicts), so such rows are always kept. */
+  def semDedupDrops(emb: DataFrame, centroids: DataFrame, threshold: Double,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val withCid = collectedCentroids(centroids, id, vec) match {
+      case Some(cents) =>
+        emb.select(col(id), col(vec),
+          element_at(nearestCentroidsSorted(cents, col(vec)), 1)
+            .getField("cid").as("__cid"))
+      case None =>
+        val assigned = ivfAssign(emb, centroids, id, vec)
+          .select(col(id).as("__aid"), col("cid").as("__cid"))
+        emb.select(col(id), col(vec))
+          .join(assigned, col(id) === col("__aid")).drop("__aid")
+    }
+    val a = withCid.select(col("__cid"), col(id).as("__d1"), col(vec).as("__a_emb"))
+    val b = withCid.select(col("__cid"), col(id).as("__d2"), col(vec).as("__b_emb"))
+    a.join(b, Seq("__cid"))
+      .where(col("__d1") < col("__d2") &&
+        cosine6(col("__a_emb"), col("__b_emb")) >= threshold)
+      .select(col("__d2").as(id)).distinct()
+  }
+
+  /** [[semDedupDrops]] applied: the surviving rows of `emb`, schema
+    * preserved (anti join on the drop set). */
+  def semDedup(emb: DataFrame, centroids: DataFrame, threshold: Double,
+               id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    emb.join(semDedupDrops(emb, centroids, threshold, id, vec), Seq(id), "left_anti")
 }

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SemDeDup (cluster-then-prune semantic dedup): the keep/drop contract on
+  * hand-built geometry, the one-pass chain semantics, the documented
+  * cross-cluster recall trade, single-cluster ≡ greedy-over-all-pairs, and
+  * the plan shape (equi join on the cluster id, never a cartesian). */
+class SemDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def embeddings = TestSpark.table("embeddings")
+
+  import scala.jdk.CollectionConverters._
+  private val embSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  private def embDf(rows: (Long, Seq[Float])*) =
+    spark.createDataFrame(
+      rows.map { case (i, v) =>
+        org.apache.spark.sql.Row(i, if (v == null) null else v)
+      }.asJava, embSchema)
+
+  // Two well-separated unit directions in 2-d; vectors at explicit angles
+  // make every cosine a known value (cos of the angle difference).
+  private def at(deg: Double): Seq[Float] = {
+    val r = math.toRadians(deg)
+    Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+  }
+
+  test("semDedup drops exactly the smaller-id-dominated rows within a cluster") {
+    // Centroids: A at 0 deg, B at 90 deg. Cluster A holds a near-dup pair
+    // (0 deg, 10 deg: cos ~= 0.985) and one distinct member (40 deg,
+    // cos(40) ~= 0.766 to both — below tau). Cluster B holds one row.
+    val cents = embDf(0L -> at(0), 1L -> at(90))
+    val emb = embDf(10L -> at(0), 11L -> at(10), 12L -> at(40), 13L -> at(88))
+    val drops = Ann.semDedupDrops(emb, cents, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(11L), s"expected only the 10-deg twin dropped, got $drops")
+    val kept = Ann.semDedup(emb, cents, 0.9)
+    assert(kept.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(10L, 12L, 13L))
+  }
+
+  test("one-pass chain contract: a dropped row still dominates its own neighbors") {
+    // 0, 18, 36 deg with tau = 0.93 (cos 18 ~= 0.951 >= tau, cos 36 ~=
+    // 0.809 < tau): 11 drops by 10; 12 drops by 11 even though 11 is
+    // itself dropped — the documented greedy-by-id semantics.
+    val cents = embDf(0L -> at(0))
+    val emb = embDf(10L -> at(0), 11L -> at(18), 12L -> at(36))
+    val drops = Ann.semDedupDrops(emb, cents, 0.93)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(11L, 12L), s"chain must collapse to the smallest id, got drops=$drops")
+  }
+
+  test("cross-cluster near-dups are missed (the documented recall trade)") {
+    // A at 0 deg, B at 40 deg. v1 at 0 (-> A), v2 at 22 (18 deg from B ->
+    // B). cos(v1,v2) = cos 22 ~= 0.927 >= 0.9, but the pair spans clusters.
+    val cents = embDf(0L -> at(0), 1L -> at(40))
+    val emb = embDf(10L -> at(0), 11L -> at(22))
+    assert(Ann.semDedupDrops(emb, cents, 0.9).count() == 0L)
+    // Same pair, one cluster: found.
+    assert(Ann.semDedupDrops(emb, embDf(0L -> at(0)), 0.9)
+      .collect().map(_.getLong(0)).toSet == Set(11L))
+  }
+
+  test("null embeddings never match and always survive") {
+    val cents = embDf(0L -> at(0))
+    val emb = embDf(10L -> at(0), 11L -> at(5), 12L -> null)
+    val kept = Ann.semDedup(emb, cents, 0.9).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L))
+  }
+
+  test("single cluster reproduces greedy-by-id over exact all-pairs cosine") {
+    val emb = embeddings.where(col("vec_id") < 60)
+    val oneCent = embDf(0L -> at(0))
+    val tau = 0.44
+    val pairs = Ann.allPairsCosine(emb, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDrops = pairs.map(_._2).toSet
+    val drops = Ann.semDedupDrops(emb, oneCent, tau)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == expectedDrops,
+      s"extra=${drops -- expectedDrops} missing=${expectedDrops -- drops}")
+  }
+
+  test("semDedupKFor scales k linearly with the corpus, floor 1") {
+    assert(Ann.semDedupKFor(0) == 1)
+    assert(Ann.semDedupKFor(100) == 1)
+    assert(Ann.semDedupKFor(2560) == 10)
+    assert(Ann.semDedupKFor(25600) == 100)   // 10x data -> 10x clusters
+    assert(Ann.semDedupKFor(1000, targetCluster = 100) == 10)
+  }
+
+  test("drop-set plan is an equi join on the cluster id, never a cartesian") {
+    val cents = embDf(0L -> at(0), 1L -> at(90))
+    val plan = Ann.semDedupDrops(embeddings, cents, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster verify must stay keyed:\n$plan")
+  }
+
+  test("Pipelines.semanticDedup auto-k end-to-end: deterministic, subset, near-dup-free") {
+    val emb = embeddings.where(col("vec_id") < 120)
+    val kept = graft.api.Pipelines.semanticDedup(emb, threshold = 0.44,
+      targetCluster = 40, iters = 2)
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    val again = graft.api.Pipelines.semanticDedup(emb, threshold = 0.44,
+      targetCluster = 40, iters = 2).collect().map(_.getLong(0)).toSet
+    assert(ids == again, "semanticDedup must be deterministic run-to-run")
+    assert(ids.subsetOf(emb.collect().map(_.getLong(0)).toSet))
+    assert(ids.nonEmpty)
+    // Survivors contain no within-cluster tau-pair: re-running the prune
+    // on the survivors with the SAME centroids is a fixpoint.
+    val cents = Ann.kmeans(emb, Ann.semDedupKFor(emb.count(), 40), 2)
+    val once = Ann.semDedup(emb, cents, 0.44)
+    assert(Ann.semDedupDrops(once, cents, 0.44).count() == 0L,
+      "prune must be idempotent under fixed centroids")
+  }
+}
