@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.{Ann, Bpe, DedupOps, MediaCodecs, MultiModal, SketchOps, TextOps}
+import graft.ops.{Ann, Bpe, DedupOps, ImportanceSampling, MediaCodecs, MultiModal, SketchOps, TextOps}
 import graft.streaming.{AggLoop, DistinctLoop, TopKLoop}
 
 /** Task-level entry points composing the ops layer — what a data-pipeline
@@ -438,6 +438,24 @@ object Pipelines {
     * most 8-char hashes and silently misallocate. */
   private def hexThreshold(c: Double): String =
     if (c >= 1.0) "g" else f"${math.floor(c * 4294967296.0).toLong}%08x"
+
+  /** DSIR-style targeted selection (arXiv:2302.03169): pick the `k` raw
+    * docs that look most like a small target corpus, sampled ∝ the hashed
+    * n-gram importance weight (Gumbel top-k — without replacement,
+    * deterministic under `seed`). Two bucket-count fits (each collapses
+    * to `buckets` driver rows) + one map-only scoring pass + a top-k;
+    * nothing corpus-sized shuffles. The complement to [[mixSources]]:
+    * mixing reweights SOURCES you already trust, DSIR finds
+    * target-looking docs inside a source you don't. */
+  def dsirSample(raw: DataFrame, id: Column, text: Column,
+                 target: DataFrame, targetText: Column, k: Int,
+                 buckets: Int = 16384, seed: String = "dsir",
+                 alpha: Double = 1.0): DataFrame = {
+    val pT = ImportanceSampling.bucketProbs(target, targetText, buckets, alpha)
+    val pR = ImportanceSampling.bucketProbs(raw, text, buckets, alpha)
+    ImportanceSampling.resampleTopK(raw, id, text,
+      ImportanceSampling.logRatios(pT, pR), k, seed)
+  }
 
   def mixSources(df: DataFrame, sourceCol: String, idCol: String,
                  rates: Map[String, Double], seed: String = "mix"): DataFrame = {
