@@ -266,6 +266,37 @@ ${(iter(1) + iter(2) + iter(3)).stripSuffix(",")}
  select node, r from r3 order by r desc, node limit 100"""
   }
 
+  /** q184: 2-iteration HITS hubs/authorities in EXACT INTEGER walk
+    * counts — the q169 bit-contract applied to Kleinberg's algorithm.
+    * The graph is the DIRECTED part→supplier edge set (distinct — HITS
+    * is adjacency-defined, [[graft.ops.GraphOps.hitsCounts]] collapses
+    * multi-edges the same way); with h0 = 1, every half-step
+    * `a = A^T h` / `h = A a` is a plain `sum(bigint)` over an equi
+    * join — order-independent integer arithmetic, no division, no
+    * rounding grid, so the result is bit-identical on any engine.
+    * Magnitudes grow ~(in-deg·out-deg) per round: ≤ ~1e6 at sf0.1,
+    * far under 2^63 at any plausible SF for depth 2. DuckDB widens
+    * sum(bigint) to HUGEINT — both sides cast each level's value back
+    * to bigint so schemas agree. Nodes with no in-edge have auth 0,
+    * no out-edge hub 0 (the coalesce'd left joins keep every node in
+    * the frame, matching the operator's node-complete contract).
+    * Library twin: [[graft.ops.GraphOps.hits]] (same matvecs,
+    * L1-normalized per half-step for unbounded depth). */
+  private def q184Sql(cast: String): String = {
+    def a(k: Int, prevH: String): String =
+      s""" a$k as (select n.node, cast(coalesce(t.v, 0) as bigint) v from nodes n
+  left join (select pe.dst, sum($prevH.v) v from pe join $prevH on $prevH.node = pe.src group by pe.dst) t on t.dst = n.node),"""
+    def h(k: Int): String =
+      s""" h$k as (select n.node, cast(coalesce(t.v, 0) as bigint) v from nodes n
+  left join (select pe.src, sum(a$k.v) v from pe join a$k on a$k.node = pe.dst group by pe.src) t on t.src = n.node),"""
+    s"""with pe as (select distinct concat('p', cast(l_partkey as $cast)) src, concat('s', cast(l_suppkey as $cast)) dst from lineitem),
+ nodes as (select src node from pe union select dst from pe),
+ h0 as (select node, cast(1 as bigint) v from nodes),
+${(a(1, "h0") + h(1) + a(2, "h1") + h(2)).stripSuffix(",")}
+ select h2.node, h2.v hub, a2.v auth from h2 join a2 on a2.node = h2.node
+ order by hub desc, auth desc, h2.node limit 100"""
+  }
+
   /** q183: robots.txt (RFC 9309) path-pattern semantics as a declared
     * cross-engine convention. The REP glob — `*` matches any octet
     * sequence, ONE trailing `$` anchors the end, anything else is a
@@ -2885,6 +2916,11 @@ select d.pid,
     // robots.txt glob semantics (round 13) — see q183Sql; the DF impl
     // runs Robots.matches itself, so op ≡ LIKE translation cross-engine.
     q2("q183_robots_glob", q183Sql("string"), q183Sql("varchar")),
+
+    // HITS hubs/authorities (round 13) — see q184Sql for the exact
+    // integer walk-count contract; the library operator (GraphOps.hits)
+    // runs the L1-normalized form to any depth.
+    q2("q184_hits", q184Sql("string"), q184Sql("varchar")),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1683,6 +1683,19 @@ object DfQueries {
       }(enc).orderBy("doc_id").limit(300)
     },
 
+    "q184_hits" -> { (s, _) =>
+      // GraphOps.hitsCounts (exact integer walk counts, 2 iterations)
+      // over the DIRECTED part→supplier edge set — see q184Sql for the
+      // cross-engine contract.
+      val li = t(s, "lineitem")
+      val edges = li.select(
+        concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      graft.ops.GraphOps.hitsCounts(edges, iterations = 2)
+        .select(col("node"), col("hub"), col("auth"))
+        .orderBy(col("hub").desc, col("auth").desc, col("node")).limit(100)
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

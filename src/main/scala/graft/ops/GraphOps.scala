@@ -261,9 +261,109 @@ object GraphOps {
       (col("r").cast("double") * nn / scale).as("nrank"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge table —
+    * the link-analysis twin PageRank can't substitute for: PageRank ranks
+    * every node on one axis; HITS separates nodes that POINT AT good
+    * content (hubs — link directories, index pages) from nodes pointed at
+    * BY good hubs (authorities), the mutual-reinforcement fixpoint
+    * `a = A^T h, h = A a`. On a crawl's host graph the authority side is
+    * a curation prior (like [[pageRank]] under `Pipelines.hostAuthority`)
+    * and the hub side finds the catalog/aggregator hosts a frontier
+    * scheduler treats differently.
+    *
+    * Per iteration: two (equi join + partial-agg'd hash agg) halves over
+    * node-scale state — exactly [[pageRank]]'s cost shape — with an L1
+    * normalization each half-step (two scalar aggs) so scores stay in
+    * [0,1] and never overflow regardless of depth; lineage is cut every
+    * round. Multi-edges collapse (`distinct`); nodes with no out-edge
+    * have hub 0 after the first round, no in-edge → authority 0 — scores,
+    * not mass, so nothing needs redistributing (the dangling machinery
+    * PageRank requires does not exist here). Returns (node, hub, auth)
+    * doubles, each column summing to 1.
+    *
+    * Float caveat: normalized scores are double quotients and carry the
+    * usual last-ulp order dependence — fine for ranking, not for a hash
+    * contract. The DECLARED cross-engine form is [[hitsCounts]] (exact
+    * integers, q184). */
+  def hits(edges: DataFrame, src: String = "src", dst: String = "dst",
+           iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    require(nodes.limit(1).count() > 0, "empty graph")
+    def l1norm(df: DataFrame, c: String): DataFrame = {
+      val s = df.agg(sum(col(c))).head().getDouble(0)
+      // All-zero vector (possible only on degenerate graphs where no
+      // edge survives): keep zeros rather than divide by zero.
+      if (s == 0.0) df else df.select(col("node"), (col(c) / lit(s)).as(c))
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("hub")).localCheckpoint()
+    var auth = hub.select(col("node"), col("hub").as("auth"))
+    var i = 0
+    while (i < iterations) {
+      val a = e.join(hub, hub("node") === e("src"))
+        .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("auth"))
+      auth = l1norm(
+        nodes.join(a, Seq("node"), "left")
+          .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")),
+        "auth").localCheckpoint()
+      val h = e.join(auth, auth("node") === e("dst"))
+        .groupBy(e("src").as("node")).agg(sum(col("auth")).as("hub"))
+      hub = l1norm(
+        nodes.join(h, Seq("node"), "left")
+          .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub").localCheckpoint()
+      i += 1
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** The EXACT-INTEGER unnormalized HITS kernel — the q184 cross-engine
+    * hash contract (the q169 discipline applied to HITS): with h0 = 1,
+    * `iterations` alternating matvecs `a_k = A^T h_{k-1}, h_k = A a_k`
+    * over the distinct edge set are pure bigint sums — order-independent,
+    * no division, no rounding grid, bit-identical on any engine.
+    * Unnormalized walk counts grow ~(avg in-deg · avg out-deg) per
+    * round, so depth is bounded by 2^63 — callers pick small
+    * `iterations` (the declared q184 runs 2); the production ranking
+    * form is [[hits]], whose per-step normalization admits any depth.
+    * Nodes missing from a side score 0 there. Returns (node, hub, auth)
+    * bigint. */
+  def hitsCounts(edges: DataFrame, src: String = "src", dst: String = "dst",
+                 iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1L).as("hub")).localCheckpoint()
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    var i = 0
+    while (i < iterations) {
+      val a = e.join(hub, hub("node") === e("src"))
+        .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("auth"))
+      auth = nodes.join(a, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
+        .localCheckpoint()
+      val h = e.join(auth, auth("node") === e("dst"))
+        .groupBy(e("src").as("node")).agg(sum(col("auth")).as("hub"))
+      hub = nodes.join(h, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
+        .localCheckpoint()
+      i += 1
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+  }
+
   /** SYNCHRONOUS label propagation (the classic community-detection
-    * sweep, and the third member of the graph family next to PageRank
-    * and connected components): every node starts labeled with its own
+    * sweep, and the fourth member of the graph family next to PageRank,
+    * HITS and connected components): every node starts labeled with its own
     * id, and each round SIMULTANEOUSLY adopts the label most frequent
     * among its out-neighbors' labels, ties broken to the SMALLEST label
     * — the deterministic variant (plain LPA tie-breaks randomly, which

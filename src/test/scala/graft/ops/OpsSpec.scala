@@ -291,6 +291,55 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hitsCounts: hand-computed walk counts, multi-edge collapse, layout-exact") {
+    import spark.implicits._
+    // 3 hubs all citing a1, h1 also citing a2. Hand computation:
+    // a1: (a1,a2) = (3,1); h1: (h1,h2,h3) = (4,3,3);
+    // a2: (a1,a2) = (10,4); h2: (h1,h2,h3) = (14,10,10).
+    val edges = Seq("h1" -> "a1", "h1" -> "a2", "h2" -> "a1", "h3" -> "a1",
+      "h2" -> "a1" /* dup collapses */).toDF("src", "dst")
+    val out = GraphOps.hitsCounts(edges, iterations = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "h1" -> (14L, 0L), "h2" -> (10L, 0L), "h3" -> (10L, 0L),
+      "a1" -> (0L, 10L), "a2" -> (0L, 4L)), s"got $out")
+    // Exact integers: layout-independent.
+    val out2 = GraphOps.hitsCounts(edges.repartition(5), iterations = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out2 == out)
+    // Null endpoints drop, never poison.
+    val withNull = edges.unionAll(Seq((null: String, "a1")).toDF("src", "dst"))
+    assert(GraphOps.hitsCounts(withNull, iterations = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap == out)
+  }
+
+  test("hits: normalized scores rank hubs/authorities, sum to 1, uniform on regular graphs") {
+    import spark.implicits._
+    val edges = Seq("h1" -> "a1", "h1" -> "a2", "h2" -> "a1", "h3" -> "a1")
+      .toDF("src", "dst")
+    val out = GraphOps.hits(edges, iterations = 6)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9, "hub scores must sum to 1")
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9, "auth scores must sum to 1")
+    assert(out("a1")._2 > out("a2")._2 && out("a2")._2 > 0.0,
+      s"a1 out-cited a2 3:1 — authority order violated: $out")
+    assert(out("h1")._1 > out("h2")._1,
+      s"h1 cites both authorities — hub order violated: $out")
+    assert(math.abs(out("h2")._1 - out("h3")._1) < 1e-12, "symmetric hubs tie")
+    assert(out("a1")._1 == 0.0 && out("h1")._2 == 0.0,
+      "pure sources have no authority, pure sinks no hub score")
+    // Regular symmetric graph (K3 doubled): A·1 is uniform, so every
+    // half-step stays uniform — hub = auth = 1/3 exactly.
+    val k3 = Seq("x" -> "y", "y" -> "x", "y" -> "z", "z" -> "y", "x" -> "z",
+      "z" -> "x").toDF("src", "dst")
+    val so = GraphOps.hits(k3, iterations = 4)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(so.forall { case (hb, au) =>
+      math.abs(hb - 1.0 / 3) < 1e-9 && math.abs(au - 1.0 / 3) < 1e-9 },
+      s"regular symmetric graph must be uniform: ${so.toSeq}")
+    intercept[IllegalArgumentException] { GraphOps.hits(edges, iterations = 0) }
+  }
+
   test("pageRankWeighted: equal weights ≡ unweighted; heavier edges pull more rank") {
     import spark.implicits._
     val e = ((1 to 5).map(i => (s"spoke$i", "hub")) ++
