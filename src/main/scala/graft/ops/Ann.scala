@@ -837,9 +837,12 @@ object Ann {
     * Returns the DROP set `(id)` — distinct ids that lose their cluster
     * duel. Null/absent embeddings never match (`cosine6` is null-poisoned,
     * the filter drops null verdicts), so such rows are always kept. */
-  def semDedupDrops(emb: DataFrame, centroids: DataFrame, threshold: Double,
-                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val withCid = collectedCentroids(centroids, id, vec) match {
+  /** `(id, vec, __cid)` — the [[ivfAssign]] semantics as an attached
+    * column: a narrow projection when the centroid table collects, the
+    * broadcast-assign + re-join fallback otherwise. */
+  private def withAssignedCid(emb: DataFrame, centroids: DataFrame,
+                              id: String, vec: String): DataFrame =
+    collectedCentroids(centroids, id, vec) match {
       case Some(cents) =>
         emb.select(col(id), col(vec),
           element_at(nearestCentroidsSorted(cents, col(vec)), 1)
@@ -850,6 +853,10 @@ object Ann {
         emb.select(col(id), col(vec))
           .join(assigned, col(id) === col("__aid")).drop("__aid")
     }
+
+  def semDedupDrops(emb: DataFrame, centroids: DataFrame, threshold: Double,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val withCid = withAssignedCid(emb, centroids, id, vec)
     val a = withCid.select(col("__cid"), col(id).as("__d1"), col(vec).as("__a_emb"))
     val b = withCid.select(col("__cid"), col(id).as("__d2"), col(vec).as("__b_emb"))
     a.join(b, Seq("__cid"))
@@ -863,4 +870,92 @@ object Ann {
   def semDedup(emb: DataFrame, centroids: DataFrame, threshold: Double,
                id: String = "vec_id", vec: String = "embedding"): DataFrame =
     emb.join(semDedupDrops(emb, centroids, threshold, id, vec), Seq(id), "left_anti")
+
+  /** The persisted SemDeDup state: `(cid, doc_id, vec)` for EVERY ingested
+    * vector — dropped docs included, because a dropped doc still dominates
+    * its own later neighbors under the one-pass greedy contract (keeping
+    * only survivors would resurrect their chains). Bucketed by `cid` so
+    * [[appendSemDedup]]'s within-cluster probe joins Exchange-free. */
+  def buildSemDedupState(emb: DataFrame, centroids: DataFrame,
+                         id: String = "vec_id",
+                         vec: String = "embedding"): DataFrame =
+    withAssignedCid(emb, centroids, id, vec)
+      .select(col("__cid").as("cid"), col(id).cast("long").as("doc_id"),
+        col(vec).as("vec"))
+      .where(col("doc_id").isNotNull)
+
+  /** Persist [[buildSemDedupState]] bucketed by cid (the
+    * [[persistIvfIndex]] posture; write to a fresh path and swap). */
+  def persistSemDedupState(state: DataFrame, table: String, path: String,
+                           buckets: Int = 32,
+                           mode: org.apache.spark.sql.SaveMode =
+                             org.apache.spark.sql.SaveMode.ErrorIfExists): Unit =
+    graft.sources.Bucketed.write(state.select(col("cid"), col("doc_id"), col("vec")),
+      table, path, "cid", buckets, mode)
+
+  /** Re-attach a persisted SemDeDup state; `buckets` must match the
+    * write. */
+  def loadSemDedupState(spark: org.apache.spark.sql.SparkSession,
+                        table: String, path: String,
+                        buckets: Int = 32): DataFrame =
+    graft.sources.Bucketed.register(spark, table, path, "cid", buckets)
+
+  /** O(new-batch) SemDeDup maintenance — the [[graft.ops.DedupOps]]
+    * `appendNearDup` posture applied to the semantic prune: a NEW batch's
+    * drop verdicts (vs the persisted state AND within itself) under the
+    * FROZEN centroid set, with the batch appended into the state
+    * afterwards. Folding batches B1..Bn emits, per batch, EXACTLY
+    * `semDedupDrops(B1 ∪ … ∪ Bn, centroids)` restricted to that batch's
+    * ids (SemDedupSpec pins the equivalence), while each call's wide work
+    * is batch-sized: the state probe is an equi join on cid whose
+    * bucketed side never shuffles, and the batch self-join is
+    * batch×batch.
+    *
+    * Soundness needs MONOTONE ids: every batch id must exceed every
+    * indexed id. Otherwise the union-batch contract would drop an
+    * ALREADY-INGESTED doc (a verdict this fold has already emitted and
+    * cannot retract) — enforced loudly, alongside the appendIvfIndex id
+    * hygiene (non-null, batch-unique). Centroids must also be the ones
+    * the state was built with (assignment drift would split clusters
+    * invisibly); persist them next to the state like any index artifact.
+    * Returns the batch's drop ids `(doc_id)`. */
+  def appendSemDedup(spark: org.apache.spark.sql.SparkSession,
+                     table: String, path: String,
+                     newBatch: DataFrame, centroids: DataFrame,
+                     threshold: Double,
+                     id: String = "vec_id", vec: String = "embedding",
+                     buckets: Int = 32): DataFrame = {
+    val state = loadSemDedupState(spark, table, path, buckets)
+    val batch = buildSemDedupState(newBatch, centroids, id, vec).localCheckpoint()
+    val Array(nRows, nIds, nDistinct) = newBatch
+      .agg(count(lit(1)), count(col(id)), countDistinct(col(id))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nIds,
+      s"appendSemDedup: ${nRows - nIds} NULL id row(s) — every vector needs an id")
+    require(nIds == nDistinct,
+      s"appendSemDedup: ${nIds - nDistinct} duplicate id value(s) within the batch")
+    val maxOld = state.agg(max(col("doc_id"))).head()
+    val minNew = batch.agg(min(col("doc_id"))).head()
+    if (!maxOld.isNullAt(0) && !minNew.isNullAt(0))
+      require(minNew.getLong(0) > maxOld.getLong(0),
+        s"appendSemDedup: batch min id ${minNew.getLong(0)} <= indexed max " +
+          s"${maxOld.getLong(0)} — ids must be monotone across batches (an " +
+          "out-of-order id would retroactively drop an already-ingested doc, " +
+          "a verdict this fold has already emitted)")
+    val vsOld = batch.select(col("cid"), col("doc_id"), col("vec").as("__nv"))
+      .join(state.select(col("cid"), col("doc_id").as("__od"), col("vec").as("__ov")),
+        Seq("cid"))
+      .where(col("__od") < col("doc_id") &&
+        cosine6(col("__nv"), col("__ov")) >= threshold)
+      .select(col("doc_id"))
+    val vsNew = batch.select(col("cid"), col("doc_id").as("__d1"), col("vec").as("__v1"))
+      .join(batch.select(col("cid"), col("doc_id").as("__d2"), col("vec").as("__v2")),
+        Seq("cid"))
+      .where(col("__d1") < col("__d2") &&
+        cosine6(col("__v1"), col("__v2")) >= threshold)
+      .select(col("__d2").as("doc_id"))
+    val drops = vsOld.unionAll(vsNew).distinct().localCheckpoint()
+    graft.sources.Bucketed.appendRegistered(batch, table, "cid", buckets)
+    drops
+  }
 }

@@ -22,7 +22,7 @@ class SemDedupSpec extends AnyFunSuite {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType))))
 
-  private def embDf(rows: (Long, Seq[Float])*) =
+  private def embDf(rows: (Any, Seq[Float])*) =
     spark.createDataFrame(
       rows.map { case (i, v) =>
         org.apache.spark.sql.Row(i, if (v == null) null else v)
@@ -106,6 +106,51 @@ class SemDedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"within-cluster verify must stay keyed:\n$plan")
+  }
+
+  test("appendSemDedup: folded batch verdicts equal the one-shot prune; ids enforced monotone") {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = embeddings.where(col("vec_id") < 150).localCheckpoint()
+    val b0 = all.where(col("vec_id") < 50)
+    val b1 = all.where(col("vec_id") >= 50 && col("vec_id") < 100)
+    val b2 = all.where(col("vec_id") >= 100)
+    val cents = Ann.kmeans(all, 4, iters = 2).localCheckpoint()
+    val tau = 0.35
+    val root = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    try {
+      Ann.persistSemDedupState(Ann.buildSemDedupState(b0, cents),
+        "sem_w", s"$root/st", buckets = 4)
+      val got1 = ids(Ann.appendSemDedup(spark, "sem_w", s"$root/st", b1, cents, tau, buckets = 4))
+      val got2 = ids(Ann.appendSemDedup(spark, "sem_w", s"$root/st", b2, cents, tau, buckets = 4))
+      // Contract: per-doc verdicts depend only on smaller-id docs, so the
+      // fold's drops are the one-shot prune's drops restricted to
+      // post-seed ids.
+      val oneShot = ids(Ann.semDedupDrops(all, cents, tau))
+      assert(got1.nonEmpty && got2.nonEmpty, "fixture must produce cross-batch drops")
+      assert(got1.forall(i => i >= 50 && i < 100) && got2.forall(_ >= 100))
+      assert((got1 ++ got2) == oneShot.filter(_ >= 50),
+        s"fold diverged: extra=${(got1 ++ got2) -- oneShot} " +
+          s"missing=${oneShot.filter(_ >= 50) -- got1 -- got2}")
+      // Monotone-id contract: replaying b1 (ids below the indexed max) refuses.
+      val eMono = intercept[IllegalArgumentException] {
+        Ann.appendSemDedup(spark, "sem_w", s"$root/st", b1, cents, tau, buckets = 4)
+      }
+      assert(eMono.getMessage.contains("monotone"))
+      // Id hygiene: in-batch dup and null ids refuse.
+      intercept[IllegalArgumentException] {
+        Ann.appendSemDedup(spark, "sem_w", s"$root/st",
+          embDf(900L -> at(0), 900L -> at(0)), cents, tau, buckets = 4)
+      }
+      intercept[IllegalArgumentException] {
+        Ann.appendSemDedup(spark, "sem_w", s"$root/st",
+          embDf((null: Any) -> at(0)), cents, tau, buckets = 4)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `sem_w`")
+    }
   }
 
   test("Pipelines.semanticDedup auto-k end-to-end: deterministic, subset, near-dup-free") {
