@@ -574,6 +574,83 @@ object DedupOps {
       graft.sources.Bucketed.register(spark, s"${table}_tk", s"${path}_tk",
         "doc_id", buckets))
 
+  /** Where [[deleteFromNearDupIndex]] records removed doc ids: a small
+    * parquet id list beside the index (append-only; reads dedup) — the
+    * [[graft.ops.Ann.ivfTombstoneDir]] posture. */
+  def nearDupTombstoneDir(path: String): String = s"${path}_tombstones"
+
+  /** The current tombstone id set of a persisted near-dup index (empty
+    * frame when none have been recorded). */
+  def nearDupTombstones(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val dir = nearDupTombstoneDir(path)
+    val (fs, p) = graft.sources.LakeFs.resolve(dir)
+    if (fs.exists(p)) spark.read.parquet(dir).select(col("doc_id")).distinct()
+    else spark.range(0).select(col("id").as("doc_id")).limit(0)
+  }
+
+  /** TOMBSTONE deletion for a persisted near-dup index — the takedown
+    * path (a removed document must stop generating candidate pairs NOW,
+    * not at the next rebuild). Deletes are MARKS, not rewrites (the
+    * [[graft.ops.Ann.deleteFromIvfIndex]] posture: bucketed tables
+    * cannot rewrite single files without breaking the bucket-file
+    * naming contract, and takedown batches are tiny against the index):
+    * ids append to a side list and [[appendNearDup]] /
+    * [[loadNearDupIndexLive]] filter them with a broadcast anti join
+    * that leaves both bucketed layouts intact. Scope is ADMISSION
+    * control, like [[graft.streaming.DedupLoop]] retractions: pairs
+    * ALREADY emitted against the doc are downstream state and are not
+    * retracted here. Returns the number of batch ids live in the
+    * physical index (0 = no-op batch: never indexed or already
+    * deleted); tombstones are recorded regardless, so
+    * delete-then-append races resolve to deleted. NULL ids drop. */
+  def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, path: String, ids: DataFrame,
+                             buckets: Int = 32): Long = {
+    require(ids.columns.length == 1, "ids must be a single id column")
+    val batch = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull).distinct().localCheckpoint()
+    val (_, toks) = loadNearDupIndex(spark, table, path, buckets)
+    val live = toks.select(col("doc_id"))
+      .join(nearDupTombstones(spark, path), Seq("doc_id"), "left_anti")
+      .join(batch, Seq("doc_id"), "left_semi").count()
+    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(nearDupTombstoneDir(path))
+    live
+  }
+
+  /** The LIVE view of a persisted near-dup index: both attachments minus
+    * tombstoned docs. The anti joins broadcast the (takedown-bounded)
+    * tombstone set, so the band-key and doc-id bucketing — and the
+    * Exchange-free probes over them — survive the filter. */
+  def loadNearDupIndexLive(spark: org.apache.spark.sql.SparkSession,
+                           table: String, path: String,
+                           buckets: Int = 32): (DataFrame, DataFrame) = {
+    val (keys, toks) = loadNearDupIndex(spark, table, path, buckets)
+    val dead = broadcast(nearDupTombstones(spark, path))
+    (keys.join(dead, Seq("doc_id"), "left_anti"),
+      toks.join(dead, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Rewrite the live rows to a FRESH index pair (never in place — the
+    * [[graft.sources.Maintenance.compact]] rule), clearing the tombstone
+    * debt: the new path has no tombstones, every physical row is live,
+    * and previously-deleted ids become appendable again (see
+    * [[appendNearDup]]'s clash guard, which checks PHYSICAL rows
+    * precisely because the live filter would hide a tombstoned twin of
+    * a re-added id). Swap consumers to the new (table, path) and drop
+    * the old directories when convenient. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, path: String,
+                          newTable: String, newPath: String,
+                          buckets: Int = 32): Unit = {
+    require(graft.sources.LakeFs.canonical(newPath) !=
+      graft.sources.LakeFs.canonical(path),
+      "compactNearDupIndex never rewrites in place — write to a new path and swap")
+    persistNearDupIndex(loadNearDupIndexLive(spark, table, path, buckets),
+      newTable, newPath, buckets)
+  }
+
   /** O(new-batch) near-dup maintenance: the pairs a NEW document batch
     * forms — against the persisted index AND within itself — verified
     * at `threshold`, with the batch appended into the index afterwards.
@@ -594,7 +671,14 @@ object DedupOps {
                     newDocs: DataFrame, id: Column, text: Column,
                     k: Int, bands: Int, threshold: Double,
                     buckets: Int = 32): DataFrame = {
-    val (oldKeys, oldToks) = loadNearDupIndex(spark, table, path, buckets)
+    // Probe the LIVE state: tombstoned docs must not generate pairs. The
+    // clash guard below still checks PHYSICAL rows (a tombstoned twin is
+    // invisible live, but re-appending its id would leave two physical
+    // rows the live filter then kills BOTH of).
+    val (physKeys, physToks) = loadNearDupIndex(spark, table, path, buckets)
+    val dead = broadcast(nearDupTombstones(spark, path))
+    val oldKeys = physKeys.join(dead, Seq("doc_id"), "left_anti")
+    val oldToks = physToks.join(dead, Seq("doc_id"), "left_anti")
     val (newKeys0, newToks0) = buildNearDupIndex(newDocs, id, text, k, bands)
     val newKeys = newKeys0.localCheckpoint()
     val newToks = newToks0.localCheckpoint()
@@ -605,11 +689,18 @@ object DedupOps {
       s"appendNearDup: ${nRows - nIds} NULL id row(s) — every doc needs an id")
     require(nIds == nDistinct,
       s"appendNearDup: ${nIds - nDistinct} duplicate id value(s) within the batch")
-    val clash = oldToks.select(col("doc_id"))
-      .join(newToks.select(col("doc_id")), Seq("doc_id"), "left_semi").count()
-    require(clash == 0L,
-      s"appendNearDup: $clash batch id(s) already indexed — re-appending " +
-        "would re-emit their pairs on every later batch; dedup the batch first")
+    val clashIds = physToks.select(col("doc_id"))
+      .join(newToks.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val clash = clashIds.count()
+    if (clash != 0L) {
+      val deadClash = clashIds
+        .join(nearDupTombstones(spark, path), Seq("doc_id"), "left_semi").count()
+      throw new IllegalArgumentException(
+        s"appendNearDup: $clash batch id(s) already indexed — re-appending " +
+          "would re-emit their pairs on every later batch; dedup the batch first" +
+          (if (deadClash > 0) s" ($deadClash of them are tombstoned deletions — " +
+            "compactNearDupIndex makes deleted ids re-appendable)" else ""))
+    }
     // Candidates: batch × index (probe side shuffles, bucketed side
     // doesn't) + batch × batch; both orientations normalize to d1 < d2.
     val vsOld = newKeys.select(col("doc_id").as("n"), col("bk"))

@@ -838,6 +838,68 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup index takedowns: tombstoned docs stop pairing; compaction restores appendability") {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = documents.where(col("doc_id") < 200).localCheckpoint()
+    val b0 = all.where(col("doc_id") < 100)
+    val b1 = all.where(col("doc_id") >= 100)
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup-del").toString
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // Baseline run (no deletions): which pairs does b1 form?
+      DedupOps.persistNearDupIndex(
+        DedupOps.buildNearDupIndex(b0, col("doc_id"), col("text"), 8, 4),
+        "ndup_t0", s"$root/base", buckets = 4)
+      val basePairs = pairsOf(DedupOps.appendNearDup(spark, "ndup_t0", s"$root/base",
+        b1, col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4))
+      val victim = basePairs.collectFirst {
+        case (o, n) if o < 100 && n >= 100 => o
+      }.getOrElse(fail("fixture must have a cross-batch pair"))
+      // Fresh index: take the victim down BEFORE b1 arrives.
+      DedupOps.persistNearDupIndex(
+        DedupOps.buildNearDupIndex(b0, col("doc_id"), col("text"), 8, 4),
+        "ndup_t1", s"$root/idx", buckets = 4)
+      assert(DedupOps.deleteFromNearDupIndex(spark, "ndup_t1", s"$root/idx",
+        Seq(victim).toDF("doc_id"), buckets = 4) == 1L)
+      // Re-delete and never-indexed ids are no-ops (0 live hits).
+      assert(DedupOps.deleteFromNearDupIndex(spark, "ndup_t1", s"$root/idx",
+        Seq(victim, 99999L).toDF("doc_id"), buckets = 4) == 0L)
+      // The live view hides the victim in BOTH attachments.
+      val (lk, lt) = DedupOps.loadNearDupIndexLive(spark, "ndup_t1", s"$root/idx",
+        buckets = 4)
+      assert(lk.where(col("doc_id") === victim).count() == 0L &&
+        lt.where(col("doc_id") === victim).count() == 0L)
+      // The append now emits exactly the baseline pairs minus the victim's.
+      val got = pairsOf(DedupOps.appendNearDup(spark, "ndup_t1", s"$root/idx",
+        b1, col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4))
+      assert(got == basePairs.filterNot(p => p._1 == victim || p._2 == victim))
+      assert(got != basePairs, "the deletion must be observable")
+      // Re-appending the tombstoned id refuses, naming the fix.
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.appendNearDup(spark, "ndup_t1", s"$root/idx",
+          b0.where(col("doc_id") === victim),
+          col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4)
+      }
+      assert(e.getMessage.contains("compactNearDupIndex"))
+      // Compaction clears the debt: the victim id is appendable again and
+      // its pairs come back against the live corpus.
+      DedupOps.compactNearDupIndex(spark, "ndup_t1", s"$root/idx",
+        "ndup_t2", s"$root/idx2", buckets = 4)
+      val got2 = pairsOf(DedupOps.appendNearDup(spark, "ndup_t2", s"$root/idx2",
+        b0.where(col("doc_id") === victim),
+        col("doc_id"), col("text"), 8, 4, 0.8, buckets = 4))
+      assert(got2.exists(p => p._1 == victim || p._2 == victim))
+      assert(got2.forall(p => p._1 == victim || p._2 == victim))
+    } finally {
+      Seq("ndup_t0", "ndup_t1", "ndup_t2").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `${t}_bk`")
+        spark.sql(s"DROP TABLE IF EXISTS `${t}_tk`")
+      }
+    }
+  }
+
   test("connectedComponentsInc: deletions split, adds merge, untouched components ride") {
     import spark.implicits._
     // Components: chain 100..120 (label 100), blob {0,1,2,3} (label 0),
