@@ -701,6 +701,20 @@ object DedupOps {
           (if (deadClash > 0) s" ($deadClash of them are tombstoned deletions — " +
             "compactNearDupIndex makes deleted ids re-appendable)" else ""))
     }
+    val pairs = nearDupPairsCore(oldKeys, oldToks, newKeys, newToks, threshold)
+      .localCheckpoint()
+    graft.sources.Bucketed.appendRegistered(newKeys, s"${table}_bk", "bk", buckets)
+    graft.sources.Bucketed.appendRegistered(newToks, s"${table}_tk", "doc_id", buckets)
+    pairs
+  }
+
+  /** The batch-vs-index pair kernel shared by [[appendNearDup]] and
+    * [[graft.streaming.NearDupLoop]]: verified `(d1, d2, j)` pairs the
+    * `new*` side forms against the `old*` side and within itself.
+    * Callers own id hygiene, tombstone filtering, and the append. */
+  private[graft] def nearDupPairsCore(oldKeys: DataFrame, oldToks: DataFrame,
+                                      newKeys: DataFrame, newToks: DataFrame,
+                                      threshold: Double): DataFrame = {
     // Candidates: batch × index (probe side shuffles, bucketed side
     // doesn't) + batch × batch; both orientations normalize to d1 < d2.
     val vsOld = newKeys.select(col("doc_id").as("n"), col("bk"))
@@ -722,15 +736,11 @@ object DedupOps {
     val toks = newToks.unionByName(
       oldToks.join(candDocs, Seq("doc_id"), "left_semi"))
     val j = call_function("jaccard_sorted", col("t1"), col("t2"))
-    val pairs = cand
+    cand
       .join(toks.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
       .join(toks.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
       .where(j >= threshold)
       .select(col("d1"), col("d2"), round(j, 6).as("j"))
-      .localCheckpoint()
-    graft.sources.Bucketed.appendRegistered(newKeys, s"${table}_bk", "bk", buckets)
-    graft.sources.Bucketed.appendRegistered(newToks, s"${table}_tk", "doc_id", buckets)
-    pairs
   }
 
   /** Typed mergeable MinHash sketch (the `Aggregator` path of SURVEY.md
