@@ -918,7 +918,13 @@ object Ann {
     * hygiene (non-null, batch-unique). Centroids must also be the ones
     * the state was built with (assignment drift would split clusters
     * invisibly); persist them next to the state like any index artifact.
-    * Returns the batch's drop ids `(doc_id)`. */
+    * The probe runs against the LIVE state (physical minus
+    * [[semDedupTombstones]]): a taken-down doc stops dominating new
+    * content immediately, while the monotone guard stays PHYSICAL — a
+    * tombstoned max id keeps blocking smaller ids until
+    * [[compactSemDedupState]] clears it (ids are never reusable while
+    * their physical row exists). Returns the batch's drop ids
+    * `(doc_id)`. */
   def appendSemDedup(spark: org.apache.spark.sql.SparkSession,
                      table: String, path: String,
                      newBatch: DataFrame, centroids: DataFrame,
@@ -942,6 +948,24 @@ object Ann {
           s"${maxOld.getLong(0)} — ids must be monotone across batches (an " +
           "out-of-order id would retroactively drop an already-ingested doc, " +
           "a verdict this fold has already emitted)")
+    // Probe the LIVE state: a tombstoned (taken-down) doc must stop
+    // dominating new content immediately — see [[deleteFromSemDedupState]].
+    val liveState = state
+      .join(broadcast(semDedupTombstones(spark, path)), Seq("doc_id"), "left_anti")
+    val drops = semDedupDropsCore(liveState, batch, threshold).localCheckpoint()
+    graft.sources.Bucketed.appendRegistered(batch, table, "cid", buckets)
+    drops
+  }
+
+  /** The batch-vs-state + batch-vs-batch drop verdicts shared by
+    * [[appendSemDedup]] and [[graft.streaming.SemDedupLoop]]: both
+    * frames carry the [[buildSemDedupState]] layout `(cid, doc_id,
+    * vec)`; emits the batch ids some smaller-id doc (in `state` or
+    * earlier in the batch) dominates at cosine ≥ `threshold`. The only
+    * wide ops are equi joins on `cid` (Exchange-free on a bucketed
+    * `state` side). */
+  private[graft] def semDedupDropsCore(state: DataFrame, batch: DataFrame,
+                                       threshold: Double): DataFrame = {
     val vsOld = batch.select(col("cid"), col("doc_id"), col("vec").as("__nv"))
       .join(state.select(col("cid"), col("doc_id").as("__od"), col("vec").as("__ov")),
         Seq("cid"))
@@ -954,8 +978,79 @@ object Ann {
       .where(col("__d1") < col("__d2") &&
         cosine6(col("__v1"), col("__v2")) >= threshold)
       .select(col("__d2").as("doc_id"))
-    val drops = vsOld.unionAll(vsNew).distinct().localCheckpoint()
-    graft.sources.Bucketed.appendRegistered(batch, table, "cid", buckets)
-    drops
+    vsOld.unionAll(vsNew).distinct()
+  }
+
+  /** Where [[deleteFromSemDedupState]] records removed ids: a small
+    * parquet id list beside the state (append-only; reads dedup). */
+  def semDedupTombstoneDir(path: String): String = s"${path}_tombstones"
+
+  /** The current tombstone id set of a persisted SemDeDup state (empty
+    * frame when none have been recorded). */
+  def semDedupTombstones(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val dir = semDedupTombstoneDir(path)
+    val (fs, p) = graft.sources.LakeFs.resolve(dir)
+    if (fs.exists(p)) spark.read.parquet(dir).select(col("doc_id")).distinct()
+    else spark.range(0).select(col("id").as("doc_id")).limit(0)
+  }
+
+  /** TOMBSTONE deletion for a persisted SemDeDup state — the semantic-
+    * dedup takedown path (the [[deleteFromIvfIndex]] posture): a removed
+    * document must stop DOMINATING future near-twins NOW — without it, a
+    * fresh copy of taken-down content would be silently dropped against
+    * a document that no longer exists, making the takedown
+    * self-defeating (the content stays unreachable AND unreplaceable).
+    * Deletes are MARKS on an append-only side list (crash-safe,
+    * idempotent: reads dedup); [[appendSemDedup]] probes the LIVE state
+    * so tombstoned docs stop issuing verdicts immediately, and
+    * [[loadSemDedupStateLive]] filters them with a broadcast anti join
+    * that leaves the `cid` bucketing (and the Exchange-free probe join)
+    * intact. Honest scope: admission control — drop verdicts already
+    * emitted against the doc are downstream state and are NOT retracted
+    * (the one-pass greedy contract never retracts; re-ingest dropped
+    * content as a NEW id if it must come back). Returns the number of
+    * batch ids live in the physical state — 0 means no-op (already
+    * deleted or never ingested); tombstones are recorded regardless.
+    * Bound the debt with [[compactSemDedupState]]. */
+  def deleteFromSemDedupState(spark: org.apache.spark.sql.SparkSession,
+                              table: String, path: String, ids: DataFrame,
+                              buckets: Int = 32): Long = {
+    require(ids.columns.length == 1, "ids must be a single id column")
+    val batch = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull).distinct().localCheckpoint()
+    val live = loadSemDedupState(spark, table, path, buckets).select(col("doc_id"))
+      .join(semDedupTombstones(spark, path), Seq("doc_id"), "left_anti")
+      .join(batch, Seq("doc_id"), "left_semi").count()
+    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(semDedupTombstoneDir(path))
+    live
+  }
+
+  /** The LIVE view of a persisted SemDeDup state: the bucketed
+    * attachment minus tombstoned ids (broadcast anti join — the
+    * takedown-bounded set never disturbs the bucketing). */
+  def loadSemDedupStateLive(spark: org.apache.spark.sql.SparkSession,
+                            table: String, path: String,
+                            buckets: Int = 32): DataFrame =
+    loadSemDedupState(spark, table, path, buckets)
+      .join(broadcast(semDedupTombstones(spark, path)), Seq("doc_id"), "left_anti")
+
+  /** Rewrite the live rows to a FRESH bucketed state (never in place —
+    * the [[compactIvfIndex]] rule), clearing the tombstone debt. Note
+    * the monotone-id contract survives compaction: the physical max id
+    * can only DROP (deleted ids leave), so any batch the old state
+    * would admit, the compacted state admits too. Swap consumers to the
+    * new (table, path) and drop the old directory when convenient. */
+  def compactSemDedupState(spark: org.apache.spark.sql.SparkSession,
+                           table: String, path: String,
+                           newTable: String, newPath: String,
+                           buckets: Int = 32): DataFrame = {
+    require(graft.sources.LakeFs.canonical(newPath) !=
+      graft.sources.LakeFs.canonical(path),
+      "compactSemDedupState never rewrites in place — write to a new path and swap")
+    persistSemDedupState(loadSemDedupStateLive(spark, table, path, buckets),
+      newTable, newPath, buckets)
+    loadSemDedupState(spark, newTable, newPath, buckets)
   }
 }

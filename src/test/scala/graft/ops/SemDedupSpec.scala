@@ -153,6 +153,61 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("takedowns: a tombstoned doc stops dominating appendSemDedup; compaction restores") {
+    // Single cluster at 0 deg; tau = 0.9 (cos 3 ~= 0.9986 matches,
+    // cos 47 ~= 0.68 does not).
+    val cents = embDf(0L -> at(0))
+    val tau = 0.9
+    val root = java.nio.file.Files.createTempDirectory("graft-semdedup-tk").toString
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    try {
+      Ann.persistSemDedupState(
+        Ann.buildSemDedupState(embDf(10L -> at(0), 11L -> at(50)), cents),
+        "sem_tk", s"$root/st", buckets = 4)
+      // Take down 10: a near-twin of it must now be ADMITTED (without the
+      // tombstone it would drop against a doc that no longer exists).
+      assert(Ann.deleteFromSemDedupState(spark, "sem_tk", s"$root/st",
+        embDf(10L -> at(0)).select("vec_id"), buckets = 4) == 1L)
+      // Idempotent re-delete and never-ingested ids are no-ops (0 live).
+      assert(Ann.deleteFromSemDedupState(spark, "sem_tk", s"$root/st",
+        embDf(10L -> at(0)).select("vec_id"), buckets = 4) == 0L)
+      assert(Ann.deleteFromSemDedupState(spark, "sem_tk", s"$root/st",
+        embDf(999L -> at(0)).select("vec_id"), buckets = 4) == 0L)
+      // 20 (3 deg) only matched the tombstoned 10 -> kept; 21 (47 deg)
+      // matches the LIVE 11 (50 deg, cos 3) -> dropped.
+      val got = ids(Ann.appendSemDedup(spark, "sem_tk", s"$root/st",
+        embDf(20L -> at(3), 21L -> at(47)), cents, tau, buckets = 4))
+      assert(got == Set(21L), s"expected only the live-dominated drop, got $got")
+      // Physical vs live: the victim's row survives physically, the live
+      // view hides it, the bucketing survives the filter.
+      val phys = Ann.loadSemDedupState(spark, "sem_tk", s"$root/st", buckets = 4)
+      val live = Ann.loadSemDedupStateLive(spark, "sem_tk", s"$root/st", buckets = 4)
+      assert(phys.where(col("doc_id") === 10L).count() == 1L)
+      assert(live.where(col("doc_id") === 10L).count() == 0L)
+      assert(ids(live.select("doc_id")) == Set(11L, 20L, 21L))
+      // Compaction: fresh path only (in-place refused), tombstone debt
+      // cleared, live content preserved; the monotone contract still
+      // holds (physical max can only drop).
+      intercept[IllegalArgumentException] {
+        Ann.compactSemDedupState(spark, "sem_tk", s"$root/st", "sem_tk2", s"$root/st")
+      }
+      Ann.compactSemDedupState(spark, "sem_tk", s"$root/st", "sem_tk2", s"$root/st2",
+        buckets = 4)
+      val phys2 = Ann.loadSemDedupState(spark, "sem_tk2", s"$root/st2", buckets = 4)
+      assert(ids(phys2.select("doc_id")) == Set(11L, 20L, 21L))
+      assert(Ann.semDedupTombstones(spark, s"$root/st2").count() == 0L)
+      // A dropped-but-live doc (21) still dominates later neighbors under
+      // the one-pass chain contract, now over the compacted state.
+      val got2 = ids(Ann.appendSemDedup(spark, "sem_tk2", s"$root/st2",
+        embDf(40L -> at(44)), cents, tau, buckets = 4))
+      assert(got2 == Set(40L), s"chain contract must survive compaction, got $got2")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `sem_tk`")
+      spark.sql("DROP TABLE IF EXISTS `sem_tk2`")
+    }
+  }
+
   test("Pipelines.semanticDedup auto-k end-to-end: deterministic, subset, near-dup-free") {
     val emb = embeddings.where(col("vec_id") < 120)
     val kept = graft.api.Pipelines.semanticDedup(emb, threshold = 0.44,
