@@ -244,6 +244,80 @@ object Bench {
             graft.ops.TextOps.langClassify(col("text"), models).as("l"))
           .groupBy("l").count().agg(count(lit(1)).as("n"), max("count").as("mx"))
       },
+      // Steady-state near-dup index fold (round 13): the per-batch wide
+      // work of appendNearDup/NearDupLoop — batch signatures + pair kernel
+      // against a persisted banded index. Index build is table maintenance
+      // (outside the thunk); the timed pass is what every ingest batch
+      // pays. The pair kernel is side-effect-free, so the median-of-3
+      // protocol can re-run it (the append itself is an O(batch) bucketed
+      // file write).
+      "x_neardup_fold" -> {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-ndidx")
+          .toString + "/idx"
+        // 2000-doc index / 500-doc batch: the synthetic corpus is near-dup
+        // DENSE (see x_minhash_lsh_pairs_1k), so pair volume — not the
+        // plan — dominates past this size; the slice keeps the guard on
+        // the fold's join shape, not the corpus's quadratic density.
+        graft.ops.DedupOps.persistNearDupIndex(
+          graft.ops.DedupOps.buildNearDupIndex(
+            docs.where(col("doc_id") < 2000), col("doc_id"), col("text"), 8, 4),
+          "bench_nd", dir, buckets = 32)
+        val (oldKeys, oldToks) =
+          graft.ops.DedupOps.loadNearDupIndex(spark, "bench_nd", dir, buckets = 32)
+        val batch = docs.where(col("doc_id") >= 2000 && col("doc_id") < 2500)
+          .select("doc_id", "text").persist()
+        batch.count() // materialize: the bench times the fold, not the scan
+        () => {
+          val (nk, nt) = graft.ops.DedupOps.buildNearDupIndex(
+            batch, col("doc_id"), col("text"), 8, 4)
+          graft.ops.DedupOps.nearDupPairsCore(oldKeys, oldToks, nk, nt, 0.8)
+            .agg(count(lit(1)).as("pairs"))
+        }
+      },
+      // Steady-state SemDeDup fold (round 13): the per-batch wide work of
+      // appendSemDedup/SemDedupLoop — batch assignment under frozen
+      // centroids + drop verdicts against the persisted cid-bucketed
+      // state. Clustering + state build are maintenance (outside).
+      "x_semdedup_fold" -> {
+        val e = spark.table("embeddings")
+        val n = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val cents = graft.ops.Ann.kmeans(
+          e, graft.ops.Ann.semDedupKFor(n), iters = 2).localCheckpoint()
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-sdst")
+          .toString + "/st"
+        val cut = n - n / 5 // batch = the newest fifth (400 of sf0.1's 2000)
+        graft.ops.Ann.persistSemDedupState(
+          graft.ops.Ann.buildSemDedupState(e.where(col("vec_id") < cut), cents),
+          "bench_sd", dir, buckets = 32)
+        val state = graft.ops.Ann.loadSemDedupState(spark, "bench_sd", dir, buckets = 32)
+        val batch = e.where(col("vec_id") >= cut).persist()
+        batch.count() // materialize: the bench times the fold, not the scan
+        () => graft.ops.Ann.semDedupDropsCore(state,
+            graft.ops.Ann.buildSemDedupState(batch, cents), 0.44)
+          .agg(count(lit(1)).as("drops"))
+      },
+      // HITS hubs/authorities (round 13): the production L1-normalized
+      // alternating matvecs over the part→supplier co-occurrence graph —
+      // guards the q184 family's wide-plan shape (keyed joins + aggs only).
+      "x_hits" -> {
+        val edges = spark.table("lineitem")
+          .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+        () => graft.ops.GraphOps.hits(edges, iterations = 3)
+          .agg(count(lit(1)).as("n"), round(max(col("auth")), 6).as("m"))
+      },
+      // DSIR importance scoring (round 13): model fit is maintenance
+      // (two bounded group-bys, outside); the timed pass is the 100 TB
+      // side — ONE map-only broadcast-ratio projection over every doc.
+      "x_dsir_score" -> {
+        val b = 1 << 14
+        val ratios = graft.ops.ImportanceSampling.logRatios(
+          graft.ops.ImportanceSampling.bucketProbs(
+            docs.where(col("doc_id") % 10 === 0), col("text"), b),
+          graft.ops.ImportanceSampling.bucketProbs(docs, col("text"), b))
+        () => graft.ops.ImportanceSampling.importanceLogWeights(
+            docs, col("doc_id"), col("text"), ratios)
+          .agg(count(lit(1)).as("n"), round(avg(col("logw")), 4).as("m"))
+      },
       // Bloom prefilter + exact semi join (q82 shape): guards the native
       // bloom_might_contain probe's scan-side cost.
       "x_bloom_semijoin" -> (() => {
@@ -286,6 +360,15 @@ object Bench {
     "x_warc_ingest"        -> 0.29,
     "x_warc_links"         -> 0.62,
     "x_classifier_score"   -> 0.25,
+    // Round-13 additions, pinned at their first measured medians (two
+    // same-session runs each, loadavg < 3): the fold extras guard the
+    // steady-state per-batch cost of the persisted-index maintenance
+    // paths; x_hits is the iterative-join floor (measured AFTER the
+    // sparse/deferred-normalization rewrite cut it from 6.35 s).
+    "x_neardup_fold"       -> 2.95,
+    "x_semdedup_fold"      -> 0.53,
+    "x_hits"               -> 4.50,
+    "x_dsir_score"         -> 0.31,
   )
 
   def main(args: Array[String]): Unit = {
