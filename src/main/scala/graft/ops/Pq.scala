@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 — public recipe): compress a
+  * d-dim float vector into `m` one-byte codes by splitting it into m
+  * subspaces and vector-quantizing each against its own `k ≤ 256`-entry
+  * codebook. The 100 TB rationale extends the [[VectorOps.quantizeInt8]]
+  * bandwidth argument an order of magnitude: int8 reads d bytes per
+  * vector (4× under float32); PQ reads m bytes (d/m · 4× further — 32×
+  * total at d=64, m=8), and scoring a candidate is m table lookups
+  * instead of a d-length dot product. The price is lossy reconstruction:
+  * PQ ranks by an APPROXIMATE inner product, so production searches
+  * re-rank survivors with the float vectors ([[pqTopK]] `overfetch`),
+  * exactly like the int8 path.
+  *
+  * Metric contract: ADC ([[adcScore]]) approximates the INNER PRODUCT
+  * `dot(query, vector)`. For cosine ranking, L2-normalize BOTH sides
+  * before training/encoding ([[l2normalize]]) — dot over unit vectors IS
+  * cosine. This is the standard PQ-for-cosine reduction; the codebook
+  * then lives on the unit sphere and quantization error is angular.
+  *
+  * Scale posture by stage:
+  *  - TRAIN ([[pqTrain]]): Lloyd iterations per subspace over a BOUNDED
+  *    deterministic sample (md5-ordered top-`sampleN` — one
+  *    TakeOrderedAndProject job, no full-corpus pass), solved on the
+  *    driver: the model is m·k·(d/m) = k·d floats (64 KB at d=64,
+  *    k=256), the [[Ann.kmeans]]-literal / LM-vocabulary posture —
+  *    driver-scale by construction, shipped broadcast.
+  *  - ENCODE ([[pqEncodeDf]]): one narrow typed mapPartitions pass (no
+  *    UDF, no shuffle) — scalar argmin loops against the broadcast
+  *    codebook beat a k·m-literal Catalyst expression tree (the
+  *    linkGraph §6 lesson: never build 10³-node expression columns).
+  *  - SCORE ([[pqTopK]]): per probe, ONE m·k lookup table (computed
+  *    once, probe-side), then every candidate costs m array lookups
+  *    inside a codegen'd HOF — the asymmetric distance computation.
+  *
+  * Cross-engine note: float k-means is order-sensitive, so PQ is
+  * spec-graded like [[Ann.kmeans]]/SemDeDup, not oracle-declared. */
+object Pq {
+
+  /** Trained codebook: `centroids(j)(c)` is sub-quantizer `j`'s centroid
+    * `c` (length dim/m). `k ≤ 256` so a code always fits one byte
+    * (stored offset by −128 in array<tinyint>). */
+  final case class PqCodebook(m: Int, dim: Int, k: Int,
+                              centroids: Array[Array[Array[Float]]]) {
+    val subDim: Int = dim / m
+    require(m >= 1 && dim % m == 0,
+      s"m=$m must divide dim=$dim (equal subspaces)")
+    require(k >= 1 && k <= 256, s"k=$k must be in [1, 256] (one-byte codes)")
+    require(centroids.length == m &&
+      centroids.forall(cs => cs.length == k && cs.forall(_.length == subDim)),
+      "codebook shape must be m x k x (dim/m)")
+  }
+
+  /** L2-normalize a float vector column (unit sphere; all-zero and empty
+    * vectors pass through unchanged — no ANSI divide, H13). Apply to
+    * BOTH train/encode and probe sides when cosine ranking is wanted. */
+  def l2normalize(vec: Column): Column = {
+    val n = VectorOps.norm2(vec)
+    when(n === 0.0, vec)
+      .otherwise(transform(vec, x => (x.cast("double") / n).cast("float")))
+  }
+
+  private def sq(x: Double): Double = x * x
+
+  /** Nearest-centroid code for one sub-vector: squared-L2 argmin, ties to
+    * the LOWEST code (deterministic). */
+  private def nearestCode(sub: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0; var i = 0
+      while (i < sub.length) { d += sq(sub(i) - cent(i)); i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train `m` sub-quantizers with `iters` Lloyd rounds each, on the
+    * md5-ordered top-`sampleN` sample of `df` (deterministic
+    * pseudo-random — the q105 exact-k discipline — so the codebook is
+    * identical run to run). Initial centroids are the sample's first
+    * distinct sub-vectors per subspace; clusters that lose every member
+    * keep their centroid (the [[Ann.kmeans]] rule). `k` is clamped to
+    * the number of distinct sub-vectors available (a tiny corpus cannot
+    * fill 256 cells). */
+  def pqTrain(df: DataFrame, id: Column, vec: Column,
+              m: Int, k: Int = 256, iters: Int = 8,
+              sampleN: Int = 16384): PqCodebook = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
+    require(k >= 1 && k <= 256, s"k=$k must be in [1, 256] (one-byte codes)")
+    val rows = df.where(vec.isNotNull)
+      .select(vec.as("v"), md5(concat_ws(":", lit("pq"), id.cast("string"))).as("h"))
+      .where(col("h").isNotNull)
+      .orderBy(col("h"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "pqTrain: no non-null vectors to train on")
+    val dim = rows.head.length
+    require(dim >= 1 && dim % m == 0,
+      s"m=$m must divide the vector dim $dim (equal subspaces)")
+    rows.foreach(v => require(v.length == dim,
+      s"pqTrain: ragged vector lengths ${v.length} vs $dim — fix the corpus"))
+    val subDim = dim / m
+    val centroids = Array.tabulate(m) { j =>
+      val subs = rows.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      // Deterministic init: first k DISTINCT sub-vectors in sample order.
+      val seen = scala.collection.mutable.LinkedHashSet[Seq[Float]]()
+      subs.iterator.takeWhile(_ => seen.size < k).foreach(s => seen += s.toSeq)
+      var cents = seen.toArray.map(_.toArray)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { s =>
+          val c = nearestCode(s, cents)
+          counts(c) += 1
+          var i = 0
+          while (i < subDim) { sums(c)(i) += s(i); i += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0L) cents(c) // empty cell keeps its centroid
+          else sums(c).map(x => (x / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+    PqCodebook(m, dim, centroids.head.length, centroids)
+  }
+
+  /** Encode a corpus: `(g_id bigint, codes array<tinyint>)` — code c is
+    * stored as c − 128 so k = 256 fits the signed byte. One narrow
+    * mapPartitions pass against the broadcast codebook; rows with NULL
+    * id or vector are dropped (an unsearchable row, the
+    * [[Ann.buildSemDedupState]] posture), a wrong-length vector fails
+    * loudly (silent truncation would corrupt every later search). */
+  def pqEncodeDf(df: DataFrame, id: Column, vec: Column,
+                 cb: PqCodebook): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    df.select(id.cast("long").as("g_id"), vec.as("v"))
+      .where(col("g_id").isNotNull && col("v").isNotNull)
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (gid, v) =>
+          require(v.length == b.dim,
+            s"pqEncodeDf: vector of length ${v.length} != codebook dim ${b.dim} (id $gid)")
+          val arr = v.toArray
+          val codes = new Array[Byte](b.m)
+          var j = 0
+          while (j < b.m) {
+            val sub = java.util.Arrays.copyOfRange(arr, j * b.subDim, (j + 1) * b.subDim)
+            codes(j) = (nearestCode(sub, b.centroids(j)) - 128).toByte
+            j += 1
+          }
+          // Seq[Byte], not Array[Byte]: the array encoder would emit
+          // BINARY (opaque to HOFs); Seq encodes as array<tinyint>.
+          (gid, codes.toSeq)
+        }
+      }.toDF("g_id", "codes")
+  }
+
+  /** Per-probe ADC lookup tables: `(p_id bigint, lut array<array<double>>)`
+    * where `lut(j)(c)` = dot(probe sub-vector j, centroid c) — computed
+    * ONCE per probe (m·k·(d/m) = k·d multiplies), so scoring a candidate
+    * later costs m lookups, never a dot product. Same null/ragged
+    * contract as [[pqEncodeDf]]. */
+  def pqLutDf(probes: DataFrame, id: Column, vec: Column,
+              cb: PqCodebook): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    probes.select(id.cast("long").as("p_id"), vec.as("v"))
+      .where(col("p_id").isNotNull && col("v").isNotNull)
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (pid, v) =>
+          require(v.length == b.dim,
+            s"pqLutDf: vector of length ${v.length} != codebook dim ${b.dim} (id $pid)")
+          val arr = v.toArray
+          val lut = Array.tabulate(b.m) { j =>
+            val off = j * b.subDim
+            b.centroids(j).map { cent =>
+              var d = 0.0; var i = 0
+              while (i < b.subDim) { d += arr(off + i).toDouble * cent(i); i += 1 }
+              d
+            }.toSeq
+          }.toSeq
+          (pid, lut)
+        }
+      }.toDF("p_id", "lut")
+  }
+
+  /** The ADC score: Σ_j lut(j)(code_j) — approximate dot(probe, vector)
+    * as m array lookups inside one codegen'd HOF (`transform` with index
+    * + `aggregate`). `codes` is a [[pqEncodeDf]] column (offset −128),
+    * `lut` a [[pqLutDf]] column. */
+  def adcScore(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut, (c, t) => element_at(t, c.cast("int") + 129)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Top-k per probe over PQ codes at m-bytes-per-candidate scan cost:
+    * ADC coarse rank over the whole gallery (`overfetch`·k survivors per
+    * probe, WindowGroupLimit pushes the cut below the window), then
+    * float-cosine re-rank on survivors only — the [[Ann.topKQuantized]]
+    * contract with a 32× (not 4×) coarse-pass byte budget at d=64, m=8.
+    * Pass vectors through [[l2normalize]] (and train the codebook on
+    * normalized vectors) for cosine semantics. Returns
+    * `(p_id, g_id, s, rn)` like the other top-k operators.
+    *
+    * For a persisted deployment, [[pqEncodeDf]] IS the index build —
+    * write its output once and hand it in via `galleryCodes`; per-batch
+    * probes then pay only their own LUTs + the scan. */
+  def pqTopK(probes: DataFrame, gallery: DataFrame, cb: PqCodebook, k: Int,
+             overfetch: Int = 4,
+             id: String = "vec_id", vec: String = "embedding",
+             galleryCodes: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    val codes = galleryCodes.getOrElse(
+      pqEncodeDf(gallery, col(id), col(vec), cb))
+    val luts = pqLutDf(probes, col(id), col(vec), cb)
+    val wCoarse = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(col("adc").desc, col("g_id"))
+    val cand = luts.crossJoin(codes)
+      .withColumn("adc", adcScore(col("codes"), col("lut")))
+      .withColumn("rn", row_number().over(wCoarse))
+      .where(col("rn") <= overfetch * k)
+      .select("p_id", "g_id")
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(nanvl(col("s"), lit(-2.0)).desc, col("g_id"))
+    cand
+      .join(probes.select(col(id).cast("long").as("p_id"), col(vec).as("p_emb")), "p_id")
+      .join(gallery.select(col(id).cast("long").as("g_id"), col(vec).as("g_emb")), "g_id")
+      .withColumn("s", VectorOps.cosine6(col("p_emb"), col("g_emb")))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= k)
+      .select("p_id", "g_id", "s", "rn")
+  }
+}

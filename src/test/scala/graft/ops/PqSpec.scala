@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Product quantization: codebook determinism and shape, exactness when
+  * the corpus has ≤ k sub-patterns (the codebook can represent it
+  * losslessly), ADC ≈ dot, recall of the re-ranked top-k against the
+  * exact scan, and the loud/drop contracts on bad input. */
+class PqSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def embeddings = TestSpark.table("embeddings")
+
+  import scala.jdk.CollectionConverters._
+  private val embSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  private def embDf(rows: (Any, Seq[Float])*) =
+    spark.createDataFrame(
+      rows.map { case (i, v) =>
+        org.apache.spark.sql.Row(i, if (v == null) null else v)
+      }.asJava, embSchema)
+
+  // dim=8, m=2 fixture built from 3 known sub-patterns per subspace: every
+  // vector is (pattern a, pattern b), so a k>=3 codebook represents the
+  // corpus EXACTLY after Lloyd converges (each distinct sub-vector is its
+  // own centroid).
+  private val pats = Seq(
+    Seq(1f, 0f, 0f, 0f), Seq(0f, 2f, 0f, 0f), Seq(0f, 0f, 3f, 1f))
+  private def patVec(a: Int, b: Int): Seq[Float] = pats(a) ++ pats(b)
+  private lazy val patCorpus = embDf(
+    (for { a <- 0 to 2; b <- 0 to 2 } yield
+      (a * 3 + b).toLong -> patVec(a, b)): _*)
+
+  test("pqTrain: deterministic, layout-independent, shape-correct, k clamps to distinct sub-patterns") {
+    val cb1 = Pq.pqTrain(patCorpus, col("vec_id"), col("embedding"), m = 2, k = 256, iters = 4)
+    val cb2 = Pq.pqTrain(patCorpus.repartition(7), col("vec_id"), col("embedding"), m = 2, k = 256, iters = 4)
+    assert(cb1.m == 2 && cb1.dim == 8 && cb1.subDim == 4)
+    assert(cb1.k == 3, s"only 3 distinct sub-patterns exist, got k=${cb1.k}")
+    assert(cb1.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb2.centroids.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebook must not depend on the input layout")
+    // Lloyd over an exactly-representable corpus lands ON the patterns.
+    assert(cb1.centroids.forall(_.forall(c => pats.contains(c.toSeq))),
+      s"centroids must converge to the generating patterns")
+  }
+
+  test("encode + ADC are exact on a representable corpus; codes round-trip the offset") {
+    val cb = Pq.pqTrain(patCorpus, col("vec_id"), col("embedding"), m = 2, k = 4, iters = 4)
+    val codes = Pq.pqEncodeDf(patCorpus, col("vec_id"), col("embedding"), cb)
+    assert(codes.count() == 9)
+    // ADC(probe, vec) == dot(probe, vec) when quantization is lossless.
+    val probe = embDf(100L -> Seq(2f, 1f, 0f, 1f, 0f, 1f, 2f, 0f))
+    val luts = Pq.pqLutDf(probe, col("vec_id"), col("embedding"), cb)
+    val adc = luts.crossJoin(codes)
+      .select(col("g_id"), Pq.adcScore(col("codes"), col("lut")).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = probe.select(col("embedding").as("p")).crossJoin(patCorpus)
+      .select(col("vec_id"), VectorOps.dot(col("p"), col("embedding")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (gid, d) =>
+      assert(math.abs(adc(gid) - d) < 1e-9,
+        s"lossless codebook must reproduce the dot for $gid: adc=${adc(gid)} dot=$d")
+    }
+  }
+
+  test("pqTopK: re-ranked recall vs the exact scan on the real fixture") {
+    val emb = embeddings.select(col("vec_id"),
+      Pq.l2normalize(col("embedding")).as("embedding")).localCheckpoint()
+    val cb = Pq.pqTrain(emb, col("vec_id"), col("embedding"),
+      m = 8, k = 64, iters = 4, sampleN = 2000)
+    val probes = emb.where(col("vec_id") < 20)
+    val got = Pq.pqTopK(probes, emb, cb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact top-10 per probe (unit vectors: cosine == dot ranking).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(nanvl(col("s"), lit(-2.0)).desc, col("g_id"))
+    val want = probes.select(col("vec_id").as("p_id"), col("embedding").as("p"))
+      .crossJoin(emb.select(col("vec_id").as("g_id"), col("embedding").as("g")))
+      .withColumn("s", VectorOps.cosine6(col("p"), col("g")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("p_id", "g_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.8, s"re-ranked PQ recall@10 = $recall < 0.8 " +
+      s"(${(got & want).size}/${want.size})")
+    // The re-rank contract: every returned similarity is the float cosine,
+    // so each probe's rows arrive exactly ranked.
+    assert(got.size == want.size, "k rows per probe")
+  }
+
+  test("loud and drop contracts: ragged vectors throw, nulls drop, bad params refuse") {
+    val cb = Pq.pqTrain(patCorpus, col("vec_id"), col("embedding"), m = 2, k = 4, iters = 2)
+    // Ragged vector: encode fails loudly (silent truncation would corrupt
+    // every later search).
+    val ragged = embDf(1L -> Seq(1f, 2f))
+    val e = intercept[org.apache.spark.SparkException] {
+      Pq.pqEncodeDf(ragged, col("vec_id"), col("embedding"), cb).collect()
+    }
+    assert(e.getMessage.contains("codebook dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("codebook dim")))
+    // Null id / null vector rows drop (unsearchable, never fatal).
+    val withNulls = embDf(1L -> patVec(0, 1), (null: Any) -> patVec(1, 1),
+      2L -> null)
+    assert(Pq.pqEncodeDf(withNulls, col("vec_id"), col("embedding"), cb).count() == 1)
+    // Parameter hygiene.
+    intercept[IllegalArgumentException] {
+      Pq.pqTrain(patCorpus, col("vec_id"), col("embedding"), m = 3, k = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.pqTrain(patCorpus, col("vec_id"), col("embedding"), m = 2, k = 257)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.pqTopK(patCorpus, patCorpus, cb, k = 0)
+    }
+    // l2normalize: unit output, zero and empty vectors pass through.
+    val norms = embDf(1L -> Seq(3f, 4f), 2L -> Seq(0f, 0f), 3L -> Seq[Float]())
+      .select(col("vec_id"), VectorOps.norm2(Pq.l2normalize(col("embedding"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(norms(1L) - 1.0) < 1e-6) // float32 storage rounding
+    assert(norms(2L) == 0.0 && norms(3L) == 0.0)
+  }
+}
