@@ -250,4 +250,69 @@ object Pq {
       .where(col("rn") <= k)
       .select("p_id", "g_id", "s", "rn")
   }
+
+  /** The IVF-PQ gallery layout `(g_id, cid, codes)` — assignment under
+    * the caller's centroids ([[Ann.ivfAssign]] semantics) + PQ codes.
+    * This IS the persistable index: write it once (bucket by `cid` via
+    * [[graft.sources.Bucketed.write]] and the probe-side equi join runs
+    * Exchange-free, the [[Ann.persistIvfIndex]] posture) and hand it to
+    * [[pqTopKIvf]] via `galleryIndex`; steady-state batches then pay
+    * only their own LUTs + cluster-local lookups. */
+  def pqIvfIndex(gallery: DataFrame, centroids: DataFrame, cb: PqCodebook,
+                 id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    pqEncodeDf(gallery, col(id), col(vec), cb)
+      .join(Ann.ivfAssign(gallery, centroids, id, vec)
+        .select(col(id).cast("long").as("g_id"), col("cid")), "g_id")
+      .select("g_id", "cid", "codes")
+
+  /** Top-k per probe with IVF candidate generation fused into the PQ
+    * coarse pass — FAISS's IVFPQ layout re-expressed as a Spark plan
+    * (the [[Ann.topKQuantizedIvf]] shape at an m-bytes-per-candidate
+    * byte budget): a probe touches only its `nprobe` nearest clusters
+    * via an EQUI join on the cluster id (shuffle sized by cluster
+    * population, never probes × corpus), scores those candidates with
+    * m ADC lookups each, keeps `overfetch`·k, and float-re-ranks only
+    * the survivors. Approximate by construction twice over (unprobed
+    * cells are unreachable; ADC ranks on the quantized dot) — PqSpec
+    * pins recall vs the exact scan on the fixture. Centroid quality is
+    * the caller's artifact, exactly as for IVF. */
+  def pqTopKIvf(probes: DataFrame, gallery: DataFrame, centroids: DataFrame,
+                cb: PqCodebook, k: Int, nprobe: Int = 2, overfetch: Int = 4,
+                id: String = "vec_id", vec: String = "embedding",
+                galleryIndex: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    val index = galleryIndex.getOrElse(pqIvfIndex(gallery, centroids, cb, id, vec))
+    // Probe cells: nprobe nearest centroids per probe — broadcast the
+    // (always-small) centroid table, rank per probe. Multi-probe recovers
+    // neighbors just across a cell boundary.
+    val c = centroids.select(col(id).as("cid"), col(vec).as("c_emb"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(nanvl(col("cs"), lit(-2.0)).desc, col("cid"))
+    val cells = probes.select(col(id).cast("long").as("p_id"), col(vec).as("p_v"))
+      .crossJoin(broadcast(c))
+      .withColumn("cs", VectorOps.cosine6(col("p_v"), col("c_emb")))
+      .withColumn("rn", row_number().over(wCell))
+      .where(col("rn") <= nprobe)
+      .select("p_id", "cid")
+    val luts = pqLutDf(probes, col(id), col(vec), cb)
+    val wCoarse = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(col("adc").desc, col("g_id"))
+    val cand = cells.join(luts, "p_id")
+      .join(index, "cid") // equi join: shuffle sized by cluster population
+      .withColumn("adc", adcScore(col("codes"), col("lut")))
+      .withColumn("rn", row_number().over(wCoarse))
+      .where(col("rn") <= overfetch * k)
+      .select("p_id", "g_id")
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(nanvl(col("s"), lit(-2.0)).desc, col("g_id"))
+    cand
+      .join(probes.select(col(id).cast("long").as("p_id"), col(vec).as("p_emb")), "p_id")
+      .join(gallery.select(col(id).cast("long").as("g_id"), col(vec).as("g_emb")), "g_id")
+      .withColumn("s", VectorOps.cosine6(col("p_emb"), col("g_emb")))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= k)
+      .select("p_id", "g_id", "s", "rn")
+  }
 }

@@ -96,6 +96,53 @@ class PqSpec extends AnyFunSuite {
     assert(got.size == want.size, "k rows per probe")
   }
 
+  test("pqTopKIvf: recall on the fixture; candidates come from an equi join on the cluster id") {
+    val emb = embeddings.select(col("vec_id"),
+      Pq.l2normalize(col("embedding")).as("embedding")).localCheckpoint()
+    val cents = Ann.kmeans(emb, 8, iters = 2).localCheckpoint()
+    val cb = Pq.pqTrain(emb, col("vec_id"), col("embedding"),
+      m = 8, k = 64, iters = 4, sampleN = 2000)
+    val probes = emb.where(col("vec_id") < 20)
+    val df = Pq.pqTopKIvf(probes, emb, cents, cb, k = 10, nprobe = 3)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(nanvl(col("s"), lit(-2.0)).desc, col("g_id"))
+    val want = probes.select(col("vec_id").as("p_id"), col("embedding").as("p"))
+      .crossJoin(emb.select(col("vec_id").as("g_id"), col("embedding").as("g")))
+      .withColumn("s", VectorOps.cosine6(col("p"), col("g")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("p_id", "g_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.7, s"IVF-PQ recall@10 = $recall < 0.7 at nprobe=3/8")
+    // Plan: never probes × gallery — the only nested-loop join is the
+    // probe↔centroid cell pick against the broadcast centroid table; the
+    // candidate join is hash-keyed on cid; the coarse cut pushes below
+    // the ranking window.
+    // Unwrap AQE (the adaptive plan string prints the initial plan too,
+    // double-counting reused subtrees).
+    val p = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }).toString
+    assert(!p.contains("CartesianProduct"), s"cross product in IVF-PQ:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"more nested-loop joins than the centroid cell pick:\n$p")
+    val hashJoins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\\n]*".r
+      .findAllIn(p).toSeq
+    assert(hashJoins.exists(_.contains("cid")),
+      s"candidate join not keyed on the cluster id:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"overfetch cut should push below the window:\n$p")
+    // Pre-built index path ≡ inline build.
+    val idx = Pq.pqIvfIndex(emb, cents, cb).localCheckpoint()
+    val got2 = Pq.pqTopKIvf(probes, emb, cents, cb, k = 10, nprobe = 3,
+      galleryIndex = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == got, "persisted-index probe must equal the inline build")
+  }
+
   test("loud and drop contracts: ragged vectors throw, nulls drop, bad params refuse") {
     val cb = Pq.pqTrain(patCorpus, col("vec_id"), col("embedding"), m = 2, k = 4, iters = 2)
     // Ragged vector: encode fails loudly (silent truncation would corrupt
