@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.{Ann, Bpe, DedupOps, ImportanceSampling, MediaCodecs, MultiModal, SketchOps, TextOps}
+import graft.ops.{Ann, Bpe, DedupOps, ImportanceSampling, MediaCodecs, MultiModal, Pq, SketchOps, TextOps}
 import graft.streaming.{AggLoop, DistinctLoop, TopKLoop}
 
 /** Task-level entry points composing the ops layer — what a data-pipeline
@@ -133,6 +133,60 @@ object Pipelines {
                               gallery: DataFrame, centroids: DataFrame,
                               k: Int): DataFrame =
     Ann.topKQuantizedIvfWithIndex(probes, index, gallery, centroids, k)
+
+  private def normEmb(df: DataFrame): DataFrame =
+    df.withColumn("embedding", Pq.l2normalize(col("embedding")))
+
+  /** Train a product-quantization codebook for COSINE search (vectors are
+    * L2-normalized first — ADC approximates dot, and dot on the unit
+    * sphere is cosine). The model is k·d floats: persist it beside the
+    * index like any artifact; every search below normalizes the same
+    * way, so train + search through these facades always agree. */
+  def trainPqCodebook(emb: DataFrame, m: Int = 8, k: Int = 256,
+                      iters: Int = 8): Pq.PqCodebook =
+    Pq.pqTrain(normEmb(emb), col("vec_id"), col("embedding"), m, k, iters)
+
+  /** Top-k per probe over one-byte PQ codes — [[similaritySearch]]'s
+    * bandwidth story taken from 4× (int8) to ~4·d/m× (32× at d=64, m=8):
+    * the coarse pass reads m bytes per candidate and scores it with m
+    * table lookups; float cosine re-ranks the survivors. */
+  def similaritySearchPq(probes: DataFrame, gallery: DataFrame,
+                         cb: Pq.PqCodebook, k: Int): DataFrame =
+    Pq.pqTopK(normEmb(probes), normEmb(gallery), cb, k)
+
+  /** The full-scale PQ ANN — FAISS's IVFPQ layout as a Spark plan: IVF
+    * cluster pruning (equi join on cid) + m-byte ADC candidates + float
+    * re-rank (Pq.pqTopKIvf; persist Pq.pqIvfIndex / append with
+    * Pq.appendPqIndex to amortize across probe batches). */
+  def similaritySearchIvfPq(probes: DataFrame, gallery: DataFrame,
+                            centroids: DataFrame, cb: Pq.PqCodebook,
+                            k: Int): DataFrame =
+    Pq.pqTopKIvf(normEmb(probes), normEmb(gallery), centroids, cb, k)
+
+  /** Temperature-sampling KEEP rates (the published multilingual mixing
+    * recipe — mT5/XLM-R: target share qᵢ ∝ nᵢ^α): expressed as
+    * per-source Bernoulli keep rates for [[mixSources]],
+    * rateᵢ = (nᵢ)^(α−1) / max_j (nⱼ)^(α−1), so surviving counts are
+    * ∝ nᵢ^α with the largest possible corpus (the best-represented
+    * eligible source keeps rate 1 — subsampling can only shrink). α = 1
+    * keeps everything; α < 1 flattens toward uniform (the low-resource
+    * upweighting); α > 1 sharpens toward the big sources. Zero-count
+    * sources rate 0. */
+  def temperatureRates(counts: Map[String, Long],
+                       alpha: Double): Map[String, Double] = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    require(counts.nonEmpty, "empty source census")
+    counts.foreach { case (s, n) =>
+      require(n >= 0L, s"negative count $n for source '$s'") }
+    val pos = counts.filter(_._2 > 0L)
+    if (pos.isEmpty) counts.map { case (s, _) => s -> 0.0 }
+    else {
+      val mx = pos.values.map(n => math.pow(n.toDouble, alpha - 1.0)).max
+      counts.map { case (s, n) =>
+        s -> (if (n == 0L) 0.0 else math.pow(n.toDouble, alpha - 1.0) / mx)
+      }
+    }
+  }
 
   /** Span-level exact dedup decisions (q92 semantics): boilerplate shared
     * INSIDE otherwise-distinct documents, at `spanWords` granularity.

@@ -265,6 +265,55 @@ object Pq {
         .select(col(id).cast("long").as("g_id"), col("cid")), "g_id")
       .select("g_id", "cid", "codes")
 
+  /** Persist a [[pqIvfIndex]] BUCKETED by `cid` (the
+    * [[Ann.persistIvfIndex]] posture: write to a fresh path and swap);
+    * steady-state probes against it join Exchange-free. */
+  def persistPqIndex(index: DataFrame, table: String, path: String,
+                     buckets: Int = 32,
+                     mode: org.apache.spark.sql.SaveMode =
+                       org.apache.spark.sql.SaveMode.ErrorIfExists): Unit =
+    graft.sources.Bucketed.write(index.select(col("g_id"), col("cid"), col("codes")),
+      table, path, "cid", buckets, mode)
+
+  /** Re-attach a persisted [[pqIvfIndex]]; `buckets` must match the
+    * write. Feed to [[pqTopKIvf]] via `galleryIndex`. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  table: String, path: String, buckets: Int = 32): DataFrame =
+    graft.sources.Bucketed.register(spark, table, path, "cid", buckets)
+
+  /** O(new-vectors) PQ index maintenance — the [[Ann.appendIvfIndex]]
+    * posture under a FROZEN codebook AND frozen centroids (either
+    * drifting would split the quantization invisibly; persist both
+    * beside the index): assign + encode the batch (narrow), append into
+    * the bucketed table (hash placement still matches — probe joins stay
+    * Exchange-free). Same id hygiene: a batch id already physically in
+    * the index, a duplicate within the batch, or a NULL id refuses
+    * loudly. Returns the per-cluster appended counts (the drift signal's
+    * growth side). */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
+                    table: String, path: String,
+                    newVectors: DataFrame, centroids: DataFrame, cb: PqCodebook,
+                    buckets: Int = 32,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val existing = loadPqIndex(spark, table, path, buckets)
+    val clash = existing.select(col("g_id"))
+      .join(newVectors.select(col(id).cast("long").as("g_id")), Seq("g_id"), "left_semi")
+      .count()
+    require(clash == 0L,
+      s"appendPqIndex: $clash new $id value(s) already exist in `$table` — " +
+        "appending would silently duplicate vectors; dedup the batch first")
+    val Array(nRows, nIds, nDistinct) = newVectors
+      .agg(count(lit(1)), count(col(id)), countDistinct(col(id))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nIds,
+      s"appendPqIndex: ${nRows - nIds} NULL $id row(s) — every vector needs an id")
+    require(nIds == nDistinct,
+      s"appendPqIndex: ${nIds - nDistinct} duplicate $id value(s) within the batch")
+    val newIdx = pqIvfIndex(newVectors, centroids, cb, id, vec).localCheckpoint()
+    graft.sources.Bucketed.appendRegistered(newIdx, table, "cid", buckets)
+    newIdx.groupBy("cid").agg(count(lit(1)).as("appended_n"))
+  }
+
   /** Top-k per probe with IVF candidate generation fused into the PQ
     * coarse pass — FAISS's IVFPQ layout re-expressed as a Spark plan
     * (the [[Ann.topKQuantizedIvf]] shape at an m-bytes-per-candidate

@@ -388,6 +388,39 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureRates: n^alpha shares, alpha=1 keeps all, zero sources drop, end-to-end through mixSources") {
+    // alpha = 1: identity mixing.
+    assert(Pipelines.temperatureRates(Map("a" -> 10L, "b" -> 99999L), 1.0) ==
+      Map("a" -> 1.0, "b" -> 1.0))
+    // alpha = 0.5 flattens: the SMALL source keeps rate 1, the big one
+    // keeps sqrt-proportionally less — surviving counts ∝ n^alpha.
+    val r = Pipelines.temperatureRates(Map("big" -> 10000L, "small" -> 100L), 0.5)
+    assert(r("small") == 1.0)
+    assert(math.abs(r("big") - 0.1) < 1e-12, s"got ${r("big")}")
+    // alpha > 1 sharpens: the big source keeps rate 1.
+    val r2 = Pipelines.temperatureRates(Map("big" -> 10000L, "small" -> 100L), 2.0)
+    assert(r2("big") == 1.0 && math.abs(r2("small") - 0.01) < 1e-12)
+    // Zero-count sources rate 0; an all-zero census keeps nothing.
+    assert(Pipelines.temperatureRates(Map("a" -> 0L, "b" -> 10L), 0.5)("a") == 0.0)
+    assert(Pipelines.temperatureRates(Map("a" -> 0L), 0.5) == Map("a" -> 0.0))
+    intercept[IllegalArgumentException] { Pipelines.temperatureRates(Map("a" -> 1L), 0.0) }
+    intercept[IllegalArgumentException] { Pipelines.temperatureRates(Map("a" -> -1L), 0.5) }
+    intercept[IllegalArgumentException] { Pipelines.temperatureRates(Map.empty, 0.5) }
+    // End-to-end: temperature rates through mixSources land each source
+    // within binomial noise of its n^alpha share.
+    val mixed = spark.range(11000L)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 10000L, "big").otherwise("small").as("source"))
+    val rates = Pipelines.temperatureRates(Map("big" -> 10000L, "small" -> 1000L), 0.5)
+    val got = Pipelines.mixSources(mixed, "source", "doc_id", rates)
+      .groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got("small") == 1000L, "the least-represented source keeps everything")
+    // big survives at sqrt(1000/10000) ~= 0.3162 of 10000 — 3 sigma ~= 1.4%.
+    assert(math.abs(got("big").toDouble / 10000 - math.sqrt(0.1)) < 0.02,
+      s"big kept ${got("big")} of 10000, want ~${math.sqrt(0.1) * 10000}")
+  }
+
   test("lmBucketedSample: head kept whole, tail dropped, middle thinned, deterministic") {
     import spark.implicits._
     // 40 in-distribution fixture docs + 20 OOV-heavy gibberish docs; the

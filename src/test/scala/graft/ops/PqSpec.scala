@@ -143,6 +143,53 @@ class PqSpec extends AnyFunSuite {
     assert(got2 == got, "persisted-index probe must equal the inline build")
   }
 
+  test("appendPqIndex: folded index ≡ fresh build; clash/dup/null refuse") {
+    val emb = embeddings.select(col("vec_id"),
+      Pq.l2normalize(col("embedding")).as("embedding")).localCheckpoint()
+    val cents = Ann.kmeans(emb, 8, iters = 2).localCheckpoint()
+    val cb = Pq.pqTrain(emb, col("vec_id"), col("embedding"),
+      m = 8, k = 64, iters = 4, sampleN = 2000)
+    val seed = emb.where(col("vec_id") < 400)
+    val batch = emb.where(col("vec_id") >= 400)
+    val root = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+    try {
+      Pq.persistPqIndex(Pq.pqIvfIndex(seed, cents, cb), "pq_w", s"$root/idx",
+        buckets = 4)
+      val report = Pq.appendPqIndex(spark, "pq_w", s"$root/idx", batch, cents, cb,
+        buckets = 4)
+      assert(report.agg(sum("appended_n")).head().getLong(0) == batch.count())
+      // Grown index ≡ fresh full build (frozen codebook + centroids make
+      // assignment and codes append-invariant by construction).
+      val grown = Pq.loadPqIndex(spark, "pq_w", s"$root/idx", buckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2))).toSet
+      val fresh = Pq.pqIvfIndex(emb, cents, cb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2))).toSet
+      assert(grown == fresh, "appended index must equal the fresh build")
+      // Probing the grown index ≡ the inline path.
+      val probes = emb.where(col("vec_id") < 20)
+      val viaIdx = Pq.pqTopKIvf(probes, emb, cents, cb, k = 10, nprobe = 3,
+        galleryIndex = Some(Pq.loadPqIndex(spark, "pq_w", s"$root/idx", buckets = 4)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inline = Pq.pqTopKIvf(probes, emb, cents, cb, k = 10, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaIdx == inline)
+      // Hygiene: already-indexed, in-batch duplicate, and null ids refuse.
+      intercept[IllegalArgumentException] {
+        Pq.appendPqIndex(spark, "pq_w", s"$root/idx", batch, cents, cb, buckets = 4)
+      }
+      intercept[IllegalArgumentException] {
+        Pq.appendPqIndex(spark, "pq_w", s"$root/idx",
+          embDf(9000L -> patVec(0, 1), 9000L -> patVec(1, 1))
+            .select(col("vec_id"), Pq.l2normalize(col("embedding")).as("embedding")),
+          cents, cb, buckets = 4)
+      }
+      intercept[IllegalArgumentException] {
+        Pq.appendPqIndex(spark, "pq_w", s"$root/idx",
+          embDf((null: Any) -> patVec(0, 1)), cents, cb, buckets = 4)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS `pq_w`")
+  }
+
   test("loud and drop contracts: ragged vectors throw, nulls drop, bad params refuse") {
     val cb = Pq.pqTrain(patCorpus, col("vec_id"), col("embedding"), m = 2, k = 4, iters = 2)
     // Ragged vector: encode fails loudly (silent truncation would corrupt
