@@ -244,6 +244,25 @@ object Bench {
             graft.ops.TextOps.langClassify(col("text"), models).as("l"))
           .groupBy("l").count().agg(count(lit(1)).as("n"), max("count").as("mx"))
       },
+      // Fused IVF-PQ ANN (round 13): the x_ann_ivf_int8 workload shape
+      // (probes = last 100, centroids = first 8) at an m-bytes-per-
+      // candidate coarse budget — codebook training is maintenance
+      // (outside the thunk); the timed pass is cell pick + ADC lookups +
+      // float re-rank.
+      "x_pq_ivf" -> {
+        val e = spark.table("embeddings")
+        val norm = e.select(col("vec_id"),
+          graft.ops.Pq.l2normalize(col("embedding")).as("embedding")).persist()
+        norm.count() // materialize: the bench times search, not normalization
+        val maxId = norm.agg(max(col("vec_id"))).head().getLong(0)
+        val cb = graft.ops.Pq.pqTrain(norm, col("vec_id"), col("embedding"),
+          m = 8, k = 64, iters = 4)
+        () => graft.ops.Pq.pqTopKIvf(
+            norm.where(col("vec_id") > maxId - 100),
+            norm.where(col("vec_id") >= 8 && col("vec_id") <= maxId - 100),
+            norm.where(col("vec_id") < 8), cb, k = 10)
+          .agg(count(lit(1)).as("n"))
+      },
       // Steady-state near-dup index fold (round 13): the per-batch wide
       // work of appendNearDup/NearDupLoop — batch signatures + pair kernel
       // against a persisted banded index. Index build is table maintenance

@@ -860,6 +860,17 @@ object Pipelines {
                                      scoreCol: Column = col("nrank"),
                                      byRegisteredDomain: Boolean = false)
 
+  /** Config for [[curate]]'s semantic-dedup stage: `embeddings` is a
+    * (vec_id, embedding) side table keyed by the docs' `doc_id`;
+    * `centroids` skips the in-call k-means (the steady-state shape —
+    * centroids are an index artifact reused across sweeps; MUST be the
+    * ones any persisted SemDeDup state was built with). */
+  final case class SemanticDedupStage(embeddings: DataFrame,
+                                      threshold: Double = 0.95,
+                                      centroids: Option[DataFrame] = None,
+                                      targetCluster: Int = 256,
+                                      iters: Int = 5)
+
   /** ONE-CALL corpus curation — the full pre-training funnel as a single
     * lazy composition over a conventional (doc_id, text[, source]) table:
     *
@@ -877,6 +888,13 @@ object Pipelines {
     *      host-scale equi join placed before the per-doc model stages;
     *   3. near-dup CLUSTER canonicalization ([[canonicalDocs]]: banded
     *      LSH → components → best representative per cluster);
+    *   3b. optional SEMANTIC dedup ([[SemanticDedupStage]]): SemDeDup's
+    *      cluster-then-prune over a (vec_id, embedding) side table —
+    *      removes "same meaning, different words" redundancy the
+    *      token-level stage cannot see. Runs on the CANONICAL survivors
+    *      only (embeddings semi-joined down first, so the quadratic
+    *      verify pays for docs that are still alive); docs without an
+    *      embedding row are kept (unscorable ≠ redundant);
     *   4. optional eval-set decontamination (Bloom-prefiltered exact
     *      3-gram overlap, contaminated docs dropped);
     *   5. optional deterministic per-source cap ([[sampleExactK]] —
@@ -902,7 +920,8 @@ object Pipelines {
              c4Clean: Boolean = false,
              classifierFloor: Option[(graft.ops.LinearClassifier.Model, Double)] =
                None,
-             hostAuthorityGate: Option[HostAuthorityGate] = None): CurationResult = {
+             hostAuthorityGate: Option[HostAuthorityGate] = None,
+             semanticDedup: Option[SemanticDedupStage] = None): CurationResult = {
     val id = col("doc_id"); val text = col("text")
     // Optional C4 stage FIRST: it REWRITES text (line-level boilerplate
     // removal + page gates), and every downstream signal — quality
@@ -954,12 +973,29 @@ object Pipelines {
       canonicalDocs(clsKept, id, text, dedupThreshold)
         .select(col("doc_id").as("__keep")),
       id === col("__keep"), "left_semi")
+    val sem = semanticDedup match {
+      case Some(stg) =>
+        // Embeddings restricted to the CANONICAL survivors first: the
+        // within-cluster verify only pays for docs still alive, and a
+        // token-dropped doc never semantically dominates a survivor
+        // (its content survives through its cluster's canonical rep).
+        val emb = stg.embeddings.join(canon.select(id.as("__sid")),
+          col("vec_id") === col("__sid"), "left_semi")
+        val cents = stg.centroids.getOrElse(
+          graft.ops.Ann.kmeans(emb,
+            graft.ops.Ann.semDedupKFor(emb.count(), stg.targetCluster), stg.iters))
+        canon.join(
+          graft.ops.Ann.semDedupDrops(emb, cents, stg.threshold)
+            .select(col("vec_id").as("__sdrop")),
+          id === col("__sdrop"), "left_anti")
+      case None => canon
+    }
     val clean = evalSet match {
-      case Some(es) => canon.join(
-        contaminatedDocs(canon, id, text, es, col("text"))
+      case Some(es) => sem.join(
+        contaminatedDocs(sem, id, text, es, col("text"))
           .select(col("doc_id").as("__dirty")),
         id === col("__dirty"), "left_anti")
-      case None => canon
+      case None => sem
     }
     val capped = perSourceCap match {
       case Some(k) => sampleExactK(clean, "source", "doc_id", k)
@@ -977,7 +1013,9 @@ object Pipelines {
       (if (hostAuthorityGate.isDefined) Seq("host_authority" -> hostKept) else Nil) ++
       Seq("lm_gate" -> lmKept) ++
       (if (classifierFloor.isDefined) Seq("classifier" -> clsKept) else Nil) ++
-      Seq("canonical" -> canon, "decontaminated" -> clean, "capped" -> capped,
+      Seq("canonical" -> canon) ++
+      (if (semanticDedup.isDefined) Seq("semantic" -> sem) else Nil) ++
+      Seq("decontaminated" -> clean, "capped" -> capped,
       "mixed" -> mixed)
     val audit = stages.zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("n_docs"))

@@ -193,6 +193,42 @@ class PipelinesSpec extends AnyFunSuite {
     assert(mixAudit("mixed") < mixAudit("capped"), s"mixture removed nothing: $mixAudit")
   }
 
+  test("curate semanticDedup stage: embedding twins pruned, unscorable docs ride") {
+    import scala.jdk.CollectionConverters._
+    val docs = TestSpark.table("documents")
+    // Baseline funnel (no semantic stage) to learn the surviving set.
+    val base = Pipelines.curate(docs)
+    val keptIds = base.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = keptIds.toSeq.sorted.take(2)
+    val (a, b) = (survivors(0), survivors(1))
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // a and b are semantic twins (cos 3deg); every other survivor has no
+    // embedding row — unscorable docs must ride.
+    val emb = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(a, at(0)), org.apache.spark.sql.Row(b, at(3))).asJava,
+      embSchema)
+    val cents = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(0L, at(0))).asJava, embSchema)
+    val res = Pipelines.curate(docs, semanticDedup = Some(
+      Pipelines.SemanticDedupStage(emb, threshold = 0.9, centroids = Some(cents))))
+    val got = res.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == keptIds - b,
+      s"only the larger-id twin must die: missing=${keptIds - b -- got} extra=${got -- (keptIds - b)}")
+    assert(res.curated.schema == docs.schema)
+    val audit = res.audit.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(audit.contains("semantic") && audit("semantic") == audit("canonical") - 1,
+      s"semantic stage must account for exactly the twin: $audit")
+  }
+
   test("curate c4Clean: boilerplate lines are rewritten away before every gate") {
     val spark2 = spark
     import spark2.implicits._
