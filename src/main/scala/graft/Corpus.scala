@@ -2921,6 +2921,50 @@ select d.pid,
     // integer walk-count contract; the library operator (GraphOps.hits)
     // runs the L1-normalized form to any depth.
     q2("q184_hits", q184Sql("string"), q184Sql("varchar")),
+
+    // Temperature mixing at α = 0.5 (round 13): the published n^α
+    // low-resource-upweighting recipe (mT5/XLM-R) as per-stratum KEEP
+    // rates over the q160 seeded-md5 acceptance machinery. Strata are
+    // doc_id digit counts (10/90/400 — integer string length, exact on
+    // any engine; the fixture's `source` census is deliberately uniform,
+    // which would make every rate 1.0 and the query vacuous). The rate
+    // math is IEEE-EXACT cross-engine by construction: rate =
+    // sqrt(n_min)/sqrt(n) (sqrt and divide are correctly rounded — no
+    // pow, whose last ulp is platform-defined), the threshold scales by
+    // 16^8 = 2^32 (exact), floors (exact), and formats with C-style
+    // %08x on both engines; the reference stratum compares n = min(n)
+    // directly so its rate is exactly 1.0 → 'g' (the q160 clamp).
+    // Exact sampled MEMBERSHIP is hashed, so drift in the rate
+    // spelling, the threshold encoding, or the hash keying fails loudly.
+    q2("q185_temperature_mix",
+      """with d as (select concat('s', cast(length(cast(doc_id as string)) as string)) stratum, doc_id from documents),
+ census as (select stratum, count(*) n from d group by stratum),
+ rates as (select stratum,
+   case when n = min(n) over () then cast(1.0 as double)
+     else sqrt(cast(min(n) over () as double)) / sqrt(cast(n as double)) end rate
+  from census),
+ thr as (select stratum,
+   case when rate >= 1.0 then 'g'
+     else format_string('%08x', cast(floor(rate * 4294967296.0) as bigint)) end t
+  from rates)
+ select d.stratum, d.doc_id
+ from d join thr on thr.stratum = d.stratum
+ where substr(md5(concat('tmix:', cast(d.doc_id as string))), 1, 8) < t
+ order by d.stratum, d.doc_id""",
+      """with d as (select concat('s', cast(length(cast(doc_id as varchar)) as varchar)) stratum, doc_id from documents),
+ census as (select stratum, count(*) n from d group by stratum),
+ rates as (select stratum,
+   case when n = min(n) over () then cast(1.0 as double)
+     else sqrt(cast(min(n) over () as double)) / sqrt(cast(n as double)) end rate
+  from census),
+ thr as (select stratum,
+   case when rate >= 1.0 then 'g'
+     else printf('%08x', cast(floor(rate * 4294967296.0) as bigint)) end t
+  from rates)
+ select d.stratum, d.doc_id
+ from d join thr on thr.stratum = d.stratum
+ where substr(md5(concat('tmix:', cast(d.doc_id as varchar))), 1, 8) < t
+ order by d.stratum, d.doc_id"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

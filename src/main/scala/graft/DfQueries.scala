@@ -1696,6 +1696,24 @@ object DfQueries {
         .orderBy(col("hub").desc, col("auth").desc, col("node")).limit(100)
     },
 
+    "q185_temperature_mix" -> { (s, _) =>
+      // Pipelines.temperatureRates (α = 0.5, the IEEE-exact sqrt
+      // spelling) feeding Pipelines.mixSources — the REAL library path:
+      // the census collects to a driver map (bounded by stratum
+      // cardinality, the temperatureRates contract), the acceptance is
+      // the q160 seeded-md5 machinery. Strata = doc_id digit counts so
+      // the census is skewed (the fixture's source column is uniform).
+      val d = t(s, "documents").select(
+        concat(lit("s"),
+          length(col("doc_id").cast("string")).cast("string")).as("stratum"),
+        col("doc_id"))
+      val counts = d.groupBy("stratum").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rates = graft.api.Pipelines.temperatureRates(counts, 0.5)
+      graft.api.Pipelines.mixSources(d, "stratum", "doc_id", rates, seed = "tmix")
+        .orderBy("stratum", "doc_id")
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

@@ -181,10 +181,19 @@ object Pipelines {
     val pos = counts.filter(_._2 > 0L)
     if (pos.isEmpty) counts.map { case (s, _) => s -> 0.0 }
     else {
-      val mx = pos.values.map(n => math.pow(n.toDouble, alpha - 1.0)).max
-      counts.map { case (s, n) =>
-        s -> (if (n == 0L) 0.0 else math.pow(n.toDouble, alpha - 1.0) / mx)
-      }
+      // The reference source (keep rate exactly 1) maximizes n^(α−1):
+      // the SMALLEST positive source for α < 1, the largest for α > 1.
+      val nRef = if (alpha < 1.0) pos.values.min else pos.values.max
+      def rate(n: Long): Double =
+        if (alpha == 1.0 || n == nRef) 1.0
+        // α = 0.5 — the common temperature — gets the IEEE-exact
+        // spelling: sqrt and divide are correctly rounded, so the rate
+        // is bit-identical on any engine (q185 declares this form under
+        // the cross-engine hash gate). General α goes through pow,
+        // which the JVM only bounds to ~1 ulp.
+        else if (alpha == 0.5) math.sqrt(nRef.toDouble) / math.sqrt(n.toDouble)
+        else math.pow(n.toDouble, alpha - 1.0) / math.pow(nRef.toDouble, alpha - 1.0)
+      counts.map { case (s, n) => s -> (if (n == 0L) 0.0 else rate(n)) }
     }
   }
 
