@@ -314,6 +314,69 @@ object Pq {
     newIdx.groupBy("cid").agg(count(lit(1)).as("appended_n"))
   }
 
+  /** Where [[deleteFromPqIndex]] records removed ids: a small parquet id
+    * list beside the index (append-only; reads dedup). */
+  def pqTombstoneDir(path: String): String = s"${path}_tombstones"
+
+  /** The current tombstone id set of a persisted PQ index (empty frame
+    * when none have been recorded). */
+  def pqTombstones(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val dir = pqTombstoneDir(path)
+    val (fs, p) = graft.sources.LakeFs.resolve(dir)
+    if (fs.exists(p)) spark.read.parquet(dir).select(col("g_id")).distinct()
+    else spark.range(0).select(col("id").as("g_id")).limit(0)
+  }
+
+  /** TOMBSTONE deletion for a persisted PQ index — the
+    * [[Ann.deleteFromIvfIndex]] posture (a taken-down document's codes
+    * must stop being retrievable NOW, and a bucketed table cannot
+    * rewrite single files): ids append to a side list, reads dedup
+    * (idempotent), [[loadPqIndexLive]] filters with a broadcast anti
+    * join that leaves the cid bucketing intact. Returns the live count
+    * of the batch in the physical index (0 = no-op); tombstones are
+    * recorded regardless so delete-then-append races resolve to
+    * deleted. Bound the debt with [[compactPqIndex]]. */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String, path: String, ids: DataFrame,
+                        buckets: Int = 32): Long = {
+    require(ids.columns.length == 1, "ids must be a single id column")
+    val batch = ids.select(col(ids.columns.head).cast("long").as("g_id"))
+      .where(col("g_id").isNotNull).distinct().localCheckpoint()
+    val live = loadPqIndex(spark, table, path, buckets).select(col("g_id"))
+      .join(pqTombstones(spark, path), Seq("g_id"), "left_anti")
+      .join(batch, Seq("g_id"), "left_semi").count()
+    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(pqTombstoneDir(path))
+    live
+  }
+
+  /** The LIVE view of a persisted PQ index: the bucketed attachment
+    * minus tombstoned ids — feed to [[pqTopKIvf]]'s `galleryIndex`
+    * wherever deletions may exist (remember the GALLERY side of the
+    * re-rank needs the same filter, or a deleted doc resurfaces with a
+    * float score). */
+  def loadPqIndexLive(spark: org.apache.spark.sql.SparkSession,
+                      table: String, path: String,
+                      buckets: Int = 32): DataFrame =
+    loadPqIndex(spark, table, path, buckets)
+      .join(broadcast(pqTombstones(spark, path)), Seq("g_id"), "left_anti")
+
+  /** Rewrite the live rows to a FRESH bucketed index (never in place),
+    * clearing the tombstone debt and making deleted ids re-appendable
+    * (the [[appendPqIndex]] clash guard checks PHYSICAL rows). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     table: String, path: String,
+                     newTable: String, newPath: String,
+                     buckets: Int = 32): DataFrame = {
+    require(graft.sources.LakeFs.canonical(newPath) !=
+      graft.sources.LakeFs.canonical(path),
+      "compactPqIndex never rewrites in place — write to a new path and swap")
+    persistPqIndex(loadPqIndexLive(spark, table, path, buckets),
+      newTable, newPath, buckets)
+    loadPqIndex(spark, newTable, newPath, buckets)
+  }
+
   /** Top-k per probe with IVF candidate generation fused into the PQ
     * coarse pass — FAISS's IVFPQ layout re-expressed as a Spark plan
     * (the [[Ann.topKQuantizedIvf]] shape at an m-bytes-per-candidate

@@ -190,6 +190,60 @@ class PqSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS `pq_w`")
   }
 
+  test("PQ index takedowns: tombstoned ids stop being retrievable; compaction restores appendability") {
+    val emb = embeddings.select(col("vec_id"),
+      Pq.l2normalize(col("embedding")).as("embedding")).localCheckpoint()
+    val cents = Ann.kmeans(emb, 8, iters = 2).localCheckpoint()
+    val cb = Pq.pqTrain(emb, col("vec_id"), col("embedding"),
+      m = 8, k = 64, iters = 4, sampleN = 2000)
+    val root = java.nio.file.Files.createTempDirectory("graft-pqtk").toString
+    try {
+      Pq.persistPqIndex(Pq.pqIvfIndex(emb, cents, cb), "pq_tk", s"$root/idx",
+        buckets = 4)
+      // Probe 0's own vector is its top hit; take it down (excluding
+      // self-matches would be a search-side choice — here doc 0 IS the
+      // takedown victim).
+      val probes = emb.where(col("vec_id") === 0)
+      def hits(): Set[Long] = Pq.pqTopKIvf(probes, emb, cents, cb, k = 5,
+        nprobe = 3,
+        galleryIndex = Some(Pq.loadPqIndexLive(spark, "pq_tk", s"$root/idx", buckets = 4)))
+        .collect().map(_.getLong(1)).toSet
+      assert(hits().contains(0L), "own vector must be the top hit before deletion")
+      assert(Pq.deleteFromPqIndex(spark, "pq_tk", s"$root/idx",
+        emb.where(col("vec_id") === 0).select("vec_id"), buckets = 4) == 1L)
+      assert(!hits().contains(0L), "tombstoned id must stop being retrievable")
+      // Idempotent re-delete / never-indexed → 0 live.
+      assert(Pq.deleteFromPqIndex(spark, "pq_tk", s"$root/idx",
+        emb.where(col("vec_id") === 0).select("vec_id"), buckets = 4) == 0L)
+      // Physical row still there; live view hides it; re-append refused
+      // on the PHYSICAL clash.
+      val phys = Pq.loadPqIndex(spark, "pq_tk", s"$root/idx", buckets = 4)
+      assert(phys.where(col("g_id") === 0L).count() == 1L)
+      assert(Pq.loadPqIndexLive(spark, "pq_tk", s"$root/idx", buckets = 4)
+        .where(col("g_id") === 0L).count() == 0L)
+      intercept[IllegalArgumentException] {
+        Pq.appendPqIndex(spark, "pq_tk", s"$root/idx",
+          emb.where(col("vec_id") === 0), cents, cb, buckets = 4)
+      }
+      // Compaction: fresh path only; debt cleared; the id re-appends.
+      intercept[IllegalArgumentException] {
+        Pq.compactPqIndex(spark, "pq_tk", s"$root/idx", "pq_tk2", s"$root/idx")
+      }
+      Pq.compactPqIndex(spark, "pq_tk", s"$root/idx", "pq_tk2", s"$root/idx2",
+        buckets = 4)
+      assert(Pq.pqTombstones(spark, s"$root/idx2").count() == 0L)
+      assert(Pq.loadPqIndex(spark, "pq_tk2", s"$root/idx2", buckets = 4)
+        .where(col("g_id") === 0L).count() == 0L)
+      Pq.appendPqIndex(spark, "pq_tk2", s"$root/idx2",
+        emb.where(col("vec_id") === 0), cents, cb, buckets = 4)
+      assert(Pq.loadPqIndex(spark, "pq_tk2", s"$root/idx2", buckets = 4)
+        .where(col("g_id") === 0L).count() == 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `pq_tk`")
+      spark.sql("DROP TABLE IF EXISTS `pq_tk2`")
+    }
+  }
+
   test("loud and drop contracts: ragged vectors throw, nulls drop, bad params refuse") {
     val cb = Pq.pqTrain(patCorpus, col("vec_id"), col("embedding"), m = 2, k = 4, iters = 2)
     // Ragged vector: encode fails loudly (silent truncation would corrupt
