@@ -385,6 +385,10 @@ object Bench {
     // paths; x_hits is the iterative-join floor (measured AFTER the
     // sparse/deferred-normalization rewrite cut it from 6.35 s).
     "x_neardup_fold"       -> 2.95,
+    // x_pq_ivf measured 1.16 s on the x_ann_ivf_int8 workload shape
+    // (2.55 s same session) — the 32×-fewer-coarse-bytes story in wall
+    // clock: ~2.2× the int8 fused probe.
+    "x_pq_ivf"             -> 1.15,
     "x_semdedup_fold"      -> 0.53,
     "x_hits"               -> 4.50,
     "x_dsir_score"         -> 0.31,
