@@ -658,6 +658,67 @@ object Ann {
       .select("p_id", "g_id", "s", "rn")
   }
 
+  /** Where [[deleteFromLshIndex]] records removed ids: a small parquet
+    * id list beside the index (append-only; reads dedup). */
+  def lshTombstoneDir(path: String): String = s"${path}_tombstones"
+
+  /** The current tombstone id set of a persisted [[lshIndex]] (empty
+    * frame when none have been recorded). */
+  def lshTombstones(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val dir = lshTombstoneDir(path)
+    val (fs, p) = graft.sources.LakeFs.resolve(dir)
+    if (fs.exists(p)) spark.read.parquet(dir).select(col("g_id")).distinct()
+    else spark.range(0).select(col("id").as("g_id")).limit(0)
+  }
+
+  /** TOMBSTONE deletion for a persisted [[lshIndex]] — the
+    * [[deleteFromIvfIndex]] posture on the last index family without it
+    * (a gallery vector carries `tables` index rows, one per hash table;
+    * the mark hides them ALL): ids append to a side list (reads dedup,
+    * idempotent), [[loadLshIndexLive]] filters with a broadcast anti
+    * join that leaves the bucket-keyed layout (and its Exchange-free
+    * probe join) intact. Returns the number of DISTINCT batch ids live
+    * in the physical index (0 = no-op); tombstones are recorded
+    * regardless. Bound the debt with [[compactLshIndex]]. */
+  def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, path: String, ids: DataFrame,
+                         buckets: Int = 32): Long = {
+    require(ids.columns.length == 1, "ids must be a single id column")
+    val batch = ids.select(col(ids.columns.head).as("g_id"))
+      .where(col("g_id").isNotNull).distinct().localCheckpoint()
+    val live = loadLshIndex(spark, table, path, buckets).select(col("g_id")).distinct()
+      .join(lshTombstones(spark, path), Seq("g_id"), "left_anti")
+      .join(batch, Seq("g_id"), "left_semi").count()
+    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(lshTombstoneDir(path))
+    live
+  }
+
+  /** The LIVE view of a persisted [[lshIndex]]: the bucketed attachment
+    * minus tombstoned ids. Feed to [[topKLshWithIndex]] wherever
+    * deletions may exist (and filter the re-rank `gallery` the same way,
+    * or a deleted doc resurfaces with a float score). */
+  def loadLshIndexLive(spark: org.apache.spark.sql.SparkSession,
+                       table: String, path: String,
+                       buckets: Int = 32): DataFrame =
+    loadLshIndex(spark, table, path, buckets)
+      .join(broadcast(lshTombstones(spark, path)), Seq("g_id"), "left_anti")
+
+  /** Rewrite the live rows to a FRESH bucketed index (never in place),
+    * clearing the tombstone debt. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, path: String,
+                      newTable: String, newPath: String,
+                      buckets: Int = 32): DataFrame = {
+    require(graft.sources.LakeFs.canonical(newPath) !=
+      graft.sources.LakeFs.canonical(path),
+      "compactLshIndex never rewrites in place — write to a new path and swap")
+    persistLshIndex(loadLshIndexLive(spark, table, path, buckets),
+      newTable, newPath, buckets)
+    loadLshIndex(spark, newTable, newPath, buckets)
+  }
+
   /** [[topKQuantizedIvf]] over a prebuilt (possibly persisted) [[ivfIndex]]
     * — the steady-state shape: the index is read, never recomputed;
     * `gallery` supplies only the float vectors for the final re-rank

@@ -207,6 +207,48 @@ class BucketedStateSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS `lsh_plan_w`")
   }
 
+  test("LSH index takedowns: tombstoned ids vanish live; compaction restores appendability") {
+    val emb = TestSpark.table("embeddings")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val gallery = emb.where(col("vec_id") <= maxId - 20)
+    val probes = emb.where(col("vec_id") > maxId - 20)
+    val dir = tmp("lsh_tk")
+    Ann.persistLshIndex(Ann.lshIndex(gallery, nBits = 3, tables = 2),
+      "lsh_tk_w", dir, buckets = 4)
+    try {
+      def hits(): Set[Long] = Ann.topKLshWithIndex(probes,
+        Ann.loadLshIndexLive(spark, "lsh_tk_w", dir, buckets = 4),
+        gallery, k = 3, nBits = 3, tables = 2)
+        .collect().map(_.getLong(1)).toSet
+      val before = hits()
+      assert(before.nonEmpty)
+      val victim = before.min
+      assert(Ann.deleteFromLshIndex(spark, "lsh_tk_w", dir,
+        gallery.where(col("vec_id") === victim).select("vec_id"), buckets = 4) == 1L)
+      assert(!hits().contains(victim), "tombstoned id must stop being retrievable")
+      // Idempotent re-delete / never-indexed → 0 live; the victim keeps
+      // BOTH its per-table physical rows, the live view hides both.
+      assert(Ann.deleteFromLshIndex(spark, "lsh_tk_w", dir,
+        gallery.where(col("vec_id") === victim).select("vec_id"), buckets = 4) == 0L)
+      val phys = Ann.loadLshIndex(spark, "lsh_tk_w", dir, buckets = 4)
+      assert(phys.where(col("g_id") === victim).count() == 2L)
+      assert(Ann.loadLshIndexLive(spark, "lsh_tk_w", dir, buckets = 4)
+        .where(col("g_id") === victim).count() == 0L)
+      // Compaction: fresh path only; debt cleared, victim physically gone.
+      intercept[IllegalArgumentException] {
+        Ann.compactLshIndex(spark, "lsh_tk_w", dir, "lsh_tk2_w", dir)
+      }
+      val dir2 = tmp("lsh_tk2")
+      Ann.compactLshIndex(spark, "lsh_tk_w", dir, "lsh_tk2_w", dir2, buckets = 4)
+      assert(Ann.lshTombstones(spark, dir2).count() == 0L)
+      assert(Ann.loadLshIndex(spark, "lsh_tk2_w", dir2, buckets = 4)
+        .where(col("g_id") === victim).count() == 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `lsh_tk_w`")
+      spark.sql("DROP TABLE IF EXISTS `lsh_tk2_w`")
+    }
+  }
+
   test("near-dup append against bucketed index: band and token sides Exchange-free") {
     val docs = TestSpark.table("documents")
     val b0 = docs.where(col("doc_id") < 150)
