@@ -297,6 +297,23 @@ object Pipelines {
       .select(col("asset_id"), col("record_no"), col("uri"), col("text"),
         length(col("text")).cast("long").as("n_chars"))
 
+  /** [[warcDocuments]] with block-level MAIN-CONTENT extraction
+    * ([[graft.ops.Warc.mainContent]] — jusText-lite): HTML pages yield
+    * only their link-sparse, long-enough blocks, so nav bars, footers,
+    * and related-article chrome never enter the funnel (link density is
+    * the signal whole-page extraction has already lost by the time a
+    * line-level cleaner like C4 runs). Same narrow one-pass shape. */
+  def warcMainDocuments(assets: DataFrame, id: Column, payload: Column,
+                        maxLinkDensity: Double = 0.35, minChars: Int = 25,
+                        minStopwordRatio: Double = 0.0): DataFrame =
+    graft.ops.Warc.records(assets, id, payload,
+        extractHtml = html => graft.ops.Warc.mainContent(
+          html, maxLinkDensity, minChars, minStopwordRatio))
+      .where(col("warc_type") === "response" && col("http_status") === 200 &&
+        col("text").isNotNull && length(col("text")) > 0)
+      .select(col("asset_id"), col("record_no"), col("uri"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+
   /** Crawl-archive OUTLINKS: WARC payloads → absolute `(asset_id,
     * record_no, src_url, dst_url)` link rows ([[graft.ops.Warc.links]]
     * — href extraction + RFC-3986 resolution, http(s)-only). The WAT

@@ -407,6 +407,110 @@ object Warc {
       .filter(_.nonEmpty).mkString("\n")
   }
 
+  /** One extracted HTML block: whitespace-normalized text plus RAW
+    * non-whitespace char counts (total and inside `<a>` anchors —
+    * entities count at their raw source length on both sides, so the
+    * density stays consistent). */
+  final case class HtmlBlock(text: String, nChars: Int, nLinkChars: Int) {
+    def linkDensity: Double =
+      if (nChars == 0) 0.0 else nLinkChars.toDouble / nChars
+  }
+
+  private val segmentBlockNames: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "tr", "td", "th",
+    "table", "ul", "ol", "br", "title", "section", "article", "header",
+    "footer", "nav", "blockquote", "pre", "form", "hr")
+  private val anyWsRun = java.util.regex.Pattern.compile("\\s+")
+
+  /** HTML → content BLOCKS (the segmentation the boilerplate-classifier
+    * family — jusText/Boilerpipe, published recipes — runs on): text
+    * split at block-level tags, each block carrying its anchor-text
+    * share. Link density is the signal that only exists BEFORE tag
+    * stripping — nav bars, footers, and related-article lists are
+    * link-dense while body prose is not — which is exactly the
+    * information [[htmlToText]] (and any line-level cleaner downstream
+    * of it, like C4) has already lost. Same deterministic posture as
+    * [[htmlToText]]: script/style/comment blocks drop whole, entities
+    * decode once, unterminated tags drop to end-of-input. */
+  def htmlBlocks(html: String): Vector[HtmlBlock] = {
+    val guard = guardFlags(html)
+    var s = if ((guard & 1) != 0) scriptStyle.replaceAllIn(html, " ") else html
+    if ((guard & 2) != 0) s = comments.replaceAllIn(s, " ")
+    val out = Vector.newBuilder[HtmlBlock]
+    val sb = new java.lang.StringBuilder
+    var nonWs = 0; var linkWs = 0; var linkDepth = 0
+    def flush(): Unit = {
+      if (nonWs > 0) {
+        var text = sb.toString
+        if (text.indexOf('&') >= 0) text = decodeEntities(text)
+        text = anyWsRun.matcher(text).replaceAll(" ").trim
+        if (text.nonEmpty) out += HtmlBlock(text, nonWs, linkWs)
+      }
+      sb.setLength(0); nonWs = 0; linkWs = 0
+    }
+    var i = 0; val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val close = s.indexOf('>', i + 1)
+        if (close < 0) i = n // unterminated tag: drop to end (stripTags rule)
+        else {
+          var j = i + 1
+          var closing = false
+          if (j < close && s.charAt(j) == '/') { closing = true; j += 1 }
+          val start = j
+          while (j < close && {
+            val cc = asciiLower(s.charAt(j))
+            (cc >= 'a' && cc <= 'z') || (cc >= '0' && cc <= '9')
+          }) j += 1
+          val name = s.substring(start, j).toLowerCase(java.util.Locale.ROOT)
+          if (name == "a") {
+            if (closing) linkDepth = math.max(0, linkDepth - 1)
+            else linkDepth += 1
+            sb.append(' ')
+          } else if (segmentBlockNames.contains(name)) flush()
+          else sb.append(' ') // inline tag = word separator
+          i = close + 1
+        }
+      } else {
+        sb.append(c)
+        if (!Character.isWhitespace(c)) {
+          nonWs += 1
+          if (linkDepth > 0) linkWs += 1
+        }
+        i += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Main-content extraction over [[htmlBlocks]] — jusText-lite: keep a
+    * block iff it is long enough (`minChars` raw chars), link-sparse
+    * (`linkDensity <= maxLinkDensity` — nav/footer/related-list blocks
+    * are link-dense), and (optionally, `minStopwordRatio > 0`) carries
+    * at least that ratio of stopword tokens — the published signal that
+    * prose has function words while keyword lists and code don't. Kept
+    * blocks join with newlines, ready for the same funnel
+    * [[htmlToText]] output feeds; prefer this extraction when nav-chrome
+    * leakage matters more than total recall of page text. */
+  def mainContent(html: String, maxLinkDensity: Double = 0.35,
+                  minChars: Int = 25, minStopwordRatio: Double = 0.0,
+                  stopwords: Seq[String] = TextOps.defaultStopwords): String = {
+    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      s"maxLinkDensity must be in [0,1], got $maxLinkDensity")
+    val sw = stopwords.toSet
+    htmlBlocks(html).iterator.filter { b =>
+      b.nChars >= minChars && b.linkDensity <= maxLinkDensity &&
+        (minStopwordRatio <= 0.0 || {
+          val toks = b.text.toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z']+").filter(_.nonEmpty)
+          toks.nonEmpty &&
+            toks.count(sw.contains).toDouble / toks.length >= minStopwordRatio
+        })
+    }.map(_.text).mkString("\n")
+  }
+
   /** One guard scan for the two regex passes: bit 0 = a `<script` or
     * `<style` opener exists (ASCII case-folded — `(?i)` in Java regex is
     * ASCII-only without UNICODE_CASE, so folding here is exactly as
@@ -751,8 +855,11 @@ object Warc {
     * path instead). `content_type` prefers the HTTP header over the
     * WARC record header. One narrow mapPartitions; payload bytes never
     * shuffle; malformed archives degrade to however many records framed
-    * cleanly. */
-  def records(assets: DataFrame, id: Column, payload: Column): DataFrame = {
+    * cleanly. `extractHtml` swaps the HTML extraction ([[htmlToText]]
+    * default; pass [[mainContent]] for block-level boilerplate
+    * removal). */
+  def records(assets: DataFrame, id: Column, payload: Column,
+              extractHtml: String => String = htmlToText): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(recordSchema)
     val in: Dataset[Row] = assets
       .select(id.cast("long").as("asset_id"), payload.as("payload"))
@@ -773,9 +880,9 @@ object Warc {
             val isText = ctype.exists(_.toLowerCase.startsWith("text/"))
             val bodyText: String = http match {
               case Some(m) if !m.decoded => null // br/zstd body: never emit as text
-              case Some(m) if isHtml => htmlToText(decodeText(m.body, ctypeFull))
+              case Some(m) if isHtml => extractHtml(decodeText(m.body, ctypeFull))
               case Some(m) if isText => decodeText(m.body, ctypeFull)
-              case None if isHtml => htmlToText(decodeText(rec.body, ctypeFull))
+              case None if isHtml => extractHtml(decodeText(rec.body, ctypeFull))
               case None if isText && wtype != null && wtype != "request" =>
                 decodeText(rec.body, ctypeFull)
               case _ => null
