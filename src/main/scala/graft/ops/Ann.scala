@@ -840,14 +840,37 @@ object Ann {
   def kmeans(emb: DataFrame, k: Int, iters: Int = 5,
              id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     // Deterministic seeds: the k lowest-id vectors, renumbered 0..k-1 (a
     // global window over exactly k rows — driver-scale by construction).
     val wSeed = org.apache.spark.sql.expressions.Window.orderBy(col(id))
-    var centroids = emb.select(col(id), col(vec)).orderBy(col(id)).limit(k)
+    val seeds = emb.select(col(id), col(vec)).orderBy(col(id)).limit(k)
       .withColumn("__cid", row_number().over(wSeed).cast("long") - 1)
       .select(col("__cid").as(id), col(vec))
-      .localCheckpoint()
+    kmeansFrom(emb, seeds, iters, id, vec)
+  }
+
+  /** WARM-START Lloyd iterations from an existing centroid table — the
+    * retrain path the drift reports ([[appendIvfIndex]] /
+    * [[graft.streaming.AnnLoop]]) point at: when growth or
+    * assignment-similarity drift says recall is at risk, continue from
+    * the CURRENT centroids over the grown corpus instead of re-seeding
+    * cold — the [[graft.ops.GraphOps]] pageRankWarm posture applied to
+    * clustering (per-iteration cost is identical; a warm start lands
+    * near the fixpoint in a fraction of the rounds). Centroid IDENTITY
+    * is preserved (ids pass through), so downstream artifacts keyed by
+    * cid (a persisted IVF index, SemDeDup state) remain interpretable —
+    * but any persisted assignment is still stale after retraining:
+    * rebuild indexes to a fresh path and swap, as always. A converged
+    * centroid table is a FIXPOINT: one more warm iteration returns it
+    * unchanged (spec-pinned). */
+  def kmeansWarm(emb: DataFrame, centroids: DataFrame, iters: Int = 2,
+                 id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    kmeansFrom(emb, centroids.select(col(id), col(vec)), iters, id, vec)
+
+  private def kmeansFrom(emb: DataFrame, init: DataFrame, iters: Int,
+                         id: String, vec: String): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var centroids = init.localCheckpoint()
     var it = 0
     while (it < iters) {
       val assigned = ivfAssign(emb, centroids, id, vec)

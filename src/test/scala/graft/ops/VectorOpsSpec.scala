@@ -217,6 +217,51 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("kmeansWarm: converged centroids are a fixpoint; warm retrain absorbs drift and keeps cid identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // Exactly orthogonal block prototypes: cosine(pi, pj) = 0 for i ≠ j,
+    // so the drift geometry below is known, not RNG-dependent.
+    val protos = Array.tabulate(3)(c =>
+      Array.tabulate(16)(d => if (d / 5 == c) 3f else 0f))
+    // Interleaved ids (i % 3 = true cluster) so the deterministic seeds
+    // (the k lowest ids) land one per true cluster.
+    val vecs = (0 until 180).map { i =>
+      (i.toLong, protos(i % 3).map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val converged = Ann.kmeans(vecs, k = 3, iters = 8).localCheckpoint()
+    def cmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // Fixpoint: one more warm iteration over the SAME corpus returns the
+    // converged centroids unchanged (identical assignment -> identical
+    // means).
+    assert(cmap(Ann.kmeansWarm(vecs, converged, iters = 1)) == cmap(converged))
+    // Drift: a new batch extends cluster 0 in a shifted direction. A warm
+    // retrain moves centroid ids 0..2 (identity preserved — no
+    // re-seeding) and re-purifies the assignment of the grown corpus.
+    // A small ANGULAR nudge toward proto 1 (cos to proto0 ≈ 0.96, to
+    // proto1 ≈ 0.3): still inside cluster 0's cosine cell, but enough
+    // mass to move the centroid direction under the warm retrain.
+    val shifted = protos(0).zip(protos(1)).map { case (a, b) => a + 0.3f * b }
+    val extra = (0 until 40).map { i =>
+      (300L + i, shifted.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val grown = vecs.unionByName(extra)
+    val warm = Ann.kmeansWarm(grown, converged, iters = 4).localCheckpoint()
+    assert(cmap(warm).keySet == cmap(converged).keySet,
+      "warm retrain must preserve centroid identity (no re-seeding)")
+    val assign = Ann.ivfAssign(grown, warm)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Old cluster-0 members and the drifted batch share one centroid;
+    // clusters 1/2 stay pure and distinct.
+    val c0 = (0 until 180 by 3).map(i => assign(i.toLong)).distinct
+    val cx = (0 until 40).map(i => assign(300L + i)).distinct
+    assert(c0.size == 1 && cx == c0, s"drifted batch split from its cluster: $c0 vs $cx")
+    val c1 = (1 until 180 by 3).map(i => assign(i.toLong)).distinct
+    val c2 = (2 until 180 by 3).map(i => assign(i.toLong)).distinct
+    assert(c1.size == 1 && c2.size == 1 && Set(c0.head, c1.head, c2.head).size == 3)
+  }
+
   test("kmeans: k above the distinct-point count keeps stale centroids, no collapse") {
     import spark.implicits._
     val one = Array.fill(8)(1f)
