@@ -153,6 +153,18 @@ object Bench {
             archives, col("asset_id"), col("payload"))
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"))
       },
+      // Block-level main-content extraction (round 13): same archives as
+      // x_warc_ingest, but HTML runs the jusText-lite block segmenter
+      // (link density + length gates) instead of whole-page htmlToText —
+      // guards the added per-page cost of the chrome-free ingest path.
+      "x_warc_main" -> {
+        val archives = graft.ops.Warc.syntheticArchives(
+          docs, col("doc_id"), col("text")).persist()
+        archives.count()
+        () => graft.api.Pipelines.warcMainDocuments(
+            archives, col("asset_id"), col("payload"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"))
+      },
       // Web-graph extraction (round 12): archives → hrefs → RFC-3986
       // resolution → canonical host edges, aggregated. Fixture pages
       // carry three anchors each (absolute-with-entity, relative, and a

@@ -163,6 +163,70 @@ object Pipelines {
                             k: Int): DataFrame =
     Pq.pqTopKIvf(normEmb(probes), normEmb(gallery), centroids, cb, k)
 
+  /** DATA CARD: the one-call corpus summary a curated release ships with
+    * (the published "datasheets / data cards" practice) — a tidy
+    * `(section, key, value)` frame covering volume (docs / chars /
+    * tokens), language mix ([[graft.ops.TextOps.langGuess]]), quality
+    * verdicts, exact-dup pressure (md5-prefix groups, the q33 signal),
+    * per-source counts (when `sourceCol` is set) and the top registrable
+    * domains (when `urlCol` is set — the [[capPerDomain]] fold, so the
+    * card and the cap agree on what a "site" is). A handful of
+    * audit-time aggregations, each one scan + one bounded-cardinality
+    * exchange; nothing corpus-scale collects (domains are top-`topK` via
+    * a count sort-limit). */
+  def corpusReport(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   sourceCol: Option[String] = None,
+                   urlCol: Option[String] = None,
+                   topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val text = col(textCol)
+    val v = docs.agg(count(lit(1)).cast("double").as("docs"),
+      coalesce(sum(length(text)), lit(0L)).cast("double").as("chars"),
+      coalesce(sum(TextOps.tokenCountD(text)), lit(0.0)).as("tokens"))
+    def vrow(key: String) =
+      v.select(lit("volume").as("section"), lit(key).as("key"),
+        col(key).as("value"))
+    val volume = vrow("docs").unionByName(vrow("chars")).unionByName(vrow("tokens"))
+    val lang = docs.groupBy(TextOps.langGuess(text).as("__k"))
+      .agg(count(lit(1)).as("__v"))
+    val quality = docs.groupBy(TextOps.qualityVerdict(text).as("__k"))
+      .agg(count(lit(1)).as("__v"))
+    val dups = docs.groupBy(md5(substring(text, 1, 64)).as("__h"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+      .agg(count(lit(1)).as("__groups"),
+        sum(col("__n") - 1).as("__redundant"))
+    val base = volume
+      .unionByName(lang.select(lit("lang").as("section"),
+        coalesce(col("__k"), lit("unknown")).as("key"),
+        col("__v").cast("double").as("value")))
+      .unionByName(quality.select(lit("quality").as("section"),
+        col("__k").as("key"), col("__v").cast("double").as("value")))
+      .unionByName(dups.select(lit("exact_dup").as("section"),
+        lit("prefix64_groups").as("key"), col("__groups").cast("double").as("value")))
+      .unionByName(dups.select(lit("exact_dup").as("section"),
+        lit("prefix64_redundant_docs").as("key"),
+        coalesce(col("__redundant"), lit(0L)).cast("double").as("value")))
+    val withSource = sourceCol.fold(base) { sc =>
+      base.unionByName(
+        docs.groupBy(col(sc).cast("string").as("key"))
+          .agg(count(lit(1)).as("__v"))
+          .select(lit("source").as("section"),
+            coalesce(col("key"), lit("null")).as("key"),
+            col("__v").cast("double").as("value")))
+    }
+    urlCol.fold(withSource) { uc =>
+      val apex = TextOps.registeredDomain(
+        call_function("try_parse_url", col(uc), lit("HOST")))
+      withSource.unionByName(
+        docs.groupBy(apex.as("key")).agg(count(lit(1)).as("__v"))
+          .orderBy(col("__v").desc, col("key")).limit(topK)
+          .select(lit("domain").as("section"),
+            coalesce(col("key"), lit("unparsed")).as("key"),
+            col("__v").cast("double").as("value")))
+    }
+  }
+
   /** Temperature-sampling KEEP rates (the published multilingual mixing
     * recipe — mT5/XLM-R: target share qᵢ ∝ nᵢ^α): expressed as
     * per-source Bernoulli keep rates for [[mixSources]],

@@ -424,6 +424,41 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusReport: volume exact, sections complete, domains fold to the apex, dup pressure counted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumped over the lazy dog and it was good " * 3,
+        "srcA", "https://news.bbc.co.uk/a"),
+      (2L, "the quick brown fox jumped over the lazy dog and it was good " * 3,
+        "srcA", "https://www.bbc.co.uk/b"), // exact-prefix dup of 1
+      (3L, "a completely different document about rivers and roads in the sun " * 3,
+        "srcB", "https://example.org/c"),
+      (4L, "zz", "srcB", null) // short -> quality drop; null URL stratum
+    ).toDF("doc_id", "text", "source", "url")
+    val rep = Pipelines.corpusReport(docs, sourceCol = Some("source"),
+      urlCol = Some("url"))
+    val rows = rep.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows(("volume", "docs")) == 4.0)
+    assert(rows(("volume", "chars")) ==
+      docs.agg(sum(length(col("text")))).head().getLong(0).toDouble)
+    assert(rows(("volume", "tokens")) > 0.0)
+    assert(rows(("source", "srcA")) == 2.0 && rows(("source", "srcB")) == 2.0)
+    // Docs 1 and 2 share their 64-char prefix: one dup group, one
+    // redundant doc.
+    assert(rows(("exact_dup", "prefix64_groups")) == 1.0)
+    assert(rows(("exact_dup", "prefix64_redundant_docs")) == 1.0)
+    // Subdomains fold to the registrable apex (the capPerDomain key).
+    assert(rows(("domain", "bbc.co.uk")) == 2.0)
+    assert(rows(("domain", "example.org")) == 1.0)
+    assert(rows(("domain", "unparsed")) == 1.0)
+    // Language + quality sections partition the corpus.
+    assert(rows.collect { case (("lang", _), n) => n }.sum == 4.0)
+    assert(rows.collect { case (("quality", _), n) => n }.sum == 4.0)
+    intercept[IllegalArgumentException] { Pipelines.corpusReport(docs, topK = 0) }
+  }
+
   test("temperatureRates: n^alpha shares, alpha=1 keeps all, zero sources drop, end-to-end through mixSources") {
     // alpha = 1: identity mixing.
     assert(Pipelines.temperatureRates(Map("a" -> 10L, "b" -> 99999L), 1.0) ==
