@@ -184,4 +184,178 @@ object SketchOps {
         kll_sketch_get_quantile_double(col("kll"), lit(q)))
     }.drop("kll")
   }
+
+  // ---- Persisted BM25 index: retrieval over a corpus too big to scan ----
+  //
+  // Pipelines.bm25Rank re-tokenizes the WHOLE corpus per query — right for
+  // ad-hoc audits, wrong as the steady-state shape (a 100 TB corpus cannot
+  // be scanned per query). The index is the classic inverted layout
+  // re-expressed as graft state tables: POSTINGS (w, doc_id, tf) bucketed
+  // by term — a query's candidate generation is an equi probe touching
+  // only its terms' buckets — and LENGTHS (doc_id, dl) bucketed by doc_id
+  // — the normalization join touches only matching docs, Exchange-free on
+  // the bucketed side. Corpus scalars (n_docs, total_dl) live in an
+  // APPEND-ONLY delta log (tiny parquet rows; read = sum), so appends and
+  // deletions adjust them crash-safely without rewriting state — the same
+  // marks-not-rewrites posture as every other index family (deletions are
+  // doc_id tombstones + a negative stats delta). The contract is
+  // EXACTNESS, not approximation: indexed query ≡ the ad-hoc bm25Rank
+  // over the live corpus (spec-pinned after builds, appends, and
+  // deletions).
+
+  /** Tokenized BM25 state for a corpus: `(postings (w, doc_id, tf),
+    * lengths (doc_id, dl))` — null ids/text drop (unrankable). */
+  def buildBm25Index(docs: DataFrame, id: Column, text: Column)
+      : (DataFrame, DataFrame) = {
+    // No empty-token filter: bm25Rank's document LENGTH counts every
+    // split cell (empties included), and the ≡-ad-hoc contract needs
+    // identical dl values; "" never matches a real query term.
+    val tok = docs.where(id.isNotNull && text.isNotNull)
+      .select(id.cast("long").as("doc_id"), explode(TextOps.tokens(text)).as("w"))
+    (tok.groupBy("w", "doc_id").agg(count(lit(1)).as("tf")),
+      tok.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+  }
+
+  private def bm25StatsDir(path: String): String = s"${path}_stats"
+  /** Where [[deleteFromBm25Index]] records removed ids. */
+  def bm25TombstoneDir(path: String): String = s"${path}_tombstones"
+
+  /** The current tombstone id set (empty frame when none recorded). */
+  def bm25Tombstones(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val dir = bm25TombstoneDir(path)
+    val (fs, p) = graft.sources.LakeFs.resolve(dir)
+    if (fs.exists(p)) spark.read.parquet(dir).select(col("doc_id")).distinct()
+    else spark.range(0).select(col("id").as("doc_id")).limit(0)
+  }
+
+  private def appendStatsDelta(spark: org.apache.spark.sql.SparkSession,
+                               path: String, lengths: DataFrame,
+                               sign: Int): Unit =
+    lengths.agg((count(lit(1)) * sign).as("d_docs"),
+        (coalesce(sum(col("dl")), lit(0L)) * sign).as("d_dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(bm25StatsDir(path))
+
+  /** Live corpus scalars `(n_docs, total_dl)`: the summed delta log. */
+  def bm25Stats(spark: org.apache.spark.sql.SparkSession,
+                path: String): (Long, Long) = {
+    val r = spark.read.parquet(bm25StatsDir(path))
+      .agg(coalesce(sum(col("d_docs")), lit(0L)),
+        coalesce(sum(col("d_dl")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Persist a [[buildBm25Index]] pair bucketed for the probe paths and
+    * seed the stats log (fresh path; the never-in-place rule). */
+  def persistBm25Index(index: (DataFrame, DataFrame), table: String,
+                       path: String, buckets: Int = 32,
+                       mode: org.apache.spark.sql.SaveMode =
+                         org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    val (postings, lengths) = index
+    graft.sources.Bucketed.write(postings.select(col("w"), col("doc_id"), col("tf")),
+      s"${table}_po", s"${path}_po", "w", buckets, mode)
+    graft.sources.Bucketed.write(lengths.select(col("doc_id"), col("dl")),
+      s"${table}_dl", s"${path}_dl", "doc_id", buckets, mode)
+    val spark = postings.sparkSession
+    if (mode == org.apache.spark.sql.SaveMode.Overwrite) {
+      val (fs, p) = graft.sources.LakeFs.resolve(bm25StatsDir(path))
+      if (fs.exists(p)) fs.delete(p, true)
+      val (fs2, p2) = graft.sources.LakeFs.resolve(bm25TombstoneDir(path))
+      if (fs2.exists(p2)) fs2.delete(p2, true)
+    }
+    appendStatsDelta(spark,
+      path, graft.sources.Bucketed.register(spark, s"${table}_dl",
+        s"${path}_dl", "doc_id", buckets), sign = 1)
+  }
+
+  /** Re-attach a persisted index: `(postings, lengths)`. */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession, table: String,
+                    path: String, buckets: Int = 32): (DataFrame, DataFrame) =
+    (graft.sources.Bucketed.register(spark, s"${table}_po", s"${path}_po", "w", buckets),
+      graft.sources.Bucketed.register(spark, s"${table}_dl", s"${path}_dl", "doc_id", buckets))
+
+  /** O(new-docs) maintenance: tokenize + append the batch's postings and
+    * lengths (hash placement matches — probe joins stay Exchange-free)
+    * and log the stats delta. Standard id hygiene: a batch id already
+    * physically indexed, an in-batch duplicate, or a NULL id refuses
+    * loudly. */
+  def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      table: String, path: String,
+                      newDocs: DataFrame, id: Column, text: Column,
+                      buckets: Int = 32): Unit = {
+    val (_, dl) = loadBm25Index(spark, table, path, buckets)
+    val clash = dl.select(col("doc_id"))
+      .join(newDocs.select(id.cast("long").as("doc_id")), Seq("doc_id"), "left_semi")
+      .count()
+    require(clash == 0L,
+      s"appendBm25Index: $clash new id value(s) already exist in `$table` — " +
+        "appending would double-count their term stats; dedup the batch first")
+    val Array(nRows, nIds, nDistinct) = newDocs
+      .agg(count(lit(1)), count(id), countDistinct(id)).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nIds,
+      s"appendBm25Index: ${nRows - nIds} NULL id row(s) — every doc needs an id")
+    require(nIds == nDistinct,
+      s"appendBm25Index: ${nIds - nDistinct} duplicate id value(s) within the batch")
+    val (po, ln) = buildBm25Index(newDocs, id, text)
+    val poC = po.localCheckpoint(); val lnC = ln.localCheckpoint()
+    graft.sources.Bucketed.appendRegistered(poC, s"${table}_po", "w", buckets)
+    graft.sources.Bucketed.appendRegistered(lnC, s"${table}_dl", "doc_id", buckets)
+    appendStatsDelta(spark, path, lnC, sign = 1)
+  }
+
+  /** TOMBSTONE deletion — the takedown posture shared by every index
+    * family (marks, not rewrites): ids append to a side list, the query
+    * path anti-joins them out of postings AND document-frequency counts,
+    * and a NEGATIVE stats delta keeps (n_docs, avgdl) true for the live
+    * corpus — so a post-deletion query still equals the ad-hoc ranker
+    * over the surviving docs (spec-pinned). Returns the live batch count
+    * (0 = no-op); idempotent. */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          table: String, path: String, ids: DataFrame,
+                          buckets: Int = 32): Long = {
+    require(ids.columns.length == 1, "ids must be a single id column")
+    val batch = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .where(col("doc_id").isNotNull).distinct().localCheckpoint()
+    val (_, dl) = loadBm25Index(spark, table, path, buckets)
+    val liveRows = dl
+      .join(bm25Tombstones(spark, path), Seq("doc_id"), "left_anti")
+      .join(batch, Seq("doc_id"), "left_semi").localCheckpoint()
+    val live = liveRows.count()
+    if (live > 0) appendStatsDelta(spark, path, liveRows, sign = -1)
+    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(bm25TombstoneDir(path))
+    live
+  }
+
+  /** BM25 query over the persisted index — the steady-state retrieval
+    * shape: candidate generation is an equi probe on the query's terms
+    * (only their postings buckets read), df comes from the SAME probed
+    * rows, lengths join Exchange-free on the bucketed side, and the
+    * corpus scalars read from the delta log. Identical scoring formula
+    * (and values) to [[graft.api.Pipelines.bm25Rank]] over the live
+    * corpus. */
+  def bm25QueryIndexed(spark: org.apache.spark.sql.SparkSession,
+                       table: String, path: String, terms: Seq[String],
+                       k1: Double = 1.2, b: Double = 0.75,
+                       buckets: Int = 32): DataFrame = {
+    require(terms.nonEmpty, "no query terms")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, 0 <= b <= 1; got k1=$k1 b=$b")
+    val (po, dl) = loadBm25Index(spark, table, path, buckets)
+    val dead = broadcast(bm25Tombstones(spark, path))
+    val hits = po.where(col("w").isin(terms: _*))
+      .join(dead, Seq("doc_id"), "left_anti")
+    val dfT = hits.groupBy("w").agg(count(lit(1)).as("df"))
+    val (nDocs, totalDl) = bm25Stats(spark, path)
+    require(nDocs > 0, "empty (or fully deleted) index")
+    val avgdl = totalDl.toDouble / nDocs
+    val idf = log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    hits.join(broadcast(dfT), "w")
+      .join(dl.join(dead, Seq("doc_id"), "left_anti"), "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(idf * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+        .as("score"))
+  }
 }

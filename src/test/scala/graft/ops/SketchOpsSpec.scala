@@ -166,4 +166,71 @@ class SketchOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(r == Set("a", "b"))
   }
+
+  test("BM25 index: indexed query ≡ ad-hoc ranker through builds, appends, and deletions") {
+    val docs = TestSpark.table("documents").where(col("doc_id") < 200)
+      .select("doc_id", "text").localCheckpoint()
+    val terms = Seq("data", "stream")
+    def adHoc(d: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      graft.api.Pipelines.bm25Rank(d, col("doc_id"), col("text"), terms)
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val (tbl, path) = ("bm25_w", s"$root/idx")
+    def indexed(): Map[Long, Double] =
+      SketchOps.bm25QueryIndexed(spark, tbl, path, terms, buckets = 4)
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    try {
+      // Build on the first half, query ≡ ad-hoc over that corpus.
+      val b0 = docs.where(col("doc_id") < 100)
+      SketchOps.persistBm25Index(
+        SketchOps.buildBm25Index(b0, col("doc_id"), col("text")),
+        tbl, path, buckets = 4)
+      assert(indexed() == adHoc(b0))
+      assert(indexed().nonEmpty, "vacuous fixture")
+      // Append the second half: query ≡ ad-hoc over the union — df,
+      // n_docs, and avgdl all absorbed the batch.
+      val b1 = docs.where(col("doc_id") >= 100)
+      SketchOps.appendBm25Index(spark, tbl, path, b1, col("doc_id"), col("text"),
+        buckets = 4)
+      assert(indexed() == adHoc(docs))
+      // Takedown: a matching doc vanishes AND the ranking equals the
+      // ad-hoc ranker over the SURVIVING corpus (df/avgdl corrected by
+      // the negative stats delta, not just row filtering).
+      val victim = indexed().keySet.min
+      assert(SketchOps.deleteFromBm25Index(spark, tbl, path,
+        docs.where(col("doc_id") === victim).select("doc_id"), buckets = 4) == 1L)
+      assert(SketchOps.deleteFromBm25Index(spark, tbl, path,
+        docs.where(col("doc_id") === victim).select("doc_id"), buckets = 4) == 0L)
+      val after = indexed()
+      assert(!after.contains(victim))
+      assert(after == adHoc(docs.where(col("doc_id") =!= victim)),
+        "post-deletion scores must equal the ad-hoc ranker over survivors")
+      // Hygiene: re-appending an indexed id, an in-batch dup, a null id,
+      // and empty terms all refuse.
+      intercept[IllegalArgumentException] {
+        SketchOps.appendBm25Index(spark, tbl, path, b1, col("doc_id"), col("text"),
+          buckets = 4)
+      }
+      val spark2 = spark
+      import spark2.implicits._
+      intercept[IllegalArgumentException] {
+        SketchOps.appendBm25Index(spark, tbl, path,
+          Seq((9000L, "x"), (9000L, "y")).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), buckets = 4)
+      }
+      intercept[IllegalArgumentException] {
+        SketchOps.appendBm25Index(spark, tbl, path,
+          Seq((Option.empty[Long], "x")).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), buckets = 4)
+      }
+      intercept[IllegalArgumentException] {
+        SketchOps.bm25QueryIndexed(spark, tbl, path, Nil, buckets = 4)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `bm25_w_po`")
+      spark.sql("DROP TABLE IF EXISTS `bm25_w_dl`")
+    }
+  }
 }
