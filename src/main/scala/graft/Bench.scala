@@ -401,6 +401,10 @@ object Bench {
     // (2.55 s same session) — the 32×-fewer-coarse-bytes story in wall
     // clock: ~2.2× the int8 fused probe.
     "x_pq_ivf"             -> 1.15,
+    // x_warc_main measured 0.22 s vs x_warc_ingest 0.31 s same run: the
+    // block scanner replaces the fused whole-page stripping passes and
+    // emits only content blocks.
+    "x_warc_main"          -> 0.22,
     "x_semdedup_fold"      -> 0.53,
     "x_hits"               -> 4.50,
     "x_dsir_score"         -> 0.31,
