@@ -358,4 +358,23 @@ object SketchOps {
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
         .as("score"))
   }
+
+  /** Rewrite the LIVE rows to a FRESH index (never in place), clearing
+    * tombstone debt and rebuilding the stats log from scratch — the
+    * compaction/repair tool of this family (also the recovery path the
+    * loud partial-append guards point at). */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       table: String, path: String,
+                       newTable: String, newPath: String,
+                       buckets: Int = 32): Unit = {
+    require(graft.sources.LakeFs.canonical(newPath) !=
+      graft.sources.LakeFs.canonical(path),
+      "compactBm25Index never rewrites in place — write to a new path and swap")
+    val (po, dl) = loadBm25Index(spark, table, path, buckets)
+    val dead = broadcast(bm25Tombstones(spark, path))
+    persistBm25Index(
+      (po.join(dead, Seq("doc_id"), "left_anti"),
+        dl.join(dead, Seq("doc_id"), "left_anti")),
+      newTable, newPath, buckets)
+  }
 }
