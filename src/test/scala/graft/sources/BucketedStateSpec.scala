@@ -207,6 +207,33 @@ class BucketedStateSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS `lsh_plan_w`")
   }
 
+  test("BM25 indexed query: the lengths side joins Exchange-free on its bucketing") {
+    val docs = TestSpark.table("documents").where(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val dir = tmp("bm25_plan")
+    graft.ops.SketchOps.persistBm25Index(
+      graft.ops.SketchOps.buildBm25Index(docs, col("doc_id"), col("text")),
+      "bm25_plan_w", dir, buckets = 4)
+    try {
+      smjRegime {
+        val q = graft.ops.SketchOps.bm25QueryIndexed(spark, "bm25_plan_w", dir,
+          Seq("data", "stream"), buckets = 4)
+        val plan = q.queryExecution.executedPlan
+        // The normalization join reads the doc_id-bucketed lengths table
+        // without shuffling it into its own join (the probe side — term
+        // hits — is what shuffles). Tag the LENGTHS dir specifically: the
+        // postings scan shares the path prefix and legitimately sits
+        // below a doc_id exchange (it feeds the probe side).
+        assert(segmentExchanges(plan, "state_dl", Set("doc_id")).isEmpty,
+          s"bucketed BM25 lengths still shuffle into their join:\n$plan")
+        assert(q.limit(1).count() > 0, "vacuous plan pin")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `bm25_plan_w_po`")
+      spark.sql("DROP TABLE IF EXISTS `bm25_plan_w_dl`")
+    }
+  }
+
   test("LSH index takedowns: tombstoned ids vanish live; compaction restores appendability") {
     val emb = TestSpark.table("embeddings")
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
