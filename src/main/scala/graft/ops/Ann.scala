@@ -81,6 +81,79 @@ object Ann {
       .select(col("p_id"), col("m.g_id").as("g_id"), col("m.s").as("s"))
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" — public recipe): mine aligned pairs across two
+    * embedding sets by the RATIO margin — `margin(x, y) = cos(x, y) /
+    * ((avg cos of x's kNorm nearest in ys + avg cos of y's kNorm
+    * nearest in xs) / 2)` — instead of raw cosine. The normalization is
+    * the point: hubness (a vector that is everyone's near-neighbor)
+    * inflates raw cosine but inflates the neighborhood average equally,
+    * so hubs stop winning every pair; a genuinely aligned pair stands
+    * OUT of both sides' neighborhoods. Returns `(x_id, y_id, s, margin)`
+    * — per x, its best-margin y at `margin >= threshold` (the paper's
+    * "max" strategy); with `mutual = true` (the quality gate real
+    * mining runs) only pairs that are each other's best survive.
+    *
+    * Scale posture: this is the EXACT form over an xs × ys block,
+    * guarded like [[knn]] — at corpus scale, mine within candidate
+    * blocks (IVF cells via [[ivfAssign]], LSH buckets, or language-pair
+    * shards), where the block product is bounded by construction; the
+    * margin only needs each side's LOCAL neighborhood, which the block
+    * contains by the same argument that makes blocked ANN work. NaN
+    * cosines (zero-norm vectors) rank last and can never clear the
+    * threshold; an all-degenerate neighborhood yields a NaN margin, not
+    * an ANSI divide error. */
+  def marginMine(xs: DataFrame, ys: DataFrame, kNorm: Int = 4,
+                 threshold: Double = 1.0, mutual: Boolean = true,
+                 id: String = "vec_id", vec: String = "embedding",
+                 maxPairs: Long = 250000000L): DataFrame = {
+    require(kNorm >= 1, s"kNorm must be >= 1, got $kNorm")
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    val nPairs = xs.count() * ys.count()
+    require(nPairs <= maxPairs,
+      s"marginMine is the exact block form: $nPairs xs×ys pairs > " +
+        s"maxPairs=$maxPairs. Mine within IVF/LSH candidate blocks at " +
+        "scale, or raise maxPairs explicitly for a deliberately-sized block.")
+    val x = xs.select(col(id).as("x_id"), col(vec).as("x_emb"))
+    val y = ys.select(col(id).as("y_id"), col(vec).as("y_emb"))
+    val wx = Window.partitionBy("x_id").orderBy(rankSafe(col("s")).desc, col("y_id"))
+    val wy = Window.partitionBy("y_id").orderBy(rankSafe(col("s")).desc, col("x_id"))
+    val ranked = x.crossJoin(y)
+      .withColumn("s", cosine6(col("x_emb"), col("y_emb")))
+      .select("x_id", "y_id", "s")
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+    val avgX = ranked.where(col("rx") <= kNorm)
+      .groupBy("x_id").agg(avg(col("s")).as("__ax"))
+    val avgY = ranked.where(col("ry") <= kNorm)
+      .groupBy("y_id").agg(avg(col("s")).as("__ay"))
+    val den = (col("__ax") + col("__ay")) / 2
+    val margins = ranked.where(col("rx") <= kNorm || col("ry") <= kNorm)
+      .join(avgX, "x_id").join(avgY, "y_id")
+      .withColumn("margin",
+        when(den === 0.0, lit(Double.NaN)).otherwise(col("s") / den))
+    val wbx = Window.partitionBy("x_id")
+      .orderBy(rankSafe(col("margin")).desc, col("y_id"))
+    // Spark orders NaN ABOVE every double in comparisons too (unlike
+    // IEEE), so a NaN margin would pass `>= threshold` — reject it
+    // explicitly (degenerate vectors must never mine).
+    val bestX = margins.withColumn("__bn", row_number().over(wbx))
+      .where(col("__bn") === 1 && !isnan(col("margin")) &&
+        col("margin") >= threshold)
+      .select("x_id", "y_id", "s", "margin")
+    if (!mutual) bestX
+    else {
+      val wby = Window.partitionBy("y_id")
+        .orderBy(rankSafe(col("margin")).desc, col("x_id"))
+      val bestY = margins.withColumn("__bn", row_number().over(wby))
+        .where(col("__bn") === 1)
+        .select(col("x_id").as("__bx"), col("y_id").as("__by"))
+      bestX.join(bestY,
+        col("x_id") === col("__bx") && col("y_id") === col("__by"), "left_semi")
+    }
+  }
+
   /** Centroid tables are driver-bounded by construction (they were
     * always BROADCAST); up to this many are inlined as expression
     * literals, turning assignment into a PURE PROJECTION — the

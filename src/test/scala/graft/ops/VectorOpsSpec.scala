@@ -439,4 +439,41 @@ class VectorOpsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS `ivf_del_w3`")
     }
   }
+
+  test("marginMine: ratio margin mines aligned pairs, suppresses the middle, honors mutual + guards") {
+    import spark.implicits._
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // Two aligned pairs at 3 deg separation plus a "middle" vector at 45
+    // deg that is close-ish to BOTH xs — raw cosine would still rank it
+    // second everywhere; the margin keeps it from forming any pair.
+    val xs = Seq(1L -> at(0), 2L -> at(90)).toDF("vec_id", "embedding")
+    val ys = Seq(11L -> at(3), 12L -> at(87), 13L -> at(45))
+      .toDF("vec_id", "embedding")
+    val got = Ann.marginMine(xs, ys, kNorm = 2, threshold = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 11L), (2L, 12L)),
+      s"aligned pairs expected, got ${got.toSeq}")
+    assert(got.forall(_._3 > 1.4), s"aligned margins should stand out: ${got.toSeq}")
+    // Hand arithmetic pin for (1, 11): s = cos 3; ax = (cos3 + cos45)/2,
+    // ay = (cos3 + cos87)/2; margin = s / ((ax + ay)/2).
+    val (c3, c45, c87) = (0.99863, 0.707107, 0.052336)
+    val expect = c3 / (((c3 + c45) / 2 + (c3 + c87) / 2) / 2)
+    val m11 = got.find(t => t._1 == 1L).get._3
+    assert(math.abs(m11 - expect) < 1e-4, s"margin $m11 vs hand $expect")
+    // A high threshold empties the result; mutual=false keeps per-x
+    // bests independently of the other side.
+    assert(Ann.marginMine(xs, ys, kNorm = 2, threshold = 1.5).count() == 0L)
+    assert(Ann.marginMine(xs, ys, kNorm = 2, threshold = 1.05, mutual = false)
+      .count() == 2L)
+    // Zero-norm vectors never mine (NaN cosine fails every threshold).
+    val xz = Seq(3L -> Seq(0f, 0f)).toDF("vec_id", "embedding")
+    assert(Ann.marginMine(xz, ys, kNorm = 2, threshold = 0.1).count() == 0L)
+    // The block guard fires loudly past maxPairs.
+    intercept[IllegalArgumentException] {
+      Ann.marginMine(xs, ys, kNorm = 2, maxPairs = 3L)
+    }
+  }
 }
