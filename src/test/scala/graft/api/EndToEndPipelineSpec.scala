@@ -77,4 +77,42 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     val again = DedupOps.updatedFingerprints(updated, run2, col("doc_id"), col("text"))
     assert(again.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == full)
   }
+
+  test("curate → data card → searchable index composes (the round-13 tail of the funnel)") {
+    val docs = TestSpark.table("documents")
+    // 1. Curate (defaults) — the funnel's clean pool.
+    val res = Pipelines.curate(docs)
+    val clean = res.curated.localCheckpoint()
+    val n = clean.count()
+    assert(n > 0 && n < docs.count())
+    // 2. Data card over the clean pool: volume section must agree with
+    // the pool itself, and the card's doc count with the funnel audit.
+    val card = Pipelines.corpusReport(clean, sourceCol = Some("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(card(("volume", "docs")) == n.toDouble)
+    val audit = res.audit.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(card(("volume", "docs")) == audit("mixed").toDouble)
+    // 3. The clean pool becomes a searchable artifact: persisted BM25
+    // index whose ranking equals the ad-hoc ranker over the SAME pool.
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-bm25").toString
+    try {
+      graft.ops.SketchOps.persistBm25Index(
+        graft.ops.SketchOps.buildBm25Index(clean, col("doc_id"), col("text")),
+        "e2e_bm25", s"$root/idx", buckets = 4)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val indexed = graft.ops.SketchOps.bm25QueryIndexed(spark, "e2e_bm25",
+        s"$root/idx", Seq("data", "stream"), buckets = 4)
+        .collect().map(r => r.getLong(0) -> r6(r.getDouble(1))).toMap
+      val adHoc = Pipelines.bm25Rank(clean, col("doc_id"), col("text"),
+        Seq("data", "stream"))
+        .collect().map(r => r.getLong(0) -> r6(r.getDouble(1))).toMap
+      assert(indexed == adHoc && indexed.nonEmpty)
+      // Every ranked doc survived curation (the index serves the pool).
+      val keptIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(indexed.keySet.subsetOf(keptIds))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `e2e_bm25_po`")
+      spark.sql("DROP TABLE IF EXISTS `e2e_bm25_dl`")
+    }
+  }
 }
