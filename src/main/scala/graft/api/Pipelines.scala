@@ -1069,8 +1069,11 @@ object Pipelines {
         // within-cluster verify only pays for docs still alive, and a
         // token-dropped doc never semantically dominates a survivor
         // (its content survives through its cluster's canonical rep).
+        // Checkpoint: emb's lineage is the WHOLE funnel (via the canon
+        // semi join) — without the cut, the sizing count, every kmeans
+        // iteration, and the drop verify would each re-execute it.
         val emb = stg.embeddings.join(canon.select(id.as("__sid")),
-          col("vec_id") === col("__sid"), "left_semi")
+          col("vec_id") === col("__sid"), "left_semi").localCheckpoint()
         val cents = stg.centroids.getOrElse(
           graft.ops.Ann.kmeans(emb,
             graft.ops.Ann.semDedupKFor(emb.count(), stg.targetCluster), stg.iters))

@@ -110,9 +110,11 @@ object Ann {
                  maxPairs: Long = 250000000L): DataFrame = {
     require(kNorm >= 1, s"kNorm must be >= 1, got $kNorm")
     require(threshold > 0.0, s"threshold must be positive, got $threshold")
-    val nPairs = xs.count() * ys.count()
-    require(nPairs <= maxPairs,
-      s"marginMine is the exact block form: $nPairs xs×ys pairs > " +
+    // Division-form guard: the product of two corpus-scale counts
+    // overflows Long exactly where this guard matters most.
+    val nx = xs.count(); val ny = ys.count()
+    require(ny == 0L || nx <= maxPairs / math.max(1L, ny),
+      s"marginMine is the exact block form: $nx x $ny xs×ys pairs > " +
         s"maxPairs=$maxPairs. Mine within IVF/LSH candidate blocks at " +
         "scale, or raise maxPairs explicitly for a deliberately-sized block.")
     val x = xs.select(col(id).as("x_id"), col(vec).as("x_emb"))

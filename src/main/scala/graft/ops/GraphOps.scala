@@ -272,9 +272,12 @@ object GraphOps {
     * scheduler treats differently.
     *
     * Per iteration: two (equi join + partial-agg'd hash agg) halves over
-    * node-scale state — exactly [[pageRank]]'s cost shape — with an L1
-    * normalization each half-step (two scalar aggs) so scores stay in
-    * [0,1] and never overflow regardless of depth; lineage is cut every
+    * node-scale state — exactly [[pageRank]]'s cost shape. In-loop
+    * frames stay SPARSE and UNNORMALIZED (normalization only rescales
+    * the direction the final L1 division fixes, and per-half-step
+    * scalar aggs are driver barriers — measured 6.35 → 4.5 s on the
+    * bench graph); a periodic rescale every 8 rounds bounds double
+    * magnitude for deep iteration counts, and lineage is cut every
     * round. Multi-edges collapse (`distinct`); nodes with no out-edge
     * have hub 0 after the first round, no in-edge → authority 0 — scores,
     * not mass, so nothing needs redistributing (the dangling machinery

@@ -134,7 +134,18 @@ object Pq {
       }
       cents
     }
-    PqCodebook(m, dim, centroids.head.length, centroids)
+    // Subspaces clamp independently (a sparse subspace may hold fewer
+    // distinct sub-vectors than a diverse one); the codebook is
+    // rectangular, so pad short subspaces by REPEATING their first
+    // centroid — nearestCode breaks distance ties toward the LOWEST
+    // code, so a padded duplicate can never be emitted and ADC never
+    // looks one up.
+    val kOut = centroids.map(_.length).max
+    val padded = centroids.map { cs =>
+      if (cs.length == kOut) cs
+      else cs ++ Array.fill(kOut - cs.length)(cs.head)
+    }
+    PqCodebook(m, dim, kOut, padded)
   }
 
   /** Encode a corpus: `(g_id bigint, codes array<tinyint>)` — code c is

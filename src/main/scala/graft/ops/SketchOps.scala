@@ -196,7 +196,9 @@ object SketchOps {
   // — the normalization join touches only matching docs, Exchange-free on
   // the bucketed side. Corpus scalars (n_docs, total_dl) live in an
   // APPEND-ONLY delta log (tiny parquet rows; read = sum), so appends and
-  // deletions adjust them crash-safely without rewriting state — the same
+  // deletions adjust them without rewriting state (retries never
+  // double-count; each mutation's one crash window is detected by
+  // Bm25Loop's replay audit and repaired by compactBm25Index) — the same
   // marks-not-rewrites posture as every other index family (deletions are
   // doc_id tombstones + a negative stats delta). The contract is
   // EXACTNESS, not approximation: indexed query ≡ the ad-hoc bm25Rank
@@ -285,12 +287,23 @@ object SketchOps {
                       newDocs: DataFrame, id: Column, text: Column,
                       buckets: Int = 32): Unit = {
     val (_, dl) = loadBm25Index(spark, table, path, buckets)
+    val batchIds = newDocs.select(id.cast("long").as("doc_id"))
     val clash = dl.select(col("doc_id"))
-      .join(newDocs.select(id.cast("long").as("doc_id")), Seq("doc_id"), "left_semi")
+      .join(batchIds, Seq("doc_id"), "left_semi")
       .count()
     require(clash == 0L,
       s"appendBm25Index: $clash new id value(s) already exist in `$table` — " +
         "appending would double-count their term stats; dedup the batch first")
+    // Tombstoned ids refuse too, even when never physically ingested: the
+    // query path anti-joins them out FOREVER, so appending one would add
+    // an unsearchable doc that still counts in n_docs/avgdl — silently
+    // breaking the indexed ≡ ad-hoc contract.
+    val dead = bm25Tombstones(spark, path)
+      .join(batchIds, Seq("doc_id"), "left_semi").count()
+    require(dead == 0L,
+      s"appendBm25Index: $dead new id value(s) are tombstoned in `$table` — " +
+        "they would be invisible to queries yet counted in the statistics; " +
+        "compactBm25Index makes deleted ids re-appendable")
     val Array(nRows, nIds, nDistinct) = newDocs
       .agg(count(lit(1)), count(id), countDistinct(id)).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
@@ -323,9 +336,15 @@ object SketchOps {
       .join(bm25Tombstones(spark, path), Seq("doc_id"), "left_anti")
       .join(batch, Seq("doc_id"), "left_semi").localCheckpoint()
     val live = liveRows.count()
-    if (live > 0) appendStatsDelta(spark, path, liveRows, sign = -1)
+    // Tombstones FIRST, the negative delta second: the liveness probe
+    // above flips exactly when the tombstones land, so a RETRY after a
+    // crash between the two writes finds live = 0 and never
+    // double-decrements; the one skew a crash can leave (doc hidden,
+    // stats still counting it) reads as n_docs > live docs and is
+    // repaired by compactBm25Index (Bm25Loop's replay audit checks it).
     batch.write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(bm25TombstoneDir(path))
+    if (live > 0) appendStatsDelta(spark, path, liveRows, sign = -1)
     live
   }
 
@@ -372,9 +391,16 @@ object SketchOps {
       "compactBm25Index never rewrites in place — write to a new path and swap")
     val (po, dl) = loadBm25Index(spark, table, path, buckets)
     val dead = broadcast(bm25Tombstones(spark, path))
+    val liveDl = dl.join(dead, Seq("doc_id"), "left_anti")
+    // Postings additionally reconcile against the lengths table (the
+    // source of doc-ness): a crash between an append's postings and
+    // lengths writes leaves orphan postings that a plain tombstone
+    // filter would carry into the new index forever — this is the
+    // repair path the partial-append guards point at.
     persistBm25Index(
-      (po.join(dead, Seq("doc_id"), "left_anti"),
-        dl.join(dead, Seq("doc_id"), "left_anti")),
+      (po.join(dead, Seq("doc_id"), "left_anti")
+        .join(liveDl.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        liveDl),
       newTable, newPath, buckets)
   }
 }

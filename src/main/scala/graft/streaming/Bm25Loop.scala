@@ -88,15 +88,23 @@ object Bm25Loop {
         // (compactBm25Index is the repair tool).
         if (removals.limit(1).count() > 0)
           SketchOps.deleteFromBm25Index(spark, table, path, removals, buckets)
-        val (_, dl) = SketchOps.loadBm25Index(spark, table, path, buckets)
+        val (po, dl) = SketchOps.loadBm25Index(spark, table, path, buckets)
         val batchIds = additions.select(col(idCol).cast("long").as("doc_id"))
           .distinct().localCheckpoint()
-        val present = dl.select(col("doc_id"))
-          .join(batchIds, Seq("doc_id"), "left_semi").count()
-        require(present == 0L || present == nDistinct,
-          s"Bm25Loop: index holds $present of $nDistinct batch-$batchId ids — " +
-            "partial append (crash inside the fold?); compactBm25Index to a " +
-            "fresh path and restart")
+        // Presence must be checked in BOTH tables: appendBm25Index writes
+        // postings before lengths, so a crash between them leaves batch
+        // ids in _po but not _dl — a lengths-only check would read 0 and
+        // re-append, silently doubling every posting in the batch.
+        val present = batchIds
+          .join(dl.select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+        val presentPo = batchIds
+          .join(po.select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+        require((present == 0L && presentPo == 0L) ||
+          (present == nDistinct && presentPo == nDistinct),
+          s"Bm25Loop: index holds $presentPo/$present of $nDistinct " +
+            s"batch-$batchId ids in postings/lengths — partial append " +
+            "(crash inside the fold?); compactBm25Index to a fresh path " +
+            "and restart")
         if (present == 0L)
           SketchOps.appendBm25Index(spark, table, path, additions,
             col(idCol), col(textCol), buckets)

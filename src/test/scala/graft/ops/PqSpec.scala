@@ -52,6 +52,27 @@ class PqSpec extends AnyFunSuite {
       s"centroids must converge to the generating patterns")
   }
 
+  test("pqTrain: subspaces with unequal diversity pad to a rectangular codebook; pads never win") {
+    // Subspace 0 has 3 distinct sub-vectors, subspace 1 only 1 (sparse /
+    // zero-padded embeddings are the real-world shape): the codebook must
+    // come out rectangular, with the sparse side padded by repeats that
+    // the lowest-code tie-break can never emit.
+    val sparse = embDf(
+      0L -> (pats(0) ++ Seq(0f, 0f, 0f, 0f)),
+      1L -> (pats(1) ++ Seq(0f, 0f, 0f, 0f)),
+      2L -> (pats(2) ++ Seq(0f, 0f, 0f, 0f)))
+    val cb = Pq.pqTrain(sparse, col("vec_id"), col("embedding"), m = 2, k = 8, iters = 3)
+    assert(cb.k == 3 && cb.centroids.forall(_.length == 3),
+      s"rectangular codebook expected, got k=${cb.k}")
+    // Encoding uses only code 0 for the constant subspace (pads unused).
+    val codes = Pq.pqEncodeDf(sparse, col("vec_id"), col("embedding"), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(codes.values.forall(_(1) == (-128).toByte),
+      s"the constant subspace must always encode to code 0: $codes")
+    assert(codes.values.map(_(0)).toSet.size == 3,
+      "the diverse subspace must use three distinct codes")
+  }
+
   test("encode + ADC are exact on a representable corpus; codes round-trip the offset") {
     val cb = Pq.pqTrain(patCorpus, col("vec_id"), col("embedding"), m = 2, k = 4, iters = 4)
     val codes = Pq.pqEncodeDf(patCorpus, col("vec_id"), col("embedding"), cb)
