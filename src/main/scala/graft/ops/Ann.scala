@@ -119,11 +119,49 @@ object Ann {
         "scale, or raise maxPairs explicitly for a deliberately-sized block.")
     val x = xs.select(col(id).as("x_id"), col(vec).as("x_emb"))
     val y = ys.select(col(id).as("y_id"), col(vec).as("y_emb"))
+    marginCore(x.crossJoin(y)
+      .withColumn("s", cosine6(col("x_emb"), col("y_emb")))
+      .select("x_id", "y_id", "s"), kNorm, threshold, mutual)
+  }
+
+  /** [[marginMine]] BLOCKED by IVF cells — the scale form its scaladoc
+    * prescribes, as one plan: both sides assign to the caller's shared
+    * centroid set ([[ivfAssign]] — cells must come from ONE space for
+    * cross-set cosines to be meaningful, e.g. multilingual sentence
+    * embeddings), candidates come from an EQUI join on the cell id
+    * (shuffle sized by cell population, never xs × ys), and margins
+    * normalize by each vector's kNorm nearest WITHIN ITS CELL — the
+    * local neighborhood, which is all the published margin uses (a
+    * neighborhood average computed over far-away vectors would be
+    * diluted toward zero anyway). Cross-cell pairs are the documented
+    * recall trade, exactly like every blocked ANN: aligned pairs that
+    * straddle a cell boundary are unreachable — size k so cells stay
+    * comfortably larger than kNorm, and prefer fewer/larger cells when
+    * recall matters more than the prune. With everything in one cell
+    * this is EXACTLY [[marginMine]] (spec-pinned). */
+  def marginMineBlocked(xs: DataFrame, ys: DataFrame, centroids: DataFrame,
+                        kNorm: Int = 4, threshold: Double = 1.0,
+                        mutual: Boolean = true,
+                        id: String = "vec_id",
+                        vec: String = "embedding"): DataFrame = {
+    require(kNorm >= 1, s"kNorm must be >= 1, got $kNorm")
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    val x = withAssignedCid(xs, centroids, id, vec)
+      .select(col(id).as("x_id"), col(vec).as("x_emb"), col("__cid").as("cid"))
+    val y = withAssignedCid(ys, centroids, id, vec)
+      .select(col(id).as("y_id"), col(vec).as("y_emb"), col("__cid").as("cid"))
+    marginCore(x.join(y, Seq("cid"))
+      .withColumn("s", cosine6(col("x_emb"), col("y_emb")))
+      .select("x_id", "y_id", "s"), kNorm, threshold, mutual)
+  }
+
+  /** The margin kernel shared by [[marginMine]] and [[marginMineBlocked]]:
+    * `sims` carries every candidate `(x_id, y_id, s)`. */
+  private def marginCore(sims: DataFrame, kNorm: Int, threshold: Double,
+                         mutual: Boolean): DataFrame = {
     val wx = Window.partitionBy("x_id").orderBy(rankSafe(col("s")).desc, col("y_id"))
     val wy = Window.partitionBy("y_id").orderBy(rankSafe(col("s")).desc, col("x_id"))
-    val ranked = x.crossJoin(y)
-      .withColumn("s", cosine6(col("x_emb"), col("y_emb")))
-      .select("x_id", "y_id", "s")
+    val ranked = sims
       .withColumn("rx", row_number().over(wx))
       .withColumn("ry", row_number().over(wy))
     val avgX = ranked.where(col("rx") <= kNorm)

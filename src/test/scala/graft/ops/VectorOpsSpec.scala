@@ -476,4 +476,39 @@ class VectorOpsSpec extends AnyFunSuite {
       Ann.marginMine(xs, ys, kNorm = 2, maxPairs = 3L)
     }
   }
+
+  test("marginMineBlocked: one cell ≡ exact form; cells keep the plan keyed; cross-cell is the trade") {
+    import spark.implicits._
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val xs = Seq(1L -> at(0), 2L -> at(90)).toDF("vec_id", "embedding")
+    val ys = Seq(11L -> at(3), 12L -> at(87), 13L -> at(45))
+      .toDF("vec_id", "embedding")
+    // One cell holding everything: blocked ≡ exact, value for value.
+    val oneCell = Seq(0L -> at(45)).toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(canon(Ann.marginMineBlocked(xs, ys, oneCell, kNorm = 2, threshold = 1.05)) ==
+      canon(Ann.marginMine(xs, ys, kNorm = 2, threshold = 1.05)))
+    // Two cells at 0 and 90 deg, each holding a real neighborhood (a
+    // cell with a single candidate degenerates the margin to exactly 1 —
+    // the scaladoc's "cells comfortably larger than kNorm" rule): the
+    // aligned pairs stand out of their cell-local neighborhoods; the
+    // 45-deg middle tie-breaks into cell 0 and never forms a pair.
+    val cells = Seq(0L -> at(0), 1L -> at(90)).toDF("vec_id", "embedding")
+    val ys2 = Seq(11L -> at(3), 13L -> at(30), 12L -> at(87), 14L -> at(60),
+      15L -> at(45)).toDF("vec_id", "embedding")
+    val blocked = Ann.marginMineBlocked(xs, ys2, cells, kNorm = 2, threshold = 1.03)
+    assert(blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 11L), (2L, 12L)))
+    // Plan: candidates come from an equi join on the cell id — never a
+    // cartesian xs × ys.
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked mining must stay keyed:\n$plan")
+  }
 }
