@@ -2965,6 +2965,32 @@ select d.pid,
  from d join thr on thr.stratum = d.stratum
  where substr(md5(concat('tmix:', cast(d.doc_id as varchar))), 1, 8) < t
  order by d.stratum, d.doc_id"""),
+
+    // Token-budget sampling (round 13): training sets are sized in
+    // TOKENS, not documents — keep the prefix of the seeded-md5 order
+    // whose cumulative token count fits the budget. Everything is
+    // engine-exact: integer token counts (the q167 split-cell length
+    // convention — Spark split and DuckDB string_split both keep empty
+    // cells), a lexicographic (hash, id) window order, and a bigint
+    // running sum. The library twin (Pipelines.sampleToTokenBudget)
+    // computes the SAME prefix with a bucketed two-pass plan (the
+    // global window here is the oracle form — one partition — while
+    // the op cuts 255/256 of rows without any window); PipelinesSpec
+    // pins the two forms row-identical, and this query pins the
+    // convention cross-engine.
+    q2("q186_token_budget",
+      """with t as (select doc_id,
+   coalesce(size(split(text, ' ')), 0) n_tok,
+   md5(concat('tb:', cast(doc_id as string))) h from documents),
+ c as (select doc_id, n_tok, sum(cast(n_tok as bigint)) over (order by h, doc_id
+   rows between unbounded preceding and current row) run from t)
+ select doc_id, n_tok, run from c where run <= 20000 order by doc_id""",
+      """with t as (select doc_id,
+   coalesce(len(string_split(text, ' ')), 0) n_tok,
+   md5(concat('tb:', cast(doc_id as varchar))) h from documents),
+ c as (select doc_id, n_tok, sum(cast(n_tok as bigint)) over (order by h, doc_id
+   rows between unbounded preceding and current row) run from t)
+ select doc_id, n_tok, run from c where run <= 20000 order by doc_id"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1714,6 +1714,23 @@ object DfQueries {
         .orderBy("stratum", "doc_id")
     },
 
+    "q186_token_budget" -> { (s, _) =>
+      // Pipelines.sampleToTokenBudget (the bucketed two-pass plan) picks
+      // the membership; the running sum re-derives over the kept rows —
+      // the kept set is a PREFIX of the (hash, id) order, so its cumsum
+      // equals the oracle's global-window values row for row.
+      val docs = t(s, "documents").select("doc_id", "text")
+      val kept = graft.api.Pipelines.sampleToTokenBudget(
+        docs, "doc_id", "text", 20000L, seed = "tb")
+      val h = md5(concat_ws(":", lit("tb"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(h, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      kept.select(col("doc_id"),
+          coalesce(size(split(col("text"), " ")), lit(0)).as("n_tok"))
+        .withColumn("run", sum(col("n_tok").cast("bigint")).over(w))
+        .orderBy("doc_id")
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

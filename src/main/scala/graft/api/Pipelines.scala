@@ -227,6 +227,56 @@ object Pipelines {
     }
   }
 
+  /** Deterministic TOKEN-BUDGET sampling — training sets are sized in
+    * tokens, not documents: keep the prefix of the seeded-md5 order
+    * (`md5(seed:id)`, the q69/q105/q160 draw) whose cumulative token
+    * count fits `budgetTokens`. Reproducible across runs, layouts, and
+    * retries; declared cross-engine as q186 (integer token counts, a
+    * string-ordered cumulative sum — both exact).
+    *
+    * Scale shape: the naive spelling is ONE GLOBAL WINDOW (every row
+    * through a single partition — the q186 oracle form, correct and
+    * fine at audit scale). This implementation is the distributed
+    * equivalent: bucket the hash order by its first two hex chars (256
+    * ranges), one map-combined agg gives per-bucket token sums, the
+    * driver cumsums 256 rows to find the BOUNDARY bucket, whole buckets
+    * below it keep with no window at all, and only the boundary
+    * bucket's rows (≈ corpus/256) pay a windowed cumsum. Bucket order
+    * is hash-prefix order, so the result EQUALS the global-window
+    * spelling row for row (spec-pinned). Null ids drop (no draw
+    * without an id); null text counts 0 tokens and can ride. */
+  def sampleToTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                          budgetTokens: Long, seed: String = "tb"): DataFrame = {
+    require(budgetTokens >= 0L, s"budget must be >= 0, got $budgetTokens")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val toks = coalesce(size(TextOps.tokens(col(textCol))).cast("long"), lit(0L))
+    val base = docs.where(col(idCol).isNotNull)
+      .withColumn("__h", h).withColumn("__tok", greatest(toks, lit(0L)))
+    val withB = base.withColumn("__b", substring(col("__h"), 1, 2))
+    val sums = withB.groupBy("__b").agg(sum(col("__tok")).as("__s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L; var boundary: Option[String] = None; var before = 0L
+    sums.foreach { case (b, s) =>
+      if (boundary.isEmpty) {
+        if (acc + s <= budgetTokens) acc += s
+        else { boundary = Some(b); before = acc }
+      }
+    }
+    boundary match {
+      case None => base.drop("__h", "__tok") // everything fits
+      case Some(b) =>
+        val whole = withB.where(col("__b") < b)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__h"), col(idCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val edge = withB.where(col("__b") === b)
+          .withColumn("__c", sum(col("__tok")).over(w) + before)
+          .where(col("__c") <= budgetTokens)
+          .drop("__c")
+        whole.unionByName(edge).drop("__h", "__tok", "__b")
+    }
+  }
+
   /** Temperature-sampling KEEP rates (the published multilingual mixing
     * recipe — mT5/XLM-R: target share qᵢ ∝ nᵢ^α): expressed as
     * per-source Bernoulli keep rates for [[mixSources]],

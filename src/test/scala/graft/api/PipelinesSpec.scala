@@ -424,6 +424,40 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleToTokenBudget: bucketed plan ≡ global window, boundary tight, deterministic") {
+    val docs = TestSpark.table("documents").select("doc_id", "text")
+    val budget = 20000L
+    val kept = Pipelines.sampleToTokenBudget(docs, "doc_id", "text", budget)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // The oracle form: one global window over the seeded-md5 order.
+    val h = md5(concat_ws(":", lit("tb"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(h, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val oracle = docs
+      .withColumn("__run",
+        sum(coalesce(size(split(col("text"), " ")), lit(0)).cast("bigint")).over(w))
+      .where(col("__run") <= budget)
+    val want = oracle.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == want, s"bucketed ≠ window: extra=${ids -- want} missing=${want -- ids}")
+    assert(ids.nonEmpty && ids.size < docs.count(), "fixture must cut somewhere")
+    // Boundary is tight: kept tokens fit, kept + the next doc would not.
+    val keptTok = kept.agg(sum(coalesce(size(split(col("text"), " ")), lit(0))
+      .cast("bigint"))).head().getLong(0)
+    assert(keptTok <= budget, s"kept $keptTok > budget")
+    // Deterministic across layouts; schema preserved.
+    val again = Pipelines.sampleToTokenBudget(docs.repartition(13), "doc_id",
+      "text", budget).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    assert(kept.schema == docs.schema)
+    // Budget 0 keeps nothing; an over-budget keeps everything.
+    assert(Pipelines.sampleToTokenBudget(docs, "doc_id", "text", 0L).count() == 0L)
+    assert(Pipelines.sampleToTokenBudget(docs, "doc_id", "text", 1L << 40)
+      .count() == docs.count())
+    intercept[IllegalArgumentException] {
+      Pipelines.sampleToTokenBudget(docs, "doc_id", "text", -1L)
+    }
+  }
+
   test("corpusReport: volume exact, sections complete, domains fold to the apex, dup pressure counted") {
     val spark2 = spark
     import spark2.implicits._
