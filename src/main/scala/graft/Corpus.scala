@@ -2982,14 +2982,14 @@ select d.pid,
       """with t as (select doc_id,
    coalesce(size(split(text, ' ')), 0) n_tok,
    md5(concat('tb:', cast(doc_id as string))) h from documents),
- c as (select doc_id, n_tok, sum(cast(n_tok as bigint)) over (order by h, doc_id
-   rows between unbounded preceding and current row) run from t)
+ c as (select doc_id, n_tok, cast(sum(cast(n_tok as bigint)) over (order by h, doc_id
+   rows between unbounded preceding and current row) as bigint) run from t)
  select doc_id, n_tok, run from c where run <= 20000 order by doc_id""",
       """with t as (select doc_id,
    coalesce(len(string_split(text, ' ')), 0) n_tok,
    md5(concat('tb:', cast(doc_id as varchar))) h from documents),
- c as (select doc_id, n_tok, sum(cast(n_tok as bigint)) over (order by h, doc_id
-   rows between unbounded preceding and current row) run from t)
+ c as (select doc_id, n_tok, cast(sum(cast(n_tok as bigint)) over (order by h, doc_id
+   rows between unbounded preceding and current row) as bigint) run from t)
  select doc_id, n_tok, run from c where run <= 20000 order by doc_id"""),
   )
 

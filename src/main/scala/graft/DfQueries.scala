@@ -1718,16 +1718,35 @@ object DfQueries {
       // Pipelines.sampleToTokenBudget (the bucketed two-pass plan) picks
       // the membership; the running sum re-derives over the kept rows —
       // the kept set is a PREFIX of the (hash, id) order, so its cumsum
-      // equals the oracle's global-window values row for row.
+      // equals the oracle's global-window values row for row. The window
+      // is PARTITIONED by the same hash-prefix bucket the op cuts with
+      // (driver-cumsum'd bucket offsets added back), so no corpus-scale
+      // single-partition window exists anywhere in the plan — the
+      // oracle's global window is the one-partition audit spelling.
       val docs = t(s, "documents").select("doc_id", "text")
       val kept = graft.api.Pipelines.sampleToTokenBudget(
-        docs, "doc_id", "text", 20000L, seed = "tb")
+          docs, "doc_id", "text", 20000L, seed = "tb")
+        .localCheckpoint()
       val h = md5(concat_ws(":", lit("tb"), col("doc_id").cast("string")))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(h, col("doc_id"))
+      val base = kept.select(col("doc_id"),
+          coalesce(size(split(col("text"), " ")), lit(0)).as("n_tok"),
+          h.as("__h"), substring(h, 1, 2).as("__b"))
+      val sums = base.groupBy("__b").agg(sum(col("n_tok").cast("bigint")).as("__s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      // Exclusive prefix sums in bucket order: each bucket's offset is
+      // the total tokens of every bucket before it.
+      val offsets = sums.map(_._1)
+        .zip(sums.scanLeft(0L) { case (acc, (_, v)) => acc + v }.init).toMap
+      val spark2 = s
+      import spark2.implicits._
+      val off = offsets.toSeq.toDF("__b", "__off")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("__b")
+        .orderBy(col("__h"), col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      kept.select(col("doc_id"),
-          coalesce(size(split(col("text"), " ")), lit(0)).as("n_tok"))
-        .withColumn("run", sum(col("n_tok").cast("bigint")).over(w))
+      base.join(broadcast(off), "__b")
+        .withColumn("run",
+          sum(col("n_tok").cast("bigint")).over(w) + col("__off"))
+        .select("doc_id", "n_tok", "run")
         .orderBy("doc_id")
     },
 
