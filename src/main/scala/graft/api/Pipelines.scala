@@ -1082,8 +1082,14 @@ object Pipelines {
     // [[HostAuthorityGate]]).
     val hostKept = hostAuthorityGate match {
       case Some(g) =>
+        // Collapse duplicate host rows deterministically (keep the best
+        // score) — rank tables assembled from unioned snapshots carry
+        // them, and a left join would DUPLICATE every doc on that host
+        // through the rest of the funnel (the Robots.frontierFilter
+        // hazard, same fix).
         val ranks = g.ranks.select(g.hostCol.cast("string").as("__ah"),
           g.scoreCol.cast("double").as("__ascore"))
+          .groupBy("__ah").agg(max(col("__ascore")).as("__ascore"))
         quality
           .withColumn("__ahost", urlHost(g.url, g.byRegisteredDomain))
           .join(ranks, col("__ahost") === col("__ah"), "left")

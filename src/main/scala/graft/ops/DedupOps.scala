@@ -319,7 +319,7 @@ object DedupOps {
     // bands > k would give 0 rows per band — every doc in ONE bucket, the
     // all-pairs quadratic blowup this operator exists to avoid; a k not
     // divisible by bands would silently drop trailing signature rows.
-    require(bands >= 1 && k % bands == 0,
+    require(bands >= 1 && k >= 1 && k % bands == 0,
       s"k ($k) must be a positive multiple of bands ($bands)")
     val sig = minhashSignatures(tokens, k)
     val cand = lshCandidates(lshBandKeys(sig, bands, k / bands))
@@ -349,7 +349,7 @@ object DedupOps {
     * runs once. */
   def minhashLshDocs(docs: DataFrame, id: Column, text: Column,
                      k: Int, bands: Int, threshold: Double): DataFrame = {
-    require(bands >= 1 && k % bands == 0,
+    require(bands >= 1 && k >= 1 && k % bands == 0,
       s"k ($k) must be a positive multiple of bands ($bands)")
     val r = k / bands
     val base = docs.select(id.as("doc_id"),
@@ -538,7 +538,7 @@ object DedupOps {
     * once per doc (never per band); band keys are short strings. */
   def buildNearDupIndex(docs: DataFrame, id: Column, text: Column,
                         k: Int, bands: Int): (DataFrame, DataFrame) = {
-    require(bands >= 1 && k % bands == 0,
+    require(bands >= 1 && k >= 1 && k % bands == 0,
       s"k ($k) must be a positive multiple of bands ($bands)")
     val r = k / bands
     val base = docs.select(id.cast("long").as("doc_id"),

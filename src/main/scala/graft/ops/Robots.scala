@@ -64,15 +64,19 @@ object Robots {
             // no rule at all; an empty Allow is equally vacuous.
             if (value.nonEmpty && uas.nonEmpty)
               rules :+= Rule(allow = key == "allow", pattern = value)
-          case "crawl-delay" | "sitemap" =>
-            // Recognized non-rule directives still CLOSE the group: in
-            // "User-agent: a / Crawl-delay: 1 / User-agent: b /
-            // Disallow: /" agent a's group ends at the crawl-delay, so b
-            // opens a FRESH group and a is not bound by b's rules
-            // (reference parsers agree; [[crawlDelay]] uses the same
-            // separators, so the two parsers see identical groups).
+          case _ =>
+            // ANY non-user-agent directive CLOSES the group — recognized
+            // (crawl-delay, sitemap) or unknown (Host:, Clean-param:,
+            // vendor extensions): in "User-agent: a / Host: x /
+            // User-agent: b / Disallow: /" agent a's group ends at the
+            // Host line, so b opens a FRESH group and a is not bound by
+            // b's rules. This is the google/robotstxt separator class
+            // (any line that is neither user-agent nor a rule);
+            // [[crawlDelay]] uses the same separators, so the two
+            // parsers see identical groups. Under-blocking an agent
+            // whose group holds only unknown directives beats
+            // over-blocking it with a stranger's rules.
             inRules = true
-          case _ => () // unknown directives: ignored
         }
       }
     }

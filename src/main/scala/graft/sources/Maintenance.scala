@@ -204,7 +204,14 @@ object Maintenance {
     val m0 = manifest.localCheckpoint()
     // 1. Envelope prune (two scalars — bounded driver data).
     val env = changeKeys.agg(min(col(key)), max(col(key))).head()
-    if (env.isNullAt(0)) return (spark.read.parquet(dir), m0) // empty batch
+    // Empty/no-op returns read exactly as the normal return path does:
+    // after any past evolution the dir is a MIXED physical layout, and a
+    // plain read would sample one footer's schema — silently hiding (or
+    // showing) the widened columns depending on which file wins.
+    def tableView() =
+      if (evolveSchema) spark.read.option("mergeSchema", "true").parquet(dir)
+      else spark.read.parquet(dir)
+    if (env.isNullAt(0)) return (tableView(), m0) // empty batch
     val candidates = FileStats.prunedFiles(m0,
       Seq(ColumnBounds(key, Some(env.get(0)), Some(env.get(1)))))
     // 2. Exact touched set: key column + file name over candidates only.
@@ -217,7 +224,7 @@ object Maintenance {
     // Delete-only batch touching nothing: there is no row to remove and
     // none to add — staging would move one zero-row part file into the
     // table root per call, growing the file count without bound.
-    if (touched.isEmpty && changes.isEmpty) return (spark.read.parquet(dir), m0)
+    if (touched.isEmpty && changes.isEmpty) return (tableView(), m0)
     // 3. Copy-on-write rewrite of the touched files.
     val (fs, root) = LakeFs.resolve(dir)
     val staging = new org.apache.hadoop.fs.Path(root,

@@ -66,9 +66,16 @@ object AnnLoop {
     val removals = marked.where(col("__rm"))
       .select(col(idCol).cast("long").as("g_id"))
       .where(col("g_id").isNotNull).distinct().localCheckpoint()
+    // Same-batch remove+add resolves to deleted; so does a re-add of an
+    // id tombstoned in ANY earlier batch (its physical row still exists
+    // — re-admitting would wedge the all-or-none presence guard on a
+    // mixed batch; re-ingest under a new id or compact the index first,
+    // the appendIvfIndex clash-guard contract).
+    val dead = Ann.ivfTombstones(spark, path).select(col("g_id").as("__dead"))
     val additions = marked.where(!col("__rm")).drop("__rm")
       .join(removals.select(col("g_id").as("__rmid")),
         col(idCol).cast("long") === col("__rmid"), "left_anti")
+      .join(dead, col(idCol).cast("long") === col("__dead"), "left_anti")
       .localCheckpoint()
     val Array(nRows, nIds, nDistinct) = additions
       .agg(count(lit(1)), count(col(idCol)), countDistinct(col(idCol))).head()

@@ -58,9 +58,17 @@ object Bm25Loop {
     val removals = marked.where(col("__rm"))
       .select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull).distinct().localCheckpoint()
+    // Same-batch remove+add resolves to deleted; so does a re-add of an
+    // id tombstoned in ANY earlier batch (appendBm25Index refuses
+    // tombstoned ids — without this filter a mixed batch would throw on
+    // every checkpoint replay; re-ingest under a new id or
+    // compactBm25Index first).
+    val dead = SketchOps.bm25Tombstones(spark, path)
+      .select(col("doc_id").as("__dead"))
     val additions = marked.where(!col("__rm")).drop("__rm")
       .join(removals.select(col("doc_id").as("__rmid")),
         col(idCol).cast("long") === col("__rmid"), "left_anti")
+      .join(dead, col(idCol).cast("long") === col("__dead"), "left_anti")
       .localCheckpoint()
     val Array(nRows, nIds, nDistinct) = additions
       .agg(count(lit(1)), count(col(idCol)), countDistinct(col(idCol))).head()

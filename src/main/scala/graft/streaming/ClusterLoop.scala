@@ -95,7 +95,16 @@ object ClusterLoop {
         .select(col("lo"), col("hi"), lit(1).as("sign"), lit(batchId).as("b"))
         .write.mode(SaveMode.Overwrite).parquet(tgt.toString)
     }
-    others.foreach(p => fs.delete(p, true))
+    // Delete in ASCENDING batch order: for a net-REMOVED pair the +1 dir
+    // is always OLDER than the -1 that killed it, so at any crash point
+    // the leftover suffix either holds both actions or only the -1 —
+    // never a bare +1 that would resurrect the edge when a replayed
+    // batch nets the store (compact rows carry the newest b, so they
+    // dominate every leftover row for PRESENT edges, but a net-removed
+    // edge has NO compact row to dominate with).
+    others.sortBy(p => p.getName.stripPrefix("batch=")
+        .stripSuffix("_compact").toLong)
+      .foreach(p => fs.delete(p, true))
   }
 
   /** One micro-batch — exposed for direct replay tests; [[run]] wires

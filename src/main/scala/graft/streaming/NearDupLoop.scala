@@ -85,10 +85,18 @@ object NearDupLoop {
       .select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull).distinct().localCheckpoint()
     // Removed-and-added in one batch resolves to deleted: the addition
-    // is dropped here AND the id is tombstoned below.
+    // is dropped here AND the id is tombstoned below. A previously-
+    // tombstoned id (ANY earlier batch) stays deleted too — its physical
+    // rows still exist, so re-admitting it would wedge the all-or-none
+    // presence guard on a mixed batch and emit pairs for a doc the live
+    // index denies; re-ingest restored content under a NEW id, or
+    // compact the index first (the appendNearDup clash-guard contract).
+    val dead = DedupOps.nearDupTombstones(spark, path)
+      .select(col("doc_id").as("__dead"))
     val additions = marked.where(!col("__rm")).drop("__rm")
       .join(removals.select(col("doc_id").as("__rmid")),
         col(idCol).cast("long") === col("__rmid"), "left_anti")
+      .join(dead, col(idCol).cast("long") === col("__dead"), "left_anti")
       .localCheckpoint()
     val Array(nRows, nIds, nDistinct) = additions
       .agg(count(lit(1)), count(col(idCol)), countDistinct(col(idCol))).head()
@@ -130,12 +138,15 @@ object NearDupLoop {
     require(present == 0L || present == nDistinct,
       s"NearDupLoop: index holds $present of $nDistinct batch-$batchId ids — " +
         "partial append (out-of-band writer?); rebuild or compact the index")
-    val dead = broadcast(DedupOps.nearDupTombstones(spark, path))
-    // The old side excludes the batch's own ids so a replay that finds
-    // the batch appended still computes pre-batch-state pairs.
-    val oldKeys = physKeys.join(dead, Seq("doc_id"), "left_anti")
+    // Re-read tombstones AFTER this batch's retraction so they hide its
+    // takedowns too; the old side also excludes the batch's own ids so
+    // a replay that finds the batch appended still computes
+    // pre-batch-state pairs.
+    val deadNow = broadcast(
+      DedupOps.nearDupTombstones(spark, path).select(col("doc_id")))
+    val oldKeys = physKeys.join(deadNow, Seq("doc_id"), "left_anti")
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
-    val oldToks = physToks.join(dead, Seq("doc_id"), "left_anti")
+    val oldToks = physToks.join(deadNow, Seq("doc_id"), "left_anti")
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
     val (newKeys0, newToks0) = DedupOps.buildNearDupIndex(
       additions, col(idCol), col(textCol), k, bands)

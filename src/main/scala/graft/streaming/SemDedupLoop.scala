@@ -84,10 +84,18 @@ object SemDedupLoop {
       .select(col(idCol).cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull).distinct().localCheckpoint()
     // Removed-and-added in one batch resolves to deleted: the addition
-    // is dropped here AND the id is tombstoned below.
+    // is dropped here AND the id is tombstoned below. A previously-
+    // tombstoned id (ANY earlier batch) stays deleted too — its physical
+    // state row still exists, so re-admitting it would wedge the
+    // all-or-none presence guard on a mixed batch; re-ingest under a
+    // NEW id or compact the state first (the monotone-id contract means
+    // old ids are never reusable anyway).
+    val dead = Ann.semDedupTombstones(spark, path)
+      .select(col("doc_id").as("__dead"))
     val additions = marked.where(!col("__rm")).drop("__rm")
       .join(removals.select(col("doc_id").as("__rmid")),
         col(idCol).cast("long") === col("__rmid"), "left_anti")
+      .join(dead, col(idCol).cast("long") === col("__dead"), "left_anti")
       .localCheckpoint()
     val Array(nRows, nIds, nDistinct) = additions
       .agg(count(lit(1)), count(col(idCol)), countDistinct(col(idCol))).head()

@@ -309,6 +309,15 @@ class PipelinesSpec extends AnyFunSuite {
       s"authority stage removed nothing: $audit")
     // Default funnel shape unchanged.
     assert(!base.audit.collect().map(_.getString(1)).contains("host_authority"))
+    // Duplicate host rows in the rank table (unioned snapshots) collapse
+    // deterministically instead of duplicating every doc on that host.
+    val dupRanks = ranks.unionByName(
+      ranks.where(col("host") === "hub.org")
+        .withColumn("nrank", col("nrank") - 0.1)).localCheckpoint()
+    val resDup = Pipelines.curate(docs, hostAuthorityGate = Some(
+      Pipelines.HostAuthorityGate(dupRanks, floor = 0.5, url = col("url"))))
+    assert(resDup.curated.count() == res.curated.count(),
+      "a duplicated rank row must not duplicate documents through the funnel")
   }
 
   test("curate lm gate: gibberish falls below the floor, real docs survive it") {

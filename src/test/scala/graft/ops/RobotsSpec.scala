@@ -70,6 +70,13 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.crawlDelay(delayed, "b").isEmpty)
     val mapped = "User-agent: a\nSitemap: https://a.org/s.xml\nUser-agent: b\nDisallow: /"
     assert(Robots.allowed(mapped, "a", "/x") && !Robots.allowed(mapped, "b", "/x"))
+    // UNKNOWN directives are group separators too (the google/robotstxt
+    // separator class): agent a's group ends at the Host line, so b's
+    // Disallow must not bind a.
+    val hosted = "User-agent: a\nHost: example.com\nUser-agent: b\nDisallow: /"
+    assert(Robots.allowed(hosted, "a", "/x"),
+      "an unknown-directive-only group must not merge into the next group")
+    assert(!Robots.allowed(hosted, "b", "/x"))
   }
 
   test("sitemaps + crawlDelay: seeding and politeness-rate extraction") {

@@ -429,6 +429,18 @@ class FileStatsSpec extends AnyFunSuite {
     }
     assert(fileCount == n0, s"no-op deletes grew the table: $n0 -> $fileCount")
     assert(canon(m) == canon(manifest))
+    // After a schema evolution the no-op return must read like every
+    // other evolveSchema return (mergeSchema) — a plain read samples one
+    // footer and silently hides the widened column on the mixed layout.
+    val widened = region.where(col("r_regionkey") === 0)
+      .withColumn("r_extra", lit(7L))
+    val (_, m2) = Maintenance.upsert(spark, d, m, widened, "r_regionkey",
+      evolveSchema = true)
+    val (tNoop, _) = Maintenance.upsert(spark, d, m2, empty.withColumn("r_extra", lit(0L)),
+      "r_regionkey", Some(Seq(98765L).toDF("k")), evolveSchema = true)
+    assert(tNoop.columns.contains("r_extra"),
+      "the no-op return must carry the widened column on a mixed layout")
+    assert(tNoop.where(col("r_extra") === 7L).count() == 1L)
   }
 
   test("upsert edge cases: empty batch, delete-only, null keys, missing key stats") {

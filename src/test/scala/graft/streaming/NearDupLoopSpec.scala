@@ -123,6 +123,25 @@ class NearDupLoopSpec extends AnyFunSuite {
       assert(toks.where(col("doc_id") === victim).count() == 1L)
       val (_, liveToks) = DedupOps.loadNearDupIndexLive(spark, "ndl_b", idx, buckets = 4)
       assert(liveToks.where(col("doc_id") === victim).count() == 0L)
+      // CROSS-batch re-add of the tombstoned victim (mixed with a fresh
+      // doc): the re-add resolves to deleted — dropped from the batch, no
+      // pairs emitted for it, the fresh doc processed normally, and the
+      // loop does NOT wedge on the all-or-none presence guard (the
+      // victim's physical rows still exist).
+      val readd = all.where(col("doc_id") === victim)
+        .select(col("doc_id"), col("text"), lit(false).as("removed"))
+        .unionByName(Seq(NdEvent(901L, "a fresh doc arriving alongside the readd",
+          removed = false)).toDF())
+      NearDupLoop.foldBatch(readd, 1L, "doc_id", "text", "removed",
+        "ndl_b", idx, out, k, bands, tau, buckets = 4)
+      val got1 = pairsOf(spark.read.parquet(s"$out/batch=1"))
+      assert(!got1.exists(p => p._1 == victim || p._2 == victim),
+        "a tombstoned id's re-add must stay deleted until compaction")
+      val (_, toksAfter) = DedupOps.loadNearDupIndex(spark, "ndl_b", idx, buckets = 4)
+      assert(toksAfter.where(col("doc_id") === victim).count() == 1L,
+        "the re-add must not append a second physical row")
+      assert(toksAfter.where(col("doc_id") === 901L).count() == 1L,
+        "the fresh doc in the mixed batch must ingest normally")
     } finally drop("ndl_b")
   }
 
