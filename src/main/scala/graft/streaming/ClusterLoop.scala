@@ -102,8 +102,10 @@ object ClusterLoop {
     // batch nets the store (compact rows carry the newest b, so they
     // dominate every leftover row for PRESENT edges, but a net-removed
     // edge has NO compact row to dominate with).
+    // A foreign dir (a crashed job's leftover) must not kill compaction
+    // with a parse error — it sorts first and deletes like any stale dir.
     others.sortBy(p => p.getName.stripPrefix("batch=")
-        .stripSuffix("_compact").toLong)
+        .stripSuffix("_compact").toLongOption.getOrElse(Long.MinValue))
       .foreach(p => fs.delete(p, true))
   }
 
