@@ -1076,8 +1076,13 @@ object Ann {
   def buildSemDedupState(emb: DataFrame, centroids: DataFrame,
                          id: String = "vec_id",
                          vec: String = "embedding"): DataFrame =
+    // try_cast, not cast: under ANSI a malformed string id would abort the
+    // whole build with a raw CAST_INVALID_INPUT from deep inside the plan;
+    // here non-castable ids fold to null and drop, and the append/loop
+    // paths guard the drop loudly with the count check (ADVICE posture:
+    // the refusal names the contract, not the codegen site).
     withAssignedCid(emb, centroids, id, vec)
-      .select(col("__cid").as("cid"), col(id).cast("long").as("doc_id"),
+      .select(col("__cid").as("cid"), col(id).try_cast("long").as("doc_id"),
         col(vec).as("vec"))
       .where(col("doc_id").isNotNull)
 
@@ -1130,13 +1135,23 @@ object Ann {
                      buckets: Int = 32): DataFrame = {
     val state = loadSemDedupState(spark, table, path, buckets)
     val batch = buildSemDedupState(newBatch, centroids, id, vec).localCheckpoint()
-    val Array(nRows, nIds, nDistinct) = newBatch
-      .agg(count(lit(1)), count(col(id)), countDistinct(col(id))).head()
+    val Array(nRows, nIds, nDistinct, nLong) = newBatch
+      .agg(count(lit(1)), count(col(id)), countDistinct(col(id)),
+        count(col(id).try_cast("long"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     require(nRows == nIds,
       s"appendSemDedup: ${nRows - nIds} NULL id row(s) — every vector needs an id")
     require(nIds == nDistinct,
       s"appendSemDedup: ${nIds - nDistinct} duplicate id value(s) within the batch")
+    // The state keys on LONG ids (the monotone contract needs an integer
+    // order); buildSemDedupState drops cast-null rows silently, which for a
+    // batch of non-numeric string ids would pass the guards above yet
+    // contribute an EMPTY state and emit no verdicts — refuse loudly
+    // instead (the family's posture).
+    require(nIds == nLong,
+      s"appendSemDedup: ${nIds - nLong} id value(s) not castable to long — " +
+        "the persisted SemDeDup state keys on integer ids (the monotone " +
+        "contract); map string ids to a stable long upstream")
     val maxOld = state.agg(max(col("doc_id"))).head()
     val minNew = batch.agg(min(col("doc_id"))).head()
     if (!maxOld.isNullAt(0) && !minNew.isNullAt(0))

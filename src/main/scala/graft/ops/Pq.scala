@@ -244,8 +244,14 @@ object Pq {
     val codes = galleryCodes.getOrElse(
       pqEncodeDf(gallery, col(id), col(vec), cb))
     val luts = pqLutDf(probes, col(id), col(vec), cb)
+    // NaN guard (the family's rank-NaN-last posture, cf. wExact below and
+    // Ann.rankSafe): a NaN probe vector yields NaN LUT entries and NaN ADC
+    // for EVERY candidate; Spark sorts NaN above all doubles, so without
+    // the floor the degenerate probe's coarse set would be arbitrary
+    // (g_id order) instead of ranking last.
     val wCoarse = org.apache.spark.sql.expressions.Window
-      .partitionBy("p_id").orderBy(col("adc").desc, col("g_id"))
+      .partitionBy("p_id")
+      .orderBy(nanvl(col("adc"), lit(Double.MinValue)).desc, col("g_id"))
     val cand = luts.crossJoin(codes)
       .withColumn("adc", adcScore(col("codes"), col("lut")))
       .withColumn("rn", row_number().over(wCoarse))
@@ -420,8 +426,10 @@ object Pq {
       .where(col("rn") <= nprobe)
       .select("p_id", "cid")
     val luts = pqLutDf(probes, col(id), col(vec), cb)
+    // Same NaN-last floor as pqTopK's coarse window (see the note there).
     val wCoarse = org.apache.spark.sql.expressions.Window
-      .partitionBy("p_id").orderBy(col("adc").desc, col("g_id"))
+      .partitionBy("p_id")
+      .orderBy(nanvl(col("adc"), lit(Double.MinValue)).desc, col("g_id"))
     val cand = cells.join(luts, "p_id")
       .join(index, "cid") // equi join: shuffle sized by cluster population
       .withColumn("adc", adcScore(col("codes"), col("lut")))

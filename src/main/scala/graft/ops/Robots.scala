@@ -172,7 +172,13 @@ object Robots {
             inRules = true
             value.toDoubleOption.foreach(d => uas.foreach(u => found += ((u, d))))
           case "allow" | "disallow" | "sitemap" => inRules = true
-          case _ => ()
+          case _ =>
+            // Same separator class as [[parse]]: ANY non-user-agent
+            // directive (recognized or unknown — Host:, Clean-param:,
+            // vendor extensions) closes the group, so the two parsers
+            // see identical groups and a later group's Crawl-delay never
+            // leaks to an earlier group separated by an unknown line.
+            inRules = true
         }
       }
     }

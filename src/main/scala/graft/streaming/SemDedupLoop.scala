@@ -80,8 +80,13 @@ object SemDedupLoop {
         coalesce(col(removedCol).cast("boolean"), lit(false))
       else lit(false)
     val marked = batch.withColumn("__rm", rm).localCheckpoint()
+    // try_cast throughout: under ANSI a malformed string id would abort
+    // the batch with a raw cast error before the loud guard below runs;
+    // removal events whose id cannot be a long can never match state
+    // rows (the cast guard keeps such ids out of the state), so they net
+    // to no-ops here.
     val removals = marked.where(col("__rm"))
-      .select(col(idCol).cast("long").as("doc_id"))
+      .select(col(idCol).try_cast("long").as("doc_id"))
       .where(col("doc_id").isNotNull).distinct().localCheckpoint()
     // Removed-and-added in one batch resolves to deleted: the addition
     // is dropped here AND the id is tombstoned below. A previously-
@@ -94,16 +99,24 @@ object SemDedupLoop {
       .select(col("doc_id").as("__dead"))
     val additions = marked.where(!col("__rm")).drop("__rm")
       .join(removals.select(col("doc_id").as("__rmid")),
-        col(idCol).cast("long") === col("__rmid"), "left_anti")
-      .join(dead, col(idCol).cast("long") === col("__dead"), "left_anti")
+        col(idCol).try_cast("long") === col("__rmid"), "left_anti")
+      .join(dead, col(idCol).try_cast("long") === col("__dead"), "left_anti")
       .localCheckpoint()
-    val Array(nRows, nIds, nDistinct) = additions
-      .agg(count(lit(1)), count(col(idCol)), countDistinct(col(idCol))).head()
+    val Array(nRows, nIds, nDistinct, nLong) = additions
+      .agg(count(lit(1)), count(col(idCol)), countDistinct(col(idCol)),
+        count(col(idCol).try_cast("long"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     require(nRows == nIds,
       s"SemDedupLoop: ${nRows - nIds} NULL id row(s) in batch $batchId")
     require(nIds == nDistinct,
       s"SemDedupLoop: ${nIds - nDistinct} duplicate id value(s) in batch $batchId")
+    // Mirror appendSemDedup's cast guard: buildSemDedupState silently
+    // drops cast-null ids, so non-numeric string ids would yield an empty
+    // state and no verdicts while passing the guards above.
+    require(nIds == nLong,
+      s"SemDedupLoop: ${nIds - nLong} id value(s) in batch $batchId not " +
+        "castable to long — the persisted state keys on integer ids (the " +
+        "monotone contract); map string ids to a stable long upstream")
     val batchState = Ann.buildSemDedupState(additions, centroids, idCol, vecCol)
       .localCheckpoint()
 

@@ -296,4 +296,32 @@ class PqSpec extends AnyFunSuite {
     assert(math.abs(norms(1L) - 1.0) < 1e-6) // float32 storage rounding
     assert(norms(2L) == 0.0 && norms(3L) == 0.0)
   }
+
+  test("coarse window ranks NaN ADC last — degenerate codebook entries must not flood the candidate set") {
+    val spark2 = spark
+    import spark2.implicits._
+    // m=1, k=2 codebook with one NaN centroid (what training over a
+    // corpus containing NaN vectors can produce): candidates carrying the
+    // NaN code get NaN ADC while healthy candidates score real numbers.
+    // Spark sorts NaN above every double, so without the nanvl floor the
+    // degenerate candidates would STEAL the whole coarse set (k=1,
+    // overfetch=2 → only 2 coarse slots) and the exact re-rank could only
+    // pick among junk.
+    val cb = Pq.PqCodebook(1, 2, 2,
+      Array(Array(Array(Float.NaN, Float.NaN), Array(1f, 0f))))
+    val gallery = embDf(
+      1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(-1f, 0f), 4L -> Seq(-1f, 0.1f))
+    // Hand-built codes (the persisted-index path): 3 and 4 carry the NaN
+    // centroid's code 0 (stored −128), 1 and 2 the healthy code 1 (−127).
+    val codes = Seq(
+      1L -> Seq((-127).toByte), 2L -> Seq((-127).toByte),
+      3L -> Seq((-128).toByte), 4L -> Seq((-128).toByte)).toDF("g_id", "codes")
+    val probes = embDf(10L -> Seq(1f, 0f))
+    val top = Pq.pqTopK(probes, gallery, cb, k = 1, overfetch = 2,
+        galleryCodes = Some(codes))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.toSeq == Seq((10L, 1L, 1.0)),
+      s"NaN-ADC candidates must rank last in the coarse cut, got ${top.toSeq}")
+  }
 }

@@ -77,6 +77,14 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(hosted, "a", "/x"),
       "an unknown-directive-only group must not merge into the next group")
     assert(!Robots.allowed(hosted, "b", "/x"))
+    // crawlDelay uses the SAME separator class: an unknown directive
+    // between groups closes agent a's group, so b's Crawl-delay must not
+    // apply to a (parse and crawlDelay see identical groups).
+    val hostedDelay =
+      "User-agent: a\nHost: example.com\nUser-agent: b\nCrawl-delay: 5"
+    assert(Robots.crawlDelay(hostedDelay, "a").isEmpty,
+      "an unknown directive must close the group for crawlDelay too")
+    assert(Robots.crawlDelay(hostedDelay, "b").contains(5.0))
   }
 
   test("sitemaps + crawlDelay: seeding and politeness-rate extraction") {

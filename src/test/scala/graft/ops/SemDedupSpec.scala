@@ -148,6 +148,15 @@ class SemDedupSpec extends AnyFunSuite {
         Ann.appendSemDedup(spark, "sem_w", s"$root/st",
           embDf((null: Any) -> at(0)), cents, tau, buckets = 4)
       }
+      // Non-numeric string ids pass the null/dup guards but cast to null
+      // longs — the state would come out empty with no verdicts; the
+      // cast guard must refuse loudly instead.
+      val eCast = intercept[IllegalArgumentException] {
+        Ann.appendSemDedup(spark, "sem_w", s"$root/st",
+          Seq(("docA", at(0)), ("docB", at(40))).toDF("vec_id", "embedding"),
+          cents, tau, buckets = 4)
+      }
+      assert(eCast.getMessage.contains("castable"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS `sem_w`")
     }
