@@ -49,13 +49,13 @@ object LabelLoopProbe {
       r
     }
     t("fold batch0 (cold, full)") {
-      graft.streaming.LabelLoop.foldBatch(base, 0L, "src", "dst", k, state, edges, out)
+      graft.streaming.LabelLoop.foldBatch(base, 0L, "src", "dst", "", k, state, edges, out)
     }
     t("fold batch1 (local 50-edge)") {
-      graft.streaming.LabelLoop.foldBatch(local, 1L, "src", "dst", k, state, edges, out)
+      graft.streaming.LabelLoop.foldBatch(local, 1L, "src", "dst", "", k, state, edges, out)
     }
     t("fold batch2 (1% spread)") {
-      graft.streaming.LabelLoop.foldBatch(spread, 2L, "src", "dst", k, state, edges, out)
+      graft.streaming.LabelLoop.foldBatch(spread, 2L, "src", "dst", "", k, state, edges, out)
     }
     val cold = t("cold sweep over union") {
       val l = graft.ops.GraphOps.labelPropagation(
@@ -66,6 +66,25 @@ object LabelLoopProbe {
       .join(cold.select(col("node"), col("lbl").as("__c")), Seq("node"), "full")
       .where(!(col("lbl") <=> col("__c"))).count()
     println(s"== label disagreements vs cold sweep: $diff (must be 0)")
+    // TAKEDOWN batch: remove the local chain (50 edges) — the cone is
+    // the removal sources' k-in-hop neighborhood, so the fold's shuffle
+    // should stay batch-scale while the netted cold sweep re-exchanges
+    // the full edge set k times.
+    val takedown = local.withColumn("removed", lit(true)).localCheckpoint()
+    t("fold batch3 (takedown 50-edge)") {
+      graft.streaming.LabelLoop.foldBatch(takedown, 3L, "src", "dst", "removed",
+        k, state, edges, out)
+    }
+    val coldNet = t("cold sweep over netted set") {
+      val l = graft.ops.GraphOps.labelPropagation(
+        graft.streaming.LabelLoop.currentEdges(spark, edges),
+        iterations = k).localCheckpoint()
+      l.count(); l
+    }
+    val diff2 = graft.streaming.LabelLoop.latestLabels(spark, state, k)
+      .join(coldNet.select(col("node"), col("lbl").as("__c")), Seq("node"), "full")
+      .where(!(col("lbl") <=> col("__c"))).count()
+    println(s"== label disagreements vs netted cold sweep: $diff2 (must be 0)")
     spark.stop()
   }
 }

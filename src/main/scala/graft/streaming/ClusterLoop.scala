@@ -61,53 +61,16 @@ object ClusterLoop {
   /** The store's current edge set (lo, hi) under last-action-wins —
     * exposed for spec twins and audits; the per-batch fold never runs
     * this globally. */
-  private[graft] def currentEdges(spark: SparkSession, edgesDir: String): DataFrame = {
-    val (fs, root) = graft.sources.LakeFs.resolve(edgesDir)
-    if (!fs.exists(root)) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row],
-      StructType(Seq(StructField("lo", StringType), StructField("hi", StringType))))
-    spark.read.parquet(edgesDir)
-      .groupBy("lo", "hi").agg(max_by(col("sign"), col("b")).as("__s"))
-      .where(col("__s") > 0).select(col("lo"), col("hi"))
-  }
+  private[graft] def currentEdges(spark: SparkSession, edgesDir: String): DataFrame =
+    SignedEdgeStore.current(spark, edgesDir, "lo", "hi")
 
   /** Net the signed store into one `batch=<id>_compact` dir (present
-    * edges only, sign +1, b = the compaction batch id — every folded
-    * action happened at a batch ≤ it), deleting the folded dirs. Same
-    * crash-safety shape as [[LabelLoop.compactEdgeStore]]: the target
-    * is batch-unique, a finished target is never rewritten, and the
-    * fold's idempotence absorbs a replay that sees the compacted
-    * store. */
+    * edges only), deleting the folded dirs — [[SignedEdgeStore.compact]]
+    * over the canonical `(lo, hi)` keys; see there for the
+    * ascending-delete crash discipline. */
   private[graft] def compactEdgeStore(spark: SparkSession, edgesDir: String,
-                                      batchId: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tgtName = s"batch=${batchId}_compact"
-    val (fs, root) = graft.sources.LakeFs.resolve(edgesDir)
-    if (!fs.exists(root)) return
-    val others = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName != tgtName)
-    if (others.isEmpty) return
-    val tgt = new Path(root, tgtName)
-    if (!fs.exists(new Path(tgt, "_SUCCESS"))) {
-      spark.read.parquet(others.map(_.toString).toSeq: _*)
-        .groupBy("lo", "hi").agg(max_by(col("sign"), col("b")).as("__s"))
-        .where(col("__s") > 0)
-        .select(col("lo"), col("hi"), lit(1).as("sign"), lit(batchId).as("b"))
-        .write.mode(SaveMode.Overwrite).parquet(tgt.toString)
-    }
-    // Delete in ASCENDING batch order: for a net-REMOVED pair the +1 dir
-    // is always OLDER than the -1 that killed it, so at any crash point
-    // the leftover suffix either holds both actions or only the -1 —
-    // never a bare +1 that would resurrect the edge when a replayed
-    // batch nets the store (compact rows carry the newest b, so they
-    // dominate every leftover row for PRESENT edges, but a net-removed
-    // edge has NO compact row to dominate with).
-    // A foreign dir (a crashed job's leftover) must not kill compaction
-    // with a parse error — it sorts first and deletes like any stale dir.
-    others.sortBy(p => p.getName.stripPrefix("batch=")
-        .stripSuffix("_compact").toLongOption.getOrElse(Long.MinValue))
-      .foreach(p => fs.delete(p, true))
-  }
+                                      batchId: Long): Unit =
+    SignedEdgeStore.compact(spark, edgesDir, batchId, "lo", "hi")
 
   /** One micro-batch — exposed for direct replay tests; [[run]] wires
     * it into foreachBatch. `removedCol` (when non-empty) names a
@@ -123,25 +86,21 @@ object ClusterLoop {
       if (removedCol.nonEmpty && batch.columns.contains(removedCol))
         coalesce(col(removedCol).cast("boolean"), lit(false))
       else lit(false)
-    val canon = batch
+    val canonEvents = batch
       .select(col(d1).cast("string").as("a"), col(d2).cast("string").as("b"),
         rm.as("__rm"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"), col("__rm"))
-      // Within one batch, an upsert beats a removal of the same pair
-      // (the Debezium-shaped convention UpsertLoop uses): bool_and —
-      // the pair is removed only if EVERY event for it says removed.
-      .groupBy("lo", "hi").agg(min(when(col("__rm"), 1).otherwise(0)).as("__allrm"))
+    // Within one batch, an upsert beats a removal of the same pair
+    // (the Debezium-shaped convention UpsertLoop uses) —
+    // SignedEdgeStore.canonBatch's contract; the signed dir write is
+    // deterministic per batch id (replay rewrites identical bytes).
+    val canon = SignedEdgeStore.canonBatch(canonEvents, "lo", "hi")
       .localCheckpoint()
     val addU = canon.where(col("__allrm") === 0).select(col("lo"), col("hi"))
     val remU = canon.where(col("__allrm") === 1).select(col("lo"), col("hi"))
-    // Store row per pair: +1 add-wins, −1 removal (deterministic per
-    // batch id — replay rewrites identical bytes).
-    canon.select(col("lo"), col("hi"),
-        when(col("__allrm") === 1, -1).otherwise(1).as("sign"),
-        lit(batchId).as("b"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$edgesDir/batch=$batchId")
+    SignedEdgeStore.writeBatch(canon, "lo", "hi", edgesDir, batchId)
 
     val priorV = VersionedState.priorVersion(stateDir, batchId)
     val prior = priorV
@@ -161,11 +120,11 @@ object ClusterLoop {
       if (priorDirs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           StructType(Seq(StructField("lo", StringType), StructField("hi", StringType))))
-      else spark.read.parquet(priorDirs: _*)
-        .join(coneNodes.select(col("doc").as("__cn")),
-          col("lo") === col("__cn"), "left_semi")
-        .groupBy("lo", "hi").agg(max_by(col("sign"), col("b")).as("__s"))
-        .where(col("__s") > 0).select(col("lo"), col("hi"))
+      else SignedEdgeStore.net(
+        spark.read.parquet(priorDirs: _*)
+          .join(coneNodes.select(col("doc").as("__cn")),
+            col("lo") === col("__cn"), "left_semi"),
+        "lo", "hi")
     val labels = graft.ops.DedupOps.ccIncCore(
         prior, addU, remU, coneExtract, maxIter)
       .localCheckpoint()

@@ -7,50 +7,65 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Streaming twin of [[graft.ops.GraphOps.labelPropagation]]: maintain
-  * the k-round deterministic LPA labels of a growing edge set without a
-  * full-graph re-sweep per batch — the graph-side completion of the
-  * O(new-data) loop family ([[DedupLoop]] keep/drop decisions,
-  * `pageRankWarm` rank maintenance; this one maintains COMMUNITY
-  * labels).
+  * the k-round deterministic LPA labels of an EVOLVING edge set — edge
+  * APPENDS and edge REMOVALS (takedowns, retractions, link-rot purges)
+  * — without a full-graph re-sweep per batch — the graph-side
+  * completion of the O(new-data) loop family ([[DedupLoop]] keep/drop
+  * decisions, [[RankLoop]] rank maintenance, [[ClusterLoop]] component
+  * structure; this one maintains COMMUNITY labels).
   *
   * Exactness, not approximation: after every batch the emitted labels
-  * equal `labelPropagation(union of all edges so far, k)` rank-for-rank
-  * (LabelLoopSpec pins it per batch and across a restart). The
-  * incremental lever is the k-round DEPENDENCY CONE: a node's round-r
-  * label depends only on its ≤r-hop out-neighborhood, so an edge append
-  * can only move labels of nodes within k in-hops of the changed
-  * sources. Per round the loop recomputes votes ONLY for
+  * equal `labelPropagation(current edge set, k)` label-for-label, where
+  * the current set is the [[SignedEdgeStore]]'s last-action-wins
+  * netting (LabelLoopSpec pins it per batch, under removal-only and
+  * mixed batches, and across a restart). The incremental lever is the
+  * k-round DEPENDENCY CONE: a node's round-r label depends only on its
+  * ≤r-hop out-neighborhood, so an edge change can only move labels of
+  * nodes within k in-hops of the changed sources. Per round the loop
+  * recomputes votes ONLY for
   *
-  *  - sources of newly-appended edges (their vote set changed),
+  *  - sources of changed edges — appended OR removed (their vote set
+  *    changed; a removal is a vote-set change exactly like an append,
+  *    which is why LPA needs no ClusterLoop-style component cone:
+  *    the dependency is directional and bounded by k hops),
   *  - new nodes (no prior trajectory), and
   *  - in-neighbors of nodes whose PREVIOUS-round label actually
   *    changed (the cascade frontier — tracked by comparing against the
-  *    persisted trajectory, so an append whose labels coincide with
+  *    persisted trajectory, so a change whose labels coincide with
   *    the old ones stops cascading immediately).
   *
-  * Everything else reads its persisted round-r label. The carried state
-  * is the full TRAJECTORY `(node, l1..lk)` — node-scale × k, the price
-  * of restarting the cascade mid-round — plus the accumulated edge set,
-  * appended (never rewritten) under `edgesDir/batch=<id>`.
+  * Everything else reads its persisted round-r label. The NODE UNIVERSE
+  * follows the live edge set (the batch operator derives nodes from
+  * edges): endpoints of net-removed pairs are checked for remaining
+  * live edges on a candidate-restricted store slice, and nodes with
+  * none DROP from the labels and the trajectory — exactly the cold
+  * sweep's universe. The carried state is the full TRAJECTORY
+  * `(node, l1..lk)` — node-scale × k, the price of restarting the
+  * cascade mid-round — plus the signed edge store, appended (never
+  * rewritten) under `edgesDir/batch=<id>`.
   *
   * Scale shape per batch: k× { one semi join expanding the changed
-  * frontier along in-edges, one vote count + WindowGroupLimit top-1
-  * restricted to the affected sources }, then one node-scale state
-  * rewrite. The full edge set is re-SCANNED each round (columnar,
-  * narrow — only src/dst, probed by a broadcast-small frontier, so
-  * edge data never enters an exchange) but re-SHUFFLED only on the
-  * affected slice; a cold sweep exchanges the full edge set k times
-  * per batch. Measured honestly (LabelLoopProbe, SURVEY §6): at
-  * local[32] 1M–4M edges the fold and the cold sweep are at PARITY
-  * (±20% — local shuffles are memory-speed, and the fold pays ~10
-  * job barriers of node-scale state maintenance plus the persisted
-  * store read the in-memory sweep skips); the incremental form's win
-  * is the shuffled-volume asymmetry (O(affected cone) vs O(E·k)),
-  * which pays on network-bound clusters and dense graphs, not on a
-  * single box. Same [[VersionedState]] exactly-once posture as the
-  * other loops: deterministic Overwrite per batch id for output, edge
-  * store, and state; GC below the version read.
-  */
+  * frontier along in-edges, one slice-restricted last-action netting +
+  * vote count + WindowGroupLimit top-1 restricted to the affected
+  * sources }, then one node-scale state rewrite. The full edge set is
+  * re-SCANNED each round (columnar, narrow — probed by a
+  * broadcast-small frontier, so edge data never enters an exchange) but
+  * re-SHUFFLED only on the affected slice; a cold sweep exchanges the
+  * full edge set k times per batch. The store's net-removed rows are
+  * visited by the frontier semi joins (over-inclusion is conservative:
+  * a spuriously-affected node recomputes its unchanged label and stops
+  * the cascade); the netting group-by that actually resolves presence
+  * runs on the affected slice only, never the store. Measured honestly
+  * (LabelLoopProbe, SURVEY §6): at local[32] 1M–4M edges the fold and
+  * the cold sweep are at PARITY (±20% — local shuffles are
+  * memory-speed, and the fold pays ~10 job barriers of node-scale state
+  * maintenance plus the persisted store read the in-memory sweep
+  * skips); the incremental form's win is the shuffled-volume asymmetry
+  * (O(affected cone) vs O(E·k)), which pays on network-bound clusters
+  * and dense graphs, not on a single box. Same [[VersionedState]]
+  * exactly-once posture as the other loops: deterministic Overwrite per
+  * batch id for output, edge store, and state; GC below the version
+  * read. */
 object LabelLoop {
 
   private def stateSchema(iterations: Int) = StructType(
@@ -66,63 +81,60 @@ object LabelLoop {
       .getOrElse(emptyState(spark, iterations))
       .select(col("node"), col(s"l$iterations").as("lbl"))
 
-  /** Compact the accumulated edge store into one `batch=<id>_compact`
-    * dir (with a global `distinct` — the deliberate, cadence-amortized
-    * O(graph) moment; it also collapses cross-batch re-sent edges the
-    * per-fold path only dedups on the affected slice), deleting the
-    * folded per-batch dirs. Crash-safe under deterministic replay:
-    * the target name is batch-unique, a finished target (`_SUCCESS`) is
-    * never rewritten — so a crash mid-DELETE cannot lose edges on
-    * replay (the already-folded dirs' content lives in the target;
-    * re-reading the remaining dirs would drop it, which is why the
-    * rewrite is skipped) — and a crash mid-WRITE replays the rewrite
-    * from the still-present source dirs. Duplicate edges visible
-    * between the write and the deletes are absorbed by the fold's
-    * affected-slice dedup. */
+  /** The store's current directed edge set (src, dst) under
+    * last-action-wins — exposed for spec twins and audits; the
+    * per-batch fold only ever nets candidate-restricted slices. */
+  private[graft] def currentEdges(spark: SparkSession, edgesDir: String): DataFrame =
+    SignedEdgeStore.current(spark, edgesDir, "src", "dst")
+
+  /** Compact the signed edge store into one `batch=<id>_compact` dir —
+    * [[SignedEdgeStore.compact]] over the directed `(src, dst)` keys
+    * (the deliberate, cadence-amortized O(graph) netting moment; it
+    * also collapses cross-batch re-sent edges the per-fold path only
+    * nets on the affected slice); see there for the ascending-delete
+    * crash discipline. */
   private[graft] def compactEdgeStore(spark: SparkSession, edgesDir: String,
-                                      batchId: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tgtName = s"batch=${batchId}_compact"
-    val (fs, root) = graft.sources.LakeFs.resolve(edgesDir)
-    if (!fs.exists(root)) return
-    val others = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName != tgtName)
-    if (others.isEmpty) return
-    val tgt = new Path(root, tgtName)
-    if (!fs.exists(new Path(tgt, "_SUCCESS"))) {
-      spark.read.parquet(others.map(_.toString).toSeq: _*)
-        .select("src", "dst").distinct()
-        .write.mode(SaveMode.Overwrite).parquet(tgt.toString)
-    }
-    others.foreach(p => fs.delete(p, true))
-  }
+                                      batchId: Long): Unit =
+    SignedEdgeStore.compact(spark, edgesDir, batchId, "src", "dst")
 
   /** One micro-batch — exposed for direct replay tests and
     * [[graft.LabelLoopProbe]]; [[run]] wires it into foreachBatch.
-    * `compactEvery` > 0 compacts the append-only edge store every that
-    * many batches ([[compactEdgeStore]]) — without it a long-running
-    * stream accumulates one parquet dir per batch forever and listing/
-    * scan cost grows unboundedly. */
+    * `removedCol` (when non-empty) names a boolean column marking
+    * removal events; rows where it is true (and not re-added in the
+    * same batch) delete their edge. `compactEvery` > 0 compacts the
+    * signed store every that many batches ([[compactEdgeStore]]) —
+    * without it a long-running stream accumulates one parquet dir per
+    * batch forever and listing/scan cost grows unboundedly. */
   private[graft] def foldBatch(batch: DataFrame, batchId: Long,
-                                   src: String, dst: String, iterations: Int,
-                                   stateDir: String, edgesDir: String,
-                                   outDir: String, compactEvery: Int = 0): Unit = {
+                               src: String, dst: String, removedCol: String,
+                               iterations: Int,
+                               stateDir: String, edgesDir: String,
+                               outDir: String, compactEvery: Int = 0): Unit = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val spark = batch.sparkSession
-    val delta = batch
-      .select(col(src).cast("string").as("src"), col(dst).cast("string").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
-    delta.write.mode(SaveMode.Overwrite).parquet(s"$edgesDir/batch=$batchId")
+    val rm =
+      if (removedCol.nonEmpty && batch.columns.contains(removedCol))
+        coalesce(col(removedCol).cast("boolean"), lit(false))
+      else lit(false)
+    val canon = SignedEdgeStore.canonBatch(
+        batch.select(col(src).cast("string").as("src"),
+            col(dst).cast("string").as("dst"), rm.as("__rm"))
+          .where(col("src").isNotNull && col("dst").isNotNull),
+        "src", "dst")
+      .localCheckpoint()
+    val addDelta = canon.where(col("__allrm") === 0).select(col("src"), col("dst"))
+    val remDelta = canon.where(col("__allrm") === 1).select(col("src"), col("dst"))
+    SignedEdgeStore.writeBatch(canon, "src", "dst", edgesDir, batchId)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compactEdgeStore(spark, edgesDir, batchId)
-    // Full accumulated edge set, read LAZILY — never materialized or
-    // globally deduped per batch (that would be O(graph) work on every
-    // fold, swamping a small append's cone; LabelLoopProbe measured the
-    // first draft losing to the cold sweep on exactly that). Re-sent
-    // edges dedup on the AFFECTED slice below, where the batch operator's
-    // `distinct` semantics are actually consumed.
-    val store = spark.read.parquet(edgesDir).select(col("src"), col("dst"))
+    // Full signed store, read LAZILY — never materialized or globally
+    // netted per batch (that would be O(graph) work on every fold,
+    // swamping a small batch's cone; LabelLoopProbe measured the first
+    // draft losing to the cold sweep on exactly that). Presence is
+    // resolved on the AFFECTED slice below, where the batch operator's
+    // `distinct` semantics are actually consumed; the read INCLUDES this
+    // batch's dir, so a crash replay nets to the same current set.
+    val store = spark.read.parquet(edgesDir)
 
     val priorV = VersionedState.priorVersion(stateDir, batchId)
     val prior = priorV
@@ -130,43 +142,80 @@ object LabelLoop {
       .getOrElse(emptyState(spark, iterations))
       .localCheckpoint()
 
-    // The node universe is maintained from STATE + delta (the prior
+    // The node universe is maintained from STATE + batch (the prior
     // trajectory covers every node the graph had), not re-derived from
-    // an edge-store scan.
+    // an edge-store scan: new nodes enter through ADD pairs; endpoints
+    // of net-removed pairs leave when no live incident edge remains
+    // (the candidate-restricted liveness check below) — the cold
+    // sweep's nodes-from-edges universe, maintained incrementally.
     // explode, not union: a Union under the anti-join makes Spark's
     // union-constraint rewrite look up attributes that the checkpointed
     // prior no longer exposes (NoSuchElementException at optimization
     // time); toDF re-aliases so prior's own attributes never flow into
     // the later self-joins.
-    val deltaNodes = delta
+    val addNodes = addDelta
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
-    val newNodes = deltaNodes.join(prior, Seq("node"), "left_anti")
+    val newNodes = addNodes.join(prior, Seq("node"), "left_anti")
       .localCheckpoint().toDF("node")
+    // Removal-death candidates: endpoints of net-removed pairs. Restrict
+    // the store to rows touching a candidate (two semi joins — per-pair
+    // consistent, since a pair's rows share src and share dst; a pair
+    // matched through both sides just duplicates identical rows, which
+    // last-action netting absorbs), net THAT slice, and keep candidates
+    // that still carry a live edge. The slice includes this batch's add
+    // rows, so a candidate that lost one edge and gained another stays.
+    val remNodes = remDelta
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+      .localCheckpoint()
+    val deadNodes =
+      if (remNodes.limit(1).count() == 0) remNodes.limit(0)
+      else {
+        val srcSlice = store.join(remNodes.select(col("node").as("__c")),
+          col("src") === col("__c"), "left_semi")
+        val dstSlice = store.join(remNodes.select(col("node").as("__c")),
+          col("dst") === col("__c"), "left_semi")
+        val live = SignedEdgeStore.net(srcSlice.unionAll(dstSlice), "src", "dst")
+        val liveEnds = live.select(col("src").as("node"))
+          .unionAll(live.select(col("dst").as("node"))).distinct()
+        remNodes.join(liveEnds, Seq("node"), "left_anti")
+          .localCheckpoint().toDF("node")
+      }
     val nodes = prior.select("node").unionAll(newNodes.select("node"))
+      .join(deadNodes.select(col("node").as("__d")),
+        col("node") === col("__d"), "left_anti")
       .localCheckpoint().toDF("node")
-    val deltaSrcs = delta.select(col("src").as("node")).distinct()
+    // Always-dirty vote sources: a source of ANY changed pair — added
+    // or removed — re-votes every round (its vote set changed).
+    val deltaSrcs = addDelta.select(col("src").as("node"))
+      .unionAll(remDelta.select(col("src").as("node"))).distinct()
     // Round-0 labels are definitionally the node ids — no state needed.
     var cur = nodes.select(col("node"), col("node").as("lbl"))
     // Nodes whose PREVIOUS-round label differs from the persisted
-    // trajectory: at round 0 only new nodes (old l0 never changes).
+    // trajectory: at round 0 only new nodes (old l0 never changes) —
+    // dead nodes dropped from `cur` stop mattering because their live
+    // in-edges were necessarily removed this batch, making those
+    // sources always-dirty.
     var changed = newNodes
     val w = Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))
     var trajCols = Seq.empty[(Int, DataFrame)]
     for (r <- 1 to iterations) {
       // Affected sources this round: changed-label in-neighbors + the
-      // always-dirty sets (delta sources re-vote every round; new nodes
-      // have no trajectory to fall back on).
+      // always-dirty sets. The frontier expansion walks the RAW signed
+      // store, so srcs of net-removed edges over-include — conservative
+      // (they recompute an unchanged label and stop cascading).
       val affected = store
         .join(changed.select(col("node").as("__c")), col("dst") === col("__c"), "left_semi")
         .select(col("src").as("node"))
         .union(deltaSrcs).union(newNodes.select("node"))
         .distinct().localCheckpoint()
-      // One-neighbor-one-vote dedup happens HERE, on the affected slice
-      // only — cross-batch re-sent edges collapse exactly as the batch
-      // operator's global `distinct`, without an O(graph) dedup per fold.
-      val votes = store
-        .join(affected.select(col("node").as("__a")), col("src") === col("__a"), "left_semi")
-        .dropDuplicates("src", "dst")
+      // Presence resolution happens HERE, on the affected slice only —
+      // last-action netting collapses cross-batch re-sent edges exactly
+      // like the batch operator's global `distinct` AND drops removed
+      // pairs, without an O(graph) netting per fold.
+      val votes = SignedEdgeStore.net(
+          store.join(affected.select(col("node").as("__a")),
+            col("src") === col("__a"), "left_semi"),
+          "src", "dst")
         .join(cur.select(col("node").as("__n"), col("lbl")), col("__n") === col("dst"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
@@ -198,19 +247,20 @@ object LabelLoop {
     priorV.foreach(VersionedState.gcBelow(stateDir, _))
   }
 
-  /** Start the label-maintenance loop over an edge stream carrying
-    * `src`/`dst` columns. Round-k labels land under `outDir/batch=<id>/`
-    * as the full `(node, lbl)` table; trajectories evolve under
-    * `stateDir`; raw edges accumulate under `edgesDir`. */
+  /** Start the label-maintenance loop over an edge-event stream carrying
+    * `src`/`dst` columns and (optionally) a boolean `removedCol` marking
+    * takedowns. Round-k labels land under `outDir/batch=<id>/` as the
+    * full `(node, lbl)` table; trajectories evolve under `stateDir`;
+    * signed edges accumulate under `edgesDir`. */
   def run(stream: DataFrame, src: String, dst: String, iterations: Int,
           stateDir: String, edgesDir: String, outDir: String,
           checkpointDir: String, trigger: Option[Trigger] = None,
-          compactEvery: Int = 64): StreamingQuery = {
+          compactEvery: Int = 64, removedCol: String = ""): StreamingQuery = {
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, src, dst, iterations, stateDir, edgesDir,
-          outDir, compactEvery)
+        foldBatch(batch, batchId, src, dst, removedCol, iterations,
+          stateDir, edgesDir, outDir, compactEvery)
       }
     trigger.foreach(w.trigger)
     w.start()
