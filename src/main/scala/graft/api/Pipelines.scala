@@ -558,6 +558,27 @@ object Pipelines {
       .withColumnRenamed("node", "host")
   }
 
+  /** Host HITS scores from a URL-level link table — the two-sided
+    * companion to [[hostAuthority]]: [[linkGraph]] host edges →
+    * [[graft.ops.GraphOps.hits]] → `(host, hub, auth)`, each score
+    * column L1-normalized. `auth` is the endorsement-side prior (what
+    * PageRank also estimates — feed it to [[curate]]'s
+    * [[HostAuthorityGate]] with `scoreCol = col("auth")` and a floor on
+    * the normalized scale, interchangeably with a PageRank table);
+    * `hub` is the signal PageRank CANNOT give: how good a host is at
+    * POINTING at authoritative content — catalogs, aggregators, link
+    * directories — which a frontier scheduler treats differently from
+    * content hosts (crawl their outlinks eagerly, rank their own pages
+    * low) and which is the reason HITS exists next to PageRank here.
+    * Runs `iterations` × 2 matvec cluster jobs at call time (the
+    * in-loop frames stay sparse and unnormalized — see
+    * [[graft.ops.GraphOps.hits]]). */
+  def hostHits(links: DataFrame, srcUrl: Column, dstUrl: Column,
+               iterations: Int = 20): DataFrame =
+    graft.ops.GraphOps.hits(linkGraph(links, srcUrl, dstUrl),
+        iterations = iterations)
+      .withColumnRenamed("node", "host")
+
   /** Train a BPE tokenizer on the corpus (word-level, deterministic);
     * returns the ordered merge table — persist it alongside the corpus. */
   def trainTokenizer(docs: DataFrame, text: Column,

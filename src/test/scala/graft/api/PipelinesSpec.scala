@@ -320,6 +320,48 @@ class PipelinesSpec extends AnyFunSuite {
       "a duplicated rank row must not duplicate documents through the funnel")
   }
 
+  test("hostHits: hub and authority sides; curate gate consumes HITS authority interchangeably") {
+    val spark2 = spark
+    import spark2.implicits._
+    // catalog.org is the HUB-side winner (it points at every content
+    // host — the aggregator shape a frontier scheduler treats
+    // differently); hub.org is the AUTHORITY-side winner (every content
+    // host endorses it). PageRank can only see the second signal.
+    val links = ((1 to 3).map(i => ("https://catalog.org/idx", s"https://site$i.org/p")) ++
+      (1 to 3).map(i => (s"https://site$i.org/p", "https://hub.org/")))
+      .toDF("src_url", "dst_url")
+    val hh = Pipelines.hostHits(links, col("src_url"), col("dst_url"),
+      iterations = 4).localCheckpoint()
+    val m = hh.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m("hub.org")._2 > m("site1.org")._2 && m("site1.org")._2 > 0,
+      s"authority order wrong: $m")
+    assert(m("catalog.org")._2 == 0.0, "no in-links → zero authority")
+    assert(m("hub.org")._1 == 0.0, "no out-links → zero hub")
+    assert(m("catalog.org")._1 == m.values.map(_._1).max && m("catalog.org")._1 > 0,
+      s"the aggregator must win the hub side: $m")
+    // The gate consumes `auth` via scoreCol — sub-floor hosts drop,
+    // unknown hosts keep (prior, not allowlist) — interchangeable with
+    // a PageRank table.
+    val floor = (m("hub.org")._2 + m("site1.org")._2) / 2
+    val docs = TestSpark.table("documents").limit(80)
+      .withColumn("url",
+        when(col("doc_id") % 3 === 0, concat(lit("https://hub.org/d/"), col("doc_id")))
+          .when(col("doc_id") % 3 === 1, concat(lit("https://site1.org/d/"), col("doc_id")))
+          .otherwise(concat(lit("https://fresh.example/d/"), col("doc_id"))))
+    val res = Pipelines.curate(docs, hostAuthorityGate = Some(
+      Pipelines.HostAuthorityGate(hh, floor = floor, url = col("url"),
+        scoreCol = col("auth"))))
+    val kept = res.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    assert(!kept.exists(_ % 3 == 1),
+      "docs on sub-floor-authority hosts must die in the gate")
+    assert(kept.exists(_ % 3 == 0) && kept.exists(_ % 3 == 2),
+      "high-authority and unknown hosts must survive")
+    val names = res.audit.collect().map(_.getString(1)).toSeq
+    assert(names.contains("host_authority"))
+  }
+
   test("curate lm gate: gibberish falls below the floor, real docs survive it") {
     val spark2 = spark
     import spark2.implicits._
