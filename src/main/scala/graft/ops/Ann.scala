@@ -623,17 +623,13 @@ object Ann {
 
   /** Where [[deleteFromIvfIndex]] records removed ids: a small parquet
     * id list beside the index (append-only; reads dedup). */
-  def ivfTombstoneDir(path: String): String = s"${path}_tombstones"
+  def ivfTombstoneDir(path: String): String = Tombstones.dir(path)
 
   /** The current tombstone id set of a persisted [[ivfIndex]] (empty
     * frame when none have been recorded). */
   def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
-                    path: String): DataFrame = {
-    val dir = ivfTombstoneDir(path)
-    val (fs, p) = graft.sources.LakeFs.resolve(dir)
-    if (fs.exists(p)) spark.read.parquet(dir).select(col("g_id")).distinct()
-    else spark.range(0).select(col("id").as("g_id")).limit(0)
-  }
+                    path: String): DataFrame =
+    Tombstones.ids(spark, path, "g_id")
 
   /** TOMBSTONE deletion for a persisted bucketed [[ivfIndex]] — the ANN
     * takedown path (a removed document's embedding must stop being
@@ -653,17 +649,10 @@ object Ann {
     * deleted. NULL ids are dropped (they cannot match an indexed row). */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                          table: String, path: String, ids: DataFrame,
-                         buckets: Int = 32): Long = {
-    require(ids.columns.length == 1, "ids must be a single id column")
-    val batch = ids.select(col(ids.columns.head).as("g_id"))
-      .where(col("g_id").isNotNull).distinct().localCheckpoint()
-    val live = loadIvfIndex(spark, table, path, buckets).select(col("g_id"))
-      .join(ivfTombstones(spark, path), Seq("g_id"), "left_anti")
-      .join(batch, Seq("g_id"), "left_semi").count()
-    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(ivfTombstoneDir(path))
-    live
-  }
+                         buckets: Int = 32): Long =
+    Tombstones.recordDeletes(spark, path, "g_id",
+      Tombstones.normalize(ids, "g_id", castLong = false),
+      loadIvfIndex(spark, table, path, buckets).select(col("g_id")))
 
   /** The LIVE view of a persisted [[ivfIndex]]: the bucketed attachment
     * minus tombstoned ids. The anti join broadcasts the (takedown-
@@ -673,8 +662,8 @@ object Ann {
   def loadIvfIndexLive(spark: org.apache.spark.sql.SparkSession,
                        table: String, path: String,
                        buckets: Int = 32): DataFrame =
-    loadIvfIndex(spark, table, path, buckets)
-      .join(broadcast(ivfTombstones(spark, path)), Seq("g_id"), "left_anti")
+    Tombstones.liveFilter(loadIvfIndex(spark, table, path, buckets),
+      spark, path, "g_id")
 
   /** Rewrite the live rows to a FRESH bucketed index (never in place —
     * the [[graft.sources.Maintenance.compact]] rule), clearing the
@@ -688,9 +677,7 @@ object Ann {
                       table: String, path: String,
                       newTable: String, newPath: String,
                       buckets: Int = 32): DataFrame = {
-    require(graft.sources.LakeFs.canonical(newPath) !=
-      graft.sources.LakeFs.canonical(path),
-      "compactIvfIndex never rewrites in place — write to a new path and swap")
+    Tombstones.requireFreshPath(path, newPath, "compactIvfIndex")
     persistIvfIndex(loadIvfIndexLive(spark, table, path, buckets),
       newTable, newPath, buckets)
     loadIvfIndex(spark, newTable, newPath, buckets)
@@ -773,17 +760,13 @@ object Ann {
 
   /** Where [[deleteFromLshIndex]] records removed ids: a small parquet
     * id list beside the index (append-only; reads dedup). */
-  def lshTombstoneDir(path: String): String = s"${path}_tombstones"
+  def lshTombstoneDir(path: String): String = Tombstones.dir(path)
 
   /** The current tombstone id set of a persisted [[lshIndex]] (empty
     * frame when none have been recorded). */
   def lshTombstones(spark: org.apache.spark.sql.SparkSession,
-                    path: String): DataFrame = {
-    val dir = lshTombstoneDir(path)
-    val (fs, p) = graft.sources.LakeFs.resolve(dir)
-    if (fs.exists(p)) spark.read.parquet(dir).select(col("g_id")).distinct()
-    else spark.range(0).select(col("id").as("g_id")).limit(0)
-  }
+                    path: String): DataFrame =
+    Tombstones.ids(spark, path, "g_id")
 
   /** TOMBSTONE deletion for a persisted [[lshIndex]] — the
     * [[deleteFromIvfIndex]] posture on the last index family without it
@@ -796,17 +779,11 @@ object Ann {
     * regardless. Bound the debt with [[compactLshIndex]]. */
   def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
                          table: String, path: String, ids: DataFrame,
-                         buckets: Int = 32): Long = {
-    require(ids.columns.length == 1, "ids must be a single id column")
-    val batch = ids.select(col(ids.columns.head).as("g_id"))
-      .where(col("g_id").isNotNull).distinct().localCheckpoint()
-    val live = loadLshIndex(spark, table, path, buckets).select(col("g_id")).distinct()
-      .join(lshTombstones(spark, path), Seq("g_id"), "left_anti")
-      .join(batch, Seq("g_id"), "left_semi").count()
-    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(lshTombstoneDir(path))
-    live
-  }
+                         buckets: Int = 32): Long =
+    // distinct physical ids: a gallery vector carries `tables` index rows.
+    Tombstones.recordDeletes(spark, path, "g_id",
+      Tombstones.normalize(ids, "g_id", castLong = false),
+      loadLshIndex(spark, table, path, buckets).select(col("g_id")).distinct())
 
   /** The LIVE view of a persisted [[lshIndex]]: the bucketed attachment
     * minus tombstoned ids. Feed to [[topKLshWithIndex]] wherever
@@ -815,8 +792,8 @@ object Ann {
   def loadLshIndexLive(spark: org.apache.spark.sql.SparkSession,
                        table: String, path: String,
                        buckets: Int = 32): DataFrame =
-    loadLshIndex(spark, table, path, buckets)
-      .join(broadcast(lshTombstones(spark, path)), Seq("g_id"), "left_anti")
+    Tombstones.liveFilter(loadLshIndex(spark, table, path, buckets),
+      spark, path, "g_id")
 
   /** Rewrite the live rows to a FRESH bucketed index (never in place),
     * clearing the tombstone debt. */
@@ -824,9 +801,7 @@ object Ann {
                       table: String, path: String,
                       newTable: String, newPath: String,
                       buckets: Int = 32): DataFrame = {
-    require(graft.sources.LakeFs.canonical(newPath) !=
-      graft.sources.LakeFs.canonical(path),
-      "compactLshIndex never rewrites in place — write to a new path and swap")
+    Tombstones.requireFreshPath(path, newPath, "compactLshIndex")
     persistLshIndex(loadLshIndexLive(spark, table, path, buckets),
       newTable, newPath, buckets)
     loadLshIndex(spark, newTable, newPath, buckets)
@@ -1195,17 +1170,13 @@ object Ann {
 
   /** Where [[deleteFromSemDedupState]] records removed ids: a small
     * parquet id list beside the state (append-only; reads dedup). */
-  def semDedupTombstoneDir(path: String): String = s"${path}_tombstones"
+  def semDedupTombstoneDir(path: String): String = Tombstones.dir(path)
 
   /** The current tombstone id set of a persisted SemDeDup state (empty
     * frame when none have been recorded). */
   def semDedupTombstones(spark: org.apache.spark.sql.SparkSession,
-                         path: String): DataFrame = {
-    val dir = semDedupTombstoneDir(path)
-    val (fs, p) = graft.sources.LakeFs.resolve(dir)
-    if (fs.exists(p)) spark.read.parquet(dir).select(col("doc_id")).distinct()
-    else spark.range(0).select(col("id").as("doc_id")).limit(0)
-  }
+                         path: String): DataFrame =
+    Tombstones.ids(spark, path, "doc_id")
 
   /** TOMBSTONE deletion for a persisted SemDeDup state — the semantic-
     * dedup takedown path (the [[deleteFromIvfIndex]] posture): a removed
@@ -1227,17 +1198,10 @@ object Ann {
     * Bound the debt with [[compactSemDedupState]]. */
   def deleteFromSemDedupState(spark: org.apache.spark.sql.SparkSession,
                               table: String, path: String, ids: DataFrame,
-                              buckets: Int = 32): Long = {
-    require(ids.columns.length == 1, "ids must be a single id column")
-    val batch = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-      .where(col("doc_id").isNotNull).distinct().localCheckpoint()
-    val live = loadSemDedupState(spark, table, path, buckets).select(col("doc_id"))
-      .join(semDedupTombstones(spark, path), Seq("doc_id"), "left_anti")
-      .join(batch, Seq("doc_id"), "left_semi").count()
-    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(semDedupTombstoneDir(path))
-    live
-  }
+                              buckets: Int = 32): Long =
+    Tombstones.recordDeletes(spark, path, "doc_id",
+      Tombstones.normalize(ids, "doc_id", castLong = true),
+      loadSemDedupState(spark, table, path, buckets).select(col("doc_id")))
 
   /** The LIVE view of a persisted SemDeDup state: the bucketed
     * attachment minus tombstoned ids (broadcast anti join — the
@@ -1245,8 +1209,8 @@ object Ann {
   def loadSemDedupStateLive(spark: org.apache.spark.sql.SparkSession,
                             table: String, path: String,
                             buckets: Int = 32): DataFrame =
-    loadSemDedupState(spark, table, path, buckets)
-      .join(broadcast(semDedupTombstones(spark, path)), Seq("doc_id"), "left_anti")
+    Tombstones.liveFilter(loadSemDedupState(spark, table, path, buckets),
+      spark, path, "doc_id")
 
   /** Rewrite the live rows to a FRESH bucketed state (never in place —
     * the [[compactIvfIndex]] rule), clearing the tombstone debt. Note
@@ -1258,9 +1222,7 @@ object Ann {
                            table: String, path: String,
                            newTable: String, newPath: String,
                            buckets: Int = 32): DataFrame = {
-    require(graft.sources.LakeFs.canonical(newPath) !=
-      graft.sources.LakeFs.canonical(path),
-      "compactSemDedupState never rewrites in place — write to a new path and swap")
+    Tombstones.requireFreshPath(path, newPath, "compactSemDedupState")
     persistSemDedupState(loadSemDedupStateLive(spark, table, path, buckets),
       newTable, newPath, buckets)
     loadSemDedupState(spark, newTable, newPath, buckets)

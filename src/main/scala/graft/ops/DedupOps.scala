@@ -577,17 +577,13 @@ object DedupOps {
   /** Where [[deleteFromNearDupIndex]] records removed doc ids: a small
     * parquet id list beside the index (append-only; reads dedup) — the
     * [[graft.ops.Ann.ivfTombstoneDir]] posture. */
-  def nearDupTombstoneDir(path: String): String = s"${path}_tombstones"
+  def nearDupTombstoneDir(path: String): String = Tombstones.dir(path)
 
   /** The current tombstone id set of a persisted near-dup index (empty
     * frame when none have been recorded). */
   def nearDupTombstones(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame = {
-    val dir = nearDupTombstoneDir(path)
-    val (fs, p) = graft.sources.LakeFs.resolve(dir)
-    if (fs.exists(p)) spark.read.parquet(dir).select(col("doc_id")).distinct()
-    else spark.range(0).select(col("id").as("doc_id")).limit(0)
-  }
+                        path: String): DataFrame =
+    Tombstones.ids(spark, path, "doc_id")
 
   /** TOMBSTONE deletion for a persisted near-dup index — the takedown
     * path (a removed document must stop generating candidate pairs NOW,
@@ -607,16 +603,10 @@ object DedupOps {
   def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                              table: String, path: String, ids: DataFrame,
                              buckets: Int = 32): Long = {
-    require(ids.columns.length == 1, "ids must be a single id column")
-    val batch = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-      .where(col("doc_id").isNotNull).distinct().localCheckpoint()
     val (_, toks) = loadNearDupIndex(spark, table, path, buckets)
-    val live = toks.select(col("doc_id"))
-      .join(nearDupTombstones(spark, path), Seq("doc_id"), "left_anti")
-      .join(batch, Seq("doc_id"), "left_semi").count()
-    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(nearDupTombstoneDir(path))
-    live
+    Tombstones.recordDeletes(spark, path, "doc_id",
+      Tombstones.normalize(ids, "doc_id", castLong = true),
+      toks.select(col("doc_id")))
   }
 
   /** The LIVE view of a persisted near-dup index: both attachments minus
@@ -627,9 +617,8 @@ object DedupOps {
                            table: String, path: String,
                            buckets: Int = 32): (DataFrame, DataFrame) = {
     val (keys, toks) = loadNearDupIndex(spark, table, path, buckets)
-    val dead = broadcast(nearDupTombstones(spark, path))
-    (keys.join(dead, Seq("doc_id"), "left_anti"),
-      toks.join(dead, Seq("doc_id"), "left_anti"))
+    (Tombstones.liveFilter(keys, spark, path, "doc_id"),
+      Tombstones.liveFilter(toks, spark, path, "doc_id"))
   }
 
   /** Rewrite the live rows to a FRESH index pair (never in place — the
@@ -644,9 +633,7 @@ object DedupOps {
                           table: String, path: String,
                           newTable: String, newPath: String,
                           buckets: Int = 32): Unit = {
-    require(graft.sources.LakeFs.canonical(newPath) !=
-      graft.sources.LakeFs.canonical(path),
-      "compactNearDupIndex never rewrites in place — write to a new path and swap")
+    Tombstones.requireFreshPath(path, newPath, "compactNearDupIndex")
     persistNearDupIndex(loadNearDupIndexLive(spark, table, path, buckets),
       newTable, newPath, buckets)
   }

@@ -333,17 +333,13 @@ object Pq {
 
   /** Where [[deleteFromPqIndex]] records removed ids: a small parquet id
     * list beside the index (append-only; reads dedup). */
-  def pqTombstoneDir(path: String): String = s"${path}_tombstones"
+  def pqTombstoneDir(path: String): String = Tombstones.dir(path)
 
   /** The current tombstone id set of a persisted PQ index (empty frame
     * when none have been recorded). */
   def pqTombstones(spark: org.apache.spark.sql.SparkSession,
-                   path: String): DataFrame = {
-    val dir = pqTombstoneDir(path)
-    val (fs, p) = graft.sources.LakeFs.resolve(dir)
-    if (fs.exists(p)) spark.read.parquet(dir).select(col("g_id")).distinct()
-    else spark.range(0).select(col("id").as("g_id")).limit(0)
-  }
+                   path: String): DataFrame =
+    Tombstones.ids(spark, path, "g_id")
 
   /** TOMBSTONE deletion for a persisted PQ index — the
     * [[Ann.deleteFromIvfIndex]] posture (a taken-down document's codes
@@ -356,17 +352,10 @@ object Pq {
     * deleted. Bound the debt with [[compactPqIndex]]. */
   def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, path: String, ids: DataFrame,
-                        buckets: Int = 32): Long = {
-    require(ids.columns.length == 1, "ids must be a single id column")
-    val batch = ids.select(col(ids.columns.head).cast("long").as("g_id"))
-      .where(col("g_id").isNotNull).distinct().localCheckpoint()
-    val live = loadPqIndex(spark, table, path, buckets).select(col("g_id"))
-      .join(pqTombstones(spark, path), Seq("g_id"), "left_anti")
-      .join(batch, Seq("g_id"), "left_semi").count()
-    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(pqTombstoneDir(path))
-    live
-  }
+                        buckets: Int = 32): Long =
+    Tombstones.recordDeletes(spark, path, "g_id",
+      Tombstones.normalize(ids, "g_id", castLong = true),
+      loadPqIndex(spark, table, path, buckets).select(col("g_id")))
 
   /** The LIVE view of a persisted PQ index: the bucketed attachment
     * minus tombstoned ids — feed to [[pqTopKIvf]]'s `galleryIndex`
@@ -376,8 +365,8 @@ object Pq {
   def loadPqIndexLive(spark: org.apache.spark.sql.SparkSession,
                       table: String, path: String,
                       buckets: Int = 32): DataFrame =
-    loadPqIndex(spark, table, path, buckets)
-      .join(broadcast(pqTombstones(spark, path)), Seq("g_id"), "left_anti")
+    Tombstones.liveFilter(loadPqIndex(spark, table, path, buckets),
+      spark, path, "g_id")
 
   /** Rewrite the live rows to a FRESH bucketed index (never in place),
     * clearing the tombstone debt and making deleted ids re-appendable
@@ -386,9 +375,7 @@ object Pq {
                      table: String, path: String,
                      newTable: String, newPath: String,
                      buckets: Int = 32): DataFrame = {
-    require(graft.sources.LakeFs.canonical(newPath) !=
-      graft.sources.LakeFs.canonical(path),
-      "compactPqIndex never rewrites in place — write to a new path and swap")
+    Tombstones.requireFreshPath(path, newPath, "compactPqIndex")
     persistPqIndex(loadPqIndexLive(spark, table, path, buckets),
       newTable, newPath, buckets)
     loadPqIndex(spark, newTable, newPath, buckets)

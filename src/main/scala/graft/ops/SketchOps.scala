@@ -220,16 +220,12 @@ object SketchOps {
 
   private def bm25StatsDir(path: String): String = s"${path}_stats"
   /** Where [[deleteFromBm25Index]] records removed ids. */
-  def bm25TombstoneDir(path: String): String = s"${path}_tombstones"
+  def bm25TombstoneDir(path: String): String = Tombstones.dir(path)
 
   /** The current tombstone id set (empty frame when none recorded). */
   def bm25Tombstones(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame = {
-    val dir = bm25TombstoneDir(path)
-    val (fs, p) = graft.sources.LakeFs.resolve(dir)
-    if (fs.exists(p)) spark.read.parquet(dir).select(col("doc_id")).distinct()
-    else spark.range(0).select(col("id").as("doc_id")).limit(0)
-  }
+                     path: String): DataFrame =
+    Tombstones.ids(spark, path, "doc_id")
 
   private def appendStatsDelta(spark: org.apache.spark.sql.SparkSession,
                                path: String, lengths: DataFrame,
@@ -328,9 +324,11 @@ object SketchOps {
   def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
                           table: String, path: String, ids: DataFrame,
                           buckets: Int = 32): Long = {
-    require(ids.columns.length == 1, "ids must be a single id column")
-    val batch = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-      .where(col("doc_id").isNotNull).distinct().localCheckpoint()
+    // The kernel's normalize, but NOT recordDeletes: BM25's takedown
+    // interleaves a stats correction between the liveness probe and the
+    // mark write (see the ordering note below), so the composition stays
+    // here while the layout/hygiene pieces are shared.
+    val batch = Tombstones.normalize(ids, "doc_id", castLong = true)
     val (_, dl) = loadBm25Index(spark, table, path, buckets)
     val liveRows = dl
       .join(bm25Tombstones(spark, path), Seq("doc_id"), "left_anti")
@@ -386,9 +384,7 @@ object SketchOps {
                        table: String, path: String,
                        newTable: String, newPath: String,
                        buckets: Int = 32): Unit = {
-    require(graft.sources.LakeFs.canonical(newPath) !=
-      graft.sources.LakeFs.canonical(path),
-      "compactBm25Index never rewrites in place — write to a new path and swap")
+    Tombstones.requireFreshPath(path, newPath, "compactBm25Index")
     val (po, dl) = loadBm25Index(spark, table, path, buckets)
     val dead = broadcast(bm25Tombstones(spark, path))
     val liveDl = dl.join(dead, Seq("doc_id"), "left_anti")
