@@ -2991,6 +2991,34 @@ select d.pid,
  c as (select doc_id, n_tok, cast(sum(cast(n_tok as bigint)) over (order by h, doc_id
    rows between unbounded preceding and current row) as bigint) run from t)
  select doc_id, n_tok, run from c where run <= 20000 order by doc_id"""),
+
+    // Signed-edge-store netting (round 14): the streaming graph loops'
+    // takedown store semantics under the hash gate. An integer action
+    // log (pair, ±1 sign, batch id) nets in two steps — within-batch
+    // ADD-WINS (max(sign) per (pair, batch): an upsert beats a removal,
+    // the one-row-per-pair-per-batch store invariant), then
+    // LAST-ACTION-WINS across batches (max_by(sign, b) — SET semantics,
+    // not a sum: duplicate adds never need two removals) — and the
+    // present pairs survive. All-integer, deterministic (max_by ties
+    // impossible after the per-batch collapse), both engines have
+    // max_by. The Spark twin runs the across-batch step through the
+    // REAL kernel (SignedEdgeStore.net — the exact code ClusterLoop/
+    // RankLoop/LabelLoop fold through).
+    q2("q187_signed_netting",
+      """with log as (select concat('a', cast(l_partkey % 50 as string)) lo,
+   concat('b', cast(l_suppkey % 50 as string)) hi,
+   case when cast(l_quantity as bigint) % 2 = 0 then 1 else -1 end sign,
+   l_orderkey b from lineitem),
+ batch as (select lo, hi, b, max(sign) sign from log group by lo, hi, b),
+ net as (select lo, hi, max_by(sign, b) s from batch group by lo, hi)
+ select lo, hi from net where s > 0 order by lo, hi""",
+      """with log as (select concat('a', cast(l_partkey % 50 as varchar)) lo,
+   concat('b', cast(l_suppkey % 50 as varchar)) hi,
+   case when cast(l_quantity as bigint) % 2 = 0 then 1 else -1 end sign,
+   l_orderkey b from lineitem),
+ batch as (select lo, hi, b, max(sign) sign from log group by lo, hi, b),
+ net as (select lo, hi, max_by(sign, b) s from batch group by lo, hi)
+ select lo, hi from net where s > 0 order by lo, hi"""),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1750,6 +1750,31 @@ object DfQueries {
         .orderBy("doc_id")
     },
 
+    "q187_signed_netting" -> { (s, _) =>
+      // The SignedEdgeStore presence contract (round 14), declared: an
+      // integer action log (pair, sign, batch) nets to its PRESENT pairs
+      // under the loops' exact two-step semantics — within-batch
+      // add-wins (canonBatch: one action per pair per batch, an upsert
+      // beats a removal), then LAST-ACTION-WINS across batches
+      // (max_by(sign, b) — set semantics, not a sum: duplicate adds
+      // never need two removals). The across-batch netting runs through
+      // the REAL library kernel (SignedEdgeStore.net — what ClusterLoop/
+      // RankLoop/LabelLoop fold through); ties are impossible by
+      // construction after the per-(pair, batch) collapse, which is
+      // exactly the store's one-row-per-pair-per-batch invariant.
+      val li = t(s, "lineitem")
+      val log = li.select(
+        concat(lit("a"), (col("l_partkey") % 50).cast("string")).as("lo"),
+        concat(lit("b"), (col("l_suppkey") % 50).cast("string")).as("hi"),
+        when(col("l_quantity").cast("bigint") % 2 === 0, 1)
+          .otherwise(-1).as("sign"),
+        col("l_orderkey").as("b"))
+      val perBatch = log.groupBy("lo", "hi", "b")
+        .agg(max(col("sign")).as("sign"))
+      graft.streaming.SignedEdgeStore.net(perBatch, "lo", "hi")
+        .orderBy("lo", "hi")
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

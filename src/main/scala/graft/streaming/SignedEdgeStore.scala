@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * (`_SUCCESS`) target is never rewritten, folded dirs delete in
   * ASCENDING batch order so a crash mid-delete can never leave a bare
   * +1 that would resurrect a net-removed edge. */
-private[streaming] object SignedEdgeStore {
+private[graft] object SignedEdgeStore {
 
   private def edgeSchema(k1: String, k2: String) = StructType(Seq(
     StructField(k1, StringType), StructField(k2, StringType)))
