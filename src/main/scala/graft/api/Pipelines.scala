@@ -1066,9 +1066,16 @@ object Pipelines {
     *      before dedup would let duplicate-heavy sources claw back
     *      share through their removed copies).
     *
-    * `audit` is the funnel report — (stage, n_docs), one row per stage in
-    * order — so a curation run documents what each stage removed instead
-    * of emitting one unexplained survivor set. NOT fully lazy: stage 2's
+    * The learned gate runs from `classifierFloor` (a hand-picked
+    * (model, floor)) or `classifierCalibration` (the production shape:
+    * [[graft.ops.LinearClassifier.calibrateFloor]]'s pick at a target
+    * precision on a held-out split — the audit then records the chosen
+    * floor and its held-out operating point in the stage's `detail`).
+    *
+    * `audit` is the funnel report — (stage, n_docs, detail), one row per
+    * stage in order — so a curation run documents what each stage
+    * removed (and, where calibrated, why the gate sits where it sits)
+    * instead of emitting one unexplained survivor set. NOT fully lazy: stage 2's
     * transitive closure iterates cluster jobs to convergence during THIS
     * call (see [[canonicalDocs]]); the returned frames are then lazy and
     * execute as separate actions. */
@@ -1082,7 +1089,19 @@ object Pipelines {
              classifierFloor: Option[(graft.ops.LinearClassifier.Model, Double)] =
                None,
              hostAuthorityGate: Option[HostAuthorityGate] = None,
-             semanticDedup: Option[SemanticDedupStage] = None): CurationResult = {
+             semanticDedup: Option[SemanticDedupStage] = None,
+             classifierCalibration: Option[graft.ops.LinearClassifier.CalibratedFloor] =
+               None): CurationResult = {
+    require(classifierFloor.isEmpty || classifierCalibration.isEmpty,
+      "pass classifierFloor OR classifierCalibration, not both — the " +
+        "calibration already carries its floor")
+    // The calibrated form is the production shape: the floor was CHOSEN
+    // at a target precision on a held-out split
+    // (LinearClassifier.calibrateFloor), and the audit records the
+    // operating point next to the stage count instead of leaving the
+    // gate's placement unexplained.
+    val clsGate = classifierFloor.orElse(
+      classifierCalibration.map(c => (c.model, c.floor)))
     val id = col("doc_id"); val text = col("text")
     // Optional C4 stage FIRST: it REWRITES text (line-level boilerplate
     // removal + page gates), and every downstream signal — quality
@@ -1132,7 +1151,7 @@ object Pipelines {
     // self-trained LM stage above it carries external supervision, so
     // it runs after the cheap gates and before dedup pays for docs the
     // classifier would drop anyway.
-    val clsKept = classifierFloor match {
+    val clsKept = clsGate match {
       case Some((model, floor)) => classifierFilter(lmKept, id, text, model, floor)
       case None => lmKept
     }
@@ -1182,14 +1201,25 @@ object Pipelines {
       Seq("quality_lang" -> quality) ++
       (if (hostAuthorityGate.isDefined) Seq("host_authority" -> hostKept) else Nil) ++
       Seq("lm_gate" -> lmKept) ++
-      (if (classifierFloor.isDefined) Seq("classifier" -> clsKept) else Nil) ++
+      (if (clsGate.isDefined) Seq("classifier" -> clsKept) else Nil) ++
       Seq("canonical" -> canon) ++
       (if (semanticDedup.isDefined) Seq("semantic" -> sem) else Nil) ++
       Seq("decontaminated" -> clean, "capped" -> capped,
       "mixed" -> mixed)
+    // Per-stage detail (nullable, appended last so positional readers of
+    // the classic (stage_no, stage, n_docs) shape keep working): today
+    // only the calibrated classifier stage carries one — its chosen
+    // floor and held-out operating point, so the data card explains the
+    // gate instead of asserting it.
+    val details: Map[String, String] = classifierCalibration.map { c =>
+      "classifier" -> (f"floor=${c.floor}%.2f held-out precision=" +
+        f"${c.precision}%.4f recall=${c.recall}%.4f f1=${c.f1}%.4f " +
+        f"target_precision=${c.targetPrecision}%.2f")
+    }.toMap
     val audit = stages.zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(i).as("stage_no"), lit(name).as("stage"), col("n_docs"))
+        .select(lit(i).as("stage_no"), lit(name).as("stage"), col("n_docs"),
+          lit(details.get(name).orNull).cast("string").as("detail"))
     }.reduce(_.unionByName(_)).orderBy("stage_no")
     CurationResult(mixed, audit)
   }

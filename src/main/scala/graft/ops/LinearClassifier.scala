@@ -217,6 +217,52 @@ object LinearClassifier {
       .orderBy("threshold")
   }
 
+  /** [[calibrateFloor]]'s result: the model it calibrated, the chosen
+    * gate floor, and its held-out operating point — hand it to
+    * [[graft.api.Pipelines.curate]]'s `classifierCalibration` so the
+    * funnel audit records WHY the gate runs where it runs. */
+  final case class CalibratedFloor(model: Model, floor: Double,
+                                   precision: Double, recall: Double,
+                                   f1: Double, targetPrecision: Double)
+
+  /** Pick the `classifierFloor` a production gate should run at: the
+    * LOWEST [[evaluate]] grid threshold whose held-out precision meets
+    * `targetPrecision`. Lowest is the right pick because recall is
+    * non-increasing in the threshold — this is the most-recall
+    * operating point inside the precision budget (the curation
+    * trade-off: precision says how clean the kept corpus is, recall how
+    * much good data survives). Train on one side of a
+    * [[graft.api.Pipelines.splitWeighted]] split and calibrate on the
+    * OTHER — calibrating on training rows overstates precision.
+    *
+    * Fails loudly when the held-out slice carries no positive labels
+    * (nothing to measure recall against) or when NO grid threshold
+    * reaches the target (an uncalibratable gate must not silently run
+    * at an arbitrary point); thresholds with undefined precision (zero
+    * predicted positives) never qualify. One scoring pass + one
+    * grid-scale agg ([[evaluate]]'s shape), grid-scale collect. */
+  def calibrateFloor(heldOut: DataFrame, text: Column, label: Column,
+                     model: Model, targetPrecision: Double,
+                     grid: Seq[Double] = (1 to 19).map(_ / 20.0)): CalibratedFloor = {
+    require(targetPrecision > 0.0 && targetPrecision <= 1.0,
+      s"targetPrecision must be in (0, 1], got $targetPrecision")
+    val curve = evaluate(heldOut, text, label, model, grid).collect()
+    require(curve.nonEmpty && curve.head.getLong(1) + curve.head.getLong(4) > 0,
+      "calibrateFloor: held-out slice has no positive-labeled rows — " +
+        "nothing to calibrate against")
+    curve.find(r => !r.isNullAt(5) && r.getDouble(5) >= targetPrecision) match {
+      case Some(r) => CalibratedFloor(model, r.getDouble(0), r.getDouble(5),
+        r.getDouble(6), r.getDouble(8), targetPrecision)
+      case None =>
+        val best = curve.filter(!_.isNullAt(5)).map(_.getDouble(5))
+          .maxOption.getOrElse(Double.NaN)
+        throw new IllegalArgumentException(
+          s"calibrateFloor: no grid threshold reaches precision " +
+            s">= $targetPrecision on the held-out slice (best $best) — " +
+            "the model cannot run this gate; retrain or lower the target")
+    }
+  }
+
   /** Gate rows on the learned score IN PLACE — schema untouched, one
     * stateless typed filter with the model broadcast once. Works
     * unchanged on a STREAMING DataFrame (no ids needed, no join, no

@@ -150,6 +150,70 @@ class LinearClassifierSpec extends AnyFunSuite {
       .head().getLong(1) == at05.getLong(1))
   }
 
+  test("calibrateFloor picks the most-recall threshold inside the precision budget; curate audits it") {
+    val spark2 = spark
+    import spark2.implicits._
+    // The production recipe end to end: label, split, train on one side,
+    // CALIBRATE on the other, run the funnel off the calibration.
+    val labeled = real.select(col("doc_id"), col("text"), lit(1.0).as("y"))
+      .unionByName(junk.select(col("doc_id"), col("text"), lit(0.0).as("y")))
+      .withColumn("bucket", graft.api.Pipelines.splitWeighted(
+        "doc_id", Seq("train" -> 0.7, "heldout" -> 0.3)))
+    val train = labeled.where(col("bucket") === "train")
+    val heldout = labeled.where(col("bucket") === "heldout").localCheckpoint()
+    val model = LinearClassifier.train(train, col("text"), col("y"),
+      dim = 1 << 15, iters = 30)
+    val grid = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val cal = LinearClassifier.calibrateFloor(
+      heldout, col("text"), col("y"), model, targetPrecision = 0.95, grid)
+    assert(cal.precision >= 0.95, s"chosen floor misses the target: $cal")
+    assert(grid.contains(cal.floor))
+    // LOWEST qualifying threshold — no lower grid point reaches the
+    // target (most recall inside the precision budget).
+    val curve = LinearClassifier.evaluate(
+        heldout, col("text"), col("y"), model, grid).collect()
+      .map(r => r.getDouble(0) ->
+        (if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toMap
+    assert(grid.filter(_ < cal.floor).forall(t => !(curve(t) >= 0.95)),
+      s"a lower threshold also qualified: $curve vs ${cal.floor}")
+    // Separable fixture: the budget is met without giving up recall.
+    assert(cal.recall >= 0.9, s"recall collapsed at the chosen floor: $cal")
+
+    // curate consumes the calibration: junk dies at the audited stage
+    // and the audit's detail column records the operating point.
+    val full = real.select("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .unionByName(junk.withColumn("lang", lit("en")).withColumn("source", lit("s0")))
+    val res = graft.api.Pipelines.curate(full, classifierCalibration = Some(cal))
+    val audit = res.audit.collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getString(3))).toMap
+    assert(audit.contains("classifier"))
+    val detail = audit("classifier")._2
+    assert(detail != null && detail.contains(f"floor=${cal.floor}%.2f") &&
+      detail.contains("target_precision=0.95"),
+      s"audit detail must record the calibration: $detail")
+    assert(audit.filter(_._1 != "classifier").values.forall(_._2 == null),
+      "only the calibrated stage carries a detail")
+    val curatedIds = res.curated.select("doc_id").collect().map(_.getLong(0))
+    assert(curatedIds.count(_ >= 1000000L) <= 10,
+      "gibberish must die at the calibrated gate")
+
+    // Hygiene: both gate params refuse; an unreachable target refuses
+    // loudly (a featureless model scores everything at the prior — no
+    // threshold can reach 0.95 precision on a balanced slice).
+    intercept[IllegalArgumentException] {
+      graft.api.Pipelines.curate(full, classifierFloor = Some((model, 0.5)),
+        classifierCalibration = Some(cal))
+    }
+    val flat = LinearClassifier.Model(
+      new Array[Float](model.dim), 0.0f)
+    val e = intercept[IllegalArgumentException] {
+      LinearClassifier.calibrateFloor(
+        heldout, col("text"), col("y"), flat, targetPrecision = 0.95, grid)
+    }
+    assert(e.getMessage.contains("no grid threshold"))
+  }
+
   test("warm start continues the descent; streamed gate ≡ batch, stateless") {
     val spark2 = spark
     import spark2.implicits._
