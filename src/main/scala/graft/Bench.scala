@@ -407,7 +407,13 @@ object Bench {
     "x_warc_main"          -> 0.22,
     "x_semdedup_fold"      -> 0.53,
     "x_hits"               -> 4.50,
-    "x_dsir_score"         -> 0.31,
+    // Re-pinned round 14 from three idle sessions' medians (0.261 /
+    // 0.266 this round at loadavg ≤ 1.5, judge 0.269 in round 13) —
+    // the original 0.31 came from one session and sat between the idle
+    // cost and the driver's loaded 0.367, so it flapped both ways. The
+    // query is load-sensitive (sub-0.3 s, one map-only pass); adjudicate
+    // any flag against the per-sample loadavg the artifact records.
+    "x_dsir_score"         -> 0.27,
   )
 
   def main(args: Array[String]): Unit = {
