@@ -1775,6 +1775,59 @@ object DfQueries {
         .orderBy("lo", "hi")
     },
 
+    "q188_map_merge" -> { (s, _) =>
+      // Additive map merge with union-key semantics: two present-keys-only
+      // status→count maps per customer (low/high order-value halves)
+      // through map_zip_with (missing side contributes 0), rendered under
+      // the H16 sorted-entries discipline + a try_element_at probe.
+      val c = t(s, "orders")
+        .groupBy(col("o_custkey"), col("o_orderstatus").as("st"))
+        .agg(
+          sum(when(col("o_totalprice") < 150000, 1).otherwise(0))
+            .cast("bigint").as("lo_cnt"),
+          sum(when(col("o_totalprice") >= 150000, 1).otherwise(0))
+            .cast("bigint").as("hi_cnt"))
+      val m = c.groupBy("o_custkey").agg(
+        map_from_entries(array_sort(collect_list(
+          when(col("lo_cnt") > 0, struct(col("st"), col("lo_cnt")))))).as("m1"),
+        map_from_entries(array_sort(collect_list(
+          when(col("hi_cnt") > 0, struct(col("st"), col("hi_cnt")))))).as("m2"))
+      m.select(col("o_custkey"),
+          map_zip_with(col("m1"), col("m2"),
+            (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))).as("mm"))
+        .select(col("o_custkey"),
+          size(col("mm")).cast("bigint").as("n_keys"),
+          coalesce(try_element_at(col("mm"), lit("O")), lit(0L)).as("open_cnt"),
+          array_join(transform(array_sort(map_entries(col("mm"))),
+            e => concat(e.getField("key"), lit(":"),
+              e.getField("value").cast("string"))), ",").as("entries"))
+        .orderBy("o_custkey").limit(300)
+    },
+
+    "q189_netted_components" -> { (s, _) =>
+      // The full ClusterLoop semantics at a fixed edge set: q187's
+      // two-step netting through the REAL SignedEdgeStore kernel, then
+      // the q72 iterative component machinery over the present pairs
+      // (the Spark-side lowering of the recursive-reachability oracle —
+      // the q72 dialect split, see Corpus). Block-diagonal pair space
+      // guarantees ≥5 structural components.
+      val li = t(s, "lineitem")
+      val log = li.select(
+        concat(lit("a"), (col("l_partkey") % 25).cast("string")).as("lo"),
+        concat(lit("b"),
+          (((col("l_partkey") % 25) / 5).cast("bigint") * 5 +
+            col("l_suppkey") % 5).cast("string")).as("hi"),
+        when(col("l_quantity").cast("bigint") % 2 === 0, 1)
+          .otherwise(-1).as("sign"),
+        col("l_orderkey").as("b"))
+      val perBatch = log.groupBy("lo", "hi", "b")
+        .agg(max(col("sign")).as("sign"))
+      val present = graft.streaming.SignedEdgeStore.net(perBatch, "lo", "hi")
+      graft.ops.DedupOps.connectedComponents(
+          present.select(col("lo").as("d1"), col("hi").as("d2")))
+        .orderBy("doc")
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.

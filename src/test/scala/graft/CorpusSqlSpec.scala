@@ -16,7 +16,7 @@ class CorpusSqlSpec extends AnyFunSuite {
     * UNION (distinct) in recursive CTEs, and UNION ALL cannot terminate on a
     * symmetric edge set — q72's Spark-side lowering is the iterative
     * DedupOps.connectedComponents kernel instead of one SQL text. */
-  private val iterativeOnly = Set("q72_dup_components")
+  private val iterativeOnly = Set("q72_dup_components", "q189_netted_components")
 
   for (c <- Corpus.all if !iterativeOnly(c.name)) {
     test(s"${c.name}: spark-dialect SQL ≡ DataFrame impl") {
@@ -28,12 +28,13 @@ class CorpusSqlSpec extends AnyFunSuite {
     }
   }
 
-  test("q72: Spark still rejects union-distinct recursive CTEs (re-enable the SQL text when lifted)") {
-    spark
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql(Corpus.byName("q72_dup_components").sparkSql).collect()
+  for (name <- iterativeOnly)
+    test(s"$name: Spark still rejects union-distinct recursive CTEs (re-enable the SQL text when lifted)") {
+      spark
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(Corpus.byName(name).sparkSql).collect()
+      }
+      assert(e.getMessage.contains("UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"),
+        s"restriction changed — revisit the $name dialect split: ${e.getMessage.take(200)}")
     }
-    assert(e.getMessage.contains("UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"),
-      s"restriction changed — revisit the q72 dialect split: ${e.getMessage.take(200)}")
-  }
 }
