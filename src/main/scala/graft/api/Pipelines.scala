@@ -518,6 +518,52 @@ object Pipelines {
       "src", "dst", iterations, stateDir, edgesDir, outDir, checkpointDir,
       trigger, compactEvery, damping)
 
+  /** STREAMING host authority over EDGE EVENTS with takedowns — the
+    * event-level companion to [[streamHostAuthority]] (which ingests
+    * whole WARC archives and can only ever APPEND): when the frontier
+    * layer emits host-edge events directly — discovered links as
+    * upserts, domain delistings / link-rot purges as removals
+    * (`removedCol` boolean) — this folds them into continuously
+    * maintained PageRank over the NETTED edge set. Removals are nearly
+    * free here: the damped fixpoint is init-independent, so the warm
+    * restart on the netted set is sound as-is and a delisted host's
+    * authority actually leaves the table (its rank rows drop once its
+    * last live edge nets away) instead of haunting the curation gate
+    * forever ([[graft.streaming.RankLoop]]). Read the current table
+    * with [[graft.streaming.RankLoop.latestRanks]]; feed it to
+    * [[curate]]'s [[HostAuthorityGate]] with `hostCol = col("node"),
+    * scoreCol = col("r")` and an integer micro-rank floor. */
+  def streamHostAuthorityEvents(edgeEvents: DataFrame, srcHost: String,
+                                dstHost: String, removedCol: String,
+                                iterations: Int, stateDir: String,
+                                edgesDir: String, outDir: String,
+                                checkpointDir: String,
+                                trigger: Option[Trigger] = None,
+                                compactEvery: Int = 64,
+                                damping: Double = 0.85): StreamingQuery =
+    graft.streaming.RankLoop.run(edgeEvents, srcHost, dstHost, iterations,
+      stateDir, edgesDir, outDir, checkpointDir, trigger, compactEvery,
+      damping, removedCol)
+
+  /** STREAMING community-label maintenance with takedowns — the
+    * one-call form of [[graft.streaming.LabelLoop]], completing the
+    * loop-facade family ([[streamClusterMap]] = component structure,
+    * [[streamHostAuthorityEvents]] = authority, this = bounded-radius
+    * LPA communities): fold a stream of edge events (`src`/`dst`,
+    * optional boolean `removedCol` marking removals) into continuously
+    * maintained k-round labels over the netted edge set, recomputing
+    * only each batch's k-hop cone. Read the live map with
+    * [[graft.streaming.LabelLoop.latestLabels]]. */
+  def streamCommunityLabels(edgeEvents: DataFrame, src: String, dst: String,
+                            removedCol: String, iterations: Int,
+                            stateDir: String, edgesDir: String,
+                            outDir: String, checkpointDir: String,
+                            trigger: Option[Trigger] = None,
+                            compactEvery: Int = 64): StreamingQuery =
+    graft.streaming.LabelLoop.run(edgeEvents, src, dst, iterations,
+      stateDir, edgesDir, outDir, checkpointDir, trigger, compactEvery,
+      removedCol)
+
   /** STREAMING dedup-cluster maintenance WITH takedowns — the one-call
     * form of [[graft.streaming.ClusterLoop]]: fold a stream of near-dup
     * pair events (`d1`, `d2`, optional boolean `removedCol` marking

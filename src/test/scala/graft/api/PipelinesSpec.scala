@@ -362,6 +362,65 @@ class PipelinesSpec extends AnyFunSuite {
     assert(names.contains("host_authority"))
   }
 
+  test("loop facades: streamCommunityLabels / streamHostAuthorityEvents fold takedowns into netted results") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-loopfacade").toString
+    // One batch carrying appends AND a removal: a triangle plus a spur,
+    // with the spur's edge removed in the same stream (later file).
+    val b0 = Seq(("h1", "h2", false), ("h2", "h3", false), ("h3", "h1", false),
+      ("h3", "spur", false))
+    val b1 = Seq(("h3", "spur", true))
+    val src = s"$root/src"
+    val schema = b0.toDF("src", "dst", "removed").schema
+    val stream = () => spark.readStream.schema(schema).parquet(src)
+    // Two separate runs so the removal arrives in its OWN micro-batch —
+    // in one batch the within-batch add-wins convention would
+    // (correctly) keep the pair.
+    def runLabels(): Unit = {
+      val q = Pipelines.streamCommunityLabels(stream(), "src", "dst", "removed",
+        iterations = 2, s"$root/lst", s"$root/led", s"$root/lout", s"$root/lck",
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(120000); q.stop()
+    }
+    def runRanks(): Unit = {
+      val q = Pipelines.streamHostAuthorityEvents(stream(), "src", "dst", "removed",
+        iterations = 10, s"$root/rst", s"$root/red", s"$root/rout", s"$root/rck",
+        trigger = Some(Trigger.AvailableNow()), damping = 0.5)
+      q.awaitTermination(120000); q.stop()
+    }
+    b0.toDF("src", "dst", "removed").write.mode("append").parquet(src)
+    runLabels(); runRanks()
+    b1.toDF("src", "dst", "removed").write.mode("append").parquet(src)
+    runLabels(); runRanks()
+    val labels = graft.streaming.LabelLoop.latestLabels(spark, s"$root/lst", 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels.keySet == Set("h1", "h2", "h3"),
+      s"the removed spur must leave the label map: $labels")
+    val ranks = graft.streaming.RankLoop.latestRanks(spark, s"$root/rst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set("h1", "h2", "h3"),
+      s"a delisted host's rank rows must drop: $ranks")
+    // The consumption path: the maintained state table feeds the curate
+    // gate with the documented (node, r) column mapping.
+    val docs = TestSpark.table("documents").limit(30)
+      .withColumn("url",
+        when(col("doc_id") % 2 === 0, lit("https://spur/page"))
+          .otherwise(lit("https://h1/page")))
+    val res = Pipelines.curate(docs, hostAuthorityGate = Some(
+      Pipelines.HostAuthorityGate(
+        graft.streaming.RankLoop.latestRanks(spark, s"$root/rst"),
+        floor = 1.0, url = col("url"),
+        hostCol = col("node"), scoreCol = col("r"))))
+    // spur is ABSENT from the maintained table → unknown host → keeps
+    // (prior, not allowlist); h1 is present and above the floor — so
+    // the authority stage removes NOTHING relative to the ungated
+    // funnel (the other stages still take their usual cut).
+    assert(res.curated.count() == Pipelines.curate(docs).curated.count())
+    assert(res.audit.collect().map(_.getString(1)).contains("host_authority"))
+  }
+
   test("curate lm gate: gibberish falls below the floor, real docs survive it") {
     val spark2 = spark
     import spark2.implicits._
