@@ -62,6 +62,56 @@ object PrIncProbe {
         l1(graft.ops.GraphOps.pageRank(appended, iterations = k)) }
       println(f"== k=$k%2d  L1-to-fixpoint (of total mass 1.0): warm=$w%.6f cold=$c%.6f")
     }
+
+    // TAKEDOWN half (round 14): the same rounds-to-tolerance question
+    // after a 1% edge REMOVAL — pageRankWarm on the netted set restarts
+    // from ranks converged on the PRE-removal graph (the RankLoop fold).
+    // The generator repeats each distinct pair ~10× across the id range
+    // (dst is id²+id mod nNodes/10 and src cycles every nNodes), so a
+    // pct-of-DISTINCT-edges removal takes pct/10 of the generator range.
+    val netted = base
+      .join(synth((nEdges * pct / 10).toLong, 0L), Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    println(s"== netted rows=${netted.count()} (removed ~$pct of distinct edges)")
+    val priorApp = t("converge appended (12 iter)") {
+      val p = graft.ops.GraphOps.pageRank(appended, iterations = 12)
+        .select("node", "r").localCheckpoint()
+      p.count(); p
+    }
+    val fixNet = t("netted fixpoint ref (25 iter)") {
+      val f = graft.ops.GraphOps.pageRankWarm(netted, priorApp, iterations = 25)
+        .select("node", "r").localCheckpoint()
+      f.count(); f
+    }
+    def l1n(ranks: DataFrame): Double =
+      ranks.select(col("node"), col("r").as("ra"))
+        .join(fixNet.select(col("node"), col("r").as("rb")), Seq("node"), "full")
+        .agg(sum(abs(coalesce(col("ra"), lit(0L)) - coalesce(col("rb"), lit(0L)))))
+        .head().getLong(0).toDouble / 1e9
+    for (k <- Seq(1, 2, 3)) {
+      val w = t(s"warm-after-removal $k iter") {
+        l1n(graft.ops.GraphOps.pageRankWarm(netted, priorApp, iterations = k)) }
+      val c = t(s"cold-after-removal $k iter") {
+        l1n(graft.ops.GraphOps.pageRank(netted, iterations = k)) }
+      println(f"== rm k=$k%2d  L1-to-fixpoint: warm=$w%.6f cold=$c%.6f")
+    }
+
+    // NETTING-COST half (round 14): RankLoop nets the signed store
+    // globally every batch — deliberate, because the matvec consumes the
+    // full edge set per iteration anyway. Put a number on that claim:
+    // one last-action netting group-by over a signed store vs ONE
+    // pageRank iteration over the same edges.
+    val signed = base.select(col("src"), col("dst"), lit(1).as("sign"),
+        (abs(xxhash64(col("src"), col("dst"))) % 64).as("b"))
+      .localCheckpoint()
+    t("netting group-by (full store)") {
+      graft.streaming.SignedEdgeStore.net(signed, "src", "dst")
+        .agg(count(lit(1))).head()
+    }
+    t("one pageRank iteration") {
+      graft.ops.GraphOps.pageRank(base, iterations = 1)
+        .agg(count(lit(1))).head()
+    }
     spark.stop()
   }
 }
