@@ -1045,6 +1045,23 @@ object Pipelines {
       .select("doc_id").distinct()
   }
 
+  /** FUZZY eval-set decontamination — the near-dup companion to the
+    * exact-overlap [[contaminatedDocs]]: corpus docs whose token SET is
+    * Jaccard-≥-threshold similar to any held-out row. Catches
+    * paraphrased / reordered / lightly-edited eval leakage that shares
+    * few exact 3-grams (the known blind spot of n-gram
+    * decontamination); production stacks run BOTH — exact for verbatim
+    * leaks at a tight n, fuzzy for the rest ([[curate]]'s `fuzzyEval`
+    * does exactly that). Cross-set LSH: the eval side's band keys
+    * broadcast (benchmarks are small), the corpus's own quadratic
+    * pair space never enters the plan ([[graft.ops.DedupOps.crossNearDup]]). */
+  def fuzzyContaminatedDocs(corpus: DataFrame, corpusId: Column,
+                            corpusText: Column, heldOut: DataFrame,
+                            heldOutText: Column,
+                            threshold: Double = 0.8): DataFrame =
+    DedupOps.crossNearDup(corpus, corpusId, corpusText, heldOut, heldOutText,
+      threshold)
+
   /** [[curate]]'s result: the surviving rows (input schema preserved) and
     * a per-stage audit of the funnel — both lazy plans. */
   final case class CurationResult(curated: DataFrame, audit: DataFrame)
@@ -1137,7 +1154,10 @@ object Pipelines {
              hostAuthorityGate: Option[HostAuthorityGate] = None,
              semanticDedup: Option[SemanticDedupStage] = None,
              classifierCalibration: Option[graft.ops.LinearClassifier.CalibratedFloor] =
-               None): CurationResult = {
+               None,
+             fuzzyEval: Option[Double] = None): CurationResult = {
+    require(fuzzyEval.isEmpty || evalSet.isDefined,
+      "fuzzyEval needs an evalSet to decontaminate against")
     require(classifierFloor.isEmpty || classifierCalibration.isEmpty,
       "pass classifierFloor OR classifierCalibration, not both — the " +
         "calibration already carries its floor")
@@ -1226,10 +1246,19 @@ object Pipelines {
       case None => canon
     }
     val clean = evalSet match {
-      case Some(es) => sem.join(
-        contaminatedDocs(sem, id, text, es, col("text"))
-          .select(col("doc_id").as("__dirty")),
-        id === col("__dirty"), "left_anti")
+      case Some(es) =>
+        // Exact 3-gram overlap always; the fuzzy near-dup pass joins in
+        // when asked (verbatim leaks die either way — the fuzzy set is
+        // the paraphrased remainder the n-gram gate cannot see).
+        val exact = contaminatedDocs(sem, id, text, es, col("text"))
+          .select(col("doc_id").as("__dirty"))
+        val dirty = fuzzyEval match {
+          case Some(th) => exact.unionByName(
+            fuzzyContaminatedDocs(sem, id, text, es, col("text"), th)
+              .select(col("doc_id").as("__dirty"))).distinct()
+          case None => exact
+        }
+        sem.join(dirty, id === col("__dirty"), "left_anti")
       case None => sem
     }
     val capped = perSourceCap match {

@@ -371,6 +371,51 @@ object DedupOps {
       .select(col("d1"), col("d2"), round(j, 4).as("j"))
   }
 
+  /** CROSS-SET near-dup ids: the corpus docs whose token set is
+    * near-duplicate (Jaccard ≥ `threshold`) of ANY row in `other` —
+    * the fuzzy-decontamination kernel (a paraphrased or lightly-edited
+    * eval leak shares its token SET while sharing few exact n-grams,
+    * so the q82-style exact-overlap gate misses it). Same machinery as
+    * [[minhashLshDocs]] (native `minhash_sig` signatures,
+    * threshold-derived banding via [[minhashParamsFor]], merge-walk
+    * `jaccard_sorted` verify) with the candidate join RESTRICTED to
+    * cross-set pairs: corpus×corpus pairs never form, so the corpus's
+    * own quadratic near-dup space stays out of the plan entirely —
+    * candidate volume is corpus-keys × other-keys per bucket, and
+    * `other` (an eval benchmark) is small enough that its exploded
+    * band keys broadcast under AQE while the corpus side streams
+    * narrow. `other` needs no id column (rows key by token-list md5
+    * and dedup). Returns distinct corpus ids `(doc_id)`. */
+  def crossNearDup(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                   other: DataFrame, otherText: Column,
+                   threshold: Double, targetRecall: Double = 0.9,
+                   maxK: Int = 32): DataFrame = {
+    val (k, bands) = minhashParamsFor(threshold, targetRecall, maxK)
+    val r = k / bands
+    def side(df: DataFrame, idc: Column, tc: Column): DataFrame = df
+      .select(idc.as("doc_id"),
+        array_sort(array_distinct(TextOps.tokens(tc))).as("toks"))
+      .where(col("doc_id").isNotNull && col("toks").isNotNull)
+      .withColumn("sig", call_function("minhash_sig", col("toks"), lit(k)))
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(":",
+        lit(b) +: (0 until r).map(i => col("sig")(b * r + i).cast("string")): _*)
+    }
+    val corp = side(corpus, corpusId, corpusText)
+    val ev = side(other, md5(otherText.cast("string")), otherText)
+      .dropDuplicates("doc_id")
+    val ck = corp.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val ek = ev.select(col("doc_id").as("__eid"), explode(array(bandCols: _*)).as("bk"))
+      .distinct()
+    val cand = ck.join(ek, Seq("bk")).select("doc_id", "__eid").distinct()
+    val j = call_function("jaccard_sorted", col("t1"), col("t2"))
+    cand
+      .join(corp.select(col("doc_id"), col("toks").as("t1")), Seq("doc_id"))
+      .join(ev.select(col("doc_id").as("__eid"), col("toks").as("t2")), Seq("__eid"))
+      .where(j >= threshold)
+      .select(col("doc_id")).distinct()
+  }
+
   /** Banding choice for [[minhashLshAuto]]: the LARGEST rows-per-band `r`
     * whose band count `b = ceil(ln(1−targetRecall) / ln(1−threshold^r))`
     * still fits `k = r·b <= maxK` hashes. P(pair at Jaccard j becomes a

@@ -421,6 +421,51 @@ class PipelinesSpec extends AnyFunSuite {
     assert(res.audit.collect().map(_.getString(1)).contains("host_authority"))
   }
 
+  test("fuzzy decontamination: paraphrased eval leaks die where the exact n-gram gate is blind") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Eval doc + a PARAPHRASED corpus leak: same token SET, fully
+    // reordered — shared 3-grams ≈ none (exact gate blind), token
+    // Jaccard = 1.0 (fuzzy gate catches). A clean doc shares nothing.
+    val evalText = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    // Exact word reversal: identical token SET (Jaccard 1.0), zero
+    // shared 3-grams (a reversed sequence only repeats a trigram of the
+    // original if the text has mirrored runs, which this one doesn't).
+    val paraphrased = evalText.split(" ").reverse.mkString(" ")
+    val verbatim = s"prefix words here $evalText suffix words there"
+    val clean = "completely unrelated content about distributed query engines and shuffles"
+    val corpus = Seq(
+      (1L, paraphrased), (2L, verbatim), (3L, clean)).toDF("doc_id", "text")
+    val eval = Seq(Tuple1(evalText)).toDF("text")
+    // The exact gate sees the verbatim leak only.
+    val exact = Pipelines.contaminatedDocs(corpus, col("doc_id"), col("text"),
+      eval, col("text")).collect().map(_.getLong(0)).toSet
+    assert(exact == Set(2L),
+      s"exact 3-gram gate should catch only the verbatim leak: $exact")
+    // The fuzzy gate sees both leaks and not the clean doc.
+    val fuzzy = Pipelines.fuzzyContaminatedDocs(corpus, col("doc_id"), col("text"),
+      eval, col("text"), threshold = 0.8).collect().map(_.getLong(0)).toSet
+    assert(fuzzy.contains(1L), s"paraphrased leak missed: $fuzzy")
+    assert(!fuzzy.contains(3L), s"clean doc flagged: $fuzzy")
+    // curate(fuzzyEval): both leaks die at the decontamination stage;
+    // the fixture rows must first survive the scalar gates (they are
+    // plain English sentences, long enough).
+    val docs = corpus.withColumn("source", lit("s0"))
+      .withColumn("text", concat_ws(" ", col("text"), col("text"), col("text")))
+    // Tripling keeps token sets identical (sets ignore multiplicity) so
+    // the Jaccard story holds while lengths pass the quality gate.
+    val res = Pipelines.curate(docs, evalSet = Some(eval.select(
+        concat_ws(" ", col("text"), col("text"), col("text")).as("text"))),
+      fuzzyEval = Some(0.8))
+    val kept = res.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && !kept.contains(2L),
+      s"leaks must die in curate(fuzzyEval): $kept")
+    // Hygiene: fuzzyEval without an evalSet refuses.
+    intercept[IllegalArgumentException] {
+      Pipelines.curate(docs, fuzzyEval = Some(0.8))
+    }
+  }
+
   test("curate lm gate: gibberish falls below the floor, real docs survive it") {
     val spark2 = spark
     import spark2.implicits._
