@@ -349,6 +349,19 @@ object Bench {
             docs, col("doc_id"), col("text"), ratios)
           .agg(count(lit(1)).as("n"), round(avg(col("logw")), 4).as("m"))
       },
+      // Fuzzy decontamination (round 14): 20 paraphrased (word-reversed)
+      // eval leaks against the full corpus — the cross-set LSH path.
+      // Fixture synthesis is outside the thunk; the timed pass is band
+      // keys both sides + the cross-set candidate equi join + verify.
+      "x_fuzzy_decontam" -> {
+        val eval = docs.where(col("doc_id") % 250 === 0)
+          .select(array_join(reverse(split(col("text"), " ")), " ").as("text"))
+          .persist()
+        eval.count()
+        () => graft.api.Pipelines.fuzzyContaminatedDocs(
+            docs, col("doc_id"), col("text"), eval, col("text"), 0.8)
+          .agg(count(lit(1)).as("n"))
+      },
       // Bloom prefilter + exact semi join (q82 shape): guards the native
       // bloom_might_contain probe's scan-side cost.
       "x_bloom_semijoin" -> (() => {
@@ -407,6 +420,10 @@ object Bench {
     "x_warc_main"          -> 0.22,
     "x_semdedup_fold"      -> 0.53,
     "x_hits"               -> 4.50,
+    // Round-14 addition, pinned at its first measured median (idle,
+    // loadavg ≤ 1.5): 20 word-reversed eval leaks vs the 5k-doc corpus
+    // through the cross-set LSH path.
+    "x_fuzzy_decontam"     -> 1.05,
     // Re-pinned round 14 from three idle sessions' medians (0.261 /
     // 0.266 this round at loadavg ≤ 1.5, judge 0.269 in round 13) —
     // the original 0.31 came from one session and sat between the idle

@@ -258,6 +258,24 @@ class PlanSpec extends AnyFunSuite {
       s"native expressions missing from the plan:\n$p")
   }
 
+  test("crossNearDup: cross-set-only candidates via equi joins — corpus pair space absent") {
+    // Fuzzy decontamination (round 14): the band-key join must be an
+    // equi join restricted to corpus×eval (never BNLJ/cartesian), and
+    // the signature path stays the projection-only doc-level form
+    // (native minhash_sig, no aggregate before the candidate join
+    // beyond the candidate/eval-key distincts).
+    val docs = TestSpark.table("documents").where(col("doc_id") < 60)
+    val eval = TestSpark.table("documents").where(col("doc_id") >= 60 &&
+      col("doc_id") < 70).select(col("text"))
+    val hits = graft.ops.DedupOps.crossNearDup(
+      docs, col("doc_id"), col("text"), eval, col("text"), threshold = 0.8)
+    val p = planString(hits)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy decontamination must stay equi-join-only:\n$p")
+    assert(p.contains("jaccard_sorted") && p.contains("minhash_sig"),
+      s"native expressions missing from the plan:\n$p")
+  }
+
   test("q92: span keeper is a partial+final agg joined back — no window, no cartesian") {
     val p = planString(TestSpark.corpus("q92_span_dedup"))
     // The struct-min keeper lowers to SortAggregate (a struct is not a
