@@ -1286,10 +1286,16 @@ object Pipelines {
     // only the calibrated classifier stage carries one — its chosen
     // floor and held-out operating point, so the data card explains the
     // gate instead of asserting it.
+    // Locale.ROOT, not the f-interpolator: this string PERSISTS into the
+    // audit artifact, and f"" formats with the driver JVM's default
+    // locale — a de_DE/fr_FR driver would record comma decimals and
+    // break any parser of the data card.
     val details: Map[String, String] = classifierCalibration.map { c =>
-      "classifier" -> (f"floor=${c.floor}%.2f held-out precision=" +
-        f"${c.precision}%.4f recall=${c.recall}%.4f f1=${c.f1}%.4f " +
-        f"target_precision=${c.targetPrecision}%.2f")
+      "classifier" -> String.format(java.util.Locale.ROOT,
+        "floor=%.2f held-out precision=%.4f recall=%.4f f1=%.4f " +
+          "target_precision=%.2f",
+        Double.box(c.floor), Double.box(c.precision), Double.box(c.recall),
+        Double.box(c.f1), Double.box(c.targetPrecision))
     }.toMap
     val audit = stages.zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("n_docs"))

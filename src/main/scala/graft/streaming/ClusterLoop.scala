@@ -113,17 +113,14 @@ object ClusterLoop {
     // pre-batch set — but a replay that finds a compacted store
     // (containing this batch) still folds to identical labels: the CC
     // fold is idempotent under re-applied batches.
-    val (fs, root) = graft.sources.LakeFs.resolve(edgesDir)
-    val priorDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName != s"batch=$batchId").map(_.toString).toSeq
+    // readStore restricts to the store's OWNED batch dirs (foreign dirs
+    // ignored) and refuses a pre-signed-format store loudly.
+    val priorStore = SignedEdgeStore.readStore(spark, edgesDir, "lo", "hi",
+      excludeName = Some(s"batch=$batchId"))
     val coneExtract = (coneNodes: DataFrame) =>
-      if (priorDirs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType(Seq(StructField("lo", StringType), StructField("hi", StringType))))
-      else SignedEdgeStore.net(
-        spark.read.parquet(priorDirs: _*)
-          .join(coneNodes.select(col("doc").as("__cn")),
-            col("lo") === col("__cn"), "left_semi"),
+      SignedEdgeStore.net(
+        priorStore.join(coneNodes.select(col("doc").as("__cn")),
+          col("lo") === col("__cn"), "left_semi"),
         "lo", "hi")
     val labels = graft.ops.DedupOps.ccIncCore(
         prior, addU, remU, coneExtract, maxIter)

@@ -134,7 +134,9 @@ object LabelLoop {
     // resolved on the AFFECTED slice below, where the batch operator's
     // `distinct` semantics are actually consumed; the read INCLUDES this
     // batch's dir, so a crash replay nets to the same current set.
-    val store = spark.read.parquet(edgesDir)
+    // readStore restricts to the store's OWNED batch dirs (foreign dirs
+    // ignored) and refuses a pre-signed-format store loudly.
+    val store = SignedEdgeStore.readStore(spark, edgesDir, "src", "dst")
 
     val priorV = VersionedState.priorVersion(stateDir, batchId)
     val prior = priorV

@@ -33,6 +33,48 @@ private[graft] object SignedEdgeStore {
   def emptyEdges(spark: SparkSession, k1: String, k2: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], edgeSchema(k1, k2))
 
+  /** The store OWNS only dirs matching its naming contract. Anything
+    * else under `edgesDir` (another tool's spill, a crashed job's
+    * leftover) is IGNORED everywhere — never read (schema-incompatible
+    * content must not abort a fold or a compaction), never folded
+    * (foreign rows must not become edges), never deleted (not ours). */
+  private val ownedDir = "^batch=\\d+(_compact)?$".r
+
+  /** The store's owned batch-dir paths (empty when the root is absent),
+    * optionally excluding one dir by name. */
+  def batchDirPaths(edgesDir: String,
+                    excludeName: Option[String] = None): Seq[String] = {
+    val (fs, root) = graft.sources.LakeFs.resolve(edgesDir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => ownedDir.matches(p.getName))
+      .filter(p => !excludeName.contains(p.getName))
+      .map(_.toString).toSeq
+  }
+
+  /** Read the signed store (owned dirs only), loudly refusing a
+    * pre-signed-format store: dirs written by the old append-only
+    * loops carry no `sign`/`b` columns, and reading them through the
+    * netting would either fail with an unresolved column or — worse,
+    * once one new-format dir exists and schema sampling picks it —
+    * fold every old edge to null-signed rows the presence filter then
+    * silently DROPS. An explicit rebuild beats silent edge loss. */
+  def readStore(spark: SparkSession, edgesDir: String, k1: String, k2: String,
+                excludeName: Option[String] = None): DataFrame = {
+    val dirs = batchDirPaths(edgesDir, excludeName)
+    if (dirs.isEmpty)
+      return emptyEdges(spark, k1, k2)
+        .select(col(k1), col(k2), lit(1).as("sign"), lit(0L).cast("bigint").as("b"))
+        .limit(0)
+    val df = spark.read.parquet(dirs: _*)
+    require(df.columns.contains("sign") && df.columns.contains("b"),
+      s"signed edge store at $edgesDir holds dirs without sign/b columns " +
+        "(a pre-signed-format append-only store?) — rebuild the store (or " +
+        "backfill sign=1, b=0 per dir) before resuming; reading it through " +
+        "last-action netting would silently drop edges")
+    df
+  }
+
   /** Net a signed slice (any frame carrying `k1, k2, sign, b`) to its
     * present edges under last-action-wins. Callers restrict the store
     * FIRST (cone / affected-slice semi joins) so this group-by runs on
@@ -46,11 +88,8 @@ private[graft] object SignedEdgeStore {
     * Exposed for spec twins, audits, and the loops whose fold genuinely
     * consumes the full edge set each batch (PageRank's matvec). */
   def current(spark: SparkSession, edgesDir: String,
-              k1: String, k2: String): DataFrame = {
-    val (fs, root) = graft.sources.LakeFs.resolve(edgesDir)
-    if (!fs.exists(root)) return emptyEdges(spark, k1, k2)
-    net(spark.read.parquet(edgesDir), k1, k2)
-  }
+              k1: String, k2: String): DataFrame =
+    net(readStore(spark, edgesDir, k1, k2), k1, k2)
 
   /** Collapse a batch's events (`k1, k2, __rm` — nulls/self-loops
     * already handled by the caller's canonicalization) to one signed
@@ -82,21 +121,23 @@ private[graft] object SignedEdgeStore {
     * suffix either holds both actions or only the −1 — never a bare +1
     * that would resurrect the edge (compact rows carry the newest b, so
     * they dominate every leftover row for PRESENT edges, but a
-    * net-removed edge has NO compact row to dominate with). A foreign
-    * dir (a crashed job's leftover) must not kill compaction with a
-    * parse error — it sorts first and deletes like any stale dir. */
+    * net-removed edge has NO compact row to dominate with). Foreign
+    * dirs under `edgesDir` are outside the naming contract and are
+    * ignored wholesale — not read (unreadable content must not abort
+    * compaction), not folded (foreign rows must not become edges),
+    * not deleted (not ours). */
   def compact(spark: SparkSession, edgesDir: String, batchId: Long,
               k1: String, k2: String): Unit = {
     import org.apache.hadoop.fs.Path
     val tgtName = s"batch=${batchId}_compact"
     val (fs, root) = graft.sources.LakeFs.resolve(edgesDir)
     if (!fs.exists(root)) return
-    val others = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName != tgtName)
+    val others = batchDirPaths(edgesDir, excludeName = Some(tgtName))
+      .map(new Path(_))
     if (others.isEmpty) return
     val tgt = new Path(root, tgtName)
     if (!fs.exists(new Path(tgt, "_SUCCESS"))) {
-      net(spark.read.parquet(others.map(_.toString).toSeq: _*), k1, k2)
+      net(spark.read.parquet(others.map(_.toString): _*), k1, k2)
         .select(col(k1), col(k2), lit(1).as("sign"), lit(batchId).as("b"))
         .write.mode(SaveMode.Overwrite).parquet(tgt.toString)
     }

@@ -189,7 +189,9 @@ class LinearClassifierSpec extends AnyFunSuite {
       .map(r => r.getString(1) -> (r.getLong(2), r.getString(3))).toMap
     assert(audit.contains("classifier"))
     val detail = audit("classifier")._2
-    assert(detail != null && detail.contains(f"floor=${cal.floor}%.2f") &&
+    assert(detail != null &&
+      detail.contains(String.format(java.util.Locale.ROOT, "floor=%.2f",
+        Double.box(cal.floor))) &&
       detail.contains("target_precision=0.95"),
       s"audit detail must record the calibration: $detail")
     assert(audit.filter(_._1 != "classifier").values.forall(_._2 == null),

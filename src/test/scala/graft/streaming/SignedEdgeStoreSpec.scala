@@ -58,8 +58,7 @@ class SignedEdgeStoreSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("src", "dst") && df.count() == 0)
   }
 
-  test("compact: nets to one dir, skips a finished target, tolerates foreign dirs") {
-    import org.apache.hadoop.fs.Path
+  test("compact: nets to one dir, skips a finished target, ignores foreign dirs wholesale") {
     val dir = Files.createTempDirectory("graft-ses-cp").toString + "/edges"
     SignedEdgeStore.writeBatch(
       SignedEdgeStore.canonBatch(events(("a", "b", false), ("c", "d", false)),
@@ -67,32 +66,43 @@ class SignedEdgeStoreSpec extends AnyFunSuite {
     SignedEdgeStore.writeBatch(
       SignedEdgeStore.canonBatch(events(("a", "b", true), ("e", "f", false)),
         "src", "dst"), "src", "dst", dir, 1L)
-    // A foreign dir (a crashed job's leftover) must not kill compaction.
+    // A foreign dir (another tool's spill) is OUTSIDE the naming
+    // contract: never read (its content could be any format), never
+    // folded into the store, never deleted. A non-parquet file inside
+    // it proves reads skip it entirely.
     val (fs, root) = graft.sources.LakeFs.resolve(dir)
-    spark.range(1).select(lit("junk").as("src"), lit("junk").as("dst"),
-        lit(1).as("sign"), lit(0L).as("b"))
-      .write.parquet(s"$dir/stray-tmp-xyz")
+    val stray = new org.apache.hadoop.fs.Path(root, "stray-tmp-xyz")
+    fs.mkdirs(stray)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stray, "junk.json"))
+    out.write("{\"not\": \"parquet\"}".getBytes("UTF-8")); out.close()
     SignedEdgeStore.compact(spark, dir, 2L, "src", "dst")
     val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSet
-    assert(dirs == Set("batch=2_compact"), s"store not compacted: $dirs")
-    // Net survives: a-b removed at b=1, junk row was folded but is
-    // PRESENT (sign +1) — compaction nets actions, it does not vet
-    // content; the foreign-dir guarantee is only no-crash + deletion.
+    assert(dirs == Set("batch=2_compact", "stray-tmp-xyz"),
+      s"owned dirs compacted, the stray left alone: $dirs")
     val now = pairs(SignedEdgeStore.current(spark, dir, "src", "dst"))
-    assert(now == Set(("c", "d"), ("e", "f"), ("junk", "junk")), s"got $now")
-    // Finished target is never rewritten: delete one source-visible
-    // fact by writing a later batch, re-compact at the SAME id — the
-    // _SUCCESS-gated skip keeps the existing target and only deletes
-    // the extra dir INTO it... (replay shape: the extra dir's content
-    // is the replayed batch's own, already netted into the target).
+    assert(now == Set(("c", "d"), ("e", "f")), s"got $now")
+    // Finished target is never rewritten: re-write batch 1's dir (the
+    // replay shape — its actions are already inside the target) and
+    // re-compact at the SAME id: the _SUCCESS-gated skip keeps the
+    // target verbatim and the replayed dir deletes without folding.
     SignedEdgeStore.writeBatch(
       SignedEdgeStore.canonBatch(events(("c", "d", true)), "src", "dst"),
       "src", "dst", dir, 1L)
     SignedEdgeStore.compact(spark, dir, 2L, "src", "dst")
-    assert(fs.listStatus(root).filter(_.isDirectory).length == 1)
-    // The finished target was kept verbatim — the late c-d removal dir
-    // was deleted without being folded (exactly the crash-replay
-    // contract: a replayed batch's actions were already in the target).
+    assert(fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet == Set("batch=2_compact", "stray-tmp-xyz"))
     assert(pairs(SignedEdgeStore.current(spark, dir, "src", "dst")) == now)
+  }
+
+  test("readStore refuses a pre-signed-format (append-only) store loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ses-old").toString + "/edges"
+    // An old-format dir: (src, dst) only — what the pre-round-14
+    // append-only loops wrote. Silent netting over it would drop edges.
+    Seq(("a", "b")).toDF("src", "dst").write.parquet(s"$dir/batch=0")
+    val e = intercept[IllegalArgumentException] {
+      SignedEdgeStore.readStore(spark, dir, "src", "dst")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 }
