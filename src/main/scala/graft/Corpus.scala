@@ -75,6 +75,33 @@ object Corpus {
  join sizes s1 on s1.doc_id=d1 join sizes s2 on s2.doc_id=d2
  where cast(i as double)/(s1.n+s2.n-i) >= 0.8 order by d1, d2 limit 200"""
 
+  /** q190: the fuzzy-decontamination kernel's SQL twin — crossNearDup's
+    * exact banding at threshold 0.8 (minhashParamsFor(0.8, 0.9, 32) =
+    * k 30, bands 6, r 5; the native minhash_sig's seeded 48-bit md5
+    * minima ARE the lexicographic minima of these fixed-width hex
+    * prefixes, and any injective band-key rendering partitions buckets
+    * identically), candidates restricted to corpus×eval (eval = docs
+    * with id < 10), token-set Jaccard verify at 0.8. */
+  private def fuzzyDecontamSql(wsrc: String): String = {
+    val sigs = (1 to 30).map(mh).mkString(",\n   ")
+    val bandExprs = (0 until 6).map { b =>
+      val hs = (1 to 5).map(i => s"h${b * 5 + i}").mkString(",")
+      s"select doc_id, concat('$b:',$hs) bk from sig"
+    }.mkString("\n  union all ")
+    s"""with w as ($wsrc),
+ sig as (select doc_id, $sigs from w group by doc_id),
+ bands as ($bandExprs),
+ ebands as (select doc_id eid, bk from bands where doc_id < 10),
+ cand as (select distinct b.doc_id, e.eid from bands b join ebands e on b.bk = e.bk),
+ sizes as (select doc_id, count(*) n from w group by doc_id),
+ inter as (select c.doc_id, c.eid, count(*) cnt from cand c
+   join w a on a.doc_id = c.doc_id join w b on b.doc_id = c.eid and b.w = a.w
+   group by c.doc_id, c.eid)
+ select distinct i.doc_id doc_id from inter i
+ join sizes s1 on s1.doc_id = i.doc_id join sizes s2 on s2.doc_id = i.eid
+ where cast(i.cnt as double) / (s1.n + s2.n - i.cnt) >= 0.8 order by 1"""
+  }
+
   /** Bit j (0..15) of a word's 16-bit hash, taken from the first 4 hex
     * digits of md5(w). Integer math via floor() so DuckDB's rounding CAST
     * (H5) never engages. */
@@ -3093,6 +3120,18 @@ select d.pid,
  e as (select lo u, hi v from net union select hi, lo from net),
  reach(u, v) as (select u, u from e union select r.u, e2.v from reach r join e e2 on r.v = e2.u)
  select u doc, min(v) as label from reach group by u order by u"""),
+
+    // Fuzzy eval-set decontamination (round 14): the crossNearDup kernel
+    // hash-pinned (the q55 precedent — md5-keyed minhash makes even the
+    // probabilistic candidate path deterministic cross-engine). Corpus
+    // docs whose token set is Jaccard->=0.8 near ANY eval row (eval =
+    // docs with id < 10), with candidates formed ONLY across the sets —
+    // the corpus's own pair space never enters the plan. The Spark twin
+    // runs the REAL operator (threshold-derived banding k=30/bands=6,
+    // native minhash_sig + jaccard_sorted).
+    q2("q190_fuzzy_decontam",
+      fuzzyDecontamSql(sparkTok("")),
+      fuzzyDecontamSql(duckTok(""))),
   )
 
   /** Keep/drop for docs with id >= 150 under minhash-signature dedup over

@@ -1828,6 +1828,17 @@ object DfQueries {
         .orderBy("doc")
     },
 
+    "q190_fuzzy_decontam" -> { (s, _) =>
+      // The REAL fuzzy-decontamination operator: cross-set MinHash-LSH
+      // at threshold 0.8 (auto banding k=30/bands=6), eval side = the
+      // id<10 docs' texts. Output = contaminated corpus ids.
+      val docs = t(s, "documents")
+      graft.ops.DedupOps.crossNearDup(docs, col("doc_id"), col("text"),
+          docs.where(col("doc_id") < 10).select(col("text")), col("text"),
+          threshold = 0.8)
+        .orderBy("doc_id")
+    },
+
     "q108_regex_backref" -> { (s, _) =>
       // Backreference dialect split documented at the query level: Spark
       // $1 vs DuckDB \1 — the regex and semantics are identical.
