@@ -553,6 +553,24 @@ object DedupOps {
       .unionByName(fingerprintTable(newDocs, id, text, k))
       .groupBy("sigkey").agg(min(col("keep_id")).as("keep_id"))
 
+  /** Retract taken-down docs from a batch-era fingerprint state — the
+    * [[graft.streaming.DedupLoop]] takedown semantics for the
+    * batch/persisted path: every state row the retracted doc ANCHORS
+    * (keep_id = its id) leaves the table, so the next content matching
+    * that signature is admitted fresh instead of being dropped against
+    * a doc that no longer exists (the self-defeating-takedown hazard
+    * every index family guards). No-op for ids that anchor nothing
+    * (non-keeper dups were never in the state); `ids` is one column,
+    * nulls drop, broadcast anti join so a bucketed state's layout
+    * survives. Persist the result to a NEW path
+    * ([[persistFingerprints]] — never over the path being read). */
+  def retractFingerprints(prior: DataFrame, ids: DataFrame): DataFrame = {
+    require(ids.columns.length == 1, "ids must be a single id column")
+    val dead = ids.select(col(ids.columns.head).cast("long").as("__rm"))
+      .where(col("__rm").isNotNull).distinct()
+    prior.join(broadcast(dead), col("keep_id") === col("__rm"), "left_anti")
+  }
+
   /** Persist fingerprint state BUCKETED by sigkey so every later run's
     * [[incrementalDedup]] joins it Exchange-free: the state scan already
     * satisfies the join's hash distribution, only the new batch's

@@ -70,6 +70,32 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retractFingerprints: a taken-down keeper's signature re-admits fresh content") {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = TestSpark.table("documents")
+    val prior = DedupOps.fingerprintTable(
+      all.where(col("doc_id") < 150), col("doc_id"), col("text")).localCheckpoint()
+    val victim = prior.agg(min("keep_id")).head().getLong(0)
+    val victimText = all.where(col("doc_id") === victim).head().getAs[String]("text")
+    // A fresh copy of taken-down content under a NEW id: dropped against
+    // the ghost before retraction (the self-defeating-takedown hazard),
+    // admitted fresh after — the DedupLoop takedown semantics on the
+    // batch-era persisted state.
+    val fresh = Seq((900000L, victimText)).toDF("doc_id", "text")
+    assert(DedupOps.incrementalDedup(fresh, col("doc_id"), col("text"), prior)
+      .head().getBoolean(2), "fresh copy should be a dup pre-retraction")
+    val retracted = DedupOps.retractFingerprints(prior, Seq(victim).toDF("id"))
+      .localCheckpoint()
+    assert(!DedupOps.incrementalDedup(fresh, col("doc_id"), col("text"), retracted)
+      .head().getBoolean(2), "retraction must re-admit matching content")
+    // Only rows the victim ANCHORS leave; a non-keeper id is a no-op.
+    assert(retracted.count() ==
+      prior.count() - prior.where(col("keep_id") === victim).count())
+    assert(DedupOps.retractFingerprints(prior, Seq(899999L).toDF("id")).count() ==
+      prior.count())
+  }
+
   test("batch mode of the same operator matches the keep-bit decision") {
     val batch = StreamOps.nearDupFilter(TestSpark.table("documents"), "text")
     val keep = DedupOps.minhashDedupKeepFast(
