@@ -50,16 +50,16 @@ object PrIncProbe {
         .select("node", "r").localCheckpoint()
       f.count(); f
     }
-    def l1(ranks: DataFrame): Double =
+    def l1(ranks: DataFrame, ref: DataFrame): Double =
       ranks.select(col("node"), col("r").as("ra"))
-        .join(fix.select(col("node"), col("r").as("rb")), Seq("node"), "full")
+        .join(ref.select(col("node"), col("r").as("rb")), Seq("node"), "full")
         .agg(sum(abs(coalesce(col("ra"), lit(0L)) - coalesce(col("rb"), lit(0L)))))
         .head().getLong(0).toDouble / 1e9
     for (k <- Seq(1, 2, 3, 5, 8)) {
       val w = t(s"warm  $k iter") {
-        l1(graft.ops.GraphOps.pageRankWarm(appended, prior, iterations = k)) }
+        l1(graft.ops.GraphOps.pageRankWarm(appended, prior, iterations = k), fix) }
       val c = t(s"cold  $k iter") {
-        l1(graft.ops.GraphOps.pageRank(appended, iterations = k)) }
+        l1(graft.ops.GraphOps.pageRank(appended, iterations = k), fix) }
       println(f"== k=$k%2d  L1-to-fixpoint (of total mass 1.0): warm=$w%.6f cold=$c%.6f")
     }
 
@@ -83,16 +83,11 @@ object PrIncProbe {
         .select("node", "r").localCheckpoint()
       f.count(); f
     }
-    def l1n(ranks: DataFrame): Double =
-      ranks.select(col("node"), col("r").as("ra"))
-        .join(fixNet.select(col("node"), col("r").as("rb")), Seq("node"), "full")
-        .agg(sum(abs(coalesce(col("ra"), lit(0L)) - coalesce(col("rb"), lit(0L)))))
-        .head().getLong(0).toDouble / 1e9
     for (k <- Seq(1, 2, 3)) {
       val w = t(s"warm-after-removal $k iter") {
-        l1n(graft.ops.GraphOps.pageRankWarm(netted, priorApp, iterations = k)) }
+        l1(graft.ops.GraphOps.pageRankWarm(netted, priorApp, iterations = k), fixNet) }
       val c = t(s"cold-after-removal $k iter") {
-        l1n(graft.ops.GraphOps.pageRank(netted, iterations = k)) }
+        l1(graft.ops.GraphOps.pageRank(netted, iterations = k), fixNet) }
       println(f"== rm k=$k%2d  L1-to-fixpoint: warm=$w%.6f cold=$c%.6f")
     }
 

@@ -566,7 +566,12 @@ object DedupOps {
     * ([[persistFingerprints]] — never over the path being read). */
   def retractFingerprints(prior: DataFrame, ids: DataFrame): DataFrame = {
     require(ids.columns.length == 1, "ids must be a single id column")
-    val dead = ids.select(col(ids.columns.head).cast("long").as("__rm"))
+    // Cast to the STATE's own keeper type (the fingerprint family is
+    // id-type-generic): a hard long cast would turn a string-id state's
+    // takedowns into silent no-ops; under ANSI a genuinely
+    // incompatible id fails loudly instead.
+    val keepType = prior.schema("keep_id").dataType
+    val dead = ids.select(col(ids.columns.head).cast(keepType).as("__rm"))
       .where(col("__rm").isNotNull).distinct()
     prior.join(broadcast(dead), col("keep_id") === col("__rm"), "left_anti")
   }

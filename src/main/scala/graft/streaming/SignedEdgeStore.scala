@@ -52,13 +52,28 @@ private[graft] object SignedEdgeStore {
       .map(_.toString).toSeq
   }
 
-  /** Read the signed store (owned dirs only), loudly refusing a
-    * pre-signed-format store: dirs written by the old append-only
-    * loops carry no `sign`/`b` columns, and reading them through the
-    * netting would either fail with an unresolved column or — worse,
-    * once one new-format dir exists and schema sampling picks it —
-    * fold every old edge to null-signed rows the presence filter then
-    * silently DROPS. An explicit rebuild beats silent edge loss. */
+  /** PER-DIR format contract: every owned dir must carry `sign`/`b`.
+    * Dirs written by the old append-only loops don't, and reading them
+    * through the netting would silently DROP their edges — parquet
+    * schema sampling (mergeSchema off) takes the first listed footer,
+    * so a mixed old+new store (the exact shape a resumed stream
+    * produces: the new batch dir is written BEFORE the store read) can
+    * read old rows as null-signed and net them to nothing. A unified-
+    * schema check is therefore listing-order-dependent, not a
+    * contract; this checks each dir's own footer (driver-side schema
+    * reads, bounded by the compaction cadence). */
+  private def requireSigned(spark: SparkSession, dirs: Seq[String]): Unit =
+    dirs.foreach { d =>
+      val cols = spark.read.parquet(d).columns
+      require(cols.contains("sign") && cols.contains("b"),
+        s"signed edge store dir $d lacks sign/b columns (a " +
+          "pre-signed-format append-only store?) — rebuild the store (or " +
+          "backfill sign=1, b=0 per dir) before resuming; reading it " +
+          "through last-action netting would silently drop its edges")
+    }
+
+  /** Read the signed store (owned dirs only), loudly refusing any
+    * pre-signed-format dir — see [[requireSigned]]. */
   def readStore(spark: SparkSession, edgesDir: String, k1: String, k2: String,
                 excludeName: Option[String] = None): DataFrame = {
     val dirs = batchDirPaths(edgesDir, excludeName)
@@ -66,13 +81,8 @@ private[graft] object SignedEdgeStore {
       return emptyEdges(spark, k1, k2)
         .select(col(k1), col(k2), lit(1).as("sign"), lit(0L).cast("bigint").as("b"))
         .limit(0)
-    val df = spark.read.parquet(dirs: _*)
-    require(df.columns.contains("sign") && df.columns.contains("b"),
-      s"signed edge store at $edgesDir holds dirs without sign/b columns " +
-        "(a pre-signed-format append-only store?) — rebuild the store (or " +
-        "backfill sign=1, b=0 per dir) before resuming; reading it through " +
-        "last-action netting would silently drop edges")
-    df
+    requireSigned(spark, dirs)
+    spark.read.parquet(dirs: _*)
   }
 
   /** Net a signed slice (any frame carrying `k1, k2, sign, b`) to its
@@ -137,6 +147,10 @@ private[graft] object SignedEdgeStore {
     if (others.isEmpty) return
     val tgt = new Path(root, tgtName)
     if (!fs.exists(new Path(tgt, "_SUCCESS"))) {
+      // Same per-dir format contract as readStore: compacting a store
+      // holding a pre-signed-format dir would net its edges to nothing
+      // and then DELETE the dir — silent loss made unrecoverable.
+      requireSigned(spark, others.map(_.toString))
       net(spark.read.parquet(others.map(_.toString): _*), k1, k2)
         .select(col(k1), col(k2), lit(1).as("sign"), lit(batchId).as("b"))
         .write.mode(SaveMode.Overwrite).parquet(tgt.toString)

@@ -105,4 +105,30 @@ class SignedEdgeStoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
+
+  test("format guard is per-dir, not listing-order-dependent; compact refuses too") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ses-mix").toString + "/edges"
+    // The resumed-stream shape: a NEW signed dir whose name lists BEFORE
+    // the old-format dir ('batch=10' < 'batch=9_compact' alphabetically),
+    // so unified schema sampling would take the new footer, null-fill the
+    // old rows, and net every pre-migration edge to nothing. The per-dir
+    // guard must refuse regardless of listing order — on reads AND on
+    // compaction (which would otherwise DELETE the old dir after the
+    // lossy fold).
+    Seq(("a", "b")).toDF("src", "dst").write.parquet(s"$dir/batch=9_compact")
+    SignedEdgeStore.writeBatch(
+      SignedEdgeStore.canonBatch(events(("c", "d", false)), "src", "dst"),
+      "src", "dst", dir, 10L)
+    intercept[IllegalArgumentException] {
+      SignedEdgeStore.readStore(spark, dir, "src", "dst").collect()
+    }
+    intercept[IllegalArgumentException] {
+      SignedEdgeStore.compact(spark, dir, 11L, "src", "dst")
+    }
+    // Nothing was deleted by the refused compaction.
+    val (fs, root) = graft.sources.LakeFs.resolve(dir)
+    assert(fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSet ==
+      Set("batch=9_compact", "batch=10"))
+  }
 }
