@@ -115,4 +115,74 @@ class EndToEndPipelineSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS `e2e_bm25_dl`")
     }
   }
+
+  test("fully-gated funnel: HITS authority + calibrated classifier + fuzzy decontamination in one curate") {
+    val spark2 = spark
+    import spark2.implicits._
+    val real = TestSpark.table("documents").limit(300)
+    // Heuristic-passing gibberish (the LinearClassifierSpec fixture):
+    // the calibrated gate's targets.
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val junk = TestSpark.table("documents").limit(300)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", (1 to 30).flatMap(i => Seq(
+          lit(stop(i % stop.size)),
+          substring(md5(concat(col("text"), lit(i))), 1, 7))): _*).as("text"))
+    // 1. Web graph: farms endorse the hub; hostHits authority gates the
+    //    funnel (farm docs die, unknown hosts keep).
+    val links = (1 to 20).map(i =>
+      (s"https://farm$i.spam/p", "https://hub.org/")).toDF("src_url", "dst_url")
+    val hh = Pipelines.hostHits(links, col("src_url"), col("dst_url"),
+      iterations = 3).localCheckpoint()
+    // 2. Calibrated classifier: train on one side of the split,
+    //    calibrate the floor at target precision on the other.
+    val labeled = real.select(col("doc_id"), col("text"), lit(1.0).as("y"))
+      .unionByName(junk.select(col("doc_id"), col("text"), lit(0.0).as("y")))
+      .withColumn("bucket",
+        Pipelines.splitWeighted("doc_id", Seq("train" -> 0.7, "heldout" -> 0.3)))
+    val model = graft.ops.LinearClassifier.train(
+      labeled.where(col("bucket") === "train"), col("text"), col("y"),
+      dim = 1 << 15, iters = 25)
+    val cal = graft.ops.LinearClassifier.calibrateFloor(
+      labeled.where(col("bucket") === "heldout").localCheckpoint(),
+      col("text"), col("y"), model, targetPrecision = 0.9)
+    // 3. Eval set with a paraphrased (word-reversed) leak planted in the
+    //    corpus — only the fuzzy gate can see it.
+    val evalRow = real.orderBy("doc_id").limit(1)
+      .select(col("text")).head().getString(0)
+    val leak = Seq((2000000L, evalRow.split(" ").reverse.mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = real.select("doc_id", "text").unionByName(junk).unionByName(leak)
+      .withColumn("source", lit("s0"))
+      .withColumn("url",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("https://farm"), (col("doc_id") % 20 + 1).cast("string"),
+            lit(".spam/d/"), col("doc_id")))
+          .otherwise(concat(lit("https://fresh.example/d/"), col("doc_id"))))
+    val res = Pipelines.curate(docs,
+      evalSet = Some(Seq(Tuple1(evalRow)).toDF("text")),
+      fuzzyEval = Some(0.8),
+      classifierCalibration = Some(cal),
+      hostAuthorityGate = Some(Pipelines.HostAuthorityGate(
+        hh, floor = 0.01, url = col("url"), scoreCol = col("auth"))))
+    val kept = res.curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    assert(!kept.exists(id => id % 3 == 0),
+      "zero-authority farm-host docs must die in the HITS gate")
+    // The calibrated floor is the most-recall point inside the precision
+    // budget, so a few borderline junk rows may clear it (the same ≤10
+    // tolerance the fixed-floor spec uses on this fixture).
+    assert(kept.count(id => id >= 1000000L && id < 2000000L) <= 10,
+      s"gibberish survived the calibrated gate: ${kept.count(_ >= 1000000L)}")
+    assert(!kept.contains(2000000L),
+      "the paraphrased eval leak must die in the fuzzy decontamination")
+    // The audit tells the whole story in order, with the calibration's
+    // operating point recorded.
+    val names = res.audit.collect().map(_.getString(1)).toSeq
+    assert(names.indexOf("host_authority") < names.indexOf("classifier") &&
+      names.indexOf("classifier") < names.indexOf("decontaminated"), names.toString)
+    val detail = res.audit.where(col("stage") === "classifier")
+      .head().getString(3)
+    assert(detail != null && detail.contains("target_precision=0.90"), detail)
+  }
 }
