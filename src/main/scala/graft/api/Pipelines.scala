@@ -1062,6 +1062,61 @@ object Pipelines {
     DedupOps.crossNearDup(corpus, corpusId, corpusText, heldOut, heldOutText,
       threshold)
 
+  /** The persisted indexes a deployment holds, for [[takedown]]: each
+    * family an optional `(table, path)` pair exactly as its
+    * build/load functions take them. `buckets` must match the writes. */
+  final case class TakedownTargets(
+      ivf: Option[(String, String)] = None,
+      lsh: Option[(String, String)] = None,
+      pq: Option[(String, String)] = None,
+      nearDup: Option[(String, String)] = None,
+      semDedup: Option[(String, String)] = None,
+      bm25: Option[(String, String)] = None,
+      buckets: Int = 32) {
+    require(Seq(ivf, lsh, pq, nearDup, semDedup, bm25).exists(_.isDefined),
+      "takedown targets name no index — nothing to delete from")
+  }
+
+  /** ONE-CALL takedown sweep — the right-to-be-forgotten entry point:
+    * tombstone `ids` across EVERY persisted index family the deployment
+    * holds (IVF / LSH / PQ / banded near-dup / SemDeDup state / BM25),
+    * so a removed document stops being retrievable, stops generating
+    * candidate pairs, stops dominating semantic near-twins, and leaves
+    * the corpus statistics — NOW, in one audited action, instead of
+    * per-family calls a caller can forget one of. Each family keeps its
+    * own contract (marks not rewrites, broadcast-anti live views,
+    * idempotent re-delete, stats correction on BM25 — the
+    * [[graft.ops.Tombstones]] kernel); this composes them. Returns the
+    * audit frame `(family, live_removed)` — the number of the batch's
+    * ids that were LIVE in each physical index (0 = no-op there), the
+    * same count each `deleteFrom*` returns. Honest scope: admission
+    * control + retrieval — results already emitted downstream are
+    * downstream state; delete stored CONTENT with the lake tools
+    * ([[graft.sources.Maintenance.upsert]] deleteKeys), retract
+    * batch-era fingerprint anchors with
+    * [[graft.ops.DedupOps.retractFingerprints]], and feed removal
+    * events to the streaming loops ([[streamClusterMap]] etc.). Bound
+    * accumulated tombstone debt with each family's compact*. */
+  def takedown(spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
+               targets: TakedownTargets): DataFrame = {
+    val b = targets.buckets
+    val rows: Seq[(String, Long)] =
+      targets.ivf.map { case (t, p) =>
+        "ivf" -> graft.ops.Ann.deleteFromIvfIndex(spark, t, p, ids, b) }.toSeq ++
+      targets.lsh.map { case (t, p) =>
+        "lsh" -> graft.ops.Ann.deleteFromLshIndex(spark, t, p, ids, b) } ++
+      targets.pq.map { case (t, p) =>
+        "pq" -> graft.ops.Pq.deleteFromPqIndex(spark, t, p, ids, b) } ++
+      targets.nearDup.map { case (t, p) =>
+        "near_dup" -> graft.ops.DedupOps.deleteFromNearDupIndex(spark, t, p, ids, b) } ++
+      targets.semDedup.map { case (t, p) =>
+        "sem_dedup" -> graft.ops.Ann.deleteFromSemDedupState(spark, t, p, ids, b) } ++
+      targets.bm25.map { case (t, p) =>
+        "bm25" -> graft.ops.SketchOps.deleteFromBm25Index(spark, t, p, ids, b) }
+    import spark.implicits._
+    rows.toDF("family", "live_removed")
+  }
+
   /** [[curate]]'s result: the surviving rows (input schema preserved) and
     * a per-stage audit of the funnel — both lazy plans. */
   final case class CurationResult(curated: DataFrame, audit: DataFrame)

@@ -466,6 +466,59 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("takedown(): one call tombstones across every targeted index family, audited") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-takedown").toString
+    val docs = TestSpark.table("documents").where(col("doc_id") < 120)
+      .select("doc_id", "text").localCheckpoint()
+    val emb = TestSpark.table("embeddings").where(col("vec_id") < 120)
+      .localCheckpoint()
+    try {
+      graft.ops.Ann.persistIvfIndex(
+        graft.ops.Ann.ivfIndex(emb, graft.ops.Ann.kmeans(emb, 4, iters = 2)),
+        "td_ivf", s"$root/ivf", buckets = 4)
+      graft.ops.DedupOps.persistNearDupIndex(
+        graft.ops.DedupOps.buildNearDupIndex(docs, col("doc_id"), col("text"),
+          k = 8, bands = 4),
+        "td_nd", s"$root/nd", buckets = 4)
+      graft.ops.SketchOps.persistBm25Index(
+        graft.ops.SketchOps.buildBm25Index(docs, col("doc_id"), col("text")),
+        "td_bm", s"$root/bm", buckets = 4)
+      val targets = Pipelines.TakedownTargets(
+        ivf = Some(("td_ivf", s"$root/ivf")),
+        nearDup = Some(("td_nd", s"$root/nd")),
+        bm25 = Some(("td_bm", s"$root/bm")),
+        buckets = 4)
+      val victims = Seq(7L, 11L).toDF("doc_id")
+      val audit = Pipelines.takedown(spark, victims, targets)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(audit.keySet == Set("ivf", "near_dup", "bm25"),
+        s"one audit row per targeted family: $audit")
+      assert(audit.values.forall(_ >= 2L),
+        s"both victims were live everywhere: $audit")
+      // The victims are invisible in every LIVE view.
+      assert(graft.ops.Ann.loadIvfIndexLive(spark, "td_ivf", s"$root/ivf", 4)
+        .where(col("g_id").isin(7L, 11L)).count() == 0)
+      val (ndKeys, ndToks) =
+        graft.ops.DedupOps.loadNearDupIndexLive(spark, "td_nd", s"$root/nd", 4)
+      assert(ndKeys.where(col("doc_id").isin(7L, 11L)).count() == 0 &&
+        ndToks.where(col("doc_id").isin(7L, 11L)).count() == 0)
+      assert(graft.ops.SketchOps.bm25QueryIndexed(spark, "td_bm", s"$root/bm",
+          Seq("the", "data"), buckets = 4)
+        .where(col("doc_id").isin(7L, 11L)).count() == 0)
+      // Idempotent: re-deleting the same ids is a no-op everywhere.
+      val again = Pipelines.takedown(spark, victims, targets)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(again.values.forall(_ == 0L), s"re-delete must be a no-op: $again")
+      // Naming no target refuses.
+      intercept[IllegalArgumentException] { Pipelines.TakedownTargets() }
+    } finally {
+      Seq("td_ivf", "td_nd_bk", "td_nd_tk", "td_bm_po", "td_bm_dl").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("curate lm gate: gibberish falls below the floor, real docs survive it") {
     val spark2 = spark
     import spark2.implicits._
