@@ -25,6 +25,22 @@ object Graft {
     "spark.sql.timestampType"              -> "TIMESTAMP_NTZ",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled"           -> "true",
+    // Round 15 (guide §3.1, §7.2): plan-time costing from catalog stats.
+    // Catalog.register now ANALYZEs its fixture tables, and CBO turns
+    // those row counts into join build-side/order decisions BEFORE the
+    // first exchange is scheduled — the file-size path broadcast the
+    // 600k-row lineitem side of q_join3/q_join5 (33 MiB hashed relation
+    // built on the driver per run) while the 3k-row filtered side
+    // streamed; with stats the small side broadcasts (q_join3 0.90→0.47 s,
+    // q_join5 0.95→0.61 s, sf0.1). No stats ⇒ CBO falls back to the old
+    // size-only estimates, so non-analyzed sources are unaffected.
+    "spark.sql.cbo.enabled"                -> "true",
+    "spark.sql.cbo.joinReorder.enabled"    -> "true",
+    // Guide §3.1/§9: when a shuffle join is needed and one side's per-
+    // partition build fits, a shuffled-hash join skips both sort passes;
+    // sort-merge stays available for the spill-safe cases (planner still
+    // checks size conditions before choosing SHJ).
+    "spark.sql.join.preferSortMergeJoin"   -> "false",
   )
 
   /** Parallelism: the bench machine exposes 32 cores; shuffle partitions are

@@ -203,12 +203,44 @@ object Catalog {
 
   private val registeredKey = "spark.graft.catalog.dir"
 
-  /** Register all tables of `dir` as temp views. Cheap (views are lazy) and
-    * idempotent per (session, dir). */
+  /** Register one fixture table as a STATS-BEARING view (round 15): an
+    * engine-owned external catalog table `<name>__files` over the parquet
+    * path, `ANALYZE ... COMPUTE STATISTICS` (table-level only: row count +
+    * size — a footer-speed count job per table, no data columns read), and
+    * the user-visible temp view `name` on top (H1 nanos rewrite applied as
+    * everywhere else).
+    *
+    * Why (guide §3.1/§7.2, measured round 15): temp views over bare
+    * parquet plan joins from FILE SIZES, and a mis-estimate picks the
+    * build side of a broadcast join at PLAN time — the bench's
+    * q_join3/q_join5 built a 600k-row hashed relation of `lineitem`
+    * (33 MiB) on the driver EVERY run while the 3k-row filtered side
+    * streamed. Row-count stats + CBO flip the build side (lineitem
+    * streams, the small join output broadcasts): q_join3 0.90 s → 0.47 s,
+    * q_join5 0.95 s → 0.61 s at sf0.1. At 100 TB the same mis-estimate is
+    * a driver OOM, not a slowdown.
+    *
+    * A dir switch within one JVM (test suites hop sf0.001/sf0.01/sf0.1)
+    * drops and re-creates the engine-owned `__files` entry — external
+    * tables, so DROP never touches data files. */
+  private def registerStatsView(spark: SparkSession, name: String, path: String): Unit = {
+    val tbl = s"${name}__files"
+    if (spark.catalog.tableExists(tbl) &&
+        !CatalogGuard.locationMatches(spark, tbl, path))
+      spark.sql(s"DROP TABLE `$tbl`")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$tbl` USING parquet " +
+      s"LOCATION '${path.replace("'", "''")}'")
+    spark.sql(s"ANALYZE TABLE `$tbl` COMPUTE STATISTICS")
+    h1(spark.table(tbl)).createOrReplaceTempView(name)
+  }
+
+  /** Register all tables of `dir` as temp views over stats-bearing catalog
+    * tables (one footer-speed ANALYZE count job per table — see
+    * [[registerStatsView]]); idempotent per (session, dir). */
   def register(spark: SparkSession, dir: String): SparkSession = {
     Graft.configure(spark)
     if (!spark.conf.getOption(registeredKey).contains(dir)) {
-      tableNames.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      tableNames.foreach(n => registerStatsView(spark, n, s"$dir/$n.parquet"))
       spark.conf.set(registeredKey, dir)
     }
     spark

@@ -38,6 +38,10 @@ private[sources] object CatalogGuard {
   def metadata(spark: SparkSession, table: String): CatalogTable =
     spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
 
+  /** Whether `table`'s catalog location is `path` (scheme-aware). */
+  def locationMatches(spark: SparkSession, table: String, path: String): Boolean =
+    normalize(metadata(spark, table).location) == normalize(path)
+
   /** Throw unless `table`'s catalog location is `path`. */
   def requireLocation(spark: SparkSession, table: String, path: String): Unit = {
     val meta = metadata(spark, table)
