@@ -482,7 +482,10 @@ object Ann {
   private def ivfIndexImpl(gallery: DataFrame, centroids: DataFrame,
                            cents0: Option[Seq[(Any, Seq[Float])]],
                            id: String, vec: String): DataFrame = {
-    val gal = gallery.select(col(id).as("g_id"), col(vec).as("g_emb"))
+    // Round 15: parallelize the per-vector assignment + int8 encode when
+    // the gallery arrives as an under-partitioned scan (guide §2.5).
+    val gal = graft.ops.SkewOps.fanOutScan(gallery)
+      .select(col(id).as("g_id"), col(vec).as("g_emb"))
     cents0 match {
       // Literal centroids: the whole index build is ONE narrow map — the
       // crossJoin form materializes gallery×K rows through a partial agg

@@ -96,7 +96,7 @@ object DedupOps {
     // Null id/text rows are excluded (the H13 degenerate-row posture: a
     // null would poison the keeper key / vanish via posexplode anyway);
     // empty text yields ONE empty span, so all-empty docs dedup together.
-    val spans = docs.where(id.isNotNull && text.isNotNull).select(
+    val spans = SkewOps.fanOutScan(docs).where(id.isNotNull && text.isNotNull).select(
         id.as("doc_id"),
         posexplode(transform(
           sequence(lit(0), floor((size(l) - 1) / lit(spanWords.toDouble)).cast("int")),
@@ -138,7 +138,7 @@ object DedupOps {
       transform(split(text, separator),
         s => regexp_replace(s, "^\\s+|\\s+$", "")),
       s => length(s) >= minChars)
-    val spans = docs.where(id.isNotNull && text.isNotNull)
+    val spans = SkewOps.fanOutScan(docs).where(id.isNotNull && text.isNotNull)
       .select(id.as("doc_id"), posexplode(segs))
       .select(col("doc_id"), col("pos").cast("long").as("span_no"), col("col").as("span"))
     dedupSpans(spans, salts, hotSpans, autoHotMinCount)
@@ -352,7 +352,7 @@ object DedupOps {
     require(bands >= 1 && k >= 1 && k % bands == 0,
       s"k ($k) must be a positive multiple of bands ($bands)")
     val r = k / bands
-    val base = docs.select(id.as("doc_id"),
+    val base = SkewOps.fanOutScan(docs).select(id.as("doc_id"),
         array_sort(array_distinct(TextOps.tokens(text))).as("toks"))
       .withColumn("sig", call_function("minhash_sig", col("toks"), lit(k)))
     val bandCols = (0 until bands).map { b =>
@@ -401,17 +401,39 @@ object DedupOps {
       concat_ws(":",
         lit(b) +: (0 until r).map(i => col("sig")(b * r + i).cast("string")): _*)
     }
-    val corp = side(corpus, corpusId, corpusText)
+    val corp = side(SkewOps.fanOutScan(corpus), corpusId, corpusText)
     val ev = side(other, md5(otherText.cast("string")), otherText)
       .dropDuplicates("doc_id")
-    val ck = corp.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    // Round 15 (guide §1.2 "don't compute things you throw away" + §8):
+    // ONE corpus pass, map-only. The previous shape materialized a
+    // distinct (corpus, eval) candidate-pair relation and then re-attached
+    // both sides' token arrays — which re-tokenized the ENTIRE corpus a
+    // second time for the verify attach (the token projection feeds two
+    // subplans with no exchange between them, so Spark re-computes it)
+    // and paid a pair-keyed Exchange for the dedup. Instead the corpus
+    // doc's own token array rides NEXT TO its band keys into the (bk)
+    // broadcast join, the eval side's arrays attach from a second
+    // broadcast, and the verify filter runs right there in the scan
+    // task: tokenize+sign once, zero wide shuffles, only the final
+    // (doc_id) distinct exchanges — the right 100 TB shape for a gate
+    // whose one big side should stream exactly once. A pair sharing
+    // multiple bands is now verified once per shared band instead of
+    // once; that duplication is bounded by `bands` (≤ maxK) and costs a
+    // merge walk per hit, while the dedup it replaces cost a pair-scale
+    // Exchange plus the second corpus tokenize. Measured on the bench
+    // extra (with the fanOutScan below): 1.40 → 0.70 s median; the only
+    // exchanges left are the scan fan-out and the final doc_id distinct
+    // (0.9 MB total), and q190's oracle hash pins output identity.
+    // Both broadcast sides are eval-scale — an eval
+    // benchmark is small by contract (the reason cross-set LSH beats
+    // corpus×corpus in the first place).
     val ek = ev.select(col("doc_id").as("__eid"), explode(array(bandCols: _*)).as("bk"))
       .distinct()
-    val cand = ck.join(ek, Seq("bk")).select("doc_id", "__eid").distinct()
-    val j = call_function("jaccard_sorted", col("t1"), col("t2"))
-    cand
-      .join(corp.select(col("doc_id"), col("toks").as("t1")), Seq("doc_id"))
-      .join(ev.select(col("doc_id").as("__eid"), col("toks").as("t2")), Seq("__eid"))
+    val j = call_function("jaccard_sorted", col("toks"), col("t2"))
+    corp.select(col("doc_id"), col("toks"), explode(array(bandCols: _*)).as("bk"))
+      .join(broadcast(ek), Seq("bk"))
+      .join(broadcast(ev.select(col("doc_id").as("__eid"), col("toks").as("t2"))),
+        Seq("__eid"))
       .where(j >= threshold)
       .select(col("doc_id")).distinct()
   }
@@ -489,7 +511,7 @@ object DedupOps {
     * aggregation. Requires a graft session (extension-registered
     * function). */
   def sigKeysFast(docs: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame =
-    docs.select(id.as("doc_id"),
+    SkewOps.fanOutScan(docs).select(id.as("doc_id"),
       array_join(transform(
         call_function("minhash_sig", TextOps.tokens(text), lit(k)),
         _.cast("string")), "|").as("sigkey"))
@@ -768,8 +790,21 @@ object DedupOps {
     * `new*` side forms against the `old*` side and within itself.
     * Callers own id hygiene, tombstone filtering, and the append. */
   private[graft] def nearDupPairsCore(oldKeys: DataFrame, oldToks: DataFrame,
-                                      newKeys: DataFrame, newToks: DataFrame,
+                                      newKeys0: DataFrame, newToks0: DataFrame,
                                       threshold: Double): DataFrame = {
+    // Round 15: the new side feeds FIVE subplans (vsOld probe, both
+    // halves of the batch self-join, the candidate-doc explode, and the
+    // verify token attach) — when the caller hands lazy frames, Spark
+    // recomputes the batch tokenize + minhash_sig once per reference
+    // (the bench fold showed 6 InMemoryTableScan→Generate branches).
+    // Materialize batch-scale frames once; already-checkpointed inputs
+    // (appendNearDup, NearDupLoop) pass through untouched.
+    def materialize(df: DataFrame): DataFrame =
+      if (df.queryExecution.logical.isInstanceOf[
+          org.apache.spark.sql.execution.LogicalRDD]) df
+      else df.localCheckpoint()
+    val newKeys = materialize(newKeys0)
+    val newToks = materialize(newToks0)
     // Candidates: batch × index (probe side shuffles, bucketed side
     // doesn't) + batch × batch; both orientations normalize to d1 < d2.
     val vsOld = newKeys.select(col("doc_id").as("n"), col("bk"))

@@ -296,7 +296,11 @@ object GraphOps {
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    require(nodes.limit(1).count() > 0, "empty graph")
+    // Full count, not limit(1): it both guards the empty graph and feeds
+    // the broadcast-vs-shuffle gate below; nodes is a checkpointed RDD,
+    // so this is a metadata-speed pass.
+    val ns = nodes.count()
+    require(ns > 0, "empty graph")
     def l1norm(df: DataFrame, c: String): DataFrame = {
       val s = Option(df.agg(sum(col(c))).head().get(0))
         .fold(0.0)(_.asInstanceOf[Double])
@@ -314,29 +318,71 @@ object GraphOps {
     // 3 iterations). Magnitudes grow ~(avg in-deg · avg out-deg) per
     // round, so a periodic rescale (every 8 rounds — far inside double
     // range for any real graph) bounds them for deep iteration counts.
-    var hub = nodes.select(col("node"), lit(1.0).as("hub")).localCheckpoint()
+    //
+    // Round 15 (guide §2.4/§3.1): in every matvec the EDGE table is the
+    // heavy side and the score frame is node-scale — so when the node
+    // count is broadcastable, ship the scores and never move an edge
+    // byte: each half-step becomes broadcast-build + map-side hash join
+    // over the checkpointed edge partitions + partial agg + one
+    // node-scale Exchange, and the WHOLE loop stays one lazy plan
+    // (ReuseExchange dedups each round's broadcast between the next
+    // matvec and the completion join, so nothing recomputes) with a
+    // single checkpoint at the end — per-half-step checkpoints were a
+    // driver job each. The in-loop frames are checkpointed/derived RDDs
+    // whose stats the planner cannot see (and under AQE a checkpoint
+    // does not even keep its physical partitioning — CoPartProbe: a
+    // co-partitioned variant re-exchanged every round and shuffled MORE,
+    // 51.8 vs 41.6 MB), so the broadcast is an explicit size-GATED
+    // choice, not a hint-always: above `hitsBroadcastMaxNodes` nodes it
+    // falls back to the previous shuffle-join + checkpoint-per-half-step
+    // shape, which scales to any node count. Measured on the bench graph
+    // (240k edges, 21k nodes, 3 iterations, HitsOptProbe/XProbe medians):
+    // 41.6 → 9.7 MB shuffled (the rest is the loop-invariant edge
+    // distinct + node-scale agg exchanges) and 2.83 → 2.22 s.
+    val small = ns <= hitsBroadcastMaxNodes
+    def bc(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
+    // Lineage: the small path cuts it only at the 8-round rescale (and
+    // once at the end); the shuffle path cuts every half-step as before.
+    def cut(df: DataFrame): DataFrame = if (small) df else df.localCheckpoint()
+    var hub = cut(nodes.select(col("node"), lit(1.0).as("hub")))
     var auth = hub.select(col("node"), col("hub").as("auth")).limit(0)
     var i = 0
     while (i < iterations) {
-      auth = e.join(hub, hub("node") === e("src"))
-        .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("auth"))
-        .localCheckpoint()
-      hub = e.join(auth, auth("node") === e("dst"))
-        .groupBy(e("src").as("node")).agg(sum(col("auth")).as("hub"))
-        .localCheckpoint()
+      auth = cut(e.join(bc(hub), hub("node") === e("src"))
+        .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("auth")))
+      hub = cut(e.join(bc(auth), auth("node") === e("dst"))
+        .groupBy(e("src").as("node")).agg(sum(col("auth")).as("hub")))
       i += 1
       if (i % 8 == 0 && i < iterations) {
-        auth = l1norm(auth, "auth").localCheckpoint()
-        hub = l1norm(hub, "hub").localCheckpoint()
+        auth = l1norm(auth.localCheckpoint(), "auth")
+        hub = l1norm(hub.localCheckpoint(), "hub")
       }
     }
-    l1norm(nodes.join(auth, Seq("node"), "left")
-        .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")), "auth")
-      .join(l1norm(nodes.join(hub, Seq("node"), "left")
-        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")), "hub"),
-        Seq("node"))
-      .select(col("node"), col("hub"), col("auth"))
+    // One completion pass: attach both scores to the node set, checkpoint
+    // ONCE (the only materialization of the small path's lazy chain),
+    // then read the two L1 sums off the materialized rows and divide.
+    val combined = nodes.join(bc(auth), Seq("node"), "left")
+      .join(bc(hub), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+      .localCheckpoint()
+    val sums = combined.agg(sum(col("hub")), sum(col("auth"))).head()
+    def s(i: Int): Double =
+      Option(sums.get(i)).fold(0.0)(_.asInstanceOf[Double])
+    val (sh, sa) = (s(0), s(1))
+    combined.select(col("node"),
+      (if (sh == 0.0) col("hub") else col("hub") / lit(sh)).as("hub"),
+      (if (sa == 0.0) col("auth") else col("auth") / lit(sa)).as("auth"))
   }
+
+  /** Node-count gate for [[hits]]'s in-loop broadcast of the score
+    * frames: a (long, double) hashed relation of 4M rows is ~150 MB —
+    * comfortable executor/driver territory — while host-graph deployments
+    * past it fall back to the shuffle-join matvec shape that scales to
+    * any node count. */
+  val hitsBroadcastMaxNodes: Long = 4L * 1000 * 1000
 
   /** The EXACT-INTEGER unnormalized HITS kernel — the q184 cross-engine
     * hash contract (the q169 discipline applied to HITS): with h0 = 1,

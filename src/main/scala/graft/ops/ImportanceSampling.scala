@@ -82,7 +82,7 @@ object ImportanceSampling {
   /** Score every doc: `(id, logw)`, map-only. */
   def importanceLogWeights(docs: DataFrame, id: Column, text: Column,
                            ratios: Array[Double]): DataFrame =
-    docs.select(id.as("doc_id"), logWeight(text, ratios).as("logw"))
+    SkewOps.fanOutScan(docs).select(id.as("doc_id"), logWeight(text, ratios).as("logw"))
 
   /** Strictly-interior (0,1) uniform from a seeded content hash of the id:
     * the first 13 md5 hex chars as an integer h ∈ [0, 16^13), mapped to

@@ -139,7 +139,8 @@ object LinearClassifier {
   def score(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame = {
     val spark = docs.sparkSession
     val bm = spark.sparkContext.broadcast(model)
-    val in = docs.select(id.cast("long").as("doc_id"), text.cast("string").as("t"))
+    val in = SkewOps.fanOutScan(docs)
+      .select(id.cast("long").as("doc_id"), text.cast("string").as("t"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = true),
       StructField("score", DoubleType, nullable = false)))

@@ -276,11 +276,16 @@ object Pq {
     * [[pqTopKIvf]] via `galleryIndex`; steady-state batches then pay
     * only their own LUTs + cluster-local lookups. */
   def pqIvfIndex(gallery: DataFrame, centroids: DataFrame, cb: PqCodebook,
-                 id: String = "vec_id", vec: String = "embedding"): DataFrame =
-    pqEncodeDf(gallery, col(id), col(vec), cb)
-      .join(Ann.ivfAssign(gallery, centroids, id, vec)
+                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    // Round 15: one fan-out before the two per-vector passes (PQ encode +
+    // cell assignment) — an under-partitioned scan otherwise runs both
+    // single-task (guide §2.5; no-op at production file counts).
+    val g = graft.ops.SkewOps.fanOutScan(gallery)
+    pqEncodeDf(g, col(id), col(vec), cb)
+      .join(Ann.ivfAssign(g, centroids, id, vec)
         .select(col(id).cast("long").as("g_id"), col("cid")), "g_id")
       .select("g_id", "cid", "codes")
+  }
 
   /** Persist a [[pqIvfIndex]] BUCKETED by `cid` (the
     * [[Ann.persistIvfIndex]] posture: write to a fresh path and swap);

@@ -23,6 +23,46 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   */
 object SkewOps {
 
+  /** Fan out an UNDER-PARTITIONED operator input before heavy per-row
+    * work (guide §2.5's "one huge unsplittable file" remedy, round 15):
+    * parquet cannot split below row-group granularity, so a table
+    * written as one row group scans as ONE task no matter how many
+    * cores the cluster has — and every per-document operator downstream
+    * (tokenize, MinHash, codec decode, HTML segmentation) runs
+    * single-threaded. When the input's scan parallelism is under half
+    * the cluster default, repartition to the default; otherwise pass
+    * through UNTOUCHED — at production layouts (files ≫ cores) this is
+    * a no-op, so no full-corpus shuffle ever fires at scale. The
+    * round-robin repartition is retry-safe (sort-before-repartition is
+    * on by default) and every graft operator is partition-layout
+    * independent. Call it on SCAN-STAGE inputs only: probing partition
+    * count on a post-exchange plan can trigger AQE stage execution, and
+    * fanning out a bucketed index side would destroy its Exchange-free
+    * probe layout. */
+  private[graft] def fanOutScan(df: DataFrame): DataFrame = {
+    // Streaming plans can't be inspected (.rdd executes) — micro-batch
+    // parallelism is the source's concern (the Warc.spreadSmall rule).
+    if (df.isStreaming) return df
+    // Narrow scan-stage plans only: .rdd on a post-exchange plan would
+    // eagerly execute AQE query stages just to read a partition count.
+    def narrow(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      plan match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => narrow(p.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => narrow(f.child)
+        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => narrow(s.child)
+        case v: org.apache.spark.sql.catalyst.plans.logical.View => narrow(v.child)
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+        case _ => false
+      }
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (narrow(df.queryExecution.optimizedPlan) &&
+        df.rdd.getNumPartitions * 2 <= p) df.repartition(p)
+    else df
+  }
+
   private val saltCol = "__graft_salt"
 
   private def hasMap(dt: DataType): Boolean = dt match {
