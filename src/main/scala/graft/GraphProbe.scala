@@ -21,11 +21,13 @@ object GraphProbe {
       .localCheckpoint()
     println(s"== edges=${edges.count()} nodes≈$nNodes")
     def timedRank(iters: Int): Double = {
-      val t0 = System.nanoTime()
-      val pr = graft.ops.GraphOps.pageRank(edges, iterations = iters)
-      val mass = pr.agg(sum(col("r"))).head().getLong(0)
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"== iters=$iters%2d  $sec%7.2f sec  mass=$mass  (${sec / iters}%.2f s/iter)")
+      val ((sec, mass), rd, wr) = ShuffleMeter.measure(spark) {
+        val t0 = System.nanoTime()
+        val pr = graft.ops.GraphOps.pageRank(edges, iterations = iters)
+        val m = pr.agg(sum(col("r"))).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, m)
+      }
+      println(f"== iters=$iters%2d  $sec%7.2f sec  mass=$mass  (${sec / iters}%.2f s/iter)  shuffle $rd%.1f MB read / $wr%.1f MB written")
       sec
     }
     val t2 = timedRank(2)
