@@ -941,13 +941,22 @@ object DedupOps {
             Seq("u"), "left")
           .select(col("u"), coalesce(col("__pl"), col("u")).as("label"))
     })
+    // Gated node-scale broadcasts (round 15, the GraphOps loop pattern):
+    // every in-loop join pairs the loop-invariant edge table or another
+    // node-scale frame with the label table, whose checkpointed-RDD stats
+    // the planner cannot see — below the node-count gate the label-side
+    // frames broadcast and the edges never re-shuffle; above it the
+    // shuffle-join shape is unchanged. min/least label propagation is
+    // plan-order independent, so q72/q189 stay hash-exact.
+    val small = labels.count() <= graft.ops.GraphOps.loopBroadcastMaxNodes
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var converged = false
     var i = 0
     try {
       while (!converged && i < maxIter) {
-        val prop = e.join(labels.select(col("u").as("v"), col("label")), "v")
+        val prop = e.join(bc(labels.select(col("u").as("v"), col("label"))), "v")
           .groupBy("u").agg(min(col("label")).as("nlabel"))
-        val stepped = labels.join(prop, Seq("u"), "left")
+        val stepped = labels.join(bc(prop), Seq("u"), "left")
           .select(col("u"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         // Pointer jump: label(u) ← label(label(u)). Every label value is a
@@ -955,12 +964,12 @@ object DedupOps {
         // labels, which start as node ids), so the lookup is a self-join;
         // labels only decrease, so the grand-label can only improve.
         val (next, nextPath) = cut(stepped
-          .join(stepped.select(col("u").as("gu"), col("label").as("gl")),
+          .join(bc(stepped.select(col("u").as("gu"), col("label").as("gl"))),
             col("label") === col("gu"), "left")
           .select(col("u"),
             least(col("label"), coalesce(col("gl"), col("label"))).as("label")))
         val changed = next.select(col("u"), col("label").as("nl"))
-          .join(labels, "u").where(col("nl") =!= col("label")).limit(1).count()
+          .join(bc(labels), "u").where(col("nl") =!= col("label")).limit(1).count()
         drop(labelsPath)
         labels = next
         labelsPath = nextPath

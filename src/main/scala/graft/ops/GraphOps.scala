@@ -149,7 +149,7 @@ object GraphOps {
     // GraphProbe 1M edges/100k nodes at 10 iterations, same session:
     // shuffle 50.8 → 17.4 MB — the ~3.6 MB/iteration edge re-shuffle
     // drops to ~0.2 — and 8.0 → 5.8 s wall; identical mass).
-    val small = nn <= hitsBroadcastMaxNodes
+    val small = nn <= loopBroadcastMaxNodes
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // (1 − d) SPELLED AS A SUBTRACTION, matching the declared SQL text:
     // the double `1 - 0.85` differs from the literal `0.15` in the last
@@ -246,7 +246,7 @@ object GraphOps {
     // Gated node-scale broadcasts, same rationale as [[pageRankFrom]]
     // (round 15): bigint arithmetic keeps q170 hash-exact under the
     // plan change.
-    val small = nn <= hitsBroadcastMaxNodes
+    val small = nn <= loopBroadcastMaxNodes
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // (1 − d) spelled as the subtraction — the q169/q170 bit-contract.
     val base = (lit(1.0) - lit(damping)) * lit(scale.toDouble) / lit(ns)
@@ -351,13 +351,13 @@ object GraphOps {
     // does not even keep its physical partitioning — CoPartProbe: a
     // co-partitioned variant re-exchanged every round and shuffled MORE,
     // 51.8 vs 41.6 MB), so the broadcast is an explicit size-GATED
-    // choice, not a hint-always: above `hitsBroadcastMaxNodes` nodes it
+    // choice, not a hint-always: above `loopBroadcastMaxNodes` nodes it
     // falls back to the previous shuffle-join + checkpoint-per-half-step
     // shape, which scales to any node count. Measured on the bench graph
     // (240k edges, 21k nodes, 3 iterations, HitsOptProbe/XProbe medians):
     // 41.6 → 9.7 MB shuffled (the rest is the loop-invariant edge
     // distinct + node-scale agg exchanges) and 2.83 → 2.22 s.
-    val small = ns <= hitsBroadcastMaxNodes
+    val small = ns <= loopBroadcastMaxNodes
     def bc(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")
     // Lineage: the small path cuts it only at the 8-round rescale (and
@@ -395,12 +395,15 @@ object GraphOps {
       (if (sa == 0.0) col("auth") else col("auth") / lit(sa)).as("auth"))
   }
 
-  /** Node-count gate for [[hits]]'s in-loop broadcast of the score
-    * frames: a (long, double) hashed relation of 4M rows is ~150 MB —
-    * comfortable executor/driver territory — while host-graph deployments
-    * past it fall back to the shuffle-join matvec shape that scales to
-    * any node count. */
-  val hitsBroadcastMaxNodes: Long = 4L * 1000 * 1000
+  /** Node-count gate for the iterative loops' in-loop broadcast of
+    * node-scale state ([[hits]]/[[hitsCounts]] scores, [[pageRank]]
+    * ranks/degrees, [[labelPropagation]] labels,
+    * [[graft.ops.DedupOps.connectedComponents]] labels): a
+    * (long, double) hashed relation of 4M rows is ~150 MB — comfortable
+    * executor/driver territory — while graph deployments past it fall
+    * back to the shuffle-join loop shapes that scale to any node
+    * count. */
+  val loopBroadcastMaxNodes: Long = 4L * 1000 * 1000
 
   /** The EXACT-INTEGER unnormalized HITS kernel — the q184 cross-engine
     * hash contract (the q169 discipline applied to HITS): with h0 = 1,
@@ -421,23 +424,27 @@ object GraphOps {
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // Gated node-scale broadcasts (round 15, the [[hits]]/[[pageRankFrom]]
+    // pattern): bigint sums keep the q184 hash exact under the plan change.
+    val small = nodes.count() <= loopBroadcastMaxNodes
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var hub = nodes.select(col("node"), lit(1L).as("hub")).localCheckpoint()
     var auth = nodes.select(col("node"), lit(0L).as("auth"))
     var i = 0
     while (i < iterations) {
-      val a = e.join(hub, hub("node") === e("src"))
+      val a = e.join(bc(hub), hub("node") === e("src"))
         .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("auth"))
-      auth = nodes.join(a, Seq("node"), "left")
+      auth = nodes.join(bc(a), Seq("node"), "left")
         .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
         .localCheckpoint()
-      val h = e.join(auth, auth("node") === e("dst"))
+      val h = e.join(bc(auth), auth("node") === e("dst"))
         .groupBy(e("src").as("node")).agg(sum(col("auth")).as("hub"))
-      hub = nodes.join(h, Seq("node"), "left")
+      hub = nodes.join(bc(h), Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
         .localCheckpoint()
       i += 1
     }
-    hub.join(auth, Seq("node"))
+    hub.join(bc(auth), Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
   }
 
@@ -471,18 +478,24 @@ object GraphOps {
     var labels = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    // Gated node-scale broadcasts (round 15, the [[hits]] pattern): the
+    // vote join's edge side stays put and only the (node, lbl) frame
+    // ships; the count/top-1 winner is deterministic either way, so the
+    // q171 hash is unchanged.
+    val small = labels.count() <= loopBroadcastMaxNodes
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("node").orderBy(col("c").desc, col("lbl"))
     var i = 0
     while (i < iterations) {
-      val votes = e.join(labels.select(col("node").as("__n"), col("lbl")),
+      val votes = e.join(bc(labels.select(col("node").as("__n"), col("lbl"))),
           col("__n") === e("dst"))
         .groupBy(e("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       val winner = votes.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("node").as("__wn"), col("lbl").as("__wl"))
-      labels = labels.join(winner, labels("node") === col("__wn"), "left")
+      labels = labels.join(bc(winner), labels("node") === col("__wn"), "left")
         .select(labels("node"), coalesce(col("__wl"), labels("lbl")).as("lbl"))
         .localCheckpoint()
       i += 1
