@@ -25,7 +25,8 @@ object Exp15 {
     graft.engine.Graft.sessionConfs.foreach { case (k, v) => b.config(k, v) }
     if (mode.contains("cbo") || mode == "all") {
       b.config("spark.sql.cbo.enabled", "true")
-      b.config("spark.sql.cbo.joinReorder.enabled", "true")
+      if (!mode.contains("nr"))
+        b.config("spark.sql.cbo.joinReorder.enabled", "true")
     }
     if (mode.contains("shj") || mode == "all")
       b.config("spark.sql.join.preferSortMergeJoin", "false")
@@ -34,7 +35,7 @@ object Exp15 {
     graft.engine.Graft.configure(spark)
 
     val fan = mode.contains("fan") || mode == "all"
-    val analyzed = mode.contains("cbo") || mode == "all"
+    val analyzed = mode.contains("cbo") || mode.contains("stats") || mode == "all"
     graft.sources.Catalog.tableNames.foreach { n =>
       if (analyzed) {
         val keyCols: Map[String, Seq[String]] = Map(
