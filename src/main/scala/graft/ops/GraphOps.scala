@@ -123,20 +123,34 @@ object GraphOps {
         .where(col("src").isNotNull && col("dst").isNotNull)
         .distinct()
     }).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val nn = nodes.count()
-    require(nn > 0, "empty graph")
-    val deg = (weight match {
-      case Some(_) => e.groupBy("src").agg(sum(col("w")).as("outd"))
-      case None => e.groupBy("src").agg(count(lit(1)).as("outd"))
-    }).localCheckpoint()
-    // The dangling node SET is iteration-invariant (only their RANKS
-    // change): compute it once, and skip the per-iteration mass action
-    // entirely on graphs without sinks (the declared q169 symmetric
-    // graph runs zero dangling jobs).
-    val danglingNodes = nodes.join(deg, nodes("node") === deg("src"), "left_anti")
+    // Round 16 (guide §2.4 "two operations keyed the same way can share
+    // one exchange"): the prelude used THREE jobs over the checkpointed
+    // edge table — the node-set distinct, the out-degree aggregation, and
+    // the dangling anti-join — two full edge passes plus a node-scale
+    // join, each with its own exchange and checkpoint. One exploded
+    // aggregation computes all three in a single edge pass / single
+    // exchange: every edge contributes (src, vote) and (dst, 0); the
+    // per-node vote sum yields the node set (every endpoint appears),
+    // the out-degree (vote = 1 unweighted / w weighted — same type, same
+    // values as before: the dst rows add exact 0 terms), and the
+    // dangling set (outd = 0). Integer-exact unweighted; q169/q170/q182
+    // stay hash-pinned.
+    val zero = weight match { case Some(_) => lit(0.0); case None => lit(0L) }
+    val nodeStats = e.select(col("src").as("node"),
+        (weight match { case Some(_) => col("w"); case None => lit(1L) }).as("__vote"))
+      .unionAll(e.select(col("dst").as("node"), zero.as("__vote")))
+      .groupBy("node").agg(sum(col("__vote")).as("outd"))
       .localCheckpoint()
+    val nodes = nodeStats.select("node")
+    val nn = nodeStats.count()
+    require(nn > 0, "empty graph")
+    val deg = nodeStats.where(col("outd") > 0)
+      .select(col("node").as("src"), col("outd"))
+    // The dangling node SET is iteration-invariant (only their RANKS
+    // change): a filter over the one checkpointed node table, and graphs
+    // without sinks (the declared q169 symmetric graph) skip the
+    // per-iteration mass action entirely.
+    val danglingNodes = nodeStats.where(col("outd") <= 0).select("node")
     val hasDangling = danglingNodes.limit(1).count() > 0
     // Round 15 (guide §2.4/§3.1, the [[hits]] pattern): every in-loop
     // join pairs the loop-invariant EDGE table with node-scale state
@@ -230,18 +244,24 @@ object GraphOps {
       .where(col("__seed").isNotNull).distinct()
     // Nodes carry their seed flag through every iteration's left join —
     // one extra boolean on the node-scale table, no extra join in the loop.
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // Round 16 (guide §2.4, the [[pageRankFrom]] fusion): node set,
+    // out-degrees, and the dangling set come from ONE exploded
+    // aggregation over the edge table (plus the seed-flag attach) instead
+    // of three separate jobs/checkpoints — integer-exact, q170 stays
+    // hash-pinned.
+    val nodes = e.select(col("src").as("node"), lit(1L).as("__vote"))
+      .unionAll(e.select(col("dst").as("node"), lit(0L).as("__vote")))
+      .groupBy("node").agg(sum(col("__vote")).as("outd"))
       .join(seedSet, col("node") === col("__seed"), "left")
-      .select(col("node"), col("__seed").isNotNull.as("is_seed"))
+      .select(col("node"), col("__seed").isNotNull.as("is_seed"), col("outd"))
       .localCheckpoint()
     val nn = nodes.count()
     require(nn > 0, "empty graph")
     val ns = nodes.where(col("is_seed")).count()
     require(ns > 0, "no seed is present in the graph")
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outd")).localCheckpoint()
-    val danglingNodes = nodes.join(deg, nodes("node") === deg("src"), "left_anti")
-      .select("node").localCheckpoint()
+    val deg = nodes.where(col("outd") > 0)
+      .select(col("node").as("src"), col("outd"))
+    val danglingNodes = nodes.where(col("outd") <= 0).select("node")
     val hasDangling = danglingNodes.limit(1).count() > 0
     // Gated node-scale broadcasts, same rationale as [[pageRankFrom]]
     // (round 15): bigint arithmetic keeps q170 hash-exact under the
